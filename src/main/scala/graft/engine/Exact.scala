@@ -1,0 +1,39 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle-parity arithmetic helpers (SURVEY.md §7.4 hazard 1).
+  *
+  * Parallel double-summation is order-dependent: Spark's partial/final
+  * aggregation over 32 partitions will not bit-match DuckDB's sum. The
+  * fix is to make the sum EXACT and therefore order-independent: keep
+  * per-row arithmetic in IEEE double (deterministic and identical in
+  * both engines), cast the per-row result to DECIMAL(38,6), sum the
+  * decimals exactly, and cast back to double at the very end. A double
+  * can never be exactly half-way at the 6th decimal digit (that would
+  * need a factor of 5^7 in the denominator of a binary fraction), so
+  * the decimal rounding is unambiguous in both engines.
+  *
+  * At 100 TB this also removes a nondeterminism class from reruns:
+  * exact sums mean retried/speculative tasks cannot produce different
+  * bytes, so downstream dedup-by-content and incremental recompute stay
+  * stable.
+  */
+object Exact {
+  private val D = DecimalType(38, 6)
+
+  /** Exact, order-independent sum of a double expression → double. */
+  def xsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
+
+  /** Exact-numerator average: decimal-sum / count, both deterministic. */
+  def xavg(c: Column): Column = xsum(c) / count(c)
+
+  /** SQL (DuckDB) twin of [[xsum]]; `e` is a SQL expression string. */
+  def sqlXsum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** SQL twin of [[xavg]]. */
+  def sqlXavg(e: String): String = s"${sqlXsum(e)} / COUNT($e)"
+}
