@@ -18,13 +18,93 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_multi_key_pricing" -> (AggOps.multiKeyPricing _)
+    // §2.1 scans / sources / sinks
+    "q_scan_parquet" -> (ScanOps.scanParquet _),
+    "q_scan_schema_projection" -> (ScanOps.scanProjection _),
+    "q_scan_csv_roundtrip" -> (ScanOps.scanCsvRoundtrip _),
+    "q_sink_parquet" -> (ScanOps.sinkParquet _),
+    // §2.2 projection / filter
+    "q_project_expr" -> (FilterOps.projectExpr _),
+    "q_filter_pred" -> (FilterOps.filterPred _),
+    "q_filter_null_semantics" -> (FilterOps.filterNullSemantics _),
+    // §2.3 joins
+    "q_join_broadcast" -> (JoinOps.joinBroadcast _),
+    "q_join_shuffle" -> (JoinOps.joinShuffle _),
+    "q_join_sortmerge" -> (JoinOps.joinSortMerge _),
+    "q_join_outer" -> (JoinOps.joinOuter _),
+    "q_join_semi" -> (JoinOps.joinSemi _),
+    "q_join_anti" -> (JoinOps.joinAnti _),
+    "q_join_theta_range" -> (JoinOps.joinThetaRange _),
+    "q_join_self_pairs" -> (JoinOps.joinSelfPairs _),
+    "q_join_asof" -> (JoinOps.joinAsof _),
+    "q_join_interval" -> (JoinOps.joinInterval _),
+    // §2.4 aggregations
+    "q_agg_global" -> (AggOps.aggGlobal _),
+    "q_agg_hash_group" -> (AggOps.aggHashGroup _),
+    "q_agg_multi_key_pricing" -> (AggOps.multiKeyPricing _),
+    "q_agg_distinct" -> (AggOps.aggDistinct _),
+    "q_agg_approx_distinct" -> (AggOps.aggApproxDistinct _),
+    "q_agg_collect" -> (AggOps.aggCollect _),
+    "q_agg_rollup" -> (AggOps.aggRollup _),
+    "q_agg_cube" -> (AggOps.aggCube _),
+    "q_agg_grouping_sets" -> (AggOps.aggGroupingSets _),
+    "q_agg_pivot" -> (AggOps.aggPivot _),
+    // §2.5 windows + §2.6 sorts
+    "q_win_rank_topn" -> (WindowOps.rankTopN _),
+    "q_win_rank_dense" -> (WindowOps.rankDense _),
+    "q_win_lag_lead" -> (WindowOps.lagLead _),
+    "q_win_frame_rows" -> (WindowOps.frameRows _),
+    "q_win_frame_range" -> (WindowOps.frameRange _),
+    "q_sort_multi" -> (WindowOps.sortMulti _),
+    "q_limit_topk" -> (WindowOps.limitTopK _),
+    "q_sort_within_partitions" -> (WindowOps.sortWithinPartitions _),
+    // §2.7 set ops
+    "q_set_union_all" -> (SetOps.unionAll _),
+    "q_set_union_distinct" -> (SetOps.unionDistinct _),
+    "q_set_intersect" -> (SetOps.intersect _),
+    "q_set_except" -> (SetOps.except _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables (table names are bare: `lineitem`, …).
     * Omitted for non-SQL-expressible or approximate ops. */
   def oracleSql: Map[String, String] = Map(
-    "q_agg_multi_key_pricing" -> AggOps.multiKeyPricingSql
+    "q_scan_parquet" -> ScanOps.scanParquetSql,
+    "q_scan_schema_projection" -> ScanOps.scanProjectionSql,
+    "q_scan_csv_roundtrip" -> ScanOps.scanCsvRoundtripSql,
+    "q_sink_parquet" -> ScanOps.sinkParquetSql,
+    "q_project_expr" -> FilterOps.projectExprSql,
+    "q_filter_pred" -> FilterOps.filterPredSql,
+    "q_filter_null_semantics" -> FilterOps.filterNullSemanticsSql,
+    "q_join_broadcast" -> JoinOps.joinBroadcastSql,
+    "q_join_shuffle" -> JoinOps.joinShuffleSql,
+    "q_join_sortmerge" -> JoinOps.joinSortMergeSql,
+    "q_join_outer" -> JoinOps.joinOuterSql,
+    "q_join_semi" -> JoinOps.joinSemiSql,
+    "q_join_anti" -> JoinOps.joinAntiSql,
+    "q_join_theta_range" -> JoinOps.joinThetaRangeSql,
+    "q_join_self_pairs" -> JoinOps.joinSelfPairsSql,
+    "q_join_asof" -> JoinOps.joinAsofSql,
+    "q_join_interval" -> JoinOps.joinIntervalSql,
+    "q_agg_global" -> AggOps.aggGlobalSql,
+    "q_agg_hash_group" -> AggOps.aggHashGroupSql,
+    "q_agg_multi_key_pricing" -> AggOps.multiKeyPricingSql,
+    "q_agg_distinct" -> AggOps.aggDistinctSql,
+    "q_agg_collect" -> AggOps.aggCollectSql,
+    "q_agg_rollup" -> AggOps.aggRollupSql,
+    "q_agg_cube" -> AggOps.aggCubeSql,
+    "q_agg_grouping_sets" -> AggOps.aggGroupingSetsSql,
+    "q_agg_pivot" -> AggOps.aggPivotSql,
+    "q_win_rank_topn" -> WindowOps.rankTopNSql,
+    "q_win_rank_dense" -> WindowOps.rankDenseSql,
+    "q_win_lag_lead" -> WindowOps.lagLeadSql,
+    "q_win_frame_rows" -> WindowOps.frameRowsSql,
+    "q_win_frame_range" -> WindowOps.frameRangeSql,
+    "q_sort_multi" -> WindowOps.sortMultiSql,
+    "q_limit_topk" -> WindowOps.limitTopKSql,
+    "q_set_union_all" -> SetOps.unionAllSql,
+    "q_set_union_distinct" -> SetOps.unionDistinctSql,
+    "q_set_intersect" -> SetOps.intersectSql,
+    "q_set_except" -> SetOps.exceptSql,
   )
 }

@@ -66,6 +66,18 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
+  /** On-disk schema: `ts` is parquet timestamp[ns], which Spark's
+    * vectorized reader will not coerce to (µs) TimestampType directly —
+    * we read it as a raw nanosecond long (legacy nanosAsLong) and
+    * truncate to µs in [[events]], matching DuckDB's ns→µs read. */
+  val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -97,7 +109,8 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -106,7 +119,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -51,4 +51,155 @@ object AggOps {
        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Global (ungrouped) aggregates — MR single-reducer totals. min/max
+    * on doubles are exact; sums/avgs use the decimal discipline. */
+  def aggGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir).agg(
+      xsum($"l_quantity").as("sum_qty"),
+      xavg($"l_extendedprice").as("avg_price"),
+      min($"l_discount").as("min_disc"),
+      max($"l_extendedprice").as("max_price"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  val aggGlobalSql: String =
+    s"""SELECT ${sqlXsum("l_quantity")} AS sum_qty,
+       |  ${sqlXavg("l_extendedprice")} AS avg_price,
+       |  MIN(l_discount) AS min_disc,
+       |  MAX(l_extendedprice) AS max_price,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem""".stripMargin
+
+  /** Grouped hash agg — per-user mean, THE core CF primitive. */
+  def aggHashGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(xavg($"value").as("avg_value"),
+        xsum($"value").as("sum_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val aggHashGroupSql: String =
+    s"""SELECT user_id, ${sqlXavg("value")} AS avg_value,
+       |  ${sqlXsum("value")} AS sum_value, COUNT(*) AS n_events
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Exact distinct counting (MR: dedup-in-reducer). */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val aggDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HLL++ approximate distinct — the 100 TB path (exact distinct
+    * shuffles every key; HLL ships a constant-size sketch per
+    * partition). Approximate ⇒ no DuckDB oracle; bounds asserted in
+    * AggSpec instead. */
+  def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Vector assembly: per-user sorted event-type list (MR group-concat
+    * of rating vectors). sort_array gives a deterministic order. */
+  def aggCollect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"event_type")).as("types"))
+      .orderBy($"user_id")
+  }
+
+  val aggCollectSql: String =
+    """SELECT user_id, list(event_type ORDER BY event_type) AS types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** ROLLUP over the region→nation hierarchy. NULLS FIRST is pinned on
+    * both sides (Spark defaults nulls-first ASC, DuckDB nulls-last). */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, sfDir), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        xsum($"s_acctbal").as("sum_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val aggRollupSql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+       |  ${sqlXsum("s_acctbal")} AS sum_bal
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** CUBE over (returnflag, linestatus). */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_items"), xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val aggCubeSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       |  ${sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS via the SQL entry point (§3.3). */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      s"""SELECT r_name, n_name, COUNT(*) AS n_nations
+         |FROM nation JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot event_type → columns with a FIXED value list (dynamic pivot
+    * would scan twice and make the schema data-dependent). Absent cells
+    * coalesce to 0 to match COUNT(CASE …). */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pv = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    pv.select($"user_id" +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy($"user_id")
+  }
+
+  val aggPivotSql: String =
+    s"""SELECT user_id,
+       |  ${eventTypes.map(t => s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(",\n  ")}
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 }

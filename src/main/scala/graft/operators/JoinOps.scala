@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Joins (SURVEY.md §2.3).
+  *
+  * MR implements joins two ways: reduce-side (shuffle on key) and
+  * map-side via DistributedCache. Spark's strategies map 1:1 —
+  * shuffle-hash / sort-merge for the former, broadcast-hash for the
+  * latter — and each variant here pins its strategy with a hint so the
+  * physical plan is the one we'd want at 100 TB (asserted in
+  * PlanShapeSpec).
+  */
+object JoinOps {
+
+  /** Small-dim equi-join: explicit broadcast (MR DistributedCache).
+    * nation is 25 rows — broadcast is correct at ANY fact-side scale. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .select($"o_orderkey", $"c_name", $"n_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val joinBroadcastSql: String =
+    """SELECT o_orderkey, c_name, n_name, o_totalprice
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Large-large equi-join on the shuffle-hash path (MR reduce-side).
+    * At 100 TB: both sides hash-partition on the key; no sort cost,
+    * but the build side must fit per-partition — AQE falls back to SMJ
+    * if not. */
+  def joinShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir).hint("shuffle_hash")
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber", $"o_totalprice", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"o_totalprice")
+  }
+
+  val joinShuffleSql: String =
+    """SELECT l_orderkey, l_linenumber, o_totalprice, l_quantity
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, o_totalprice""".stripMargin
+
+  /** Same join on the sort-merge path — the spill-safe default for
+    * large-large at scale. */
+  def joinSortMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir).hint("merge")
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber", $"o_orderdate", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"o_orderdate")
+  }
+
+  val joinSortMergeSql: String =
+    """SELECT l_orderkey, l_linenumber, o_orderdate, l_extendedprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice, o_orderdate""".stripMargin
+
+  /** Left outer: every customer, with orders counted (0 for none) —
+    * COUNT(col) skips the null-extended rows in both engines. */
+  def joinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .orderBy($"c_custkey")
+  }
+
+  val joinOuterSql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Left semi: existence probe (CF probe-set membership). */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.orders(spark, sfDir).filter($"o_totalprice" > 200000.0)
+    Tables.customer(spark, sfDir)
+      .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti: negation — parts never shipped (the unseen-items
+    * candidate generator at the heart of the recommend step). */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey", $"p_name")
+      .orderBy($"p_partkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Theta/range join: equi on partkey + price band. The equi component
+    * keeps it hash-joinable; the band is a post-join filter — the shape
+    * that survives scale (a pure theta join would be BNLJ). */
+  def joinThetaRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir),
+        $"l_partkey" === $"p_partkey" &&
+          $"l_extendedprice".between($"p_retailprice" * 0.5, $"p_retailprice" * 2.0))
+      .select($"l_orderkey", $"l_linenumber", $"p_partkey",
+        $"l_extendedprice", $"p_retailprice")
+      .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"l_extendedprice")
+  }
+
+  val joinThetaRangeSql: String =
+    """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice, p_retailprice
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  AND l_extendedprice BETWEEN p_retailprice * 0.5 AND p_retailprice * 2.0
+      |ORDER BY l_orderkey, l_linenumber, p_partkey, l_extendedprice""".stripMargin
+
+  /** Self-join pair generation (MR co-occurrence mapper — the heart of
+    * item-based CF): distinct event-type pairs per user, counted. */
+  def joinSelfPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val a = e.select($"user_id", $"event_type".as("et_a"))
+    val b = e.select($"user_id".as("user_b"), $"event_type".as("et_b"))
+    a.join(b, $"user_id" === $"user_b" && $"et_a" < $"et_b")
+      .groupBy($"et_a", $"et_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"et_a", $"et_b")
+  }
+
+  val joinSelfPairsSql: String =
+    """SELECT a.event_type AS et_a, b.event_type AS et_b, COUNT(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** As-of join: each purchase ↔ latest click at-or-before it, per
+    * user. Composed scalably as union + running `last(ignoreNulls)` —
+    * ONE shuffle on user_id, no range self-join blowup. Ties (none in
+    * fixtures) order clicks before purchases to match ASOF's `>=`. */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"),
+        lit(null).cast("bigint").as("purchase_id"), lit(0).as("tag"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast("bigint").as("click_id"),
+        $"event_id".as("purchase_id"), lit(1).as("tag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts".asc, $"tag".asc, $"click_id".asc_nulls_last)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("matched_click", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"tag" === 1 && $"matched_click".isNotNull)
+      .select($"purchase_id", $"user_id", $"ts", $"matched_click".as("click_id"))
+      .orderBy($"purchase_id")
+  }
+
+  val joinAsofSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS ts,
+      |  c.event_id AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Interval join: clicks within the hour before each error, same
+    * user. Equi on user_id + time-range residual — hash-joinable; at
+    * 100 TB add coarse time-bucket keys to both sides to bound the
+    * per-key fanout. */
+  def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val errs = e.filter($"event_type" === "error")
+      .select($"user_id".as("err_user"), $"event_id".as("err_id"), $"ts".as("err_ts"))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("clk_user"), $"event_id".as("click_id"), $"ts".as("clk_ts"))
+    errs.join(clicks,
+        $"err_user" === $"clk_user" &&
+          $"clk_ts" >= expr("err_ts - INTERVAL 1 HOUR") && $"clk_ts" <= $"err_ts")
+      .select($"err_id", $"click_id", $"err_user".as("user_id"))
+      .orderBy($"err_id", $"click_id")
+  }
+
+  val joinIntervalSql: String =
+    """SELECT e.event_id AS err_id, c.event_id AS click_id,
+      |  e.user_id AS user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id
+      |  AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+      |ORDER BY err_id, click_id""".stripMargin
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Scans / sources / sinks (SURVEY.md §2.1).
+  *
+  * Scale notes: all reads are plain parquet scans through the vectorized
+  * reader; projection/filter reach the scan node (asserted in
+  * PlanShapeSpec). The csv/parquet round-trips write to a per-sf temp dir
+  * and read back with an explicit schema — at cluster scale these become
+  * distributed writes (no coalesce except in the harness sink).
+  */
+object ScanOps {
+
+  /** Stable scratch dir per scale-factor dir (round-trips must not
+    * collide across sf runs in one process). */
+  private def scratch(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/graft_scratch/$tag"
+  }
+
+  /** Full scan. lineitem has NO unique key (dup (orderkey, linenumber)
+    * pairs exist) — the canonical order must cover every column. */
+  def scanParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    li.orderBy(li.columns.map(col): _*)
+  }
+
+  val scanParquetSql: String =
+    "SELECT * FROM lineitem ORDER BY ALL"
+
+  /** Column-pruned scan — Catalyst pushes the 3-column projection into
+    * the parquet reader (ReadSchema shows only these columns). */
+  def scanProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+  }
+
+  val scanProjectionSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
+
+  /** Text ingest round-trip: write `part` as csv, read back with an
+    * explicit schema (never inference), compare against the parquet
+    * original — proves the csv source preserves values. */
+  def scanCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch(sfDir) + "/part_csv"
+    Tables.part(spark, sfDir).write.mode("overwrite")
+      .option("header", "true").csv(path)
+    spark.read.schema(Tables.partSchema)
+      .option("header", "true").csv(path)
+      .orderBy($"p_partkey")
+  }
+
+  val scanCsvRoundtripSql: String =
+    "SELECT * FROM part ORDER BY p_partkey"
+
+  /** Parquet sink round-trip: write a filtered slice, read it back.
+    * The oracle recomputes the same filter from the source table. */
+  def sinkParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch(sfDir) + "/lineitem_sink"
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    back.orderBy(back.columns.map(col): _*)
+  }
+
+  val sinkParquetSql: String =
+    """SELECT * FROM lineitem WHERE l_returnflag = 'R'
+      |ORDER BY ALL""".stripMargin
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Set operations (SURVEY.md §2.7).
+  *
+  * Scale notes: union is metadata-only (no shuffle); distinct /
+  * intersect / except each hash-shuffle on the full row — at 100 TB
+  * prefer pre-aggregated keys (as here: user_id only) over wide rows.
+  */
+object SetOps {
+
+  /** Bag union of two filtered slices (MR: multi-input job). Rows with
+    * equal keys are byte-identical duplicates, so the key-only ORDER BY
+    * is still a total content order. */
+  def unionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val hi = o.filter($"o_totalprice" > 150000.0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    hi.unionByName(urgent).orderBy($"o_orderkey")
+  }
+
+  val unionAllSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_totalprice > 150000.0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |) ORDER BY o_orderkey""".stripMargin
+
+  /** Set (distinct) union: users who clicked ∪ users who purchased. */
+  def unionDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    e.filter($"event_type" === "click").select($"user_id")
+      .union(e.filter($"event_type" === "purchase").select($"user_id"))
+      .distinct()
+      .orderBy($"user_id")
+  }
+
+  val unionDistinctSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |UNION
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  /** Intersection: users with clicks ∩ users with errors. */
+  def intersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    e.filter($"event_type" === "click").select($"user_id")
+      .intersect(e.filter($"event_type" === "error").select($"user_id"))
+      .orderBy($"user_id")
+  }
+
+  val intersectSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** Difference: users with views ∖ users with purchases (the CF
+    * train/test-split shape). */
+  def except(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    e.filter($"event_type" === "view").select($"user_id")
+      .except(e.filter($"event_type" === "purchase").select($"user_id"))
+      .orderBy($"user_id")
+  }
+
+  val exceptSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'view'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.{Exact, Tables}
+
+/** Window functions + sorts/limits (SURVEY.md §2.5–2.6).
+  *
+  * MR analog: secondary sort (composite key + grouping comparator) —
+  * Spark's Window.partitionBy(...).orderBy(...) is the declarative
+  * equivalent; one shuffle on the partition key, sort within.
+  *
+  * Determinism: every window ORDER BY carries a tiebreak down to a key
+  * column — required for oracle parity AND for stable reruns at scale.
+  * Running double sums go through DECIMAL(38,6) so frame accumulation
+  * order can't change bytes (Exact, SURVEY.md §7.4).
+  */
+object WindowOps {
+  import Exact._
+
+  /** Per-customer top-3 orders (MR: top-N reducer; CF: top-K
+    * neighbors). */
+  def rankTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val rankTopNSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** rank / dense_rank / percent_rank / ntile in one window spec. */
+  def rankDense(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        ntile(4).over(w).as("quartile"))
+      .filter($"rnk" <= 50)
+      .orderBy($"o_orderpriority", $"rnk", $"o_orderkey")
+  }
+
+  val rankDenseSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk,
+      |    percent_rank() OVER w AS prnk,
+      |    ntile(4) OVER w AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |) WHERE rnk <= 50 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+
+  /** Inter-event gap per user via lag (sessionization prep). Gap in
+    * exact integer microseconds — no float hazard. */
+  def lagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts",
+        lag($"ts", 1).over(w).as("prev_ts"),
+        lead($"event_id", 1).over(w).as("next_event_id"))
+      .select($"user_id", $"event_id", $"ts",
+        (expr("unix_micros(ts)") - expr("unix_micros(prev_ts)")).as("gap_us"),
+        $"next_event_id")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val lagLeadSql: String =
+    """SELECT user_id, event_id, ts,
+      |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+      |  lead(event_id, 1) OVER w AS next_event_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Running (cumulative) revenue per customer — ROWS frame. The sum is
+    * decimal-exact so frame accumulation order cannot change bytes. */
+  def frameRows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        sum($"o_totalprice".cast(DecimalType(38, 6))).over(w)
+          .cast(DoubleType).as("run_rev"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val frameRowsSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_rev
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** 7-day moving revenue — RANGE frame over an integer day number
+    * (numeric RANGE is the portable form; interval-RANGE dialects
+    * differ). Two-level: daily pre-agg then window — the pre-agg
+    * collapses 100 TB of orders to ~#days rows before the window. */
+  def frameRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(xsum($"o_totalprice").as("day_rev"))
+      .withColumn("day_num", expr("unix_micros(day) div 86400000000"))
+    val w = Window.orderBy($"day_num").rangeBetween(-6, 0)
+    daily
+      .select($"day",
+        sum($"day_rev".cast(DecimalType(38, 6))).over(w)
+          .cast(DoubleType).as("mov_rev"))
+      .orderBy($"day")
+  }
+
+  val frameRangeSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS day_rev,
+      |    epoch_us(date_trunc('day', o_orderdate)) // 86400000000 AS day_num
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT day,
+      |  CAST(SUM(CAST(day_rev AS DECIMAL(38,6))) OVER (
+      |    ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_rev
+      |FROM daily ORDER BY day""".stripMargin
+
+  // ---- §2.6 sorts / limits / top-k ----
+
+  /** Multi-key total order (MR: TotalOrderPartitioner). Spark plans a
+    * range-partitioned sort — the scalable total sort. */
+  def sortMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .orderBy($"o_orderpriority".desc, $"o_totalprice".asc, $"o_orderkey".asc)
+  }
+
+  val sortMultiSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |ORDER BY o_orderpriority DESC, o_totalprice ASC, o_orderkey ASC""".stripMargin
+
+  /** Global top-K: orderBy+limit compiles to TakeOrderedAndProject —
+    * per-partition heaps + driver merge, never a full sort. */
+  def limitTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .limit(100)
+  }
+
+  val limitTopKSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 100""".stripMargin
+
+  /** Partition-local sort (MR: map-output sort). Output order is
+    * partitioning-dependent ⇒ no oracle (rows-only check). */
+  def sortWithinPartitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .repartition(8, $"o_custkey")
+      .sortWithinPartitions($"o_custkey", $"o_orderdate", $"o_orderkey")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+  }
+}
