@@ -63,6 +63,18 @@ object SparkEntry {
     "q_set_union_distinct" -> (SetOps.unionDistinct _),
     "q_set_intersect" -> (SetOps.intersect _),
     "q_set_except" -> (SetOps.except _),
+    // §2.8 scalar function families
+    "q_fn_string" -> (FnOps.fnString _),
+    "q_fn_date" -> (FnOps.fnDate _),
+    "q_fn_math" -> (FnOps.fnMath _),
+    "q_fn_conditional" -> (FnOps.fnConditional _),
+    "q_fn_array" -> (FnOps.fnArray _),
+    "q_fn_map" -> (FnOps.fnMap _),
+    "q_fn_json" -> (FnOps.fnJson _),
+    // §2.10 UDF / UDAF / UDTF
+    "q_udf_cosine" -> (UdfOps.udfCosine _),
+    "q_udaf_rmse" -> (UdfOps.udafRmse _),
+    "q_udtf_tokenize" -> (UdfOps.udtfTokenize _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -106,5 +118,15 @@ object SparkEntry {
     "q_set_union_distinct" -> SetOps.unionDistinctSql,
     "q_set_intersect" -> SetOps.intersectSql,
     "q_set_except" -> SetOps.exceptSql,
+    "q_fn_string" -> FnOps.fnStringSql,
+    "q_fn_date" -> FnOps.fnDateSql,
+    "q_fn_math" -> FnOps.fnMathSql,
+    "q_fn_conditional" -> FnOps.fnConditionalSql,
+    "q_fn_array" -> FnOps.fnArraySql,
+    "q_fn_map" -> FnOps.fnMapSql,
+    "q_fn_json" -> FnOps.fnJsonSql,
+    "q_udf_cosine" -> UdfOps.udfCosineSql,
+    "q_udaf_rmse" -> UdfOps.udafRmseSql,
+    "q_udtf_tokenize" -> UdfOps.udtfTokenizeSql,
   )
 }

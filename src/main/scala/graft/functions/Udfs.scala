@@ -1,0 +1,87 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** UDF / UDAF kernels (SURVEY.md §2.10).
+  *
+  * Float discipline: cross-row / cross-element accumulation is done in
+  * exact java.math.BigDecimal with each double term rounded to a fixed
+  * decimal scale HALF_UP — bit-for-bit the semantics of Spark's (and
+  * DuckDB's) `CAST(double AS DECIMAL(38,s))` + exact decimal SUM. This
+  * makes every kernel order-independent: task retries, partition count,
+  * and shuffle order cannot change the output bytes (the 100 TB
+  * determinism story, SURVEY.md §7.4).
+  */
+object Udfs {
+
+  /** double → exact decimal at `scale`, same as CAST(x AS DECIMAL(38,scale)). */
+  private def dec(x: Double, scale: Int): JBigDecimal =
+    new JBigDecimal(x, MathContext.UNLIMITED).setScale(scale, RoundingMode.HALF_UP)
+
+  /** Cosine similarity of two float vectors; decimal-exact partial sums
+    * (scale 12) so the result is order-independent and matches a SQL
+    * oracle built from DECIMAL(38,12) sums. */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = JBigDecimal.ZERO
+    var na = JBigDecimal.ZERO
+    var nb = JBigDecimal.ZERO
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot = dot.add(dec(x * y, 12))
+      na = na.add(dec(x * x, 12))
+      nb = nb.add(dec(y * y, 12))
+      i += 1
+    }
+    val denom = math.sqrt(na.doubleValue) * math.sqrt(nb.doubleValue)
+    if (denom == 0.0) 0.0 else dot.doubleValue / denom
+  }
+
+  /** Registered-UDF form of [[cosine]]. */
+  val cosineUdf = udf(cosine _)
+
+  /** RMSE buffer: exact decimal sum of squared errors + count. */
+  case class RmseBuf(sumSe: JBigDecimal, n: Long)
+
+  /** Typed RMSE aggregator (MR evaluation job). Input rows are
+    * (prediction, actual); squared error is computed per-row in IEEE
+    * double (deterministic), then accumulated as DECIMAL(38,6) — the
+    * exact semantics of the SQL oracle
+    * `sqrt(CAST(SUM(CAST((p-a)*(p-a) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))`. */
+  object RmseAgg extends Aggregator[(Double, Double), RmseBuf, Double] {
+    def zero: RmseBuf = RmseBuf(JBigDecimal.ZERO, 0L)
+    def reduce(b: RmseBuf, in: (Double, Double)): RmseBuf = {
+      val e = in._1 - in._2
+      RmseBuf(b.sumSe.add(dec(e * e, 6)), b.n + 1)
+    }
+    def merge(x: RmseBuf, y: RmseBuf): RmseBuf =
+      RmseBuf(x.sumSe.add(y.sumSe), x.n + y.n)
+    def finish(b: RmseBuf): Double =
+      if (b.n == 0) 0.0 else math.sqrt(b.sumSe.doubleValue / b.n)
+    def bufferEncoder: Encoder[RmseBuf] = Encoders.kryo[RmseBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column-API RMSE, usable in any agg position. */
+  val rmse: (Column, Column) => Column = {
+    val f = udaf(RmseAgg)
+    (p, a) => f(p, a)
+  }
+
+  /** Round to 6 decimals via the decimal-cast path — the ONLY rounding
+    * that is bit-identical across Spark and DuckDB (`round()` on
+    * doubles disagrees between the two on values like 2.675). */
+  def rnd6(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+      .cast(org.apache.spark.sql.types.DoubleType)
+
+  /** SQL twin of [[rnd6]]. */
+  def sqlRnd6(e: String): String =
+    s"CAST(CAST(($e) AS DECIMAL(38,6)) AS DOUBLE)"
+}

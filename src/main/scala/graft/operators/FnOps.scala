@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+import graft.functions.Udfs.{rnd6, sqlRnd6}
+
+/** Scalar function families (SURVEY.md §2.8) — one composite query per
+  * family. All functions are codegen'd built-ins (no UDFs here), so
+  * each query stays inside one WholeStageCodegen span over the scan.
+  *
+  * Oracle-dialect notes: DuckDB `floor`/`ceil` return DOUBLE (Spark:
+  * LONG) → CAST in SQL; `round()` on doubles disagrees between engines
+  * → decimal-cast rounding (rnd6) everywhere; libm results (exp/ln/pow)
+  * agree only to ~1 ulp → always rnd6-wrapped.
+  */
+object FnOps {
+
+  /** String family over documents. */
+  def fnString(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        upper($"lang").as("lang_up"),
+        trim(concat_ws("", lit(" "), $"source", lit(" "))).as("src_trim"),
+        substring($"text", 1, 12).as("prefix12"),
+        concat_ws("-", $"lang", $"source").as("lang_src"),
+        size(split($"text", " ")).as("n_tokens"),
+        regexp_extract($"text", "^([a-z]+)", 1).as("first_word"),
+        regexp_replace($"text", "spark", "SPARK").as("replaced"),
+        $"text".like("%spark%").as("has_spark"),
+        levenshtein($"lang", lit("en")).as("lev_en"),
+        length($"text").as("n_len"))
+      .orderBy($"doc_id")
+  }
+
+  val fnStringSql: String =
+    """SELECT doc_id,
+      |  upper(lang) AS lang_up,
+      |  trim(concat(' ', source, ' ')) AS src_trim,
+      |  substring(text, 1, 12) AS prefix12,
+      |  concat_ws('-', lang, source) AS lang_src,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+      |  regexp_replace(text, 'spark', 'SPARK', 'g') AS replaced,
+      |  text LIKE '%spark%' AS has_spark,
+      |  levenshtein(lang, 'en') AS lev_en,
+      |  length(text) AS n_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Date/time family over orders (all values midnight-aligned UTC). */
+  def fnDate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        date_trunc("month", $"o_orderdate").as("mon_start"),
+        date_add(to_date($"o_orderdate"), 30).as("plus30"),
+        datediff(to_date($"o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"),
+        last_day(to_date($"o_orderdate")).as("eom"),
+        unix_timestamp($"o_orderdate").as("epoch_s"))
+      .orderBy($"o_orderkey")
+  }
+
+  val fnDateSql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y,
+      |  month(o_orderdate) AS m,
+      |  day(o_orderdate) AS d,
+      |  date_trunc('month', o_orderdate) AS mon_start,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+      |  epoch_us(o_orderdate) // 1000000 AS epoch_s
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Math family over supplier. floor/ceil cast to BIGINT for dialect
+    * parity; transcendentals rnd6-wrapped (libm last-ulp drift). */
+  def fnMath(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, sfDir)
+      .select($"s_suppkey",
+        floor($"s_acctbal").as("fl"),
+        ceil($"s_acctbal").as("ce"),
+        abs($"s_acctbal" - 5000.0).as("ab"),
+        sqrt(abs($"s_acctbal")).as("sq"),
+        rnd6(pow(abs($"s_acctbal"), lit(1.5))).as("pw"),
+        rnd6(log(abs($"s_acctbal") + 1.0)).as("lg"),
+        rnd6(exp($"s_acctbal" / 10000.0)).as("ex"),
+        expr("s_suppkey div 7").as("idiv"),
+        pmod($"s_suppkey", lit(7)).as("md"),
+        ($"s_acctbal" / 7.0).as("fdiv"))
+      .orderBy($"s_suppkey")
+  }
+
+  val fnMathSql: String =
+    s"""SELECT s_suppkey,
+       |  CAST(floor(s_acctbal) AS BIGINT) AS fl,
+       |  CAST(ceil(s_acctbal) AS BIGINT) AS ce,
+       |  abs(s_acctbal - 5000.0) AS ab,
+       |  sqrt(abs(s_acctbal)) AS sq,
+       |  ${sqlRnd6("pow(abs(s_acctbal), 1.5)")} AS pw,
+       |  ${sqlRnd6("ln(abs(s_acctbal) + 1.0)")} AS lg,
+       |  ${sqlRnd6("exp(s_acctbal / 10000.0)")} AS ex,
+       |  s_suppkey // 7 AS idiv,
+       |  s_suppkey % 7 AS md,
+       |  s_acctbal / 7.0 AS fdiv
+       |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** Conditional family over orders. */
+  def fnConditional(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        when($"o_totalprice" > 200000.0, "big")
+          .when($"o_totalprice" > 100000.0, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status_co"),
+        nullif($"o_orderpriority", lit("3-MEDIUM")).as("prio_n"),
+        least($"o_totalprice", lit(150000.0)).as("capped"),
+        greatest($"o_totalprice", lit(50000.0)).as("floored"))
+      .orderBy($"o_orderkey")
+  }
+
+  val fnConditionalSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 200000.0 THEN 'big'
+      |       WHEN o_totalprice > 100000.0 THEN 'mid'
+      |       ELSE 'small' END AS bucket,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_co,
+      |  nullif(o_orderpriority, '3-MEDIUM') AS prio_n,
+      |  least(o_totalprice, 150000.0) AS capped,
+      |  greatest(o_totalprice, 50000.0) AS floored
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Exact decimal fold for sum-of-squares. DECIMAL(30,12) keeps the
+    * merge `a + x` at precision 31 (fits), then casts back so the fold
+    * stays type-stable — a (38,12) accumulator would widen to (38,11)
+    * and lose the 12th digit. Exact ⇒ order-independent ⇒ reproducible
+    * by the oracle's decimal SUM. */
+  private val sqSumExpr =
+    """aggregate(
+      |  transform(embedding, x -> cast(cast(x as double) * cast(x as double) as decimal(30,12))),
+      |  cast(0 as decimal(30,12)),
+      |  (a, x) -> cast(a + x as decimal(30,12)))""".stripMargin
+
+  /** Array / higher-order-function family over embeddings. The L2 norm
+    * is an exact decimal fold (see [[sqSumExpr]]) reproducible by the
+    * SQL oracle's unnested decimal sum. */
+  def fnArray(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).as("first_val"),
+        slice($"embedding", 1, 3).as("head3"),
+        sort_array(slice($"embedding", 1, 3)).as("head3_sorted"),
+        expr(sqSumExpr).cast(DoubleType).as("sq_sum"),
+        rnd6(sqrt(expr(sqSumExpr).cast(DoubleType))).as("l2_norm"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_pos"))
+      .orderBy($"vec_id")
+  }
+
+  val fnArraySql: String =
+    s"""WITH sq AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)
+       |      * CAST(embedding[CAST(i.range AS INT)] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sq_sum
+       |  FROM embeddings, range(1, 65) i GROUP BY vec_id
+       |)
+       |SELECT e.vec_id,
+       |  len(e.embedding) AS dim,
+       |  e.embedding[1] AS first_val,
+       |  e.embedding[1:3] AS head3,
+       |  list_sort(e.embedding[1:3]) AS head3_sorted,
+       |  sq.sq_sum AS sq_sum,
+       |  ${sqlRnd6("sqrt(sq.sq_sum)")} AS l2_norm,
+       |  len(list_filter(e.embedding, x -> x > 0)) AS n_pos
+       |FROM embeddings e JOIN sq ON e.vec_id = sq.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** Map family: JSON props → MapType, keys/values/element_at. */
+  def fnMap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("mp", from_json($"props", MapType(StringType, IntegerType)))
+      .select($"event_id",
+        map_keys($"mp").as("keys"),
+        size($"mp").as("n_keys"),
+        element_at($"mp", "k").as("k_val"))
+      .orderBy($"event_id")
+  }
+
+  val fnMapSql: String =
+    """SELECT event_id,
+      |  json_keys(props) AS keys,
+      |  len(json_keys(props)) AS n_keys,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** JSON family: string-level JSON access (no map conversion). */
+  def fnJson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast(LongType).as("k_int"),
+        get_json_object($"props", "$.missing").as("k_missing"))
+      .orderBy($"event_id")
+  }
+
+  val fnJsonSql: String =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+      |  json_extract_string(props, '$.missing') AS k_missing
+      |FROM events ORDER BY event_id""".stripMargin
+}
