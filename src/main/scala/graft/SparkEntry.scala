@@ -75,6 +75,14 @@ object SparkEntry {
     "q_udf_cosine" -> (UdfOps.udfCosine _),
     "q_udaf_rmse" -> (UdfOps.udafRmse _),
     "q_udtf_tokenize" -> (UdfOps.udtfTokenize _),
+    // §2.12 collaborative-filtering recommender
+    "q_cf_ratings_derive" -> (CfOps.ratingsDerive _),
+    "q_cf_user_means" -> (CfOps.userMeans _),
+    "q_cf_item_cosine" -> (CfOps.itemCosine _),
+    "q_cf_item_topk_neighbors" -> (CfOps.itemTopkNeighbors _),
+    "q_cf_predict_knn" -> (CfOps.predictKnn _),
+    "q_cf_eval_rmse" -> (CfOps.evalRmse _),
+    "q_cf_als" -> (CfOps.als _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -128,5 +136,12 @@ object SparkEntry {
     "q_udf_cosine" -> UdfOps.udfCosineSql,
     "q_udaf_rmse" -> UdfOps.udafRmseSql,
     "q_udtf_tokenize" -> UdfOps.udtfTokenizeSql,
+    "q_cf_ratings_derive" -> CfOps.ratingsDeriveSql,
+    "q_cf_user_means" -> CfOps.userMeansSql,
+    "q_cf_item_cosine" -> CfOps.itemCosineSql,
+    "q_cf_item_topk_neighbors" -> CfOps.itemTopkNeighborsSql,
+    "q_cf_predict_knn" -> CfOps.predictKnnSql,
+    "q_cf_eval_rmse" -> CfOps.evalRmseSql,
+    // q_cf_als: no oracle — iterative factorization (rows-only check)
   )
 }
