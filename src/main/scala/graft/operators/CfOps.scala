@@ -105,16 +105,31 @@ object CfOps {
     * similarity jobs). Pairs item_a < item_b with ≥ MIN_SUPPORT
     * co-raters; sim is rounded (rnd6) so downstream rank order is
     * cross-engine stable. */
-  /** Unsorted, persisted similarity pairs — reused by topk + predict. */
+  /** Unsorted, persisted similarity pairs — reused by topk + predict.
+    *
+    * Pair generation is map-side: one shuffle groups each user's
+    * ratings, pairs explode IN the grouped partition, and the pair
+    * aggregation's partial (map-side combine) runs before the second
+    * shuffle — vs the naive ratings-self-join, which shuffles the
+    * ratings twice and then moves the full O(Σk_u²) pair stream into
+    * the aggregation exchange. Same algebra (pair condition is on
+    * item ids, sums are decimal-exact), strictly fewer shuffled
+    * bytes; the SQL oracle keeps the self-join formulation. */
   private def simPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "simPairs") {
       import spark.implicits._
       val r = ratings(spark, sfDir)
       val norms = r.groupBy($"item_id")
         .agg(xsum($"rating" * $"rating").as("norm_sq"))
-      val a = r.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
-      val b = r.select($"user_id".as("ub"), $"item_id".as("item_b"), $"rating".as("rb"))
-      a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
+      val pairs = r.groupBy($"user_id")
+        .agg(collect_list(struct($"item_id", $"rating")).as("items"))
+        .select(explode(expr(
+          """flatten(transform(items, a ->
+            |  transform(filter(items, b -> b.item_id > a.item_id),
+            |    b -> struct(a.item_id as item_a, b.item_id as item_b,
+            |                a.rating as ra, b.rating as rb))))""".stripMargin)).as("p"))
+        .select($"p.item_a", $"p.item_b", $"p.ra", $"p.rb")
+      pairs
         .groupBy($"item_a", $"item_b")
         .agg(xsum($"ra" * $"rb").as("dot"), count(lit(1)).as("n_common"))
         .filter($"n_common" >= MIN_SUPPORT)

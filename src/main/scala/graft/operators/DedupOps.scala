@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.Udfs.{rnd6, sqlRnd6}
+
+/** Deduplication family over `documents` (north-star LLM-pipeline
+  * surface): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Cross-engine determinism: every hash is derived from md5 (identical
+  * bytes in Spark and DuckDB) reduced to a 31/32-bit integer via
+  * hex-prefix → integer, and every permutation is explicit integer
+  * arithmetic mod 2^31−1 — no engine-native hash() anywhere, so each
+  * operator has a full SQL twin.
+  *
+  * Scale notes (100 TB):
+  * - Exact dedup is one hash-shuffle on the content key. At 100 TB,
+  *   group on md5(text) instead of raw text so shuffle rows carry a
+  *   16-byte key, not the document body.
+  * - The n-gram/minhash self-joins are inverted-index joins: the join
+  *   key is the shingle/band, so only docs sharing a key ever meet —
+  *   never an all-pairs product. Hot shingles (stop-shingles) are the
+  *   skew hazard; the standard cap is dropping shingles above a
+  *   doc-frequency ceiling (AQE skew-join handles the residue).
+  * - SimHash reduces each doc to 8 bytes map-side; near-pair search
+  *   then bucketizes by bit-bands exactly like MinHash-LSH.
+  */
+object DedupOps {
+
+  private val P31 = Int.MaxValue.toLong // 2^31 − 1, prime
+
+  /** Spark-side token explode of lower(text) (whitespace tokens). */
+  private def tokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+  }
+
+  private val tokensCte =
+    "toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)"
+
+  /** Distinct 3-gram word shingles per doc — the dedup universe for
+    * both exact-Jaccard and MinHash (a shingle universe keeps LSH
+    * bands discriminative even over a tiny vocabulary, where raw
+    * token sets would collide almost everywhere). */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower($"text"), " ").as("t"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(t) >= 3
+          |  THEN transform(sequence(0, size(t) - 3),
+          |         i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3)))
+          |  ELSE cast(array() as array<string>) END""".stripMargin)).as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesCte =
+    """pt AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id,
+      |    a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |  FROM pt a
+      |  JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN pt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)""".stripMargin
+
+  /** Exact dedup: deterministic survivor = min(doc_id) per content key
+    * (the 100 TB form: group on md5, not the body). */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(encode($"text", "UTF-8")).as("text_md5"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select($"doc_id", $"n_copies", $"text_md5")
+      .orderBy($"doc_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+      |  md5(text) AS text_md5
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  /** Near-dup by exact 3-gram (word-shingle) Jaccard ≥ 0.1 via an
+    * inverted shingle index (SURVEY.md §2.11 `q_dedup_near`). */
+  def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, sfDir)
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
+    val b = sh.select($"doc_id".as("doc_b"), $"shingle".as("sh_b"))
+    a.join(b, $"shingle" === $"sh_b" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+      .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+      .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"shared",
+        rnd6($"shared" / ($"na" + $"nb" - $"shared")).as("jaccard"))
+      .filter($"jaccard" >= 0.1)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupNearSql: String =
+    s"""WITH $shinglesCte,
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b, s.shared,
+       |  ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} AS jaccard
+       |FROM shared s
+       |JOIN counts ca ON s.doc_a = ca.doc_id
+       |JOIN counts cb ON s.doc_b = cb.doc_id
+       |WHERE ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} >= 0.1
+       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+
+  /** MinHash(8 permutations) + LSH(4 bands × 2 rows) near-dup, fully
+    * deterministic: 3-gram shingle → md5-hex-prefix → 31-bit int;
+    * permutation j is (a_j·h + b_j) mod 2^31−1. Candidate pairs share
+    * ≥1 band; verification is exact shingle Jaccard. */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = shingles(spark, sfDir)
+      .withColumn("h", expr(s"cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % $P31"))
+    // 8 permutations as pivoted min-hash columns m0..m7
+    val perms = (0 until 8).map { j =>
+      val a = (1103515245L * (j + 1)) % P31
+      val b = (12345L * (j + 1)) % P31
+      min(expr(s"($a * h + $b) % $P31")).as(s"m$j")
+    }
+    val sig = toks.groupBy($"doc_id").agg(perms.head, perms.tail: _*)
+    val bands = sig.select($"doc_id", explode(expr(
+      """array(
+        |  named_struct('band', 0, 'key', concat(m0, '-', m1)),
+        |  named_struct('band', 1, 'key', concat(m2, '-', m3)),
+        |  named_struct('band', 2, 'key', concat(m4, '-', m5)),
+        |  named_struct('band', 3, 'key', concat(m6, '-', m7)))""".stripMargin)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    // verify candidates with exact shingle Jaccard
+    val tk = shingles(spark, sfDir)
+    val nTok = tk.groupBy($"doc_id").agg(count(lit(1)).as("nt"))
+    val shared = cand
+      .join(tk.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+      .join(tk.select($"doc_id".as("doc_b"), $"shingle".as("sh_b")), "doc_b")
+      .filter($"shingle" === $"sh_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(nTok.select($"doc_id".as("doc_a"), $"nt".as("na")), "doc_a")
+      .join(nTok.select($"doc_id".as("doc_b"), $"nt".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        rnd6($"shared" / ($"na" + $"nb" - $"shared")).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupMinhashLshSql: String = {
+    val perms = (0 until 8).map { j =>
+      val a = (1103515245L * (j + 1)) % P31
+      val b = (12345L * (j + 1)) % P31
+      s"min(($a * h + $b) % $P31) AS m$j"
+    }.mkString(", ")
+    s"""WITH $shinglesCte,
+       |th AS (SELECT doc_id,
+       |  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % $P31 AS h FROM sh),
+       |sig AS (SELECT doc_id, $perms FROM th GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, m0 || '-' || m1 AS bkey FROM sig UNION ALL
+       |  SELECT doc_id, 1, m2 || '-' || m3 FROM sig UNION ALL
+       |  SELECT doc_id, 2, m4 || '-' || m5 FROM sig UNION ALL
+       |  SELECT doc_id, 3, m6 || '-' || m7 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |nt AS (SELECT doc_id, count(*) AS nt FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b,
+       |  ${sqlRnd6("s.shared / (na.nt + nb.nt - s.shared)")} AS jaccard
+       |FROM shared s
+       |JOIN nt na ON s.doc_a = na.doc_id
+       |JOIN nt nb ON s.doc_b = nb.doc_id
+       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+  }
+
+  /** 32-bit SimHash per document (tf-weighted ±1 votes per bit of the
+    * md5-derived token hash). Near-pair search over the signatures is
+    * band-bucketed exactly like MinHash-LSH; here the per-doc
+    * signature is the verified output. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    tokens(spark, sfDir)
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+      .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy($"doc_id", $"j")
+      .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("vote"))
+      .groupBy($"doc_id")
+      .agg(sum(expr("CASE WHEN vote > 0 THEN cast(pow(2, j) as bigint) ELSE 0 END")).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH $tokensCte,
+       |th AS (SELECT doc_id,
+       |  CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, CAST(j.range AS INT) AS j,
+       |    SUM(CASE WHEN (h >> CAST(j.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, range(0, 32) j GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+       |    AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Embedding-cosine near-dup, blocked by label (the IVF-style
+    * blocking that replaces the all-pairs product at scale): pairs
+    * within a block with cosine ≥ 0.3. Decimal-exact sums as in
+    * [[UdfOps.udfCosine]]. */
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = e.select($"label".as("lb"), $"vec_id".as("vec_b"), $"embedding".as("eb"))
+    a.join(b, $"label" === $"lb" && $"vec_a" < $"vec_b")
+      .select($"label", $"vec_a", $"vec_b",
+        rnd6(expr(graft.functions.Udfs.cosSimDblExpr("ea", "eb"))).as("cos_sim"))
+      .filter($"cos_sim" >= 0.3)
+      .orderBy($"label", $"vec_a", $"vec_b")
+  }
+
+  val dedupEmbedSql: String = {
+    val cos = graft.functions.Udfs.sqlCosSimDbl("a.embedding", "b.embedding")
+    s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${sqlRnd6(cos)} AS cos_sim
+       |FROM embeddings a
+       |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlRnd6(cos)} >= 0.3
+       |ORDER BY a.label, vec_a, vec_b""".stripMargin
+  }
+}

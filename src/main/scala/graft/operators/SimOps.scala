@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.Udfs
+import graft.functions.Udfs.{rnd6, sqlRnd6}
+
+/** Similarity search over the embedding column (north-star surface):
+  * brute-force cosine top-k as the exactness baseline, and an
+  * IVF-style coarse-quantized variant as the scale path.
+  *
+  * Scale notes (100 TB):
+  * - Brute force is O(queries × corpus): correct baseline, not the
+  *   scale path. The query set is broadcast; the corpus side streams
+  *   through one scan, so the plan is scan → broadcast-NL-join →
+  *   partial top-k per partition (window) — no corpus shuffle.
+  * - IVF: centroids are a tiny table (n_lists rows) built in one
+  *   aggregation pass, broadcast back; each query probes its nprobe
+  *   nearest lists and scans ONLY vectors in those lists. At 100 TB
+  *   the corpus would be written partitioned/bucketed BY list id so a
+  *   probe prunes file-level partitions (partition pruning does the
+  *   1000× fan-in cut); here the label column stands in as the
+  *   pre-assigned list id.
+  * - All similarity math is decimal-exact ([[Udfs.cosine]]) so plans,
+  *   partitioning, and retries can never flip a rank.
+  */
+object SimOps {
+
+  private val N_QUERIES = 8 // vec_id < 8 are the query vectors
+  private val TOP_K = 5
+  private val NPROBE = 3
+
+  /** Brute-force exact top-k: every query vector against the whole
+    * corpus (self excluded), rank by rounded cosine w/ id tiebreak. */
+  def simsearchTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        rnd6(expr(Udfs.cosSimDblExpr("embedding", "qv"))).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TOP_K)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val simsearchTopkSql: String = {
+    val cos = Udfs.sqlCosSimDbl("e.embedding", "q.embedding")
+    s"""WITH ranked AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    ${sqlRnd6(cos)} AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlRnd6(cos)} DESC, e.vec_id ASC) AS rk
+       |  FROM embeddings e
+       |  JOIN embeddings q ON q.vec_id < $N_QUERIES AND e.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id, cos_sim, rk
+       |FROM ranked WHERE rk <= $TOP_K
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** IVF-style search: label = pre-assigned coarse list; centroid per
+    * list from one aggregation pass over exploded dims; each query
+    * probes its NPROBE nearest centroids and scans only those lists.
+    * Exact decimal math end to end, so this has a full SQL twin even
+    * though it is an *approximate* search strategy (approximation is
+    * in recall, not in determinism). */
+  def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    // centroids: avg per (label, dim) — decimal-exact mean
+    val dims = e.select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+    val cent = dims.groupBy($"label", $"dim")
+      .agg((graft.engine.Exact.xsum($"v".cast("double")) / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("cs"))
+      .select($"label".as("c_label"),
+        expr("transform(cs, s -> cast(s.c as float))").as("centroid"))
+    val q = e.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    // probe: nprobe nearest centroids per query
+    val wProbe = Window.partitionBy($"query_id").orderBy($"c_sim".desc, $"c_label".asc)
+    val probed = q.crossJoin(broadcast(cent))
+      .select($"query_id", $"qv", $"c_label",
+        rnd6(expr(Udfs.cosSimDblExpr("qv", "centroid"))).as("c_sim"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter($"prk" <= NPROBE)
+      .select($"query_id", $"qv", $"c_label")
+    // scan only the probed lists
+    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    e.join(broadcast(probed), $"label" === $"c_label" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"label",
+        rnd6(expr(Udfs.cosSimDblExpr("embedding", "qv"))).as("cos_sim"))
+      .withColumn("rk", row_number().over(wK))
+      .filter($"rk" <= TOP_K)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val simsearchIvfSql: String = {
+    val probeCos = Udfs.sqlCosSimDbl("q.embedding", "c.centroid")
+    val scanCos = Udfs.sqlCosSimDbl("e.embedding", "q.embedding")
+    s"""WITH cent AS (
+       |  SELECT label, list_transform(
+       |    list(c ORDER BY dim), v -> CAST(v AS FLOAT)) AS centroid
+       |  FROM (
+       |    SELECT label, CAST(i.range AS INT) AS dim,
+       |      CAST(SUM(CAST(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)
+       |        AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+       |    FROM embeddings, range(1, 65) i GROUP BY 1, 2)
+       |  GROUP BY label),
+       |probed AS (
+       |  SELECT query_id, c_label FROM (
+       |    SELECT q.vec_id AS query_id, c.label AS c_label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlRnd6(probeCos)} DESC, c.label ASC) AS prk
+       |    FROM embeddings q, cent c
+       |    WHERE q.vec_id < $N_QUERIES) WHERE prk <= $NPROBE),
+       |ranked AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, e.label,
+       |    ${sqlRnd6(scanCos)} AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlRnd6(scanCos)} DESC, e.vec_id ASC) AS rk
+       |  FROM embeddings e
+       |  JOIN embeddings q ON q.vec_id < $N_QUERIES AND e.vec_id <> q.vec_id
+       |  JOIN probed p ON p.query_id = q.vec_id AND p.c_label = e.label)
+       |SELECT query_id, vec_id, label, cos_sim, rk
+       |FROM ranked WHERE rk <= $TOP_K
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Per-label stats over the array column ("multimodal columns"):
+    * count, mean L2 norm, centroid L2 norm, mean of dim 1 — all via
+    * higher-order functions + decimal-exact aggregation. */
+  def multimodalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact._
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("sq_sum", expr(
+        """aggregate(
+          |  transform(embedding, x -> cast(cast(x as double) * cast(x as double) as decimal(30,12))),
+          |  cast(0 as decimal(30,12)),
+          |  (a, x) -> cast(a + x as decimal(30,12)))""".stripMargin).cast("double"))
+    val perVec = e.select($"label", $"vec_id", $"sq_sum",
+      element_at($"embedding", 1).cast("double").as("d1"))
+    val centDims = Tables.embeddings(spark, sfDir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg((xsum($"v".cast("double")) / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(xsum($"c" * $"c").as("cent_sq"))
+    perVec.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        rnd6(xsum(sqrt($"sq_sum")) / count(lit(1))).as("mean_l2"),
+        rnd6(xavg($"d1")).as("mean_d1"))
+      .join(centDims.select($"label", rnd6(sqrt($"cent_sq")).as("centroid_l2")), "label")
+      .select($"label", $"n_vecs", $"mean_l2", $"mean_d1", $"centroid_l2")
+      .orderBy($"label")
+  }
+
+  val multimodalStatsSql: String = {
+    import graft.engine.Exact._
+    val v = "CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)"
+    s"""WITH sq AS (
+       |  SELECT vec_id, label,
+       |    CAST(SUM(CAST($v * $v AS DECIMAL(38,12))) AS DOUBLE) AS sq_sum,
+       |    CAST(MAX(CASE WHEN i.range = 1 THEN embedding[1] END) AS DOUBLE) AS d1
+       |  FROM embeddings, range(1, 65) i GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, ${sqlXsum("c * c")} AS cent_sq FROM (
+       |    SELECT label, CAST(i.range AS INT) AS dim,
+       |      ${sqlXsum("CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)")} / COUNT(*) AS c
+       |    FROM embeddings, range(1, 65) i GROUP BY 1, 2)
+       |  GROUP BY label)
+       |SELECT s.label, COUNT(*) AS n_vecs,
+       |  ${sqlRnd6(s"${sqlXsum("sqrt(s.sq_sum)")} / COUNT(*)")} AS mean_l2,
+       |  ${sqlRnd6(sqlXavg("s.d1"))} AS mean_d1,
+       |  ${sqlRnd6("any_value(CAST(sqrt(c.cent_sq) AS DECIMAL(38,6)))")} AS centroid_l2
+       |FROM sq s JOIN cent c ON s.label = c.label
+       |GROUP BY s.label ORDER BY s.label""".stripMargin
+  }
+}

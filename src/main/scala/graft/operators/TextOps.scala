@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Exact, Tables}
+import graft.functions.Udfs.{rnd6, sqlRnd6}
+
+/** Text-analysis family over `documents` (north-star LLM-pipeline
+  * surface): corpus stats, TF-IDF, language-ID, quality scoring, token
+  * counting, and content fingerprinting.
+  *
+  * Scale notes (100 TB):
+  * - Everything here is one or two hash-shuffles over (doc, token) or
+  *   (lang, token) keys with map-side partial aggregation; no
+  *   operator materializes per-corpus state on the driver.
+  * - The language-ID profile (top tokens per lang) and the IDF table
+  *   are small (vocabulary-sized) — broadcast to the scoring join.
+  * - Fingerprints are computed map-side per row (no shuffle at all)
+  *   via an in-order fold; at 100 TB they feed exact dedup as the
+  *   16-byte group key.
+  */
+object TextOps {
+  import Exact._
+
+  private def tokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", explode(split(lower($"text"), " ")).as("tok"))
+  }
+
+  private val tokensCte =
+    "toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents)"
+
+  /** Per-language corpus stats + top-3 terms (count desc, term asc). */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tk = tokens(spark, sfDir)
+    val perLang = tk.groupBy($"lang").agg(
+      countDistinct($"doc_id").as("n_docs"),
+      count(lit(1)).as("n_tokens"),
+      countDistinct($"tok").as("n_vocab"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok".asc)
+    val top = tk.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+    top.join(perLang, "lang")
+      .select($"lang", $"rk", $"tok".as("term"), $"cnt",
+        $"n_docs", $"n_tokens", $"n_vocab")
+      .orderBy($"lang", $"rk")
+  }
+
+  val textStatsSql: String =
+    s"""WITH $tokensCte,
+       |per_lang AS (
+       |  SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+       |    count(DISTINCT tok) AS n_vocab
+       |  FROM toks GROUP BY lang),
+       |top AS (
+       |  SELECT lang, tok AS term, count(*) AS cnt,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY count(*) DESC, tok ASC) AS rk
+       |  FROM toks GROUP BY lang, tok)
+       |SELECT t.lang, t.rk, t.term, t.cnt, p.n_docs, p.n_tokens, p.n_vocab
+       |FROM top t JOIN per_lang p ON t.lang = p.lang
+       |WHERE t.rk <= 3 ORDER BY t.lang, t.rk""".stripMargin
+
+  /** TF-IDF: tf·(ln((N+1)/(df+1))+1), idf rounded before the product
+    * so last-ulp libm drift cannot cross a rounding boundary twice. */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tk = tokens(spark, sfDir)
+    val nDf = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_total"))
+    val tf = tk.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok").crossJoin(broadcast(nDf))
+      .select($"doc_id", $"tok",
+        $"tf", $"df",
+        rnd6($"tf" * rnd6(log(($"n_total" + 1.0) / ($"df" + 1.0)) + 1.0)).as("tfidf"))
+      .orderBy($"doc_id", $"tok")
+  }
+
+  val textTfidfSql: String =
+    s"""WITH $tokensCte,
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+       |SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |  ${sqlRnd6(s"tf.tf * ${sqlRnd6("ln((n.n + 1.0) / (df.df + 1.0)) + 1.0")}")} AS tfidf
+       |FROM tf JOIN df ON tf.tok = df.tok, n
+       |ORDER BY tf.doc_id, tf.tok""".stripMargin
+
+  /** Data-driven language-ID: learn a top-10-token profile per lang
+    * from the corpus, score each doc by how many of its tokens (with
+    * multiplicity) fall in each profile, predict argmax (score desc,
+    * lang asc). The n-gram-profile heuristic with the profile learned
+    * in-query; profiles are vocabulary-sized → broadcast join. */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tk = tokens(spark, sfDir)
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok".asc)
+    val profile = tk.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .select($"lang".as("cand_lang"), $"tok".as("ptok"))
+    val scores = tk.join(broadcast(profile), $"tok" === $"ptok")
+      .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("score"))
+    val w2 = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang".asc)
+    val pred = scores.withColumn("rk", row_number().over(w2)).filter($"rk" === 1)
+      .select($"doc_id", $"cand_lang".as("pred_lang"), $"score")
+    pred.join(Tables.documents(spark, sfDir).select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"pred_lang", $"score", $"lang",
+        ($"pred_lang" === $"lang").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val textLangidSql: String =
+    s"""WITH $tokensCte,
+       |profile AS (
+       |  SELECT lang AS cand_lang, tok AS ptok FROM (
+       |    SELECT lang, tok,
+       |      row_number() OVER (PARTITION BY lang
+       |        ORDER BY count(*) DESC, tok ASC) AS rk
+       |    FROM toks GROUP BY lang, tok) WHERE rk <= 10),
+       |scores AS (
+       |  SELECT t.doc_id, p.cand_lang, count(*) AS score
+       |  FROM toks t JOIN profile p ON t.tok = p.ptok
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT doc_id, cand_lang AS pred_lang, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand_lang ASC) AS rk
+       |    FROM scores) WHERE rk = 1)
+       |SELECT p.doc_id, p.pred_lang, p.score, d.lang,
+       |  p.pred_lang = d.lang AS correct
+       |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** Per-doc quality scoring: unique-token ratio, length saturation,
+    * punctuation ratio — pure map-side arithmetic, no shuffle. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        length($"text").as("n_chars2"),
+        size(split($"text", " ")).as("n_tokens"),
+        size(array_distinct(split(lower($"text"), " "))).as("n_uniq"),
+        expr("length(regexp_replace(text, '[a-z0-9 ]', ''))").as("n_punct"))
+      .select($"doc_id", $"n_chars2", $"n_tokens", $"n_uniq", $"n_punct",
+        rnd6($"n_uniq" / $"n_tokens").as("uniq_ratio"),
+        rnd6(least($"n_tokens" / 100.0, lit(1.0))).as("len_sat"),
+        rnd6($"n_punct" / $"n_chars2").as("punct_ratio"),
+        rnd6(
+          ($"n_uniq" / $"n_tokens") * 0.4
+            + least($"n_tokens" / 100.0, lit(1.0)) * 0.3
+            + (lit(1.0) - $"n_punct" / $"n_chars2") * 0.3).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_chars2,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+       |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+       |  FROM documents)
+       |SELECT doc_id, n_chars2, n_tokens, n_uniq, n_punct,
+       |  ${sqlRnd6("n_uniq / n_tokens")} AS uniq_ratio,
+       |  ${sqlRnd6("least(n_tokens / 100.0, 1.0)")} AS len_sat,
+       |  ${sqlRnd6("n_punct / n_chars2")} AS punct_ratio,
+       |  ${sqlRnd6("(n_uniq / n_tokens) * 0.4 + least(n_tokens / 100.0, 1.0) * 0.3 + (1.0 - n_punct / n_chars2) * 0.3")} AS quality
+       |FROM base ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex lexer
+    * (`[a-z]+ | [0-9]+ | single other non-space`). */
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(split($"text", " ")).as("n_ws"),
+        expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')").as("n_bpe"),
+        length($"text").as("n_len"))
+      .orderBy($"doc_id")
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+      |  length(text) AS n_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Content fingerprint: polynomial rolling hash over characters,
+    * base 131 mod 1e9+7 — an in-order fold, map-side only, identical
+    * integer arithmetic in both engines (no overflow: acc < 2^30·131
+    * + 255 < 2^63). */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        expr(
+          """aggregate(transform(split(text, ''), c -> ascii(c)),
+            |  cast(0 as bigint),
+            |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin).as("fingerprint"),
+        length($"text").as("n_len"))
+      .orderBy($"doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint,
+      |  length(text) AS n_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
