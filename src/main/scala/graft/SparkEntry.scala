@@ -100,6 +100,12 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.textQuality _),
     "q_text_tokens" -> (TextOps.textTokens _),
     "q_text_fingerprint" -> (TextOps.textFingerprint _),
+    // §2.9 Structured Streaming (MemoryStream replay of events)
+    "q_stream_tumbling" -> (graft.streaming.StreamOps.streamTumbling _),
+    "q_stream_sliding" -> (graft.streaming.StreamOps.streamSliding _),
+    "q_stream_session" -> (graft.streaming.StreamOps.streamSession _),
+    "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
+    "q_stream_stateful" -> (graft.streaming.StreamOps.streamStateful _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -174,5 +180,11 @@ object SparkEntry {
     "q_text_quality" -> TextOps.textQualitySql,
     "q_text_tokens" -> TextOps.textTokensSql,
     "q_text_fingerprint" -> TextOps.textFingerprintSql,
+    // streaming: batch-twin oracles (stream result must equal batch SQL)
+    "q_stream_tumbling" -> graft.streaming.StreamOps.streamTumblingSql,
+    "q_stream_sliding" -> graft.streaming.StreamOps.streamSlidingSql,
+    "q_stream_session" -> graft.streaming.StreamOps.streamSessionSql,
+    "q_stream_dedup" -> graft.streaming.StreamOps.streamDedupSql,
+    "q_stream_stateful" -> graft.streaming.StreamOps.streamStatefulSql,
   )
 }

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.engine.{Exact, Tables}
+
+/** Structured Streaming surface (SURVEY.md §2.9) over the `events`
+  * stream surrogate. Each query REALLY runs the incremental engine —
+  * MemoryStream source → IncrementalExecution → StateStore → memory
+  * sink — then returns the sink contents as a batch DataFrame so the
+  * harness can hash-compare it against the batch-twin SQL oracle
+  * (streaming-vs-batch equivalence is exactly the correctness claim).
+  *
+  * Scale notes (100 TB): the replay source is MemoryStream only in
+  * the harness; the operators themselves are source-agnostic
+  * (readStream from Kafka/files swaps in). State lives per-key in the
+  * executors' StateStore — at cluster scale use the RocksDB state
+  * store provider + checkpointing; watermarks bound state size for
+  * the windowed aggregations, and the session/dedup operators evict
+  * on watermark advance. Complete-output aggregations here are
+  * fixture-sized; production would use append + watermark.
+  */
+object StreamOps {
+  import Exact._
+
+  /** Replayed event row (props dropped — not used by stream queries). */
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Run `build` on a MemoryStream replay of `events` (event-time
+    * order, one micro-batch) and return the collected sink table. */
+  private def runStream(spark: SparkSession, sfDir: String,
+      mode: OutputMode)(build: Dataset[Ev] => DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .orderBy($"ts", $"event_id").as[Ev].collect().toSeq
+    val source = MemoryStream[Ev](spark)
+    source.addData(rows)
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = build(source.toDS())
+      .writeStream.format("memory").queryName(sinkName).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
+  /** 1-hour tumbling counts/sums per event_type (complete mode). */
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+      ds.groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+    }.orderBy($"ws", $"event_type")
+  }
+
+  val streamTumblingSql: String =
+    s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       |  COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  /** 1-hour windows sliding every 15 minutes (complete mode). */
+  def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+      ds.groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+    }.orderBy($"ws", $"event_type")
+  }
+
+  /** Batch twin: each event belongs to the 4 sliding windows starting
+    * at bucket15(ts) − k·15min, k ∈ 0..3 (window length 1 h). */
+  val streamSlidingSql: String =
+    s"""WITH expanded AS (
+       |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+       |      - CAST(k.range AS INT) * INTERVAL '15 minutes' AS ws,
+       |    event_type, value
+       |  FROM events, range(0, 4) k)
+       |SELECT ws, event_type, COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
+       |FROM expanded GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  /** Per-user session windows, 30-minute gap (complete mode). Session
+    * = [first ts, last ts + gap); a new session starts when an event
+    * arrives ≥ gap after the previous one. */
+  def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+      ds.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), xsum($"value").as("sum_value"))
+        .select($"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"), $"user_id", $"n_events", $"sum_value")
+    }.orderBy($"user_id", $"session_start")
+  }
+
+  val streamSessionSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |m AS (
+       |  SELECT *, CASE WHEN prev IS NULL
+       |      OR ts - prev >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+       |  FROM o),
+       |s AS (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT min(ts) AS session_start,
+       |  max(ts) + INTERVAL '30 minutes' AS session_end,
+       |  user_id, COUNT(*) AS n_events, ${sqlXsum("value")} AS sum_value
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Stateful streaming dedup on (user_id, event_type) within the
+    * watermark (append mode): first occurrence of each key passes. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runStream(spark, sfDir, OutputMode.Append()) { ds =>
+      ds.withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .select($"user_id", $"event_type")
+    }.orderBy($"user_id", $"event_type")
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type
+      |FROM events ORDER BY user_id, event_type""".stripMargin
+
+  /** Custom per-key state: running per-user cumulative spend via
+    * flatMapGroupsWithState (the arbitrary-stateful-processing path).
+    * Values are folded in (ts, event_id) order with a decimal-exact
+    * accumulator, so the running totals are order-independent and the
+    * batch twin is the decimal running-sum window. */
+  def streamStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runStream(spark, sfDir, OutputMode.Append()) { ds =>
+      ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState[Array[Byte], (Long, Long, Timestamp, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (userId: Long, events: Iterator[Ev], state: GroupState[Array[Byte]]) =>
+            // state = serialized decimal accumulator (unscaled long at scale 6)
+            var acc = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(
+                if (state.exists) java.nio.ByteBuffer.wrap(state.get).getLong else 0L), 6)
+            val out = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+              acc = acc.add(new java.math.BigDecimal(e.value,
+                java.math.MathContext.UNLIMITED).setScale(6, java.math.RoundingMode.HALF_UP))
+              (userId, e.event_id, e.ts, acc.doubleValue)
+            }
+            state.update(java.nio.ByteBuffer.allocate(8)
+              .putLong(acc.unscaledValue().longValueExact()).array())
+            out.iterator
+        }
+        .toDF("user_id", "event_id", "ts", "cum_value")
+    }.orderBy($"user_id", $"event_id")
+  }
+
+  val streamStatefulSql: String =
+    """SELECT user_id, event_id, ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+}
