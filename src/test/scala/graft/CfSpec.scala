@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.CfOps
+
+/** Recommender-chain semantics on fixture data (SURVEY.md §5.2(5)). */
+class CfSpec extends SparkSpec {
+
+  test("derived ratings: one row per (user, item), positive ratings") {
+    import spark.implicits._
+    val r = CfOps.ratingsDerive(spark, sf)
+    val n = r.count()
+    val dedup = r.select($"user_id", $"item_id").distinct().count()
+    assert(n == dedup, "duplicate (user, item) pairs")
+    assert(r.filter($"rating" <= 0).count() == 0)
+  }
+
+  test("item-cosine sims are in (0, 1] and pairs are canonical a<b") {
+    import spark.implicits._
+    val s = CfOps.itemCosine(spark, sf)
+    assert(s.filter($"item_a" >= $"item_b").count() == 0)
+    // implicit ratings are positive ⇒ cosine must be positive
+    assert(s.filter($"sim" <= 0 || $"sim" > 1.000001).count() == 0)
+    assert(s.filter($"n_common" < 2).count() == 0)
+  }
+
+  test("topk neighbor lists respect k and rank ordering") {
+    import spark.implicits._
+    val t = CfOps.itemTopkNeighbors(spark, sf)
+    val overK = t.groupBy($"item_id").count().filter($"count" > 10).count()
+    assert(overK == 0)
+    // rk must be dense 1..n per item and sim non-increasing in rk
+    val bad = t.as[(Long, Long, Double, Int)].collect().toSeq
+      .groupBy(_._1).values.count { rows =>
+        val sorted = rows.sortBy(_._4)
+        sorted.map(_._4) != (1 to sorted.size).toSeq ||
+          sorted.sliding(2).exists {
+            case Seq(x, y) => y._3 > x._3
+            case _ => false
+          }
+      }
+    assert(bad == 0)
+  }
+
+  test("predictions never recommend already-rated items") {
+    import spark.implicits._
+    val seen = CfOps.ratingsDerive(spark, sf)
+      .select($"user_id", $"item_id")
+    val rec = CfOps.predictKnn(spark, sf).select($"user_id", $"item_id")
+    assert(rec.join(seen, Seq("user_id", "item_id"), "inner").count() == 0)
+  }
+
+  test("ALS is deterministic under a fixed seed and beats the trivial bound") {
+    val a = CfOps.als(spark, sf).collect()
+    val b = CfOps.als(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "seeded ALS must be rerun-stable")
+    assert(a.length > 0)
+  }
+
+  test("holdout RMSE of the user-mean predictor is finite and sane") {
+    val row = CfOps.evalRmse(spark, sf).collect()(0)
+    val rmse = row.getDouble(0)
+    assert(!rmse.isNaN && rmse >= 0.0 && rmse < 1e4, s"rmse=$rmse")
+    assert(row.getLong(1) > 0)
+  }
+}

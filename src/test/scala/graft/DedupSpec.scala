@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+/** Algebraic properties of the dedup family (SURVEY.md §5.2(3)). */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup is idempotent and survivors are minimal doc_ids") {
+    val once = DedupOps.dedupExact(spark, sf)
+    // survivors joined back must map 1:1 to distinct content keys
+    val n = once.count()
+    val distinctTexts = graft.engine.Tables.documents(spark, sf)
+      .select(md5(encode(col("text"), "UTF-8"))).distinct().count()
+    assert(n == distinctTexts)
+    // survivor is the min doc_id of its group ⇒ survivors are stable
+    val again = once.select("text_md5").distinct().count()
+    assert(again == n)
+  }
+
+  test("minhash-LSH finds the planted near-duplicate pair") {
+    import spark.implicits._
+    val base = ((1 to 40).map(i => s"word$i") :+ "tail").mkString(" ")
+    val nearDup = base.replace("word37", "changed") // 1 of 41 tokens differs
+    val docs = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, nearDup, "en", "s", nearDup.length.toLong),
+      (3L, "completely different words about spark sql engines and shuffles here now", "en", "s", 70L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_spec").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.dedupMinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"planted pair not found: ${pairs.toSeq}")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated doc joined a band bucket")
+  }
+
+  test("simhash of identical docs is identical, near-dup within hamming 8") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val docs = Seq(
+      (1L, base, "en", "s", 10L),
+      (2L, base, "en", "s", 10L), // exact copy
+      (3L, base.replace("kappa", "omega"), "en", "s", 10L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("simhash_spec").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sh = DedupOps.dedupSimhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L), "identical docs must hash identically")
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 8,
+      s"near-dup hamming too large: ${java.lang.Long.bitCount(sh(1L) ^ sh(3L))}")
+  }
+
+  test("n-gram jaccard is 1.0 only for identical shingle sets") {
+    import spark.implicits._
+    val a = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, a, "en", "s", 10L),
+      (2L, a, "en", "s", 10L),
+      (3L, a + " eleven", "en", "s", 11L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("jac_spec").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val jac = DedupOps.dedupNear(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(jac((1L, 2L)) == 1.0)
+    assert(jac((1L, 3L)) < 1.0 && jac((1L, 3L)) > 0.5)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import graft.operators._
+
+/** Physical-plan shape assertions (SURVEY.md §5.2(2)): the engine's
+  * scale story is that filters/projections reach the parquet reader,
+  * small dims broadcast, and top-k never runs a total sort. These
+  * are the properties that survive a 1000× scale-up — asserted here
+  * so a regression is a test failure, not a slow cluster. */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan
+  }
+
+  test("filter predicates are pushed to the parquet scan") {
+    val df = FilterOps.filterPred(spark, sf)
+    val scanStr = df.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PushedFilters: ["),
+      "expected PushedFilters on the parquet scan")
+    assert(scanStr.contains("IsNotNull") || scanStr.contains("GreaterThan"),
+      s"expected real pushed predicates, got:\n$scanStr")
+  }
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val df = ScanOps.scanProjection(spark, sf)
+    val scanStr = df.queryExecution.executedPlan.toString
+    val readSchema = scanStr.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"read schema not pruned: $readSchema")
+  }
+
+  test("dimension join uses broadcast hash join") {
+    val plan = executedPlan(JoinOps.joinBroadcast(spark, sf))
+    assert(collectWithSubqueries(plan) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, s"expected BroadcastHashJoinExec in:\n$plan")
+  }
+
+  test("orderBy + limit compiles to TakeOrderedAndProject (no full sort)") {
+    val plan = executedPlan(WindowOps.limitTopK(spark, sf))
+    assert(collectWithSubqueries(plan) {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProjectExec in:\n$plan")
+  }
+
+  test("flagship aggregation has exactly one shuffle (partial+final agg)") {
+    val plan = executedPlan(AggOps.multiKeyPricing(spark, sf))
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    // one for the groupBy, one for the output orderBy — never more
+    assert(shuffles.size <= 2, s"unexpected extra shuffles:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    val plan = executedPlan(FilterOps.filterPred(spark, sf))
+    val spans = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, s"hot path fell out of whole-stage codegen:\n$plan")
+  }
+}
