@@ -100,6 +100,9 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.textQuality _),
     "q_text_tokens" -> (TextOps.textTokens _),
     "q_text_fingerprint" -> (TextOps.textFingerprint _),
+    // multimodal binary-column plumbing (stubbed decode kernel)
+    "q_multimodal_decode" -> (MultimodalOps.multimodalDecode _),
+    "q_multimodal_frames" -> (MultimodalOps.multimodalFrames _),
     // §2.9 Structured Streaming (MemoryStream replay of events)
     "q_stream_tumbling" -> (graft.streaming.StreamOps.streamTumbling _),
     "q_stream_sliding" -> (graft.streaming.StreamOps.streamSliding _),
@@ -180,6 +183,10 @@ object SparkEntry {
     "q_text_quality" -> TextOps.textQualitySql,
     "q_text_tokens" -> TextOps.textTokensSql,
     "q_text_fingerprint" -> TextOps.textFingerprintSql,
+    // multimodal: oracle covers metadata/byte bookkeeping; the stubbed
+    // histogram features are asserted in MultimodalSpec instead
+    "q_multimodal_decode" -> MultimodalOps.multimodalDecodeSql,
+    "q_multimodal_frames" -> MultimodalOps.multimodalFramesSql,
     // streaming: batch-twin oracles (stream result must equal batch SQL)
     "q_stream_tumbling" -> graft.streaming.StreamOps.streamTumblingSql,
     "q_stream_sliding" -> graft.streaming.StreamOps.streamSlidingSql,

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** Multimodal-column plumbing (north-star surface): media assets as
+  * opaque `binary` payloads + typed metadata, with decode /
+  * feature-extract / frame-sample as partition-wise batch transforms.
+  *
+  * The container has no image/audio codecs, so the DECODE KERNEL IS A
+  * DETERMINISTIC FAKE (byte-histogram "features", marked STUB below);
+  * everything around it — the asset schema, the mapPartitions batch
+  * shape, the typed metadata, the explode of per-frame rows, and the
+  * oracle-checked bookkeeping columns — is the real Spark plumbing a
+  * production decoder would drop into.
+  *
+  * Scale notes (100 TB): payloads never enter a shuffle — decode is
+  * map-side (mapPartitions), features (64 B) and metadata are the
+  * only columns that move. Real pipelines would store payloads in
+  * parquet binary columns with a small row-group size (or object-
+  * store pointers) and let column pruning keep metadata-only queries
+  * from touching bytes at all; the iterator-of-rows transform here is
+  * exactly the mapInPandas batch contract, so a vectorized decoder
+  * (JNI/arrow) swaps in without plan changes.
+  */
+object MultimodalOps {
+
+  private val FEAT_DIM = 16
+  private val FRAME_BYTES = 64
+
+  /** Synthesized asset table: UTF-8 payload bytes standing in for
+    * media, deterministic typed metadata derived from doc_id. */
+  def assets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      encode($"text", "UTF-8").as("payload"),
+      struct(
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END").as("fmt"),
+        (lit(16) + pmod($"doc_id", lit(32)) * 4).cast(IntegerType).as("width"),
+        (lit(16) + pmod($"doc_id", lit(24)) * 4).cast(IntegerType).as("height")
+      ).as("meta"))
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fmt", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", IntegerType),
+    StructField("feat_dim", IntegerType),
+    StructField("features", ArrayType(FloatType)),
+    StructField("feat_sum", DoubleType)))
+
+  /** STUB decode kernel: a 16-bin byte-value histogram stands in for
+    * the real media decoder (deterministic fake — no codec in this
+    * container). Signature and batch shape are the real contract:
+    * bytes in, fixed-dim float features out. */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](FEAT_DIM)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) / FEAT_DIM) += 1f
+      i += 1
+    }
+    hist
+  }
+
+  /** Partition-wise batch decode (the mapInPandas analog): iterate
+    * the partition's rows once, run the kernel per asset, emit typed
+    * feature rows. No shuffle; payloads die map-side. */
+  def decoded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    assets(spark, sfDir)
+      .select($"doc_id", $"payload", $"meta.fmt", $"meta.width", $"meta.height")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val feats = decodeStub(payload)
+          Row(r.getAs[Long]("doc_id"), r.getAs[String]("fmt"),
+            r.getAs[Int]("width"), r.getAs[Int]("height"),
+            payload.length, FEAT_DIM, feats.toSeq,
+            feats.map(_.toDouble).sum)
+        }
+      }(enc)
+      .orderBy($"doc_id")
+  }
+
+  /** Harness-facing decode query: [[decoded]] minus the raw feature
+    * vector (the oracle checks the bookkeeping columns — feat_sum ≡
+    * n_bytes because the histogram partitions the bytes; histogram
+    * VALUES are asserted in MultimodalSpec against hand-computed
+    * fixtures). */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decoded(spark, sfDir)
+      .select($"doc_id", $"fmt", $"width", $"height", $"n_bytes",
+        $"feat_dim", $"feat_sum")
+      .orderBy($"doc_id")
+  }
+
+  val multimodalDecodeSql: String =
+    s"""SELECT doc_id,
+       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
+       |  CAST(16 + (doc_id % 32) * 4 AS INTEGER) AS width,
+       |  CAST(16 + (doc_id % 24) * 4 AS INTEGER) AS height,
+       |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       |  $FEAT_DIM AS feat_dim,
+       |  CAST(octet_length(encode(text)) AS DOUBLE) AS feat_sum
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling: one row per FRAME_BYTES-sized slice of the
+    * payload (video frame-sample analog) — generated map-side from
+    * the payload length, no shuffle. */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, sfDir)
+      .select($"doc_id", length($"payload").as("n_bytes"))
+      .select($"doc_id", $"n_bytes",
+        explode(sequence(lit(0),
+          expr(s"((n_bytes + ${FRAME_BYTES - 1}) div $FRAME_BYTES) - 1"))).as("frame_idx"))
+      .select($"doc_id", $"frame_idx",
+        ($"frame_idx" * FRAME_BYTES).as("frame_offset"),
+        least(lit(FRAME_BYTES), $"n_bytes" - $"frame_idx" * FRAME_BYTES).as("frame_len"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    s"""SELECT doc_id, CAST(i.range AS INTEGER) AS frame_idx,
+       |  CAST(i.range AS INTEGER) * $FRAME_BYTES AS frame_offset,
+       |  least($FRAME_BYTES,
+       |    CAST(octet_length(encode(text)) AS INTEGER)
+       |      - CAST(i.range AS INTEGER) * $FRAME_BYTES) AS frame_len
+       |FROM documents, range(0, 1000) i
+       |WHERE i.range < (octet_length(encode(text)) + $FRAME_BYTES - 1) // $FRAME_BYTES
+       |ORDER BY doc_id, frame_idx""".stripMargin
+}
