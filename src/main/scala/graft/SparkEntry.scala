@@ -22,6 +22,7 @@ object SparkEntry {
     "q_scan_parquet" -> (ScanOps.scanParquet _),
     "q_scan_schema_projection" -> (ScanOps.scanProjection _),
     "q_scan_csv_roundtrip" -> (ScanOps.scanCsvRoundtrip _),
+    "q_scan_json_roundtrip" -> (ScanOps.scanJsonRoundtrip _),
     "q_sink_parquet" -> (ScanOps.sinkParquet _),
     // §2.2 projection / filter
     "q_project_expr" -> (FilterOps.projectExpr _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_scan_parquet" -> ScanOps.scanParquetSql,
     "q_scan_schema_projection" -> ScanOps.scanProjectionSql,
     "q_scan_csv_roundtrip" -> ScanOps.scanCsvRoundtripSql,
+    "q_scan_json_roundtrip" -> ScanOps.scanJsonRoundtripSql,
     "q_sink_parquet" -> ScanOps.sinkParquetSql,
     "q_project_expr" -> FilterOps.projectExprSql,
     "q_filter_pred" -> FilterOps.filterPredSql,

@@ -61,6 +61,21 @@ object ScanOps {
   val scanCsvRoundtripSql: String =
     "SELECT * FROM part ORDER BY p_partkey"
 
+  /** JSON-lines ingest round-trip: write `supplier` as json, read
+    * back with an explicit schema. Doubles survive because Spark
+    * writes shortest-round-trip decimal reprs and reads them back to
+    * the identical double. */
+  def scanJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch(sfDir) + "/supplier_json"
+    Tables.supplier(spark, sfDir).write.mode("overwrite").json(path)
+    spark.read.schema(Tables.supplierSchema).json(path)
+      .orderBy($"s_suppkey")
+  }
+
+  val scanJsonRoundtripSql: String =
+    "SELECT * FROM supplier ORDER BY s_suppkey"
+
   /** Parquet sink round-trip: write a filtered slice, read it back.
     * The oracle recomputes the same filter from the source table. */
   def sinkParquet(spark: SparkSession, sfDir: String): DataFrame = {

@@ -36,6 +36,7 @@ object SimOps {
     * corpus (self excluded), rank by rounded cosine w/ id tiebreak. */
   def simsearchTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CosineSim.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < N_QUERIES)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
@@ -43,7 +44,7 @@ object SimOps {
     e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
-        rnd6(expr(Udfs.cosSimDblExpr("embedding", "qv"))).as("cos_sim"))
+        rnd6(expr("graft_cosine_sim(embedding, qv)")).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= TOP_K)
       .orderBy($"query_id", $"rk")
@@ -71,6 +72,7 @@ object SimOps {
     * in recall, not in determinism). */
   def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CosineSim.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     // centroids: avg per (label, dim) — decimal-exact mean
     val dims = e.select($"label", posexplode($"embedding").as(Seq("dim", "v")))
@@ -86,7 +88,7 @@ object SimOps {
     val wProbe = Window.partitionBy($"query_id").orderBy($"c_sim".desc, $"c_label".asc)
     val probed = q.crossJoin(broadcast(cent))
       .select($"query_id", $"qv", $"c_label",
-        rnd6(expr(Udfs.cosSimDblExpr("qv", "centroid"))).as("c_sim"))
+        rnd6(expr("graft_cosine_sim(qv, centroid)")).as("c_sim"))
       .withColumn("prk", row_number().over(wProbe))
       .filter($"prk" <= NPROBE)
       .select($"query_id", $"qv", $"c_label")
@@ -94,7 +96,7 @@ object SimOps {
     val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
     e.join(broadcast(probed), $"label" === $"c_label" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"label",
-        rnd6(expr(Udfs.cosSimDblExpr("embedding", "qv"))).as("cos_sim"))
+        rnd6(expr("graft_cosine_sim(embedding, qv)")).as("cos_sim"))
       .withColumn("rk", row_number().over(wK))
       .filter($"rk" <= TOP_K)
       .orderBy($"query_id", $"rk")

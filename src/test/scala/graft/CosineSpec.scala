@@ -42,6 +42,23 @@ class CosineSpec extends SparkSpec {
     }
   }
 
+  test("native CosineSim expression matches the HOF double fold bit-for-bit") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val e = graft.engine.Tables.embeddings(spark, sf).limit(100)
+    val q = e.filter($"vec_id" === 1).select($"embedding".as("qv"))
+    val rows = e.crossJoin(broadcast(q))
+      .select($"vec_id",
+        expr("graft_cosine_sim(embedding, qv)").as("native"),
+        expr(Udfs.cosSimDblExpr("embedding", "qv")).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), // exact: same fold order+ops
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+
   test("RMSE aggregator: zero for perfect predictions, translation bound") {
     import spark.implicits._
     val perfect = Seq((1.0, 1.0), (2.0, 2.0)).toDF("p", "a")
