@@ -127,8 +127,10 @@ object CfOps {
         .groupBy($"item_a", $"item_b")
         .agg(xsumFast($"ra" * $"rb").as("dot"), count(lit(1)).as("n_common"))
         .filter($"n_common" >= MIN_SUPPORT)
-        .join(norms.select($"item_id".as("item_a"), $"norm_sq".as("na")), "item_a")
-        .join(norms.select($"item_id".as("item_b"), $"norm_sq".as("nb")), "item_b")
+        // norms is item-cardinality (Netflix: 17k rows) — broadcast
+        // so the pair stream never shuffles again after its agg
+        .join(broadcast(norms.select($"item_id".as("item_a"), $"norm_sq".as("na"))), "item_a")
+        .join(broadcast(norms.select($"item_id".as("item_b"), $"norm_sq".as("nb"))), "item_b")
         .select($"item_a", $"item_b", $"n_common",
           rnd6($"dot" / (sqrt($"na") * sqrt($"nb"))).as("sim"))
     }
@@ -228,8 +230,9 @@ object CfOps {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val r = ratings(spark, sfDir)
-    val neigh = neighbors(spark, sfDir)
-      .select($"item_id".as("rated_item"), $"neighbor_id".as("cand_item"), $"sim")
+    // neighbor lists are k·n_items rows — broadcast against ratings
+    val neigh = broadcast(neighbors(spark, sfDir)
+      .select($"item_id".as("rated_item"), $"neighbor_id".as("cand_item"), $"sim"))
     val scored = r.join(neigh, $"item_id" === $"rated_item")
       .groupBy($"user_id", $"cand_item")
       .agg((xsumFast($"sim" * $"rating") / xsumFast(abs($"sim"))).as("score_raw"))

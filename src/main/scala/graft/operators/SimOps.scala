@@ -23,8 +23,11 @@ import graft.functions.Udfs.{rnd6, sqlRnd6}
   *   probe prunes file-level partitions (partition pruning does the
   *   1000× fan-in cut); here the label column stands in as the
   *   pre-assigned list id.
-  * - All similarity math is decimal-exact ([[Udfs.cosine]]) so plans,
-  *   partitioning, and retries can never flip a rank.
+  * - Similarity math runs in the native codegen'd
+  *   [[graft.functions.CosineSim]] kernel: a fixed ascending-index
+  *   IEEE-double fold, so plans, partitioning, and retries can never
+  *   flip a rank (the oracle reproduces the identical fold via
+  *   DuckDB's list_reduce).
   */
 object SimOps {
 
