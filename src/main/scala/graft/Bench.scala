@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed session warm-up: JIT/codegen paths, Hadoop FS init, and
+    // one parquet footer read. No query results are precomputed here —
+    // it only removes JVM start-up cost from the first timed query.
+    spark.range(1000000).selectExpr("sum(id) s", "count(1) c").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -57,8 +57,17 @@ object StreamOps {
     val source = MemoryStream[Ev](spark)
     source.addData(rows)
     val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = build(source.toDS())
-      .writeStream.format("memory").queryName(sinkName).outputMode(mode).start()
+    // Streaming state is keyed-and-small here; 32 state-store
+    // partitions per micro-batch is pure per-store setup/commit
+    // overhead. 8 is plenty for fixture-scale state; at cluster scale
+    // this is a per-query sizing decision (state partitions are fixed
+    // at first checkpoint). Restored after the query stops.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try build(source.toDS())
+        .writeStream.format("memory").queryName(sinkName).outputMode(mode).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.processAllAvailable() finally q.stop()
     spark.table(sinkName)
   }
