@@ -23,6 +23,7 @@ object SparkEntry {
     "q_scan_schema_projection" -> (ScanOps.scanProjection _),
     "q_scan_csv_roundtrip" -> (ScanOps.scanCsvRoundtrip _),
     "q_scan_json_roundtrip" -> (ScanOps.scanJsonRoundtrip _),
+    "q_scan_text_roundtrip" -> (ScanOps.scanTextRoundtrip _),
     "q_sink_parquet" -> (ScanOps.sinkParquet _),
     // §2.2 projection / filter
     "q_project_expr" -> (FilterOps.projectExpr _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_stream_session" -> (graft.streaming.StreamOps.streamSession _),
     "q_stream_dedup" -> (graft.streaming.StreamOps.streamDedup _),
     "q_stream_stateful" -> (graft.streaming.StreamOps.streamStateful _),
+    "q_stream_tws" -> (graft.streaming.StreamOps.streamTws _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -120,6 +122,7 @@ object SparkEntry {
     "q_scan_schema_projection" -> ScanOps.scanProjectionSql,
     "q_scan_csv_roundtrip" -> ScanOps.scanCsvRoundtripSql,
     "q_scan_json_roundtrip" -> ScanOps.scanJsonRoundtripSql,
+    "q_scan_text_roundtrip" -> ScanOps.scanTextRoundtripSql,
     "q_sink_parquet" -> ScanOps.sinkParquetSql,
     "q_project_expr" -> FilterOps.projectExprSql,
     "q_filter_pred" -> FilterOps.filterPredSql,
@@ -195,5 +198,6 @@ object SparkEntry {
     "q_stream_session" -> graft.streaming.StreamOps.streamSessionSql,
     "q_stream_dedup" -> graft.streaming.StreamOps.streamDedupSql,
     "q_stream_stateful" -> graft.streaming.StreamOps.streamStatefulSql,
+    "q_stream_tws" -> graft.streaming.StreamOps.streamTwsSql,
   )
 }

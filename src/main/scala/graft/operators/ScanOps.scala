@@ -76,6 +76,22 @@ object ScanOps {
   val scanJsonRoundtripSql: String =
     "SELECT * FROM supplier ORDER BY s_suppkey"
 
+  /** Line-oriented text ingest round-trip (the `mv_*.txt`-style raw
+    * path): write `p_name` as text lines, read back via the text
+    * source. Values are newline-free strings, so the round-trip is
+    * lossless. */
+  def scanTextRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch(sfDir) + "/part_text"
+    Tables.part(spark, sfDir).select($"p_name".as("value"))
+      .write.mode("overwrite").text(path)
+    spark.read.text(path).select($"value".as("p_name"))
+      .orderBy($"p_name")
+  }
+
+  val scanTextRoundtripSql: String =
+    "SELECT p_name FROM part ORDER BY p_name"
+
   /** Parquet sink round-trip: write a filtered slice, read it back.
     * The oracle recomputes the same filter from the source table. */
   def sinkParquet(spark: SparkSession, sfDir: String): DataFrame = {

@@ -6,7 +6,8 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.engine.{Exact, Tables}
 
 /** Structured Streaming surface (SURVEY.md §2.9) over the `events`
@@ -189,5 +190,66 @@ object StreamOps {
       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Per-user (event count, running max) via the Spark 4
+    * transformWithState API — typed ValueState on the RocksDB state
+    * store provider (transformWithState requires RocksDB; this is also
+    * the provider a 100 TB deployment would run for its bounded-memory
+    * + changelog-checkpoint story). Emits one row per event with the
+    * user's sequence number and max value so far; max/count are
+    * order-exact, so the batch twin is a plain window. */
+  private class RunningMaxProc
+      extends StatefulProcessor[Long, Ev, (Long, Long, Long, Double)] {
+    @transient private var st: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("userAgg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+      var (n, mx) =
+        if (st.exists()) st.get() else (0L, Double.NegativeInfinity)
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        n += 1
+        mx = math.max(mx, e.value)
+        (key, e.event_id, n, mx)
+      }
+      st.update((n, mx))
+      out.iterator
+    }
+  }
+
+  /** transformWithState runner (needs the RocksDB provider; restored
+    * after the query stops so batch queries keep the default). */
+  def streamTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runStream(spark, sfDir, OutputMode.Append()) { ds =>
+        ds.groupByKey(_.user_id)
+          .transformWithState(new RunningMaxProc, TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "event_id", "seq_no", "max_value")
+      }.orderBy($"user_id", $"event_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  val streamTwsSql: String =
+    """SELECT user_id, event_id,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS seq_no,
+      |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS max_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 }
