@@ -24,6 +24,7 @@ object SparkEntry {
     "q_scan_csv_roundtrip" -> (ScanOps.scanCsvRoundtrip _),
     "q_scan_json_roundtrip" -> (ScanOps.scanJsonRoundtrip _),
     "q_scan_text_roundtrip" -> (ScanOps.scanTextRoundtrip _),
+    "q_scan_partition_pruning" -> (ScanOps.scanPartitionPruning _),
     "q_sink_parquet" -> (ScanOps.sinkParquet _),
     // §2.2 projection / filter
     "q_project_expr" -> (FilterOps.projectExpr _),
@@ -40,6 +41,11 @@ object SparkEntry {
     "q_join_self_pairs" -> (JoinOps.joinSelfPairs _),
     "q_join_asof" -> (JoinOps.joinAsof _),
     "q_join_interval" -> (JoinOps.joinInterval _),
+    "q_join_bucketed" -> (JoinOps.joinBucketed _),
+    // SQL-text subquery rewrites (Catalyst decorrelation)
+    "q_subquery_scalar" -> (SqlOps.subqueryScalar _),
+    "q_subquery_in" -> (SqlOps.subqueryIn _),
+    "q_subquery_not_exists" -> (SqlOps.subqueryNotExists _),
     // §2.4 aggregations
     "q_agg_global" -> (AggOps.aggGlobal _),
     "q_agg_hash_group" -> (AggOps.aggHashGroup _),
@@ -123,6 +129,7 @@ object SparkEntry {
     "q_scan_csv_roundtrip" -> ScanOps.scanCsvRoundtripSql,
     "q_scan_json_roundtrip" -> ScanOps.scanJsonRoundtripSql,
     "q_scan_text_roundtrip" -> ScanOps.scanTextRoundtripSql,
+    "q_scan_partition_pruning" -> ScanOps.scanPartitionPruningSql,
     "q_sink_parquet" -> ScanOps.sinkParquetSql,
     "q_project_expr" -> FilterOps.projectExprSql,
     "q_filter_pred" -> FilterOps.filterPredSql,
@@ -137,6 +144,10 @@ object SparkEntry {
     "q_join_self_pairs" -> JoinOps.joinSelfPairsSql,
     "q_join_asof" -> JoinOps.joinAsofSql,
     "q_join_interval" -> JoinOps.joinIntervalSql,
+    "q_join_bucketed" -> JoinOps.joinBucketedSql,
+    "q_subquery_scalar" -> SqlOps.subqueryScalarSql,
+    "q_subquery_in" -> SqlOps.subqueryInSql,
+    "q_subquery_not_exists" -> SqlOps.subqueryNotExistsSql,
     "q_agg_global" -> AggOps.aggGlobalSql,
     "q_agg_hash_group" -> AggOps.aggHashGroupSql,
     "q_agg_multi_key_pricing" -> AggOps.multiKeyPricingSql,

@@ -152,6 +152,57 @@ object JoinOps {
       |  ON a.user_id = b.user_id AND a.event_type < b.event_type
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Bucketed co-located join: orders and lineitem written bucketed on
+    * the join key (8 buckets, sorted), then joined WITHOUT a shuffle —
+    * the pre-partitioned layout satisfies the join's distribution, so
+    * the plan has no Exchange under the join (asserted in PlanSpec).
+    * This is the 100 TB answer to a repeated big-big join: pay the
+    * shuffle once at write time, never again at read time. Bucket
+    * tables are created once per (session, sf) in the local warehouse. */
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val ot = s"bkt_orders$tag"
+    val lt = s"bkt_lineitem$tag"
+    if (!spark.catalog.tableExists(ot)) {
+      // The catalog is in-memory but the warehouse dir persists across
+      // JVMs — drop any stale location before recreating the table.
+      def clearStale(table: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val p = if (wh.contains(":")) new java.net.URI(wh).getPath else wh
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val dir = new java.io.File(p, table)
+        if (dir.exists()) rm(dir)
+      }
+      clearStale(ot)
+      clearStale(lt)
+      Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ot)
+      Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
+    }
+    spark.table(ot)
+      .join(spark.table(lt), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(graft.engine.Exact.xsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinBucketedSql: String =
+    s"""SELECT o_orderpriority,
+       |  ${graft.engine.Exact.sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** As-of join: each purchase ↔ latest click at-or-before it, per
     * user. Composed scalably as union + running `last(ignoreNulls)` —
     * ONE shuffle on user_id, no range self-join blowup. Ties (none in

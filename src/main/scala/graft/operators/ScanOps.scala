@@ -92,6 +92,32 @@ object ScanOps {
   val scanTextRoundtripSql: String =
     "SELECT p_name FROM part ORDER BY p_name"
 
+  /** Hive-style partition pruning: events re-laid-out partitioned by
+    * event_type, then scanned with a partition predicate — the scan
+    * reads ONLY the matching directory (PlanSpec asserts the partition
+    * filter; at 100 TB this is the layout decision that turns a full
+    * sweep into a 1/N-cost read). Values are identical to filtering
+    * the flat table, which is exactly what the oracle does. */
+  def scanPartitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact._
+    val path = scratch(sfDir) + "/events_by_type"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Tables.events(spark, sfDir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    spark.read.parquet(path)
+      .filter($"event_type" === "purchase")
+      .groupBy(date_trunc("DAY", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  val scanPartitionPruningSql: String =
+    s"""SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("value")} AS sum_value
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Parquet sink round-trip: write a filtered slice, read it back.
     * The oracle recomputes the same filter from the source table. */
   def sinkParquet(spark: SparkSession, sfDir: String): DataFrame = {

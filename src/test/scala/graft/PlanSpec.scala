@@ -57,6 +57,40 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 2, s"unexpected extra shuffles:\n$plan")
   }
 
+  test("partitioned layout prunes to the matching partition directory") {
+    val df = ScanOps.scanPartitionPruning(spark, sf)
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"expected partition filters on the scan:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("bucketed join runs with no exchange under the join") {
+    val plan = executedPlan(JoinOps.joinBucketed(spark, sf))
+    assert(plan.toString.contains("Bucketed: true"),
+      s"expected bucketed scans:\n$plan")
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a join operator:\n$plan")
+    // co-located layout ⇒ no shuffle between the scans and the join
+    // (AQE may pick broadcast for a tiny side — also shuffle-free)
+    val shufflesUnderJoin = joins.flatMap(j => collectWithSubqueries(j) {
+      case s: ShuffleExchangeExec => s
+    })
+    assert(shufflesUnderJoin.isEmpty,
+      s"bucketed join still shuffles its inputs:\n$plan")
+  }
+
+  test("IN subquery decorrelates to a semi join, not a per-row probe") {
+    val plan = executedPlan(SqlOps.subqueryIn(spark, sf))
+    val s = plan.toString
+    assert(s.contains("LeftSemi") || s.contains("SemiJoin"),
+      s"expected a semi join in:\n$s")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val plan = executedPlan(FilterOps.filterPred(spark, sf))
     val spans = collectWithSubqueries(plan) {
