@@ -131,20 +131,25 @@ object CfOps {
     * and wins ~2× at sf0.1. Pair volume per user is hard-bounded by
     * the top-[[USER_ITEM_CAP]] window (the 100 TB pair-explosion
     * mitigation), applied identically in the SQL oracle. */
+  /** Top-CAP items per user (see USER_ITEM_CAP). The window's user_id
+    * shuffle and (user_id, …) sort are exactly what the pair self-join
+    * needs, so EnsureRequirements adds no extra exchange — the cap
+    * rides the join's existing shuffle. */
+  private def cappedRatings(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val capW = Window.partitionBy($"user_id")
+      .orderBy($"rating".desc, $"item_id".asc)
+    ratings(spark, sfDir)
+      .withColumn("urk", row_number().over(capW))
+      .filter($"urk" <= USER_ITEM_CAP)
+      .select($"user_id", $"item_id", $"rating")
+  }
+
   private def simPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "simPairs") {
       import spark.implicits._
-      import org.apache.spark.sql.expressions.Window
-      // Top-CAP items per user (see USER_ITEM_CAP). The window's
-      // user_id shuffle and (user_id, …) sort are exactly what the
-      // pair self-join needs, so EnsureRequirements adds no extra
-      // exchange — the cap rides the join's existing shuffle.
-      val capW = Window.partitionBy($"user_id")
-        .orderBy($"rating".desc, $"item_id".asc)
-      val r = ratings(spark, sfDir)
-        .withColumn("urk", row_number().over(capW))
-        .filter($"urk" <= USER_ITEM_CAP)
-        .select($"user_id", $"item_id", $"rating")
+      val r = cappedRatings(spark, sfDir)
       val norms = r.groupBy($"item_id")
         .agg(xsumFast($"rating" * $"rating").as("norm_sq"))
       val a = r.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
@@ -189,6 +194,56 @@ object CfOps {
        |  JOIN norms nb ON a.item_b = nb.item_id)
        |SELECT item_a, item_b, n_common, sim
        |FROM pairs ORDER BY item_a, item_b""".stripMargin
+
+  /** Item–item Pearson correlation over co-rating users — the classic
+    * Netflix-recommender alternative to cosine, computed on the SAME
+    * capped pair stream with the five co-rated moment sums
+    * (Σxy, Σx, Σy, Σx², Σy², all decimal-exact). Pairs whose variance
+    * term is zero (an item rated identically by every co-rater) are
+    * excluded: their correlation is undefined, and the exact decimal
+    * sums make the zero test engine-identical. */
+  def itemPearson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = cappedRatings(spark, sfDir)
+    val a = r.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
+    val b = r.select($"user_id".as("ub"), $"item_id".as("item_b"), $"rating".as("rb"))
+    a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b")
+      .agg(count(lit(1)).as("n_common"),
+        xsumFast($"ra" * $"rb").as("sxy"),
+        xsumFast($"ra").as("sx"), xsumFast($"rb").as("sy"),
+        xsumFast($"ra" * $"ra").as("sxx"), xsumFast($"rb" * $"rb").as("syy"))
+      .filter($"n_common" >= MIN_SUPPORT)
+      .withColumn("vx", $"n_common" * $"sxx" - $"sx" * $"sx")
+      .withColumn("vy", $"n_common" * $"syy" - $"sy" * $"sy")
+      .filter($"vx" > 0 && $"vy" > 0)
+      .select($"item_a", $"item_b", $"n_common",
+        rnd6(($"n_common" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"vx") * sqrt($"vy"))).as("pearson"))
+      .orderBy($"item_a", $"item_b")
+  }
+
+  val itemPearsonSql: String =
+    s"""WITH $ratingsCte,
+       |$cappedCte,
+       |mom AS (
+       |  SELECT r1.item_id AS item_a, r2.item_id AS item_b,
+       |    COUNT(*) AS n_common,
+       |    ${sqlXsum("r1.rating * r2.rating")} AS sxy,
+       |    ${sqlXsum("r1.rating")} AS sx, ${sqlXsum("r2.rating")} AS sy,
+       |    ${sqlXsum("r1.rating * r1.rating")} AS sxx,
+       |    ${sqlXsum("r2.rating * r2.rating")} AS syy
+       |  FROM capped r1 JOIN capped r2
+       |    ON r1.user_id = r2.user_id AND r1.item_id < r2.item_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT),
+       |v AS (
+       |  SELECT *, n_common * sxx - sx * sx AS vx,
+       |    n_common * syy - sy * sy AS vy
+       |  FROM mom)
+       |SELECT item_a, item_b, n_common,
+       |  ${sqlRnd6("(n_common * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))")} AS pearson
+       |FROM v WHERE vx > 0 AND vy > 0
+       |ORDER BY item_a, item_b""".stripMargin
 
   /** Similarity pairs expanded to both directions (un-ordered
     * intermediate shared by topk/predict). */
