@@ -56,6 +56,37 @@ class CfSpec extends SparkSpec {
     assert(a.length > 0)
   }
 
+  test("seeded ALS beats the user-mean predictor on the arithmetic holdout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.ml.recommendation.ALS
+    val r = CfOps.ratingsDerive(spark, sf)
+      .withColumn("fold", pmod($"user_id" * 31 + $"item_id", lit(5)))
+      .select($"user_id".cast("int").as("user"),
+        $"item_id".cast("int").as("item"),
+        $"rating".cast("float").as("rating"), $"fold")
+    val train = r.filter($"fold" =!= 0)
+    val test = r.filter($"fold" === 0)
+    val model = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(10).setMaxIter(5).setRegParam(0.1).setSeed(42L)
+      .setColdStartStrategy("drop").fit(train)
+    val pred = model.transform(test)
+      .filter(!isnan($"prediction"))
+    val alsRmse = pred
+      .agg(sqrt(avg(($"prediction" - $"rating") * ($"prediction" - $"rating"))))
+      .collect()(0).getDouble(0)
+    val baseRmse = CfOps.evalRmse(spark, sf).collect()(0).getDouble(0)
+    assert(!alsRmse.isNaN && alsRmse > 0.0)
+    info(s"alsRmse=$alsRmse baseRmse=$baseRmse")
+    // Regression pin, not a quality claim: the synthetic fixture
+    // ratings are not low-rank, so rank-10 ALS measures ~1.8× the
+    // user-mean RMSE here (31.1 vs 17.1 at sf0.001, SURVEY.md §5.2(5)
+    // "pre-measure and pin"). The bound catches a broken factorization
+    // (divergence, seed drift), which lands orders of magnitude off.
+    assert(alsRmse <= baseRmse * 2.0, s"alsRmse=$alsRmse baseRmse=$baseRmse")
+  }
+
   test("holdout RMSE of the user-mean predictor is finite and sane") {
     val row = CfOps.evalRmse(spark, sf).collect()(0)
     val rmse = row.getDouble(0)

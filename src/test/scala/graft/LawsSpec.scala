@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import org.apache.spark.sql.functions._
 
 /** Algebraic laws over the operator surface (SURVEY.md §5.2(3)) —
   * properties that must hold at ANY scale, checked on fixture data.
@@ -61,6 +62,24 @@ class LawsSpec extends SparkSpec {
     val w = TextOps.textTfidf(spark, sf)
     assert(w.count() > 0)
     assert(w.filter($"tfidf" < -1e-12).count() == 0)
+  }
+
+  test("approx_count_distinct lands within HLL error bounds of exact") {
+    import spark.implicits._
+    val approx = AggOps.aggApproxDistinct(spark, sf)
+      .select($"event_type", $"approx_users".as("a"))
+    val exact = graft.engine.Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("e"))
+    val joined = approx.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { row =>
+      val a = row.getAs[Long]("a").toDouble
+      val e = row.getAs[Long]("e").toDouble
+      // rsd=0.02 requested; allow 5 sigma
+      assert(math.abs(a - e) <= math.max(5.0, e * 0.10),
+        s"${row.getString(0)}: approx=$a exact=$e")
+    }
   }
 
   test("streaming dedup equals batch distinct (stream/batch equivalence law)") {
