@@ -52,6 +52,7 @@ object SparkEntry {
     "q_agg_multi_key_pricing" -> (AggOps.multiKeyPricing _),
     "q_agg_distinct" -> (AggOps.aggDistinct _),
     "q_agg_approx_distinct" -> (AggOps.aggApproxDistinct _),
+    "q_agg_percentile" -> (AggOps.aggPercentile _),
     "q_agg_collect" -> (AggOps.aggCollect _),
     "q_agg_rollup" -> (AggOps.aggRollup _),
     "q_agg_cube" -> (AggOps.aggCube _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "q_win_lag_lead" -> (WindowOps.lagLead _),
     "q_win_frame_rows" -> (WindowOps.frameRows _),
     "q_win_frame_range" -> (WindowOps.frameRange _),
+    "q_win_nav_first_last" -> (WindowOps.navFirstLast _),
     "q_sort_multi" -> (WindowOps.sortMulti _),
     "q_limit_topk" -> (WindowOps.limitTopK _),
     "q_sort_within_partitions" -> (WindowOps.sortWithinPartitions _),
@@ -153,6 +155,7 @@ object SparkEntry {
     "q_agg_hash_group" -> AggOps.aggHashGroupSql,
     "q_agg_multi_key_pricing" -> AggOps.multiKeyPricingSql,
     "q_agg_distinct" -> AggOps.aggDistinctSql,
+    "q_agg_percentile" -> AggOps.aggPercentileSql,
     "q_agg_collect" -> AggOps.aggCollectSql,
     "q_agg_rollup" -> AggOps.aggRollupSql,
     "q_agg_cube" -> AggOps.aggCubeSql,
@@ -163,6 +166,7 @@ object SparkEntry {
     "q_win_lag_lead" -> WindowOps.lagLeadSql,
     "q_win_frame_rows" -> WindowOps.frameRowsSql,
     "q_win_frame_range" -> WindowOps.frameRangeSql,
+    "q_win_nav_first_last" -> WindowOps.navFirstLastSql,
     "q_sort_multi" -> WindowOps.sortMultiSql,
     "q_limit_topk" -> WindowOps.limitTopKSql,
     "q_set_union_all" -> SetOps.unionAllSql,

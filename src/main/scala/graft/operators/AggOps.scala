@@ -103,6 +103,34 @@ object AggOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Exact order statistics: median and interpolated p90 per group.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * linear-interpolation definition; inputs are identical doubles, so
+    * the interpolation arithmetic is bit-identical and rnd6 closes the
+    * display gap. At 100 TB exact percentiles need a full sort per
+    * group — the scale path is approx_percentile (t-digest), kept
+    * un-oracled like HLL. */
+  def aggPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        rnd6(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+        rnd6(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggPercentileSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""SELECT l_returnflag,
+       |  ${sqlRnd6("quantile_cont(l_quantity, 0.5)")} AS median_qty,
+       |  ${sqlRnd6("quantile_cont(l_extendedprice, 0.9)")} AS p90_price,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   /** HLL++ approximate distinct — the 100 TB path (exact distinct
     * shuffles every key; HLL ships a constant-size sketch per
     * partition). Approximate ⇒ no DuckDB oracle; bounds asserted in

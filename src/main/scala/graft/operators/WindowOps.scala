@@ -142,6 +142,34 @@ object WindowOps {
       |    ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_rev
       |FROM daily ORDER BY day""".stripMargin
 
+  /** Navigation functions: first/last/nth order value per customer —
+    * frame must be the full partition for last/nth to see every row.
+    * Tiebreak on o_orderkey keeps cross-engine navigation identical. */
+  def navFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey",
+        first($"o_orderkey").over(w).as("first_order"),
+        last($"o_orderkey").over(w).as("last_order"),
+        nth_value($"o_orderkey", 2).over(w).as("second_order"))
+      .distinct()
+      .orderBy($"o_custkey")
+  }
+
+  val navFirstLastSql: String =
+    """SELECT DISTINCT o_custkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  last_value(o_orderkey) OVER w AS last_order,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate ASC, o_orderkey ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin
+
   // ---- §2.6 sorts / limits / top-k ----
 
   /** Multi-key total order (MR: TotalOrderPartitioner). Spark plans a
