@@ -88,14 +88,33 @@ object StreamOps {
        |  COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 
-  /** 1-hour windows sliding every 15 minutes (complete mode). */
+  /** 1-hour windows sliding every 15 minutes, computed by PANE
+    * DECOMPOSITION: the stream aggregates non-overlapping 15-minute
+    * panes (state keys and shuffle volume 1×, where the built-in
+    * sliding `window()` expands every event into 4 rows before the
+    * shuffle — a 4× tax that matters at 100 TB), then a finalize step
+    * fans each pane into the 4 sliding windows containing it and
+    * combines. The combine is decimal-exact sums + counts, which are
+    * associative — so the result is BIT-IDENTICAL to the direct
+    * sliding aggregation, and the same batch-twin oracle applies. */
   def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
-      ds.groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
-        .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
-        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
-    }.orderBy($"ws", $"event_type")
+    val panes = runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+      ds.groupBy(window($"ts", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("pn"),
+          sum($"value".cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .as("psum"))
+        .select($"window.start".as("ps"), $"event_type", $"pn", $"psum")
+    }
+    panes
+      .select(explode(sequence(lit(0), lit(3))).as("k"),
+        $"ps", $"event_type", $"pn", $"psum")
+      .selectExpr("ps - make_dt_interval(0, 0, 15 * k, 0) AS ws",
+        "event_type", "pn", "psum")
+      .groupBy($"ws", $"event_type")
+      .agg(sum($"pn").as("n"),
+        sum($"psum").cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .orderBy($"ws", $"event_type")
   }
 
   /** Batch twin: each event belongs to the 4 sliding windows starting
