@@ -108,9 +108,19 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized base relations per (application, sfDir, table). This
+    * reuses the analyzed LogicalRelation OBJECT — file listing and
+    * schema resolution happen once per session — while each query
+    * still plans its own scan on top, so column pruning and filter
+    * pushdown remain per-query (no data is cached here). */
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    relCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir|$name",
+      if (name == "events") eventsRaw(spark, sfDir)
+      else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -119,7 +129,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr(

@@ -146,18 +146,34 @@ object CfOps {
       .select($"user_id", $"item_id", $"rating")
   }
 
+  /** One shared pass over the capped pair stream computing ALL the
+    * co-rated moment sums (n, Σxy, Σx, Σy, Σx², Σy² — decimal-exact):
+    * cosine consumes Σxy, Pearson consumes the rest, so the expensive
+    * self-join + pair aggregation runs ONCE per session instead of
+    * once per similarity measure. */
+  private def pairMoments(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "pairMoments") {
+      import spark.implicits._
+      val r = cappedRatings(spark, sfDir)
+      val a = r.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
+      val b = r.select($"user_id".as("ub"), $"item_id".as("item_b"), $"rating".as("rb"))
+      a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
+        .groupBy($"item_a", $"item_b")
+        .agg(count(lit(1)).as("n_common"),
+          xsumFast($"ra" * $"rb").as("dot"),
+          xsumFast($"ra").as("sx"), xsumFast($"rb").as("sy"),
+          xsumFast($"ra" * $"ra").as("sxx"), xsumFast($"rb" * $"rb").as("syy"))
+        .filter($"n_common" >= MIN_SUPPORT)
+    }
+
   private def simPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "simPairs") {
       import spark.implicits._
       val r = cappedRatings(spark, sfDir)
       val norms = r.groupBy($"item_id")
         .agg(xsumFast($"rating" * $"rating").as("norm_sq"))
-      val a = r.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
-      val b = r.select($"user_id".as("ub"), $"item_id".as("item_b"), $"rating".as("rb"))
-      a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
-        .groupBy($"item_a", $"item_b")
-        .agg(xsumFast($"ra" * $"rb").as("dot"), count(lit(1)).as("n_common"))
-        .filter($"n_common" >= MIN_SUPPORT)
+      pairMoments(spark, sfDir)
+        .select($"item_a", $"item_b", $"dot", $"n_common")
         // norms is item-cardinality (Netflix: 17k rows); AQE converts
         // these to broadcast joins at runtime. Do NOT force broadcast()
         // here: an explicit BroadcastExchange spawns its own job that
@@ -204,21 +220,12 @@ object CfOps {
     * sums make the zero test engine-identical. */
   def itemPearson(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val r = cappedRatings(spark, sfDir)
-    val a = r.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
-    val b = r.select($"user_id".as("ub"), $"item_id".as("item_b"), $"rating".as("rb"))
-    a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
-      .groupBy($"item_a", $"item_b")
-      .agg(count(lit(1)).as("n_common"),
-        xsumFast($"ra" * $"rb").as("sxy"),
-        xsumFast($"ra").as("sx"), xsumFast($"rb").as("sy"),
-        xsumFast($"ra" * $"ra").as("sxx"), xsumFast($"rb" * $"rb").as("syy"))
-      .filter($"n_common" >= MIN_SUPPORT)
+    pairMoments(spark, sfDir)
       .withColumn("vx", $"n_common" * $"sxx" - $"sx" * $"sx")
       .withColumn("vy", $"n_common" * $"syy" - $"sy" * $"sy")
       .filter($"vx" > 0 && $"vy" > 0)
       .select($"item_a", $"item_b", $"n_common",
-        rnd6(($"n_common" * $"sxy" - $"sx" * $"sy") /
+        rnd6(($"n_common" * $"dot" - $"sx" * $"sy") /
           (sqrt($"vx") * sqrt($"vy"))).as("pearson"))
       .orderBy($"item_a", $"item_b")
   }
