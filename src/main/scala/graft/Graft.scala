@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** The library facade — the API a user of the reference engine programs
+  * against after switching to this one. Each method is a thin, stable
+  * name over the operator implementations in `graft.operators` /
+  * `graft.streaming`; everything returns a plain DataFrame so results
+  * compose with any further Spark code.
+  *
+  * {{{
+  * val g = Graft(spark, "/data/sf100")
+  * g.recommendations()            // per-user top-N item recs (item-kNN)
+  * g.recommendationsAls()         // same, MLlib ALS factorization
+  * g.itemSimilarity()             // item–item cosine pairs
+  * g.dedupExact()                 // content dedup with stable survivor
+  * g.nearDuplicates()             // n-gram Jaccard candidates
+  * g.similarVectors()             // top-k ANN over the embeddings table
+  * g.textQuality()                // per-doc quality features
+  * }}}
+  *
+  * For the full 85-query operator surface (each with its DuckDB parity
+  * oracle) see [[SparkEntry.queries]]; for the scale design see
+  * SCALE.md.
+  */
+final case class Graft(spark: SparkSession, dataDir: String) {
+
+  // — the recommender (the reference's core capability) —
+  def ratings(): DataFrame = CfOps.ratingsDerive(spark, dataDir)
+  def userMeans(): DataFrame = CfOps.userMeans(spark, dataDir)
+  def itemSimilarity(): DataFrame = CfOps.itemCosine(spark, dataDir)
+  def itemSimilarityPearson(): DataFrame = CfOps.itemPearson(spark, dataDir)
+  def itemNeighbors(): DataFrame = CfOps.itemTopkNeighbors(spark, dataDir)
+  def recommendations(): DataFrame = CfOps.predictKnn(spark, dataDir)
+  def recommendationsAls(): DataFrame = CfOps.als(spark, dataDir)
+  def recommenderRmse(): DataFrame = CfOps.evalRmse(spark, dataDir)
+
+  // — LLM-data-pipeline surface —
+  def dedupExact(): DataFrame = DedupOps.dedupExact(spark, dataDir)
+  def nearDuplicates(): DataFrame = DedupOps.dedupNear(spark, dataDir)
+  def nearDuplicatesMinhash(): DataFrame = DedupOps.dedupMinhashLsh(spark, dataDir)
+  def nearDuplicatesSimhash(): DataFrame = DedupOps.dedupSimhash(spark, dataDir)
+  def nearDuplicatesEmbedding(): DataFrame = DedupOps.dedupEmbed(spark, dataDir)
+  def similarVectors(): DataFrame = SimOps.simsearchTopk(spark, dataDir)
+  def similarVectorsIvf(): DataFrame = SimOps.simsearchIvf(spark, dataDir)
+  def embeddingStats(): DataFrame = SimOps.multimodalStats(spark, dataDir)
+  def textStats(): DataFrame = TextOps.textStats(spark, dataDir)
+  def textTfidf(): DataFrame = TextOps.textTfidf(spark, dataDir)
+  def textLanguage(): DataFrame = TextOps.textLangid(spark, dataDir)
+  def textQuality(): DataFrame = TextOps.textQuality(spark, dataDir)
+  def textTokens(): DataFrame = TextOps.textTokens(spark, dataDir)
+  def textFingerprints(): DataFrame = TextOps.textFingerprint(spark, dataDir)
+
+  /** Run any named operator from the full surface. */
+  def query(name: String): DataFrame = SparkEntry.queries(name)(spark, dataDir)
+}

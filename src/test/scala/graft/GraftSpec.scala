@@ -1,0 +1,19 @@
+package graft
+
+/** The facade must expose the full surface and return live DataFrames. */
+class GraftSpec extends SparkSpec {
+
+  test("facade methods delegate to the operator surface") {
+    val g = Graft(spark, sf)
+    assert(g.ratings().count() > 0)
+    assert(g.dedupExact().count() > 0)
+    assert(g.textQuality().count() > 0)
+  }
+
+  test("query() dispatches every registered operator name") {
+    val g = Graft(spark, sf)
+    assert(SparkEntry.queries.keySet.contains("q_agg_multi_key_pricing"))
+    assert(g.query("q_agg_multi_key_pricing").count() > 0)
+    intercept[NoSuchElementException] { g.query("q_nope") }
+  }
+}
