@@ -24,6 +24,7 @@ object SparkEntry {
     "q_scan_csv_roundtrip" -> (ScanOps.scanCsvRoundtrip _),
     "q_scan_json_roundtrip" -> (ScanOps.scanJsonRoundtrip _),
     "q_scan_text_roundtrip" -> (ScanOps.scanTextRoundtrip _),
+    "q_scan_orc_roundtrip" -> (ScanOps.scanOrcRoundtrip _),
     "q_scan_partition_pruning" -> (ScanOps.scanPartitionPruning _),
     "q_sink_parquet" -> (ScanOps.sinkParquet _),
     // §2.2 projection / filter
@@ -132,6 +133,7 @@ object SparkEntry {
     "q_scan_csv_roundtrip" -> ScanOps.scanCsvRoundtripSql,
     "q_scan_json_roundtrip" -> ScanOps.scanJsonRoundtripSql,
     "q_scan_text_roundtrip" -> ScanOps.scanTextRoundtripSql,
+    "q_scan_orc_roundtrip" -> ScanOps.scanOrcRoundtripSql,
     "q_scan_partition_pruning" -> ScanOps.scanPartitionPruningSql,
     "q_sink_parquet" -> ScanOps.sinkParquetSql,
     "q_project_expr" -> FilterOps.projectExprSql,

@@ -99,9 +99,14 @@ object CosineSim {
   * `spark.sql.extensions=graft.functions.GraftExtensions` injects the
   * native functions at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(CosineSim.NAME),
         new ExpressionInfo(classOf[CosineSim].getName, CosineSim.NAME),
         (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(RollingHash.NAME),
+        new ExpressionInfo(classOf[RollingHash].getName, RollingHash.NAME),
+        (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+  }
 }

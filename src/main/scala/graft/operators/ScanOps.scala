@@ -92,6 +92,21 @@ object ScanOps {
   val scanTextRoundtripSql: String =
     "SELECT p_name FROM part ORDER BY p_name"
 
+  /** ORC ingest round-trip: write `nation` as ORC, read back. Proves
+    * the second columnar source preserves values; the oracle compares
+    * against the parquet original (DuckDB has no ORC reader — equality
+    * with the parquet-sourced result IS the round-trip property). */
+  def scanOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch(sfDir) + "/nation_orc"
+    Tables.nation(spark, sfDir).write.mode("overwrite").orc(path)
+    spark.read.schema(Tables.nationSchema).orc(path)
+      .orderBy($"n_nationkey")
+  }
+
+  val scanOrcRoundtripSql: String =
+    "SELECT * FROM nation ORDER BY n_nationkey"
+
   /** Hive-style partition pruning: events re-laid-out partitioned by
     * event_type, then scanned with a partition predicate — the scan
     * reads ONLY the matching directory (PlanSpec asserts the partition

@@ -196,12 +196,13 @@ object TextOps {
     * + 255 < 2^63). */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // native codegen kernel — one primitive loop per row instead of a
+    // per-character array + two interpreted lambdas (same fold, same
+    // oracle; see RollingHashExpression)
+    graft.functions.RollingHash.register(spark)
     Tables.documents(spark, sfDir)
       .select($"doc_id",
-        expr(
-          """aggregate(transform(split(text, ''), c -> ascii(c)),
-            |  cast(0 as bigint),
-            |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin).as("fingerprint"),
+        expr("graft_rolling_hash(text)").as("fingerprint"),
         length($"text").as("n_len"))
       .orderBy($"doc_id")
   }

@@ -59,6 +59,30 @@ class CosineSpec extends SparkSpec {
     }
   }
 
+  test("native RollingHash matches the interpreted HOF fold exactly") {
+    import spark.implicits._
+    graft.functions.RollingHash.register(spark)
+    val rows = graft.engine.Tables.documents(spark, sf).limit(200)
+      .select($"doc_id",
+        expr("graft_rolling_hash(text)").as("native"),
+        expr(
+          """aggregate(transform(split(text, ''), c -> ascii(c)),
+            |  cast(0 as bigint),
+            |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}")
+    }
+    // sanity on edge cases
+    val edge = Seq("", "a", "ab", "aa bb").toDF("text")
+    graft.functions.RollingHash.register(spark)
+    val e = edge.select(expr("graft_rolling_hash(text)").as("h")).collect()
+    assert(e(0).getLong(0) == 0L)           // empty string folds to 0
+    assert(e(1).getLong(0) == 'a'.toLong)   // single char is its codepoint
+  }
+
   test("RMSE aggregator: zero for perfect predictions, translation bound") {
     import spark.implicits._
     val perfect = Seq((1.0, 1.0), (2.0, 2.0)).toDF("p", "a")
