@@ -47,6 +47,7 @@ object SparkEntry {
     "q_subquery_scalar" -> (SqlOps.subqueryScalar _),
     "q_subquery_in" -> (SqlOps.subqueryIn _),
     "q_subquery_not_exists" -> (SqlOps.subqueryNotExists _),
+    "q_typed_mapgroups" -> (TypedOps.typedMapGroups _),
     // §2.4 aggregations
     "q_agg_global" -> (AggOps.aggGlobal _),
     "q_agg_hash_group" -> (AggOps.aggHashGroup _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q_subquery_scalar" -> SqlOps.subqueryScalarSql,
     "q_subquery_in" -> SqlOps.subqueryInSql,
     "q_subquery_not_exists" -> SqlOps.subqueryNotExistsSql,
+    "q_typed_mapgroups" -> TypedOps.typedMapGroupsSql,
     "q_agg_global" -> AggOps.aggGlobalSql,
     "q_agg_hash_group" -> AggOps.aggHashGroupSql,
     "q_agg_multi_key_pricing" -> AggOps.multiKeyPricingSql,

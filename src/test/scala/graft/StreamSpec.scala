@@ -67,6 +67,33 @@ class StreamSpec extends SparkSpec {
     assert(n0.map(_.getLong(1)).toSeq == Seq(30L))
   }
 
+  test("operators are source-agnostic: file stream source gives the same result") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    val events = (0 until 100).map(i =>
+      Ev(i.toLong, ts(i), i % 5L, s"t${i % 3}", i * 0.5))
+    // lay the events out as three json files (micro-batches by file)
+    events.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF().coalesce(1).write.mode("append").json(dir)
+    }
+    val schema = events.toDF().schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), graft.engine.Exact.xsum($"value").as("s"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"s")
+      .writeStream.format("memory").queryName("t_file")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_file").orderBy("ws", "event_type").collect()
+    val batch = events.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), graft.engine.Exact.xsum($"value").as("s"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"s")
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState carries state across micro-batches") {
     import spark.implicits._
     val events = (1 to 10).map(i => Ev(i.toLong, ts(i), 7L, "a", 1.5))
