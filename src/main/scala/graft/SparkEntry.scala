@@ -43,6 +43,7 @@ object SparkEntry {
     "q_join_asof" -> (JoinOps.joinAsof _),
     "q_join_interval" -> (JoinOps.joinInterval _),
     "q_join_bucketed" -> (JoinOps.joinBucketed _),
+    "q_join_salted" -> (JoinOps.joinSalted _),
     // SQL-text subquery rewrites (Catalyst decorrelation)
     "q_subquery_scalar" -> (SqlOps.subqueryScalar _),
     "q_subquery_in" -> (SqlOps.subqueryIn _),
@@ -54,6 +55,7 @@ object SparkEntry {
     "q_agg_multi_key_pricing" -> (AggOps.multiKeyPricing _),
     "q_agg_distinct" -> (AggOps.aggDistinct _),
     "q_agg_approx_distinct" -> (AggOps.aggApproxDistinct _),
+    "q_agg_approx_percentile" -> (AggOps.aggApproxPercentile _),
     "q_agg_percentile" -> (AggOps.aggPercentile _),
     "q_agg_collect" -> (AggOps.aggCollect _),
     "q_agg_rollup" -> (AggOps.aggRollup _),
@@ -151,6 +153,7 @@ object SparkEntry {
     "q_join_asof" -> JoinOps.joinAsofSql,
     "q_join_interval" -> JoinOps.joinIntervalSql,
     "q_join_bucketed" -> JoinOps.joinBucketedSql,
+    "q_join_salted" -> JoinOps.joinSaltedSql,
     "q_subquery_scalar" -> SqlOps.subqueryScalarSql,
     "q_subquery_in" -> SqlOps.subqueryInSql,
     "q_subquery_not_exists" -> SqlOps.subqueryNotExistsSql,

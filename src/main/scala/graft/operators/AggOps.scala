@@ -131,6 +131,19 @@ object AggOps {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Approximate percentiles — the 100 TB path for order statistics
+    * (exact percentiles need a per-group sort; the sketch streams).
+    * No oracle (sketch ≠ engine-portable); LawsSpec bounds it against
+    * the exact quantiles. */
+  def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+        .as("approx_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** HLL++ approximate distinct — the 100 TB path (exact distinct
     * shuffles every key; HLL ships a constant-size sketch per
     * partition). Approximate ⇒ no DuckDB oracle; bounds asserted in

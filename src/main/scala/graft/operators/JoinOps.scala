@@ -203,6 +203,37 @@ object JoinOps {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Salted join: the hot-key mitigation as runnable code. The fact
+    * side carries a deterministic salt (pmod of a secondary column);
+    * the dim side is exploded across all salt values; the join key
+    * becomes (key, salt), splitting any single hot key's rows across
+    * SALTS partitions. Results are provably identical to the unsalted
+    * join — the oracle IS the plain join. At 100 TB this (or AQE's
+    * runtime skew split, SCALE.md §1) is what keeps one viral item /
+    * power user from serializing a whole stage on one task. */
+  def joinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val SALTS = 8
+    val fact = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        pmod($"l_linenumber", lit(SALTS)).as("salt"))
+    val dim = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .withColumn("salt", explode(sequence(lit(0), lit(SALTS - 1))))
+    fact.join(dim,
+        $"l_orderkey" === $"o_orderkey" && fact("salt") === dim("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinSaltedSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** As-of join: each purchase ↔ latest click at-or-before it, per
     * user. Composed scalably as union + running `last(ignoreNulls)` —
     * ONE shuffle on user_id, no range self-join blowup. Ties (none in

@@ -82,6 +82,23 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile brackets the exact quantiles") {
+    import spark.implicits._
+    val approx = AggOps.aggApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = graft.engine.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.9, 0.99))")
+        .as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    approx.foreach { case (flag, Seq(p50, p90)) =>
+      val Seq(e25, e50, e75, e90, e99) = exact(flag)
+      assert(p50 >= e25 && p50 <= e75, s"$flag p50=$p50 not in [$e25,$e75]")
+      assert(p90 >= e75 && p90 <= e99, s"$flag p90=$p90 not in [$e75,$e99]")
+    }
+  }
+
   test("streaming dedup equals batch distinct (stream/batch equivalence law)") {
     import spark.implicits._
     val s = graft.streaming.StreamOps.streamDedup(spark, sf)
