@@ -85,6 +85,7 @@ object SparkEntry {
     "q_fn_array" -> (FnOps.fnArray _),
     "q_fn_map" -> (FnOps.fnMap _),
     "q_fn_json" -> (FnOps.fnJson _),
+    "q_fn_hash" -> (FnOps.fnHash _),
     // §2.10 UDF / UDAF / UDTF
     "q_udf_cosine" -> (UdfOps.udfCosine _),
     "q_udaf_rmse" -> (UdfOps.udafRmse _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_fn_array" -> FnOps.fnArraySql,
     "q_fn_map" -> FnOps.fnMapSql,
     "q_fn_json" -> FnOps.fnJsonSql,
+    "q_fn_hash" -> FnOps.fnHashSql,
     "q_udf_cosine" -> UdfOps.udfCosineSql,
     "q_udaf_rmse" -> UdfOps.udafRmseSql,
     "q_udtf_tokenize" -> UdfOps.udtfTokenizeSql,

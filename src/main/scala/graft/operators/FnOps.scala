@@ -218,4 +218,24 @@ object FnOps {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
       |  json_extract_string(props, '$.missing') AS k_missing
       |FROM events ORDER BY event_id""".stripMargin
+
+  /** Cryptographic content hashes — the backbone of content-addressed
+    * dedup and incremental recompute at scale (a byte-stable hash per
+    * document lets 100 TB reprocessing skip unchanged content). md5 and
+    * sha-256 are algorithmically fixed, so the hex digests are
+    * engine-identical by definition. */
+  def fnHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        md5($"text").as("md5_hex"),
+        sha2($"text", 256).as("sha256_hex"),
+        length($"text").as("n_len"))
+      .orderBy($"doc_id")
+  }
+
+  val fnHashSql: String =
+    """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+      |  length(text) AS n_len
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
