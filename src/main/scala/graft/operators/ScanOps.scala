@@ -117,7 +117,15 @@ object ScanOps {
     import spark.implicits._
     import graft.engine.Exact._
     val path = scratch(sfDir) + "/events_by_type"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    // scratch persists across sessions — rebuild if the source table is
+    // newer than our copy (stale derived data must never outlive its
+    // source)
+    val marker = new java.io.File(path, "_SUCCESS")
+    def newestUnder(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
+      else f.lastModified()
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    if (!marker.exists() || newestUnder(src) > marker.lastModified())
       Tables.events(spark, sfDir)
         .write.mode("overwrite").partitionBy("event_type").parquet(path)
     spark.read.parquet(path)
