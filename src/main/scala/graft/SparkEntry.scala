@@ -95,6 +95,7 @@ object SparkEntry {
     "q_cf_user_means" -> (CfOps.userMeans _),
     "q_cf_item_cosine" -> (CfOps.itemCosine _),
     "q_cf_item_pearson" -> (CfOps.itemPearson _),
+    "q_cf_item_jaccard" -> (CfOps.itemJaccard _),
     "q_cf_item_topk_neighbors" -> (CfOps.itemTopkNeighbors _),
     "q_cf_predict_knn" -> (CfOps.predictKnn _),
     "q_cf_eval_rmse" -> (CfOps.evalRmse _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "q_cf_user_means" -> CfOps.userMeansSql,
     "q_cf_item_cosine" -> CfOps.itemCosineSql,
     "q_cf_item_pearson" -> CfOps.itemPearsonSql,
+    "q_cf_item_jaccard" -> CfOps.itemJaccardSql,
     "q_cf_item_topk_neighbors" -> CfOps.itemTopkNeighborsSql,
     "q_cf_predict_knn" -> CfOps.predictKnnSql,
     "q_cf_eval_rmse" -> CfOps.evalRmseSql,

@@ -252,6 +252,44 @@ object CfOps {
        |FROM v WHERE vx > 0 AND vy > 0
        |ORDER BY item_a, item_b""".stripMargin
 
+  /** Item–item co-occurrence Jaccard — |raters(a) ∩ raters(b)| /
+    * |raters(a) ∪ raters(b)| — the set-overlap similarity implicit-
+    * feedback recommenders use when rating magnitudes are unreliable.
+    * Intersections come from the shared [[pairMoments]] pass; per-item
+    * rater counts are an item-cardinality aggregate (AQE broadcasts
+    * them). Integer arithmetic except the final division — rnd6 keeps
+    * the quotient engine-identical. */
+  def itemJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = cappedRatings(spark, sfDir)
+      .groupBy($"item_id").agg(count(lit(1)).as("n_raters"))
+    pairMoments(spark, sfDir)
+      .select($"item_a", $"item_b", $"n_common")
+      .join(counts.select($"item_id".as("item_a"), $"n_raters".as("na")), "item_a")
+      .join(counts.select($"item_id".as("item_b"), $"n_raters".as("nb")), "item_b")
+      .select($"item_a", $"item_b", $"n_common",
+        rnd6($"n_common" / ($"na" + $"nb" - $"n_common")).as("jaccard"))
+      .orderBy($"item_a", $"item_b")
+  }
+
+  val itemJaccardSql: String =
+    s"""WITH $ratingsCte,
+       |$cappedCte,
+       |counts AS (
+       |  SELECT item_id, COUNT(*) AS n_raters FROM capped GROUP BY item_id),
+       |inter AS (
+       |  SELECT r1.item_id AS item_a, r2.item_id AS item_b,
+       |    COUNT(*) AS n_common
+       |  FROM capped r1 JOIN capped r2
+       |    ON r1.user_id = r2.user_id AND r1.item_id < r2.item_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT)
+       |SELECT i.item_a, i.item_b, i.n_common,
+       |  ${sqlRnd6("i.n_common / (ca.n_raters + cb.n_raters - i.n_common)")} AS jaccard
+       |FROM inter i
+       |JOIN counts ca ON i.item_a = ca.item_id
+       |JOIN counts cb ON i.item_b = cb.item_id
+       |ORDER BY item_a, item_b""".stripMargin
+
   /** Similarity pairs expanded to both directions (un-ordered
     * intermediate shared by topk/predict). */
   private def simBothDirections(spark: SparkSession, sfDir: String): DataFrame = {
