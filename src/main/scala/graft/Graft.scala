@@ -31,6 +31,7 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def userMeans(): DataFrame = CfOps.userMeans(spark, dataDir)
   def itemSimilarity(): DataFrame = CfOps.itemCosine(spark, dataDir)
   def itemSimilarityPearson(): DataFrame = CfOps.itemPearson(spark, dataDir)
+  def itemSimilarityJaccard(): DataFrame = CfOps.itemJaccard(spark, dataDir)
   def itemNeighbors(): DataFrame = CfOps.itemTopkNeighbors(spark, dataDir)
   def recommendations(): DataFrame = CfOps.predictKnn(spark, dataDir)
   def recommendationsAls(): DataFrame = CfOps.als(spark, dataDir)
