@@ -82,6 +82,21 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("similarity measures respect their ranges and agree on support") {
+    import spark.implicits._
+    val p = CfOps.itemPearson(spark, sf)
+    assert(p.filter($"pearson" < -1.000001 || $"pearson" > 1.000001).count() == 0)
+    val j = CfOps.itemJaccard(spark, sf)
+    assert(j.filter($"jaccard" <= 0 || $"jaccard" > 1.000001).count() == 0)
+    // all three measures are built over the same capped pair stream:
+    // jaccard covers every supported pair, pearson only drops the
+    // zero-variance ones
+    val c = CfOps.itemCosine(spark, sf).select($"item_a", $"item_b")
+    assert(c.except(j.select($"item_a", $"item_b")).count() == 0)
+    assert(p.select($"item_a", $"item_b")
+      .except(j.select($"item_a", $"item_b")).count() == 0)
+  }
+
   test("approx_percentile brackets the exact quantiles") {
     import spark.implicits._
     val approx = AggOps.aggApproxPercentile(spark, sf).collect()
