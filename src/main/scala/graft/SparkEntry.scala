@@ -77,6 +77,8 @@ object SparkEntry {
     "q_set_union_distinct" -> (SetOps.unionDistinct _),
     "q_set_intersect" -> (SetOps.intersect _),
     "q_set_except" -> (SetOps.except _),
+    "q_set_except_all" -> (SetOps.exceptAll _),
+    "q_set_intersect_all" -> (SetOps.intersectAll _),
     // §2.8 scalar function families
     "q_fn_string" -> (FnOps.fnString _),
     "q_fn_date" -> (FnOps.fnDate _),
@@ -182,6 +184,8 @@ object SparkEntry {
     "q_set_union_distinct" -> SetOps.unionDistinctSql,
     "q_set_intersect" -> SetOps.intersectSql,
     "q_set_except" -> SetOps.exceptSql,
+    "q_set_except_all" -> SetOps.exceptAllSql,
+    "q_set_intersect_all" -> SetOps.intersectAllSql,
     "q_fn_string" -> FnOps.fnStringSql,
     "q_fn_date" -> FnOps.fnDateSql,
     "q_fn_math" -> FnOps.fnMathSql,

@@ -80,4 +80,37 @@ object SetOps {
       |EXCEPT
       |SELECT user_id FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id""".stripMargin
+
+  /** Bag difference: each view event minus one per purchase of the
+    * same user — multiplicities matter (EXCEPT ALL), unlike the set
+    * form above. Catalyst rewrites this to a multiplicity join
+    * (RewriteExceptAll). */
+  def exceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    e.filter($"event_type" === "view").select($"user_id")
+      .exceptAll(e.filter($"event_type" === "purchase").select($"user_id"))
+      .orderBy($"user_id")
+  }
+
+  val exceptAllSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'view'
+      |EXCEPT ALL
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  /** Bag intersection: per-user min(views, purchases) copies survive. */
+  def intersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    e.filter($"event_type" === "view").select($"user_id")
+      .intersectAll(e.filter($"event_type" === "purchase").select($"user_id"))
+      .orderBy($"user_id")
+  }
+
+  val intersectAllSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'view'
+      |INTERSECT ALL
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
 }
