@@ -88,6 +88,7 @@ object SparkEntry {
     "q_fn_map" -> (FnOps.fnMap _),
     "q_fn_json" -> (FnOps.fnJson _),
     "q_fn_hash" -> (FnOps.fnHash _),
+    "q_fn_bitwise" -> (FnOps.fnBitwise _),
     // §2.10 UDF / UDAF / UDTF
     "q_udf_cosine" -> (UdfOps.udfCosine _),
     "q_udaf_rmse" -> (UdfOps.udafRmse _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "q_fn_map" -> FnOps.fnMapSql,
     "q_fn_json" -> FnOps.fnJsonSql,
     "q_fn_hash" -> FnOps.fnHashSql,
+    "q_fn_bitwise" -> FnOps.fnBitwiseSql,
     "q_udf_cosine" -> UdfOps.udfCosineSql,
     "q_udaf_rmse" -> UdfOps.udafRmseSql,
     "q_udtf_tokenize" -> UdfOps.udtfTokenizeSql,

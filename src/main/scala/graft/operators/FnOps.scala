@@ -219,6 +219,31 @@ object FnOps {
       |  json_extract_string(props, '$.missing') AS k_missing
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Bitwise family: and/or/xor/shifts over integer keys — integer
+    * arithmetic, engine-identical by definition. (DuckDB spells xor as
+    * a function — its `^` is exponentiation — hence the dialect split
+    * in the oracle.) */
+  def fnBitwise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_orderkey".bitwiseAND(lit(255L))).as("k_and"),
+        ($"l_partkey".bitwiseOR(lit(15L))).as("k_or"),
+        ($"l_suppkey".bitwiseXOR(lit(7L))).as("k_xor"),
+        shiftleft($"l_linenumber", 2).as("k_shl"),
+        shiftright($"l_orderkey", 3).as("k_shr"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"k_xor")
+  }
+
+  val fnBitwiseSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey & 255 AS k_and,
+      |  l_partkey | 15 AS k_or,
+      |  xor(l_suppkey, 7) AS k_xor,
+      |  l_linenumber << 2 AS k_shl,
+      |  l_orderkey >> 3 AS k_shr
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, k_xor""".stripMargin
+
   /** Cryptographic content hashes — the backbone of content-addressed
     * dedup and incremental recompute at scale (a byte-stable hash per
     * document lets 100 TB reprocessing skip unchanged content). md5 and
