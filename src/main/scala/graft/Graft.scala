@@ -20,9 +20,10 @@ import graft.operators._
   * g.textQuality()                // per-doc quality features
   * }}}
   *
-  * For the full 85-query operator surface (each with its DuckDB parity
-  * oracle) see [[SparkEntry.queries]]; for the scale design see
-  * SCALE.md.
+  * For the full operator surface (one named query per operator, nearly
+  * all with a DuckDB parity oracle — [[SparkEntry.queries]] /
+  * [[SparkEntry.oracleSql]] are the authoritative inventory) see
+  * [[SparkEntry]]; for the scale design see SCALE.md.
   */
 final case class Graft(spark: SparkSession, dataDir: String) {
 

@@ -35,7 +35,15 @@ object Exact {
     * < 10^8. Oracle twin is still [[sqlXsum]] — both are exact, so
     * the bytes agree. */
   private val D18 = DecimalType(18, 6)
-  def xsumFast(c: Column): Column = sum(c.cast(D18)).cast(DoubleType)
+  def xsumFast(c: Column): Column = {
+    val s = sum(c.cast(D18))
+    // In non-ANSI mode a DECIMAL(18,6) overflow yields NULL silently; a
+    // NULL sum over a group with non-null inputs can ONLY be overflow,
+    // so fail loudly instead of nulling scores downstream.
+    when(s.isNull && count(c) > 0,
+      raise_error(lit("xsumFast overflow: partial sum exceeded DECIMAL(18,6); use xsum")))
+      .otherwise(s.cast(DoubleType))
+  }
 
   /** Bounded-domain exact average (see [[xsumFast]]). */
   def xavgFast(c: Column): Column = xsumFast(c) / count(c)

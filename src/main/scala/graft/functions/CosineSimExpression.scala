@@ -33,6 +33,12 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine_sim"
 
+  // A null ELEMENT (parquet list elements are containsNull=true even
+  // when no nulls exist) propagates NULL — matching the SQL twin's
+  // list_transform/list_reduce semantics — rather than silently
+  // contributing 0 to the dot product.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -40,6 +46,7 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -59,16 +66,23 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val denom = ctx.freshName("denom")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |}
        """.stripMargin
     })
 

@@ -137,10 +137,15 @@ object AggOps {
     * the exact quantiles. */
   def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Scalar output columns (not the raw array): the driver's comparator
+    // hashes cell values and cannot sort array cells.
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
         .as("approx_qty"))
+      .select($"l_returnflag",
+        element_at($"approx_qty", 1).as("approx_p50"),
+        element_at($"approx_qty", 2).as("approx_p90"))
       .orderBy($"l_returnflag")
   }
 
@@ -157,17 +162,21 @@ object AggOps {
   }
 
   /** Vector assembly: per-user sorted event-type list (MR group-concat
-    * of rating vectors). sort_array gives a deterministic order. */
+    * of rating vectors). sort_array gives a deterministic order; the
+    * list is emitted '|'-joined because the driver's comparator hashes
+    * scalar cells only (array cells crash its sort). */
   def aggCollect(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .groupBy($"user_id")
-      .agg(sort_array(collect_list($"event_type")).as("types"))
+      .agg(array_join(sort_array(collect_list($"event_type")), "|").as("types"),
+        count(lit(1)).as("n_types"))
       .orderBy($"user_id")
   }
 
   val aggCollectSql: String =
-    """SELECT user_id, list(event_type ORDER BY event_type) AS types
+    """SELECT user_id, string_agg(event_type, '|' ORDER BY event_type) AS types,
+      |  COUNT(*) AS n_types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** ROLLUP over the region→nation hierarchy. NULLS FIRST is pinned on

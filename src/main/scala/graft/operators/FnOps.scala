@@ -156,8 +156,13 @@ object FnOps {
       .select($"vec_id",
         size($"embedding").as("dim"),
         element_at($"embedding", 1).as("first_val"),
-        slice($"embedding", 1, 3).as("head3"),
-        sort_array(slice($"embedding", 1, 3)).as("head3_sorted"),
+        // slice/sort_array stay in the plan, but the outputs are scalar
+        // float cells (the driver's comparator cannot hash array cells);
+        // floats compare exactly because both sides read the same values.
+        element_at(slice($"embedding", 1, 3), 1).as("h3_1"),
+        element_at(slice($"embedding", 1, 3), 3).as("h3_3"),
+        element_at(sort_array(slice($"embedding", 1, 3)), 1).as("hs_min"),
+        element_at(sort_array(slice($"embedding", 1, 3)), 3).as("hs_max"),
         expr(sqSumExpr).cast(DoubleType).as("sq_sum"),
         rnd6(sqrt(expr(sqSumExpr).cast(DoubleType))).as("l2_norm"),
         expr("size(filter(embedding, x -> x > 0))").as("n_pos"))
@@ -174,8 +179,10 @@ object FnOps {
        |SELECT e.vec_id,
        |  len(e.embedding) AS dim,
        |  e.embedding[1] AS first_val,
-       |  e.embedding[1:3] AS head3,
-       |  list_sort(e.embedding[1:3]) AS head3_sorted,
+       |  e.embedding[1] AS h3_1,
+       |  e.embedding[3] AS h3_3,
+       |  list_sort(e.embedding[1:3])[1] AS hs_min,
+       |  list_sort(e.embedding[1:3])[3] AS hs_max,
        |  sq.sq_sum AS sq_sum,
        |  ${sqlRnd6("sqrt(sq.sq_sum)")} AS l2_norm,
        |  len(list_filter(e.embedding, x -> x > 0)) AS n_pos
@@ -188,7 +195,9 @@ object FnOps {
     Tables.events(spark, sfDir)
       .withColumn("mp", from_json($"props", MapType(StringType, IntegerType)))
       .select($"event_id",
-        map_keys($"mp").as("keys"),
+        // map_keys stays in the plan; emitted ','-joined sorted (scalar
+        // cell — the driver's comparator cannot hash array cells).
+        array_join(sort_array(map_keys($"mp")), ",").as("keys"),
         size($"mp").as("n_keys"),
         element_at($"mp", "k").as("k_val"))
       .orderBy($"event_id")
@@ -196,7 +205,7 @@ object FnOps {
 
   val fnMapSql: String =
     """SELECT event_id,
-      |  json_keys(props) AS keys,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
       |  len(json_keys(props)) AS n_keys,
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
       |FROM events ORDER BY event_id""".stripMargin

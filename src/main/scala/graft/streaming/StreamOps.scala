@@ -62,14 +62,18 @@ object StreamOps {
     // partitions per micro-batch is pure per-store setup/commit
     // overhead. 8 is plenty for fixture-scale state; at cluster scale
     // this is a per-query sizing decision (state partitions are fixed
-    // at first checkpoint). Restored after the query stops.
+    // at first checkpoint). The restore must wait until the stream has
+    // fully drained: the first micro-batch is planned asynchronously on
+    // the stream-execution thread, so restoring right after start()
+    // races the conf read and can silently size the state store at the
+    // session default.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try build(source.toDS())
+    try {
+      val q = build(source.toDS())
         .writeStream.format("memory").queryName(sinkName).outputMode(mode).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(sinkName)
   }
 

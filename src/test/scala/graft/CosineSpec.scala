@@ -59,6 +59,21 @@ class CosineSpec extends SparkSpec {
     }
   }
 
+  test("native CosineSim propagates NULL for null array elements") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](1f, 2f)),
+      (2L, Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f)),
+      (3L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](null, 2f)))
+      .toDF("id", "a", "b")
+    val rows = df.select($"id", expr("graft_cosine_sim(a, b)").as("c"))
+      .orderBy($"id").collect()
+    assert(!rows(0).isNullAt(1) && math.abs(rows(0).getDouble(1) - 1.0) < 1e-9)
+    assert(rows(1).isNullAt(1), "null element in left must propagate NULL")
+    assert(rows(2).isNullAt(1), "null element in right must propagate NULL")
+  }
+
   test("native RollingHash matches the interpreted HOF fold exactly") {
     import spark.implicits._
     graft.functions.RollingHash.register(spark)

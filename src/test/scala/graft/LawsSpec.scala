@@ -100,7 +100,7 @@ class LawsSpec extends SparkSpec {
   test("approx_percentile brackets the exact quantiles") {
     import spark.implicits._
     val approx = AggOps.aggApproxPercentile(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2))).toMap
     val exact = graft.engine.Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag")
       .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.9, 0.99))")
