@@ -34,6 +34,7 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def itemSimilarityPearson(): DataFrame = CfOps.itemPearson(spark, dataDir)
   def itemSimilarityJaccard(): DataFrame = CfOps.itemJaccard(spark, dataDir)
   def itemNeighbors(): DataFrame = CfOps.itemTopkNeighbors(spark, dataDir)
+  def userSimilarity(): DataFrame = CfOps.userCosine(spark, dataDir)
   def recommendations(): DataFrame = CfOps.predictKnn(spark, dataDir)
   def recommendationsAls(): DataFrame = CfOps.als(spark, dataDir)
   def recommenderRmse(): DataFrame = CfOps.evalRmse(spark, dataDir)
@@ -46,6 +47,7 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def nearDuplicatesEmbedding(): DataFrame = DedupOps.dedupEmbed(spark, dataDir)
   def similarVectors(): DataFrame = SimOps.simsearchTopk(spark, dataDir)
   def similarVectorsIvf(): DataFrame = SimOps.simsearchIvf(spark, dataDir)
+  def similarVectorsLsh(): DataFrame = SimOps.simsearchLsh(spark, dataDir)
   def embeddingStats(): DataFrame = SimOps.multimodalStats(spark, dataDir)
   def textStats(): DataFrame = TextOps.textStats(spark, dataDir)
   def textTfidf(): DataFrame = TextOps.textTfidf(spark, dataDir)
@@ -53,6 +55,8 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def textQuality(): DataFrame = TextOps.textQuality(spark, dataDir)
   def textTokens(): DataFrame = TextOps.textTokens(spark, dataDir)
   def textFingerprints(): DataFrame = TextOps.textFingerprint(spark, dataDir)
+  def textNgrams(): DataFrame = TextOps.textNgrams(spark, dataDir)
+  def textRepetition(): DataFrame = TextOps.textRepetition(spark, dataDir)
 
   /** Run any named operator from the full surface. */
   def query(name: String): DataFrame = SparkEntry.queries(name)(spark, dataDir)

@@ -233,6 +233,40 @@ object AggOps {
       |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** Miscellaneous aggregate family: conditional counting, boolean
+    * aggregation, arg-extrema, exact median. max_by/min_by take the
+    * UNIQUE event_id as the ordering argument so ties cannot make the
+    * result nondeterministic; median is interpolated identically in
+    * both engines (rnd6 closes the display gap). */
+  def aggMisc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        count_if($"value" > 100.0).as("n_big"),
+        bool_and($"value" >= 0.0).as("all_nonneg"),
+        bool_or($"user_id" === 0L).as("has_user0"),
+        max_by($"user_id", $"event_id").as("latest_user"),
+        min_by($"user_id", $"event_id").as("first_user"),
+        rnd6(median($"value")).as("median_value"),
+        sum_distinct($"user_id").as("sum_users"))
+      .orderBy($"event_type")
+  }
+
+  val aggMiscSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""SELECT event_type,
+       |  CAST(count_if(value > 100.0) AS BIGINT) AS n_big,
+       |  bool_and(value >= 0.0) AS all_nonneg,
+       |  bool_or(user_id = 0) AS has_user0,
+       |  arg_max(user_id, event_id) AS latest_user,
+       |  arg_min(user_id, event_id) AS first_user,
+       |  ${sqlRnd6("median(value)")} AS median_value,
+       |  CAST(SUM(DISTINCT user_id) AS BIGINT) AS sum_users
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Pivot event_type → columns with a FIXED value list (dynamic pivot

@@ -290,6 +290,66 @@ object CfOps {
        |JOIN counts cb ON i.item_b = cb.item_id
        |ORDER BY item_a, item_b""".stripMargin
 
+  /** Cap for the user–user pair explosion: similarity is computed over
+    * each ITEM's top raters only, the exact transpose of
+    * [[USER_ITEM_CAP]] — pairs per item are hard-bounded, shuffle
+    * volume stays linear in item count. Part of the similarity spec;
+    * the oracle applies the identical window. */
+  private val ITEM_USER_CAP = 32
+
+  /** User–user cosine similarity over co-rated items — the transpose
+    * of [[itemCosine]], the other classic neighborhood CF axis
+    * (user-based kNN). Same shape: one self-join on the capped rating
+    * stream sharing a single shuffle, decimal-exact moment sums,
+    * MIN_SUPPORT ≥ 2 common items. */
+  def userCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val capW = Window.partitionBy($"item_id")
+      .orderBy($"rating".desc, $"user_id".asc)
+    val capped = ratings(spark, sfDir)
+      .withColumn("irk", row_number().over(capW))
+      .filter($"irk" <= ITEM_USER_CAP)
+      .select($"user_id", $"item_id", $"rating")
+    val norms = capped.groupBy($"user_id")
+      .agg(xsumFast($"rating" * $"rating").as("norm_sq"))
+    val a = capped.select($"item_id", $"user_id".as("user_a"), $"rating".as("ra"))
+    val b = capped.select($"item_id".as("ib"), $"user_id".as("user_b"), $"rating".as("rb"))
+    a.join(b, $"item_id" === $"ib" && $"user_a" < $"user_b")
+      .groupBy($"user_a", $"user_b")
+      .agg(count(lit(1)).as("n_common"), xsumFast($"ra" * $"rb").as("dot"))
+      .filter($"n_common" >= MIN_SUPPORT)
+      .join(norms.select($"user_id".as("user_a"), $"norm_sq".as("na")), "user_a")
+      .join(norms.select($"user_id".as("user_b"), $"norm_sq".as("nb")), "user_b")
+      .select($"user_a", $"user_b", $"n_common",
+        rnd6($"dot" / (sqrt($"na") * sqrt($"nb"))).as("sim"))
+      .orderBy($"user_a", $"user_b")
+  }
+
+  val userCosineSql: String =
+    s"""WITH $ratingsCte,
+       |capped AS (
+       |  SELECT user_id, item_id, rating FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY item_id
+       |      ORDER BY rating DESC, user_id ASC) AS irk
+       |    FROM ratings) WHERE irk <= $ITEM_USER_CAP),
+       |norms AS (
+       |  SELECT user_id, ${sqlXsum("rating * rating")} AS norm_sq
+       |  FROM capped GROUP BY user_id),
+       |pairs AS (
+       |  SELECT r1.user_id AS user_a, r2.user_id AS user_b,
+       |    COUNT(*) AS n_common,
+       |    ${sqlXsum("r1.rating * r2.rating")} AS dot
+       |  FROM capped r1 JOIN capped r2
+       |    ON r1.item_id = r2.item_id AND r1.user_id < r2.user_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT)
+       |SELECT p.user_a, p.user_b, p.n_common,
+       |  ${sqlRnd6("p.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq))")} AS sim
+       |FROM pairs p
+       |JOIN norms na ON p.user_a = na.user_id
+       |JOIN norms nb ON p.user_b = nb.user_id
+       |ORDER BY user_a, user_b""".stripMargin
+
   /** Similarity pairs expanded to both directions (un-ordered
     * intermediate shared by topk/predict). */
   private def simBothDirections(spark: SparkSession, sfDir: String): DataFrame = {

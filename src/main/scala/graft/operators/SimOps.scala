@@ -137,6 +137,77 @@ object SimOps {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  private val LSH_PLANES = 6 // 2^6 = 64 buckets; recall knob = more tables
+
+  /** Signature expression shared by corpus and query sides: bit p of
+    * the bucket id is the sign of the projection onto pseudo-random
+    * hyperplane p. Plane weights are integer-hash-derived
+    * (((p·1000003 + i·7919) mod 97) − 48 ∈ [−48, 48]) so both engines
+    * construct identical planes with no RNG; projections accumulate in
+    * DECIMAL(30,12) so the sign — and therefore the bucket — is exact
+    * and engine-identical (approximation lives in recall only). */
+  private def lshSigExpr(col: String): String =
+    s"""aggregate(sequence(0, ${LSH_PLANES - 1}), cast(0 as bigint), (acc, p) ->
+       |  acc + (CASE WHEN aggregate(sequence(1, 64), cast(0 as decimal(30,12)),
+       |      (a, i) -> cast(a + cast(cast(element_at($col, i) as double)
+       |        * cast(((p * 1000003 + i * 7919) % 97) - 48 as double)
+       |        as decimal(30,12)) as decimal(30,12))) >= 0
+       |    THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))""".stripMargin
+
+  /** Random-hyperplane LSH search: bucket every vector by the sign
+    * pattern of [[LSH_PLANES]] deterministic hyperplane projections
+    * (one map-side pass, NO shuffle to build the index), then rank by
+    * exact cosine only within the query's bucket. The scale story: at
+    * 100 TB the corpus is written partitioned BY bucket, a query
+    * touches 1/2^planes of the data, and recall is tuned by running R
+    * independent plane sets (union of R bucket joins) — the same plan
+    * shape R times. Complements [[simsearchIvf]]: LSH needs no
+    * centroid training pass. */
+  def simsearchLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", expr(lshSigExpr("embedding")))
+    val q = e.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        $"bucket".as("q_bucket"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    e.join(broadcast(q), $"bucket" === $"q_bucket" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"bucket", $"vec_id",
+        rnd6(expr("graft_cosine_sim(embedding, qv)")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TOP_K)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val simsearchLshSql: String = {
+    val cos = Udfs.sqlCosSimDbl("e.embedding", "q.embedding")
+    s"""WITH proj AS (
+       |  SELECT vec_id, p.range AS p,
+       |    SUM(CAST(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)
+       |      * (((p.range * 1000003 + i.range * 7919) % 97) - 48)
+       |      AS DECIMAL(30,12))) AS s
+       |  FROM embeddings, range(0, $LSH_PLANES) p, range(1, 65) i
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN s >= 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+       |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |ranked AS (
+       |  SELECT q.vec_id AS query_id, sq.bucket, e.vec_id,
+       |    ${sqlRnd6(cos)} AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlRnd6(cos)} DESC, e.vec_id ASC) AS rk
+       |  FROM embeddings e
+       |  JOIN sig se ON se.vec_id = e.vec_id
+       |  JOIN embeddings q ON q.vec_id < $N_QUERIES AND e.vec_id <> q.vec_id
+       |  JOIN sig sq ON sq.vec_id = q.vec_id AND se.bucket = sq.bucket)
+       |SELECT query_id, bucket, vec_id, cos_sim, rk
+       |FROM ranked WHERE rk <= $TOP_K
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Per-label stats over the array column ("multimodal columns"):
     * count, mean L2 norm, centroid L2 norm, mean of dim 1 — all via
     * higher-order functions + decimal-exact aggregation. */

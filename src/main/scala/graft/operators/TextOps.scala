@@ -190,6 +190,99 @@ object TextOps {
       |  length(text) AS n_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-language top-5 bigram counts (count desc, bigram asc). Bigram
+    * assembly is a map-side higher-order transform over the token
+    * array (1-based element_at to mirror the oracle's 1-based list
+    * indexing); then one (lang, bigram) hash-agg + a vocabulary-sized
+    * window for the top-k — the same shuffle shape as [[textStats]],
+    * so the 100 TB notes there apply unchanged. */
+  def textNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ws = Tables.documents(spark, sfDir)
+      .select($"lang", split(lower($"text"), " ").as("ws"))
+      .filter(size($"ws") >= 2)
+    val bi = ws.select($"lang", explode(expr(
+      """transform(sequence(1, size(ws) - 1),
+        |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin))
+      .as("bigram"))
+    val cnt = bi.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram".asc)
+    cnt.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"lang", $"rk", $"bigram", $"n")
+      .orderBy($"lang", $"rk")
+  }
+
+  val textNgramsSql: String =
+    """WITH ws AS (
+      |  SELECT lang, string_split(lower(text), ' ') AS ws FROM documents),
+      |bi AS (
+      |  SELECT lang, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
+      |  FROM ws WHERE len(ws) >= 2),
+      |cnt AS (SELECT lang, bigram, count(*) AS n FROM bi GROUP BY 1, 2)
+      |SELECT lang, rk, bigram, n FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY n DESC, bigram ASC) AS rk
+      |  FROM cnt) WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
+  /** Gopher-style repetition features per document: duplicate-token
+    * ratio, most-frequent-token share, most-frequent-bigram share —
+    * the filters a pretraining pipeline uses to drop boilerplate/spam.
+    * Two (doc, gram) hash-aggs, both with map-side partials; nothing
+    * is corpus-global, so the operator scales linearly. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+    val tc = docs.select($"doc_id", explode($"ws").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val t = tc.groupBy($"doc_id").agg(
+      sum($"c").as("n_tokens"), count(lit(1)).as("n_uniq"),
+      max($"c").as("max_tok_n"))
+    val bc = docs.filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin))
+        .as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+    val b = bc.groupBy($"doc_id").agg(
+      sum($"c").as("n_bigrams"), max($"c").as("max_bigram_n"))
+    t.join(b, "doc_id")
+      .select($"doc_id", $"n_tokens", $"n_uniq", $"max_tok_n",
+        $"n_bigrams", $"max_bigram_n",
+        rnd6(($"n_tokens" - $"n_uniq") / $"n_tokens").as("dup_tok_ratio"),
+        rnd6($"max_tok_n" / $"n_tokens").as("rep_tok_ratio"),
+        rnd6($"max_bigram_n" / $"n_bigrams").as("rep_bigram_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |tc AS (
+       |  SELECT doc_id, unnest(ws) AS tok FROM ws),
+       |tcc AS (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2),
+       |t AS (
+       |  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_uniq,
+       |    MAX(c) AS max_tok_n
+       |  FROM tcc GROUP BY doc_id),
+       |bi AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
+       |  FROM ws WHERE len(ws) >= 2),
+       |bcc AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2),
+       |b AS (
+       |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS max_bigram_n
+       |  FROM bcc GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(t.n_tokens AS BIGINT) AS n_tokens, t.n_uniq, t.max_tok_n,
+       |  CAST(b.n_bigrams AS BIGINT) AS n_bigrams, b.max_bigram_n,
+       |  ${sqlRnd6("(t.n_tokens - t.n_uniq) / t.n_tokens")} AS dup_tok_ratio,
+       |  ${sqlRnd6("t.max_tok_n / t.n_tokens")} AS rep_tok_ratio,
+       |  ${sqlRnd6("b.max_bigram_n / b.n_bigrams")} AS rep_bigram_ratio
+       |FROM t JOIN b ON t.doc_id = b.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Content fingerprint: polynomial rolling hash over characters,
     * base 131 mod 1e9+7 — an in-order fold, map-side only, identical
     * integer arithmetic in both engines (no overflow: acc < 2^30·131

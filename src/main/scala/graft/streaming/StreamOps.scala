@@ -132,6 +132,31 @@ object StreamOps {
        |SELECT ws, event_type, COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
        |FROM expanded GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 
+  /** Stream-static enrichment join: the event stream joins the static
+    * `customer` dimension (stateless — the static side is re-planned
+    * per micro-batch, no state store involved), then a 1-day tumbling
+    * aggregation per market segment. This is THE 100 TB enrichment
+    * pattern: the dimension is broadcast to executors each batch, so
+    * stream throughput is unaffected by its size as long as it stays
+    * broadcast-able; bigger dims move to a pre-bucketed shuffle join. */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+      ds.join(dim, ds("user_id") === dim("c_custkey"))
+        .groupBy(window($"ts", "1 day"), $"c_mktsegment")
+        .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
+        .select($"window.start".as("ws"), $"c_mktsegment", $"n", $"sum_value")
+    }.orderBy($"ws", $"c_mktsegment")
+  }
+
+  val streamJoinSql: String =
+    s"""SELECT time_bucket(INTERVAL '1 day', e.ts) AS ws, c.c_mktsegment,
+       |  COUNT(*) AS n, ${sqlXsum("e.value")} AS sum_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1, 2 ORDER BY ws, c_mktsegment""".stripMargin
+
   /** Per-user session windows, 30-minute gap (complete mode). Session
     * = [first ts, last ts + gap); a new session starts when an event
     * arrives ≥ gap after the previous one. */
