@@ -64,4 +64,56 @@ object SqlOps {
       |  WHERE l.l_suppkey = s.s_suppkey
       |    AND l.l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
       |ORDER BY s_suppkey""".stripMargin
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): generate the full
+    * 1995-01 … 2001-12 month series in pure integer arithmetic (no
+    * engine-specific date stepping), then left-join per-month order
+    * counts so months with no orders still appear — the calendar
+    * densification every reporting pipeline needs. Recursion depth is
+    * the series length (84), independent of data size: the recursive
+    * part never touches the fact table, so the plan at 100 TB is one
+    * scan + one small join. */
+  def recursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    // Same query as the oracle; only the integer-division spelling
+    // differs by dialect (Spark `div`, DuckDB `//`).
+    spark.sql(recursiveCteSql.replace("n // 12", "n div 12"))
+  }
+
+  val recursiveCteSql: String =
+    s"""WITH RECURSIVE months(n) AS (
+       |  SELECT 0
+       |  UNION ALL
+       |  SELECT n + 1 FROM months WHERE n < 83
+       |),
+       |cal AS (
+       |  SELECT n, 1995 + n // 12 AS y, 1 + n % 12 AS m FROM months),
+       |per_month AS (
+       |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       |    COUNT(*) AS n_orders,
+       |    ${sqlXsum("o_totalprice")} AS sum_price
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT c.y, c.m,
+       |  COALESCE(p.n_orders, 0) AS n_orders,
+       |  COALESCE(p.sum_price, 0.0) AS sum_price
+       |FROM cal c LEFT JOIN per_month p ON c.y = p.y AND c.m = p.m
+       |ORDER BY c.y, c.m""".stripMargin
+
+  /** LATERAL correlated subquery (Spark 4): per nation, the top-2
+    * customers by account balance — the "top-N per row of the outer"
+    * pattern LATERAL expresses directly. Catalyst decorrelates this
+    * into a window-style plan rather than executing per-row. */
+  def lateralJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(lateralJoinSql)
+  }
+
+  val lateralJoinSql: String =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
 }
