@@ -293,4 +293,37 @@ object JoinOps {
       |  ON e.user_id = c.user_id
       |  AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
       |ORDER BY err_id, click_id""".stripMargin
+
+  /** The 100 TB path for [[joinInterval]]: time-bucket expansion turns
+    * the range join into a pure equi-join. Each error's 1-hour lookback
+    * window touches exactly two hour-buckets, so the error side expands
+    * 2× (constant, not data-dependent); each click carries its single
+    * bucket, so a matching pair meets in exactly one bucket — no
+    * post-join dedup. The join key becomes (user, hour-bucket): shuffle
+    * fanout per key is bounded by per-user-per-hour activity rather
+    * than per-user history, which is what keeps the residual range
+    * filter cheap when one user has years of events. The oracle is the
+    * PLAIN interval join — bucketing is provably result-identical. */
+  def joinIntervalBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val errs = e.filter($"event_type" === "error")
+      .select($"user_id".as("err_user"), $"event_id".as("err_id"),
+        $"ts".as("err_ts"), unix_timestamp($"ts").as("err_u"))
+      .withColumn("bkt",
+        explode(expr("sequence((err_u - 3600) div 3600, err_u div 3600)")))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("clk_user"), $"event_id".as("click_id"),
+        $"ts".as("clk_ts"),
+        expr("unix_timestamp(ts) div 3600").as("bkt"))
+    errs.join(clicks,
+        $"err_user" === $"clk_user" && errs("bkt") === clicks("bkt") &&
+          $"clk_ts" >= expr("err_ts - INTERVAL 1 HOUR") && $"clk_ts" <= $"err_ts")
+      .select($"err_id", $"click_id", $"err_user".as("user_id"))
+      .orderBy($"err_id", $"click_id")
+  }
+
+  /** Oracle: identical to [[joinIntervalSql]] — the bucketed plan must
+    * reproduce the plain range join bit-for-bit. */
+  val joinIntervalBucketedSql: String = joinIntervalSql
 }

@@ -170,6 +170,47 @@ object WindowOps {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey""".stripMargin
 
+  /** Running COUNT(DISTINCT) over a window — a surface Spark (and most
+    * engines) refuse natively inside window frames. Decomposed into two
+    * windows that ARE supported: flag each row that is the first
+    * occurrence of its customer within the priority partition (time
+    * order), then running-sum the flags. Both windows shuffle on the
+    * same o_orderpriority key, so Catalyst plans ONE exchange; the
+    * per-key state is a row_number counter, not a distinct-set — which
+    * is why this form scales where a naive per-frame set would not.
+    * The oracle uses the identical decomposition (it is engine-portable
+    * by construction). */
+  def winCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wFirst = Window.partitionBy($"o_orderpriority", $"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val wRun = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_custkey", $"o_orderdate")
+      .withColumn("f",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select($"o_orderkey", $"o_orderpriority",
+        sum($"f").over(wRun).as("distinct_custs"))
+      .orderBy($"o_orderkey")
+  }
+
+  val winCountDistinctSql: String =
+    """WITH flagged AS (
+      |  SELECT o_orderkey, o_orderpriority, o_custkey, o_orderdate,
+      |    CASE WHEN row_number() OVER (
+      |        PARTITION BY o_orderpriority, o_custkey
+      |        ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+      |      THEN 1 ELSE 0 END AS f
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderpriority,
+      |  CAST(SUM(f) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS distinct_custs
+      |FROM flagged ORDER BY o_orderkey""".stripMargin
+
   // ---- §2.6 sorts / limits / top-k ----
 
   /** Multi-key total order (MR: TotalOrderPartitioner). Spark plans a

@@ -300,4 +300,121 @@ object StreamOps {
       |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS UNBOUNDED PRECEDING) AS max_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Stream–stream inner join: the purchase stream joins the click
+    * stream on user within a 1-hour lookback — attribution, the
+    * canonical two-stream workload. Both sides carry watermarks and the
+    * join condition carries the time bound, so the state store evicts
+    * clicks older than (watermark − 1 h) instead of buffering each
+    * stream forever: state is bounded by per-user activity within the
+    * join window, which is what makes the operator runnable against an
+    * unbounded 100 TB/day feed. The replay delivers everything in one
+    * micro-batch (watermark still at epoch ⇒ nothing dropped), so the
+    * emitted matches equal the batch interval join — the oracle. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val pSrc = MemoryStream[Ev](spark)
+    val cSrc = MemoryStream[Ev](spark)
+    pSrc.addData(rows.filter(_.event_type == "purchase"))
+    cSrc.addData(rows.filter(_.event_type == "click"))
+    val p = pSrc.toDS()
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = cSrc.toDS()
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = p.join(c,
+          $"p_user" === $"c_user" &&
+            $"c_ts" >= expr("p_ts - INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
+        .select($"purchase_id", $"click_id", $"p_user".as("user_id"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sinkName).orderBy($"purchase_id", $"click_id")
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id AS user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
+  /** Chained stateful aggregations (Spark 4 multi-stateful-operator
+    * support): 15-minute pane counts re-aggregated into hourly totals
+    * INSIDE one streaming query — two windowed aggregations back to
+    * back, append mode. The first agg's state is 15-min panes, the
+    * second consumes pane rows as they finalize; at 100 TB this is the
+    * two-tier rollup (fine panes → coarse dashboards) without a second
+    * job or an intermediate topic. Append mode only emits windows the
+    * watermark has passed, so the replay appends one far-future
+    * sentinel event (filtered out of the aggregation AFTER the
+    * watermark node reads its ts) to flush every real window — making
+    * the emitted set exactly the full two-level batch rollup. */
+  def streamChainedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val maxTs = rows.iterator.map(_.ts.getTime).max
+    // Staggered sentinel batches: a pane can only cross BOTH stateful
+    // layers if the watermark advances past its end in steps — a pane
+    // emitted by agg-1 in the same batch in which the downstream late-
+    // record threshold has already passed its end is discarded as late.
+    // So the watermark walks: just past the last pane, then past the
+    // last hour window, then far out — flushing layer by layer.
+    def sentinel(minutes: Long) = Ev(-1L,
+      new Timestamp(maxTs + minutes * 60L * 1000L), -1L, "wm_advance", 0.0)
+    val source = MemoryStream[Ev](spark)
+    source.addData(rows)
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // The sentinels flow through the whole pipeline UNFILTERED — a
+      // pre-aggregation filter would be pushed below the
+      // EventTimeWatermark node by Catalyst and the sentinels would
+      // never reach the watermark tracker (observed: watermark pinned
+      // at max-real-ts − delay). Their own windows are dropped from
+      // the sink table instead, where the filter is batch-side.
+      val q = source.toDS()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("pn"),
+          sum($"value".cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .as("psum"))
+        .groupBy(window($"window", "1 hour"), $"event_type")
+        .agg(sum($"pn").as("n"),
+          sum($"psum").cast(org.apache.spark.sql.types.DoubleType)
+            .as("sum_value"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        Seq(30L, 26L * 60L, 14L * 24L * 60L).foreach { m =>
+          source.addData(sentinel(m))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sinkName).filter($"event_type" =!= "wm_advance")
+      .orderBy($"ws", $"event_type")
+  }
+
+  /** Batch twin: the same two-level rollup is algebraically a single
+    * 1-hour rollup (counts and decimal sums are associative), so the
+    * oracle is the tumbling-hour aggregation. */
+  val streamChainedAggSql: String =
+    s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       |  COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 }
