@@ -308,4 +308,46 @@ object TextOps {
       |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint,
       |  length(text) AS n_len
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before a corpus ships. The fixture text is synthetic word
+    * soup, so each doc first gets a deterministic email + phone
+    * APPENDED (derived from doc_id, identically on both sides) and the
+    * scrubber must remove exactly those; n_redacted is recovered from
+    * the length delta, proving the regexes fired. Map-side only — a
+    * regex projection in the scan stage, no shuffle, which is the whole
+    * scale story: redaction cost is one codegen'd pass per row
+    * regardless of corpus size. Patterns stay in the RE2 ∩ Java-regex
+    * common subset so both engines match the same spans. */
+  def textPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    Tables.documents(spark, sfDir)
+      .withColumn("dirty",
+        concat($"text", lit(" contact user"), $"doc_id",
+          lit("@example.com or +1-555-"),
+          lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")))
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"dirty", emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("clean_text"))
+      .withColumn("n_len", length($"clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val textPiiScrubSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      text || ' contact user' || doc_id || '@example.com or +1-555-'
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |      '[a-z0-9._]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+      |    '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS clean_text,
+      |  length(regexp_replace(
+      |    regexp_replace(
+      |      text || ' contact user' || doc_id || '@example.com or +1-555-'
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |      '[a-z0-9._]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+      |    '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS n_len
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
