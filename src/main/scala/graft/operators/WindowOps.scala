@@ -173,24 +173,33 @@ object WindowOps {
   /** Running COUNT(DISTINCT) over a window — a surface Spark (and most
     * engines) refuse natively inside window frames. Decomposed into two
     * windows that ARE supported: flag each row that is the first
-    * occurrence of its customer within the priority partition (time
-    * order), then running-sum the flags. Both windows shuffle on the
+    * occurrence of its customer within the priority partition, then
+    * running-sum the flags in time order. Both windows shuffle on the
     * same o_orderpriority key, so Catalyst plans ONE exchange; the
-    * per-key state is a row_number counter, not a distinct-set — which
-    * is why this form scales where a naive per-frame set would not.
+    * per-key state is a lag cell and a running counter, not a
+    * distinct-set — which is why this form scales where a naive
+    * per-frame set would not.
     * The oracle uses the identical decomposition (it is engine-portable
     * by construction). */
   def winCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wFirst = Window.partitionBy($"o_orderpriority", $"o_custkey")
-      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    // BOTH windows partition by o_orderpriority alone — different sort
+    // orders within the partition, so Catalyst plans ONE exchange and
+    // two sorts (asserted in PlanSpec). The first-occurrence flag is
+    // computed in (custkey, time) order: the first row of each custkey
+    // block is that customer's earliest row, which is exactly the row
+    // where the time-ordered running count must tick up.
+    val wFirst = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_custkey".asc, $"o_orderdate".asc, $"o_orderkey".asc)
     val wRun = Window.partitionBy($"o_orderpriority")
       .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_orderpriority", $"o_custkey", $"o_orderdate")
       .withColumn("f",
-        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        when(lag($"o_custkey", 1).over(wFirst).isNull ||
+          lag($"o_custkey", 1).over(wFirst) =!= $"o_custkey", 1L)
+          .otherwise(0L))
       .select($"o_orderkey", $"o_orderpriority",
         sum($"f").over(wRun).as("distinct_custs"))
       .orderBy($"o_orderkey")

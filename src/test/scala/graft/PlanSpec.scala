@@ -91,6 +91,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected a semi join in:\n$s")
   }
 
+  test("bucketed interval join plans as an equi-join, not a nested loop") {
+    val plan = executedPlan(JoinOps.joinIntervalBucketed(spark, sf))
+    val nested = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(nested.isEmpty,
+      s"bucket keys should make this a hash/merge join:\n$plan")
+    val equi = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.nonEmpty => j
+    }
+    assert(equi.nonEmpty, s"expected an equi-join on (user, bucket):\n$plan")
+  }
+
+  test("windowed distinct count plans one exchange for both windows") {
+    val plan = executedPlan(WindowOps.winCountDistinct(spark, sf))
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    // one exchange on o_orderpriority feeding both window operators,
+    // plus the final presentation orderBy — never a third
+    assert(shuffles.size <= 2,
+      s"windows should share the o_orderpriority exchange:\n$plan")
+  }
+
+  test("hash sample is a scan-side filter — no exchange at all") {
+    val plan = executedPlan(SampleOps.sampleHash(spark, sf))
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    // only the final total-order sort may shuffle
+    assert(shuffles.size <= 1, s"sampling filter must not shuffle:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val plan = executedPlan(FilterOps.filterPred(spark, sf))
     val spans = collectWithSubqueries(plan) {
