@@ -286,4 +286,89 @@ object AggOps {
     s"""SELECT user_id,
        |  ${eventTypes.map(t => s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(",\n  ")}
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Statistical aggregates (stddev/variance/covariance/correlation)
+    * computed from EXACT MOMENTS: one decimal-exact pass accumulates
+    * n, Σx, Σy, Σx², Σy², Σxy (order-independent — §7.4 hazard 1), and
+    * the statistics are derived in double arithmetic with formulas
+    * written identically on both sides, so results are bit-stable
+    * under any partitioning. This is deliberately NOT Spark's built-in
+    * `stddev`/`corr` (Welford-style merge — partition-order-dependent
+    * bits): the moment form is the single-pass, combiner-friendly
+    * shape a 100 TB aggregation wants, and the exactness makes retries
+    * and engine ports byte-reproducible. */
+  def aggMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val x = $"l_quantity"
+    val y = $"l_extendedprice"
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        xsum(x).as("sx"), xsum(y).as("sy"),
+        xsum(x * x).as("sxx"), xsum(y * y).as("syy"),
+        xsum(x * y).as("sxy"))
+      .select($"l_returnflag",
+        $"n".cast("long").as("n"),
+        // rnd6 absorbs the one place bit-exactness is NOT guaranteed:
+        // DuckDB's decimal→double cast double-rounds via int128 for
+        // sums past 2^53, so derived stats can differ by ulps.
+        rnd6(($"sxx" - $"sx" * $"sx" / $"n") / $"n").as("var_pop_qty"),
+        rnd6(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / $"n")).as("stddev_pop_qty"),
+        rnd6(($"sxy" - $"sx" * $"sy" / $"n") / $"n").as("covar_pop"),
+        rnd6(($"sxy" - $"sx" * $"sy" / $"n") /
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n") *
+            ($"syy" - $"sy" * $"sy" / $"n"))).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggMomentsSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH m AS (
+       |  SELECT l_returnflag,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${sqlXsum("l_quantity")} AS sx,
+       |    ${sqlXsum("l_extendedprice")} AS sy,
+       |    ${sqlXsum("l_quantity * l_quantity")} AS sxx,
+       |    ${sqlXsum("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${sqlXsum("l_quantity * l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag,
+       |  CAST(n AS BIGINT) AS n,
+       |  ${sqlRnd6("(sxx - sx * sx / n) / n")} AS var_pop_qty,
+       |  ${sqlRnd6("sqrt((sxx - sx * sx / n) / n)")} AS stddev_pop_qty,
+       |  ${sqlRnd6("(sxy - sx * sy / n) / n")} AS covar_pop,
+       |  ${sqlRnd6("(sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))")} AS corr_qty_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Deterministic MODE: most frequent quantity per return flag,
+    * smallest value winning ties — engines' native `mode()` breaks
+    * ties arbitrarily, so the portable form is count + rank, which is
+    * also the scalable form (two hash shuffles, no per-group value
+    * buffer). */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag")
+      .orderBy($"cnt".desc, $"l_quantity".asc)
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"cnt")
+      .orderBy($"l_returnflag")
+  }
+
+  val aggModeSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY cnt DESC, l_quantity ASC) AS rn
+      |  FROM c)
+      |SELECT l_returnflag, l_quantity AS mode_qty, cnt
+      |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
 }

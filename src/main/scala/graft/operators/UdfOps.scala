@@ -80,4 +80,24 @@ object UdfOps {
   val udtfTokenizeSql: String =
     """SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
       |FROM documents ORDER BY doc_id, token""".stripMargin
+
+  /** Ordinal generator: posexplode keeps each token's position — the
+    * generator variant sequence-aware pipelines (n-gram windows,
+    * span labeling) need. Same map-side explode cost as
+    * [[udtfTokenize]]; the ordinal is free (no window, no shuffle).
+    * DuckDB twin: zipped unnest + generate_subscripts (1-based, hence
+    * the −1). */
+  def udtfPosexplode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode(split(lower($"text"), " ")))
+      .select($"doc_id", $"pos", $"col".as("token"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val udtfPosexplodeSql: String =
+    """SELECT doc_id,
+      |  generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos,
+      |  unnest(string_split(lower(text), ' ')) AS token
+      |FROM documents ORDER BY doc_id, pos""".stripMargin
 }
