@@ -210,6 +210,37 @@ object FnOps {
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Struct family: nested-record assembly, field access, and JSON
+    * serialization — the typed-column nesting a columnar engine keeps
+    * cheap (struct fields are just adjacent columns; no shredding
+    * cost). Fields stay int/string so the to_json text is
+    * byte-identical across engines (float formatting differs). */
+  def fnStruct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .withColumn("rec",
+        struct($"o_orderkey", $"o_orderpriority",
+          array($"o_orderkey", $"o_custkey").as("keys")))
+      .select($"o_orderkey",
+        $"rec.o_orderpriority".as("prio"),
+        element_at($"rec.keys", 2).as("custkey"),
+        to_json($"rec").as("rec_json"))
+      .orderBy($"o_orderkey")
+  }
+
+  val fnStructSql: String =
+    """SELECT o_orderkey,
+      |  struct_pack(o_orderkey := o_orderkey,
+      |              o_orderpriority := o_orderpriority,
+      |              keys := [o_orderkey, o_custkey]).o_orderpriority AS prio,
+      |  struct_pack(o_orderkey := o_orderkey,
+      |              o_orderpriority := o_orderpriority,
+      |              keys := [o_orderkey, o_custkey]).keys[2] AS custkey,
+      |  CAST(to_json(struct_pack(o_orderkey := o_orderkey,
+      |              o_orderpriority := o_orderpriority,
+      |              keys := [o_orderkey, o_custkey])) AS VARCHAR) AS rec_json
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** JSON family: string-level JSON access (no map conversion). */
   def fnJson(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -41,14 +41,17 @@ object SampleOps {
     Tables.lineitem(spark, sfDir)
       .filter(expr(scatterExpr) < 100)
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+      // order by every output column so the order is total up to
+      // full-row duplicates (which hash identically).
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
   }
 
   val sampleHashSql: String =
     s"""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
        |FROM lineitem
        |WHERE $scatterSql < 100
-       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+       |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin
 
   /** Stratified sample: exactly min(500, stratum size) rows per
     * (l_returnflag, l_linestatus) stratum, chosen in scatter order —

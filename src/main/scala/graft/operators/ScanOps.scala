@@ -113,13 +113,12 @@ object ScanOps {
     * filter; at 100 TB this is the layout decision that turns a full
     * sweep into a 1/N-cost read). Values are identical to filtering
     * the flat table, which is exactly what the oracle does. */
-  def scanPartitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    import graft.engine.Exact._
+  /** The events table re-laid-out Hive-partitioned by event_type in
+    * the scratch dir (built once, rebuilt if the source is newer —
+    * stale derived data must never outlive its source). Shared by the
+    * static-pruning scan and the dynamic-partition-pruning join. */
+  def eventsByType(spark: SparkSession, sfDir: String): DataFrame = {
     val path = scratch(sfDir) + "/events_by_type"
-    // scratch persists across sessions — rebuild if the source table is
-    // newer than our copy (stale derived data must never outlive its
-    // source)
     val marker = new java.io.File(path, "_SUCCESS")
     def newestUnder(f: java.io.File): Long =
       if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
@@ -129,6 +128,12 @@ object ScanOps {
       Tables.events(spark, sfDir)
         .write.mode("overwrite").partitionBy("event_type").parquet(path)
     spark.read.parquet(path)
+  }
+
+  def scanPartitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact._
+    eventsByType(spark, sfDir)
       .filter($"event_type" === "purchase")
       .groupBy(date_trunc("DAY", $"ts").as("day"))
       .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
@@ -140,6 +145,42 @@ object ScanOps {
        |  ${graft.engine.Exact.sqlXsum("value")} AS sum_value
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** DYNAMIC partition pruning: the fact side is the partitioned
+    * layout, the partition key values arrive at runtime from a
+    * filtered, broadcast dimension — Catalyst injects a
+    * DynamicPruningExpression into the scan's partition filters
+    * (asserted in PlanSpec), so only the dimension-selected
+    * directories are read. At 100 TB this is the difference between
+    * scanning 2/N partitions and scanning the whole fact table when
+    * the partition predicate is only known join-time. The dimension
+    * here derives from the same source (conversion-relevant types),
+    * keeping the oracle purely relational. */
+  def scanDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact._
+    val dim = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(count(lit(1)).as("type_n"))
+      .filter($"event_type".isin("purchase", "signup"))
+      .select($"event_type".as("d_type"), $"type_n")
+    eventsByType(spark, sfDir)
+      .join(dim, $"event_type" === $"d_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"),
+        max($"type_n").as("type_n"))
+      .orderBy($"event_type")
+  }
+
+  val scanDppSql: String =
+    s"""WITH dim AS (
+       |  SELECT event_type AS d_type, COUNT(*) AS type_n
+       |  FROM events GROUP BY 1
+       |  HAVING event_type IN ('purchase', 'signup'))
+       |SELECT e.event_type, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("e.value")} AS sum_value,
+       |  MAX(d.type_n) AS type_n
+       |FROM events e JOIN dim d ON e.event_type = d.d_type
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
   /** Parquet sink round-trip: write a filtered slice, read it back.
     * The oracle recomputes the same filter from the source table. */

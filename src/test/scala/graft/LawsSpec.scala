@@ -17,6 +17,27 @@ class LawsSpec extends SparkSpec {
     assert(once.collect().toSeq == DedupOps.dedupExact(spark, sf).collect().toSeq)
   }
 
+  test("deterministic sampling is invariant under repartitioning") {
+    // THE claim that separates key-scatter sampling from seeded
+    // sample(): the selected set must not depend on physical layout.
+    val base = SampleOps.sampleHash(spark, sf).collect().toSeq
+    val reparted = graft.engine.Tables.lineitem(spark, sf)
+      .repartition(7)
+      .filter(expr("pmod(l_orderkey * 2654435761 + l_linenumber * 40503, 1000)") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .collect().toSeq
+    assert(base == reparted, "sample changed under repartition(7)")
+    // stratified quotas: exactly min(500, stratum size) rows per stratum
+    val strat = SampleOps.sampleStratified(spark, sf)
+    val quota = strat.groupBy("l_returnflag", "l_linestatus").count()
+    assert(quota.collect().forall(_.getLong(2) <= 500))
+    assert(strat.collect().toSeq ==
+      SampleOps.sampleStratified(spark, sf).collect().toSeq)
+  }
+
   test("union all preserves bag cardinality; distinct union bounds it") {
     import spark.implicits._
     val a = graft.engine.Tables.orders(spark, sf).filter($"o_totalprice" > 100000.0)

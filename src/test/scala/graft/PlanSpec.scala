@@ -121,6 +121,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 1, s"sampling filter must not shuffle:\n$plan")
   }
 
+  test("join against a filtered dim triggers dynamic partition pruning") {
+    val df = ScanOps.scanDpp(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.exists(
+      _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+        .DynamicPruningExpression]))),
+      s"expected a DynamicPruningExpression partition filter:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val plan = executedPlan(FilterOps.filterPred(spark, sf))
     val spans = collectWithSubqueries(plan) {
