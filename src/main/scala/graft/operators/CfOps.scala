@@ -302,28 +302,33 @@ object CfOps {
     * (user-based kNN). Same shape: one self-join on the capped rating
     * stream sharing a single shuffle, decimal-exact moment sums,
     * MIN_SUPPORT ≥ 2 common items. */
+  private def userSimPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "userSimPairs") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val capW = Window.partitionBy($"item_id")
+        .orderBy($"rating".desc, $"user_id".asc)
+      val capped = ratings(spark, sfDir)
+        .withColumn("irk", row_number().over(capW))
+        .filter($"irk" <= ITEM_USER_CAP)
+        .select($"user_id", $"item_id", $"rating")
+      val norms = capped.groupBy($"user_id")
+        .agg(xsumFast($"rating" * $"rating").as("norm_sq"))
+      val a = capped.select($"item_id", $"user_id".as("user_a"), $"rating".as("ra"))
+      val b = capped.select($"item_id".as("ib"), $"user_id".as("user_b"), $"rating".as("rb"))
+      a.join(b, $"item_id" === $"ib" && $"user_a" < $"user_b")
+        .groupBy($"user_a", $"user_b")
+        .agg(count(lit(1)).as("n_common"), xsumFast($"ra" * $"rb").as("dot"))
+        .filter($"n_common" >= MIN_SUPPORT)
+        .join(norms.select($"user_id".as("user_a"), $"norm_sq".as("na")), "user_a")
+        .join(norms.select($"user_id".as("user_b"), $"norm_sq".as("nb")), "user_b")
+        .select($"user_a", $"user_b", $"n_common",
+          rnd6($"dot" / (sqrt($"na") * sqrt($"nb"))).as("sim"))
+    }
+
   def userCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val capW = Window.partitionBy($"item_id")
-      .orderBy($"rating".desc, $"user_id".asc)
-    val capped = ratings(spark, sfDir)
-      .withColumn("irk", row_number().over(capW))
-      .filter($"irk" <= ITEM_USER_CAP)
-      .select($"user_id", $"item_id", $"rating")
-    val norms = capped.groupBy($"user_id")
-      .agg(xsumFast($"rating" * $"rating").as("norm_sq"))
-    val a = capped.select($"item_id", $"user_id".as("user_a"), $"rating".as("ra"))
-    val b = capped.select($"item_id".as("ib"), $"user_id".as("user_b"), $"rating".as("rb"))
-    a.join(b, $"item_id" === $"ib" && $"user_a" < $"user_b")
-      .groupBy($"user_a", $"user_b")
-      .agg(count(lit(1)).as("n_common"), xsumFast($"ra" * $"rb").as("dot"))
-      .filter($"n_common" >= MIN_SUPPORT)
-      .join(norms.select($"user_id".as("user_a"), $"norm_sq".as("na")), "user_a")
-      .join(norms.select($"user_id".as("user_b"), $"norm_sq".as("nb")), "user_b")
-      .select($"user_a", $"user_b", $"n_common",
-        rnd6($"dot" / (sqrt($"na") * sqrt($"nb"))).as("sim"))
-      .orderBy($"user_a", $"user_b")
+    userSimPairs(spark, sfDir).orderBy($"user_a", $"user_b")
   }
 
   val userCosineSql: String =
@@ -349,6 +354,89 @@ object CfOps {
        |JOIN norms na ON p.user_a = na.user_id
        |JOIN norms nb ON p.user_b = nb.user_id
        |ORDER BY user_a, user_b""".stripMargin
+
+  /** User-based kNN prediction — the transpose of [[predictKnn]]:
+    * for each user, the k most-similar users (from the capped
+    * user–user cosine pairs) vote with their ratings; score is the
+    * |sim|-normalized weighted sum; seen items anti-joined out; top-N
+    * per user. Scale shape is identical to the item chain: the pair
+    * stream is bounded by ITEM_USER_CAP per item, neighbor lists by
+    * K_NEIGHBORS per user, so the scoring join fans out ≤ k× the
+    * ratings table. */
+  def predictUserKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sims = userSimPairs(spark, sfDir).select($"user_a", $"user_b", $"sim")
+    val both = sims.union(
+      sims.select($"user_b".as("user_a"), $"user_a".as("user_b"), $"sim"))
+    val nw = Window.partitionBy($"user_a").orderBy($"sim".desc, $"user_b".asc)
+    val uneigh = both.withColumn("rk", row_number().over(nw))
+      .filter($"rk" <= K_NEIGHBORS)
+      .select($"user_a".as("target"), $"user_b".as("nbr"), $"sim")
+    val r = ratings(spark, sfDir)
+    val scored = r.join(uneigh, $"user_id" === $"nbr")
+      .groupBy($"target", $"item_id")
+      .agg((xsumFast($"sim" * $"rating") / xsumFast(abs($"sim"))).as("score_raw"))
+    val unseen = scored.join(
+      r.select($"user_id".as("su"), $"item_id".as("si")),
+      $"target" === $"su" && $"item_id" === $"si", "left_anti")
+    val w = Window.partitionBy($"user_id").orderBy($"score".desc, $"item_id".asc)
+    unseen.select($"target".as("user_id"), $"item_id", rnd6($"score_raw").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TOP_N)
+      .select($"user_id", $"item_id", $"score", $"rk")
+      .orderBy($"user_id", $"rk")
+  }
+
+  val predictUserKnnSql: String =
+    s"""WITH $ratingsCte,
+       |ucapped AS (
+       |  SELECT user_id, item_id, rating FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY item_id
+       |      ORDER BY rating DESC, user_id ASC) AS irk
+       |    FROM ratings) WHERE irk <= $ITEM_USER_CAP),
+       |unorms AS (
+       |  SELECT user_id, ${sqlXsum("rating * rating")} AS norm_sq
+       |  FROM ucapped GROUP BY user_id),
+       |upairs AS (
+       |  SELECT r1.user_id AS user_a, r2.user_id AS user_b,
+       |    COUNT(*) AS n_common,
+       |    ${sqlXsum("r1.rating * r2.rating")} AS dot
+       |  FROM ucapped r1 JOIN ucapped r2
+       |    ON r1.item_id = r2.item_id AND r1.user_id < r2.user_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT),
+       |usim AS (
+       |  SELECT p.user_a, p.user_b,
+       |    ${sqlRnd6("p.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq))")} AS sim
+       |  FROM upairs p
+       |  JOIN unorms na ON p.user_a = na.user_id
+       |  JOIN unorms nb ON p.user_b = nb.user_id),
+       |usim2 AS (
+       |  SELECT user_a, user_b, sim FROM usim
+       |  UNION ALL
+       |  SELECT user_b AS user_a, user_a AS user_b, sim FROM usim),
+       |uneigh AS (
+       |  SELECT user_a AS target, user_b AS nbr, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_a
+       |      ORDER BY sim DESC, user_b ASC) AS rk
+       |    FROM usim2) WHERE rk <= $K_NEIGHBORS),
+       |scored AS (
+       |  SELECT n.target, r.item_id,
+       |    ${sqlRnd6(s"${sqlXsum("n.sim * r.rating")} / ${sqlXsum("abs(n.sim)")}")} AS score
+       |  FROM ratings r JOIN uneigh n ON r.user_id = n.nbr
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  ANTI JOIN ratings r
+       |    ON s.target = r.user_id AND s.item_id = r.item_id),
+       |ranked AS (
+       |  SELECT target AS user_id, item_id, score,
+       |    row_number() OVER (PARTITION BY target
+       |      ORDER BY score DESC, item_id ASC) AS rk
+       |  FROM unseen)
+       |SELECT user_id, item_id, score, rk
+       |FROM ranked WHERE rk <= $TOP_N
+       |ORDER BY user_id, rk""".stripMargin
 
   /** Similarity pairs expanded to both directions (un-ordered
     * intermediate shared by topk/predict). */

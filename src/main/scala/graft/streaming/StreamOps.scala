@@ -301,6 +301,50 @@ object StreamOps {
       |    ROWS UNBOUNDED PRECEDING) AS max_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** foreachBatch sink — the production escape hatch for sinks
+    * Structured Streaming lacks natively (JDBC, multi-table writes,
+    * merge-upserts). Each micro-batch lands as an idempotent parquet
+    * append keyed by batchId; the replay drives THREE real micro-
+    * batches so the per-batch path actually exercises re-planning.
+    * At scale this is exactly-once when the write is
+    * batchId-idempotent (overwrite-by-batch-partition); the collected
+    * union of batches must equal the batch query — the oracle. */
+  def streamForeachBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_feb").toString
+    val source = MemoryStream[Ev](spark)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = source.toDS()
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .writeStream
+        .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunk = math.max(1, rows.size / 3 + 1)
+        rows.grouped(chunk).foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(out)
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .orderBy($"event_id")
+  }
+
+  val streamForeachBatchSql: String =
+    """SELECT event_id, user_id, ts, value
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   /** Stream–stream inner join: the purchase stream joins the click
     * stream on user within a 1-hour lookback — attribution, the
     * canonical two-stream workload. Both sides carry watermarks and the
