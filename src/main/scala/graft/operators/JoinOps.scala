@@ -166,27 +166,53 @@ object JoinOps {
     val lt = s"bkt_lineitem$tag"
     if (!spark.catalog.tableExists(ot)) {
       // The catalog is in-memory but the warehouse dir persists across
-      // JVMs — drop any stale location before recreating the table.
+      // JVMs: when the bucketed files are already on disk and newer
+      // than their source, re-attach them as an EXTERNAL bucketed
+      // table (metadata-only, saves the ~full rewrite every session);
+      // otherwise clear any stale location and write them.
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val whPath = if (wh.contains(":")) new java.net.URI(wh).getPath else wh
+      def newestUnder(f: java.io.File): Long =
+        if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
+        else f.lastModified()
+      def isFresh(table: String, src: String): Boolean = {
+        val marker = new java.io.File(new java.io.File(whPath, table), "_SUCCESS")
+        marker.exists() &&
+          newestUnder(new java.io.File(src)) <= marker.lastModified()
+      }
       def clearStale(table: String): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
-        val wh = spark.conf.get("spark.sql.warehouse.dir")
-        val p = if (wh.contains(":")) new java.net.URI(wh).getPath else wh
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete(); ()
         }
-        val dir = new java.io.File(p, table)
+        val dir = new java.io.File(whPath, table)
         if (dir.exists()) rm(dir)
       }
-      clearStale(ot)
-      clearStale(lt)
-      Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority")
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(ot)
-      Tables.lineitem(spark, sfDir)
-        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(lt)
+      def attach(table: String, cols: String, key: String): Unit =
+        spark.sql(
+          s"""CREATE TABLE $table ($cols) USING PARQUET
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+             |LOCATION '${new java.io.File(whPath, table).getAbsolutePath}'
+             |""".stripMargin)
+      if (isFresh(ot, s"$sfDir/orders.parquet"))
+        attach(ot, "o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey")
+      else {
+        clearStale(ot)
+        Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ot)
+      }
+      if (isFresh(lt, s"$sfDir/lineitem.parquet"))
+        attach(lt, "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+          "l_orderkey")
+      else {
+        clearStale(lt)
+        Tables.lineitem(spark, sfDir)
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(lt)
+      }
     }
     spark.table(ot)
       .join(spark.table(lt), $"o_orderkey" === $"l_orderkey")

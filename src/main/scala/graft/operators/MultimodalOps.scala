@@ -113,6 +113,51 @@ object MultimodalOps {
        |  CAST(octet_length(encode(text)) AS DOUBLE) AS feat_sum
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Resize planning: aspect-preserving fit into a 64×64 box with
+    * pure integer arithmetic (engine-portable; the pixel kernel
+    * itself is the stubbed codec, like decode). The plan — target
+    * dims + byte budget — is what the Spark side of a real resize
+    * pipeline owns: a map-side projection over typed metadata, zero
+    * shuffle; the per-image kernel then runs embarrassingly parallel
+    * per partition. Images already inside the box pass through. */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val box = 64
+    assets(spark, sfDir)
+      .select($"doc_id", $"meta.fmt".as("fmt"),
+        $"meta.width".as("width"), $"meta.height".as("height"))
+      .withColumn("long_side", greatest($"width", $"height"))
+      .select($"doc_id", $"fmt", $"width", $"height",
+        when($"long_side" <= box, $"width")
+          .otherwise(expr(s"(width * $box) div long_side"))
+          .cast("integer").as("out_w"),
+        when($"long_side" <= box, $"height")
+          .otherwise(expr(s"(height * $box) div long_side"))
+          .cast("integer").as("out_h"))
+      .withColumn("out_bytes", ($"out_w" * $"out_h" * 3).cast("integer"))
+      .orderBy($"doc_id")
+  }
+
+  val multimodalResizeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
+      |    CAST(16 + (doc_id % 32) * 4 AS INTEGER) AS width,
+      |    CAST(16 + (doc_id % 24) * 4 AS INTEGER) AS height
+      |  FROM documents),
+      |sized AS (
+      |  SELECT *, greatest(width, height) AS long_side FROM dims)
+      |SELECT doc_id, fmt, width, height,
+      |  CAST(CASE WHEN long_side <= 64 THEN width
+      |    ELSE (width * 64) // long_side END AS INTEGER) AS out_w,
+      |  CAST(CASE WHEN long_side <= 64 THEN height
+      |    ELSE (height * 64) // long_side END AS INTEGER) AS out_h,
+      |  CAST((CASE WHEN long_side <= 64 THEN width
+      |    ELSE (width * 64) // long_side END)
+      |    * (CASE WHEN long_side <= 64 THEN height
+      |    ELSE (height * 64) // long_side END) * 3 AS INTEGER) AS out_bytes
+      |FROM sized ORDER BY doc_id""".stripMargin
+
   /** Frame sampling: one row per FRAME_BYTES-sized slice of the
     * payload (video frame-sample analog) — generated map-side from
     * the payload length, no shuffle. */
