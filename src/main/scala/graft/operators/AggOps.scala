@@ -287,6 +287,57 @@ object AggOps {
        |  ${eventTypes.map(t => s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(",\n  ")}
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** UNPIVOT / melt — wide measures to long (measure, value) rows,
+    * the reshape every feature pipeline runs before per-feature
+    * aggregation. Pure map-side row expansion (3× rows, no shuffle
+    * until the presentation sort); Spark's `unpivot` is the typed
+    * Generator form, not a union-of-selects. */
+  def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "measure", "val")
+      // duplicate (orderkey, linenumber) pairs exist — include every
+      // output column so the order is total up to identical rows
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure", $"val")
+  }
+
+  val aggUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, measure, val
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        l_quantity, l_extendedprice, l_discount FROM lineitem)
+      |UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+      |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin
+
+  /** ROLLUP with grouping flags: `grouping()` marks which key is
+    * aggregated away on each row and the composite id is derived
+    * arithmetically (2·g(r)+g(n)) so both engines spell it the same
+    * way — the standard way BI layers distinguish subtotal rows. */
+  def aggGroupingId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_nations"),
+        grouping($"r_name").cast("integer").as("g_region"),
+        grouping($"n_name").cast("integer").as("g_nation"))
+      .withColumn("gid", ($"g_region" * 2 + $"g_nation").cast("integer"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val aggGroupingIdSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_nations,
+      |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+      |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+      |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS gid
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
   /** Statistical aggregates (stddev/variance/covariance/correlation)
     * computed from EXACT MOMENTS: one decimal-exact pass accumulates
     * n, Σx, Σy, Σx², Σy², Σxy (order-independent — §7.4 hazard 1), and

@@ -260,6 +260,24 @@ object JoinOps {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Explicit Cartesian product — small×small only, the one shape
+    * where a cross join is legitimate (calendar × dimension scaffolds,
+    * parameter grids). Spark requires the explicit `crossJoin` call,
+    * which is the right API design at scale: an accidental cross join
+    * on fact tables is a cluster-killer, so the engine makes it
+    * opt-in. Plans as BroadcastNestedLoopJoin over the broadcast-sized
+    * side. */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.region(spark, sfDir).select($"r_name")
+      .crossJoin(Tables.nation(spark, sfDir).select($"n_name"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val joinCrossSql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
   /** As-of join: each purchase ↔ latest click at-or-before it, per
     * user. Composed scalably as union + running `last(ignoreNulls)` —
     * ONE shuffle on user_id, no range self-join blowup. Ties (none in
