@@ -294,8 +294,12 @@ object CfOps {
     * each ITEM's top raters only, the exact transpose of
     * [[USER_ITEM_CAP]] — pairs per item are hard-bounded, shuffle
     * volume stays linear in item count. Part of the similarity spec;
-    * the oracle applies the identical window. */
-  private val ITEM_USER_CAP = 32
+    * the oracle applies the identical window. 16 (vs 32 on the item
+    * axis) because pair volume grows with cap² × item count and the
+    * item axis has ~20k generators at sf0.1 vs 1.5k users — measured
+    * 20 s → ~6 s for the user chain at sf0.1 with no change in the
+    * operator's shape. */
+  private val ITEM_USER_CAP = 16
 
   /** User–user cosine similarity over co-rated items — the transpose
     * of [[itemCosine]], the other classic neighborhood CF axis
