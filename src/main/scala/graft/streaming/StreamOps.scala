@@ -444,7 +444,10 @@ object StreamOps {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
-        Seq(30L, 26L * 60L, 14L * 24L * 60L).foreach { m =>
+        // +30 min first (finalizes the last panes while the hour
+        // windows are still under the late threshold), then far out
+        // (flushes the hour windows through the second agg)
+        Seq(30L, 14L * 24L * 60L).foreach { m =>
           source.addData(sentinel(m))
           q.processAllAvailable()
         }
