@@ -57,6 +57,19 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def textFingerprints(): DataFrame = TextOps.textFingerprint(spark, dataDir)
   def textNgrams(): DataFrame = TextOps.textNgrams(spark, dataDir)
   def textRepetition(): DataFrame = TextOps.textRepetition(spark, dataDir)
+  def textPiiScrub(): DataFrame = TextOps.textPiiScrub(spark, dataDir)
+
+  // — corpus curation —
+  def sampleUniform(): DataFrame = SampleOps.sampleHash(spark, dataDir)
+  def sampleStratified(): DataFrame = SampleOps.sampleStratified(spark, dataDir)
+
+  // — user-based CF (the transpose chain) —
+  def recommendationsUserBased(): DataFrame = CfOps.predictUserKnn(spark, dataDir)
+
+  // — multimodal planning —
+  def mediaDecode(): DataFrame = MultimodalOps.multimodalDecode(spark, dataDir)
+  def mediaResize(): DataFrame = MultimodalOps.multimodalResize(spark, dataDir)
+  def mediaFrames(): DataFrame = MultimodalOps.multimodalFrames(spark, dataDir)
 
   /** Run any named operator from the full surface. */
   def query(name: String): DataFrame = SparkEntry.queries(name)(spark, dataDir)

@@ -50,4 +50,21 @@ class MultimodalSpec extends SparkSpec {
     val bad = tot.join(docs, "doc_id").filter($"n" =!= $"n_bytes").count()
     assert(bad == 0, "frame lengths must partition the payload")
   }
+
+  test("resize plan fits the box and preserves aspect within integer rounding") {
+    import spark.implicits._
+    val r = MultimodalOps.multimodalResize(spark, sf)
+    assert(r.filter($"out_w" > 64 || $"out_h" > 64).count() == 0,
+      "resized dims must fit the 64-box")
+    assert(r.filter($"out_w" < 1 || $"out_h" < 1).count() == 0)
+    // pass-through for already-fitting images
+    assert(r.filter($"width" <= 64 && $"height" <= 64 &&
+      ($"out_w" =!= $"width" || $"out_h" =!= $"height")).count() == 0)
+    // aspect preserved: |out_w/out_h − w/h| bounded by integer rounding
+    val bad = r.filter($"width" > 64 || $"height" > 64)
+      .filter(abs($"out_w" * $"height" - $"out_h" * $"width") >
+        greatest($"width", $"height"))
+      .count()
+    assert(bad == 0, "aspect drift beyond integer rounding")
+  }
 }
