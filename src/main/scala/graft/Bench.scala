@@ -24,7 +24,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to every core: the harness contract is local[32] on this
+    // 32-cpu host, and the driver does not set SPARK_GRAFT_CPUS — the
+    // old default of 4 would run the whole bench at 1/8 parallelism.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,12 +41,19 @@ object Bench {
     // it only removes JVM start-up cost from the first timed query.
     spark.range(1000000).selectExpr("sum(id) s", "count(1) c").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted key order: Map iteration order is hash-arbitrary, so which
+    // query happened to pay a shared one-time build (the CF chain's
+    // pair moments, a table's first cold scan) changed per build and
+    // made per-query numbers incomparable round-over-round. Sorted
+    // order pins the assignment deterministically.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
-    def r3(v: Double): String = f"$v%.3f"
+    }.toMap
+    // Locale.ROOT: f"%.3f" under a comma-decimal JVM locale would emit
+    // 0,123 and break the JSON line.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val reported =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) results.keys.toSeq
       else headline.filter(results.contains)

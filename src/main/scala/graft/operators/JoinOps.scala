@@ -175,11 +175,25 @@ object JoinOps {
       def newestUnder(f: java.io.File): Long =
         if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
         else f.lastModified()
-      def isFresh(table: String, src: String): Boolean = {
-        val marker = new java.io.File(new java.io.File(whPath, table), "_SUCCESS")
+      // Freshness = source mtime vs _SUCCESS, AND the on-disk layout
+      // fingerprint (_SPEC: declared columns + bucket spec) matching
+      // this build's DDL — a code change to bucket count or projected
+      // columns must force a rewrite, not silently re-attach a stale
+      // layout with wrong bucket pruning.
+      def isFresh(table: String, src: String, spec: String): Boolean = {
+        val dir = new java.io.File(whPath, table)
+        val marker = new java.io.File(dir, "_SUCCESS")
+        val specFile = new java.io.File(dir, "_SPEC")
         marker.exists() &&
-          newestUnder(new java.io.File(src)) <= marker.lastModified()
+          newestUnder(new java.io.File(src)) <= marker.lastModified() &&
+          specFile.exists() &&
+          new String(java.nio.file.Files.readAllBytes(specFile.toPath),
+            java.nio.charset.StandardCharsets.UTF_8) == spec
       }
+      def writeSpec(table: String, spec: String): Unit =
+        java.nio.file.Files.write(
+          new java.io.File(new java.io.File(whPath, table), "_SPEC").toPath,
+          spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       def clearStale(table: String): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
         def rm(f: java.io.File): Unit = {
@@ -195,23 +209,28 @@ object JoinOps {
              |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
              |LOCATION '${new java.io.File(whPath, table).getAbsolutePath}'
              |""".stripMargin)
-      if (isFresh(ot, s"$sfDir/orders.parquet"))
-        attach(ot, "o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey")
+      val oCols = "o_orderkey BIGINT, o_orderpriority STRING"
+      val oSpec = s"$oCols|bucketBy(8,o_orderkey)|sortBy(o_orderkey)"
+      if (isFresh(ot, s"$sfDir/orders.parquet", oSpec))
+        attach(ot, oCols, "o_orderkey")
       else {
         clearStale(ot)
         Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority")
           .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable(ot)
+        writeSpec(ot, oSpec)
       }
-      if (isFresh(lt, s"$sfDir/lineitem.parquet"))
-        attach(lt, "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
-          "l_orderkey")
+      val lCols = "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE"
+      val lSpec = s"$lCols|bucketBy(8,l_orderkey)|sortBy(l_orderkey)"
+      if (isFresh(lt, s"$sfDir/lineitem.parquet", lSpec))
+        attach(lt, lCols, "l_orderkey")
       else {
         clearStale(lt)
         Tables.lineitem(spark, sfDir)
           .select($"l_orderkey", $"l_extendedprice", $"l_discount")
           .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .saveAsTable(lt)
+        writeSpec(lt, lSpec)
       }
     }
     spark.table(ot)

@@ -306,14 +306,18 @@ object StreamOps {
     * merge-upserts). Each micro-batch lands as an idempotent parquet
     * append keyed by batchId; the replay drives THREE real micro-
     * batches so the per-batch path actually exercises re-planning.
-    * At scale this is exactly-once when the write is
-    * batchId-idempotent (overwrite-by-batch-partition); the collected
+    * Plain parquet append (used here) is at-least-once on batch retry;
+    * production exactly-once needs a batchId-idempotent write
+    * (overwrite-by-batch-partition or a MERGE keyed on batchId). The
     * union of batches must equal the batch query — the oracle. */
   def streamForeachBatch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rows = replayRows(spark, sfDir)
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_feb").toString
+    // Fixed per-(app, sf) scratch dir, wiped before reuse and on JVM
+    // exit — the result DataFrame reads it lazily, so it cannot be
+    // deleted inside this call, but scratch no longer accumulates
+    // across invocations/runs (one live dir per app at most).
+    val out = febScratchDir(spark, sfDir)
     val source = MemoryStream[Ev](spark)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -339,6 +343,31 @@ object StreamOps {
       .select($"event_id", $"user_id", $"ts", $"value")
       .orderBy($"event_id")
   }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Scratch dir for [[streamForeachBatch]]'s parquet sink: a FIXED
+    * path per (applicationId, sfDir) under java.io.tmpdir, cleared on
+    * entry (idempotent re-runs) and again by a JVM shutdown hook. */
+  private def febScratchDir(spark: SparkSession, sfDir: String): String = {
+    val tag = (spark.sparkContext.applicationId + sfDir)
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_feb_$tag")
+    if (dir.exists()) rmTree(dir)
+    if (febCleanupRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        febScratchDirs.forEach(d => rmTree(new java.io.File(d)))))
+    febScratchDirs.add(dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+  private val febCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val febScratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   val streamForeachBatchSql: String =
     """SELECT event_id, user_id, ts, value
