@@ -66,6 +66,16 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   // — user-based CF (the transpose chain) —
   def recommendationsUserBased(): DataFrame = CfOps.predictUserKnn(spark, dataDir)
 
+  // — dedup clustering (pairs → groups) —
+  def duplicateClusters(): DataFrame = DedupOps.dedupCluster(spark, dataDir)
+
+  // — changelog → snapshot —
+  def currentSnapshot(): DataFrame = SnapshotOps.upsertLatest(spark, dataDir)
+  def history(): DataFrame = SnapshotOps.scd2Versions(spark, dataDir)
+
+  // — sessionization (batch) —
+  def sessions(): DataFrame = WindowOps.winSession(spark, dataDir)
+
   // — multimodal planning —
   def mediaDecode(): DataFrame = MultimodalOps.multimodalDecode(spark, dataDir)
   def mediaResize(): DataFrame = MultimodalOps.multimodalResize(spark, dataDir)

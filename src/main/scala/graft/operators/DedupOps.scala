@@ -85,9 +85,10 @@ object DedupOps {
       |  md5(text) AS text_md5
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
-  /** Near-dup by exact 3-gram (word-shingle) Jaccard ≥ 0.1 via an
-    * inverted shingle index (SURVEY.md §2.11 `q_dedup_near`). */
-  def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unsorted near-dup pair stream (3-gram Jaccard ≥ 0.1 through the
+    * inverted shingle index) — shared by [[dedupNear]] and the
+    * connected-components clustering in [[dedupCluster]]. */
+  private def nearPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, sfDir)
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
@@ -100,7 +101,13 @@ object DedupOps {
       .select($"doc_a", $"doc_b", $"shared",
         rnd6($"shared" / ($"na" + $"nb" - $"shared")).as("jaccard"))
       .filter($"jaccard" >= 0.1)
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Near-dup by exact 3-gram (word-shingle) Jaccard ≥ 0.1 via an
+    * inverted shingle index (SURVEY.md §2.11 `q_dedup_near`). */
+  def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    nearPairs(spark, sfDir).orderBy($"doc_a", $"doc_b")
   }
 
   val dedupNearSql: String =
@@ -221,6 +228,94 @@ object DedupOps {
        |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
        |    AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Connected components over the near-dup graph: each document gets
+    * a cluster_id = min(doc_id reachable through Jaccard ≥ 0.1 edges),
+    * singletons map to themselves — the step that turns PAIRS into
+    * dedup GROUPS (keep one survivor per cluster, not per pair: pair-
+    * wise dedup alone would keep B of A~B and C of B~C even though
+    * A~B~C is one duplicate family).
+    *
+    * Algorithm: hash-min label propagation — iterate "label :=
+    * min(label, neighbors' labels)" to fixpoint. Each round is one
+    * join + one min-aggregation, both shuffling on doc_id; rounds
+    * needed = component diameter. Near-dup families are shallow (a
+    * handful of variants of one document), so this converges in 2-3
+    * rounds here. At 100 TB-with-deep-components scale the same
+    * skeleton upgrades to the large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14), which converges in O(log n) rounds with the identical
+    * join+min building blocks. The loop is DRIVER-side control flow
+    * over DISTRIBUTED steps: the only driver-local value is the
+    * converged? count, never data.
+    *
+    * The oracle computes the same fixpoint as a recursive-CTE
+    * reachability closure + min — tractable because the closure is
+    * bounded by component size, and exact because hash-min's fixpoint
+    * IS min-over-reachable-set. */
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val pairs = nearPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    val edges = pairs.union(
+      pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = docs.select($"doc_id", $"doc_id".as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val viaEdges = edges
+          .join(labels.select($"doc_id".as("doc_a"), $"label"), "doc_a")
+          .select($"doc_b".as("doc_id"), $"label")
+        val next = labels.select($"doc_id", $"label").union(viaEdges)
+          .groupBy($"doc_id").agg(min($"label").as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.join(
+            labels.select($"doc_id".as("od"), $"label".as("ol")),
+            $"doc_id" === $"od")
+          .filter($"label" =!= $"ol").count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      val sizes = labels.groupBy($"label".as("cl"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, $"label" === $"cl")
+        .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
+        .orderBy($"doc_id")
+    } finally edges.unpersist()
+  }
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT s.doc_a, s.doc_b
+       |  FROM shared s
+       |  JOIN counts ca ON s.doc_a = ca.doc_id
+       |  JOIN counts cb ON s.doc_b = cb.doc_id
+       |  WHERE ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} >= 0.1),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+       |  FROM comp GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM comp c JOIN sizes s USING (cluster_id)
+       |ORDER BY c.doc_id""".stripMargin
 
   /** Embedding-cosine near-dup, blocked by label (the IVF-style
     * blocking that replaces the all-pairs product at scale): pairs

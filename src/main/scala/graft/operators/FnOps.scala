@@ -303,4 +303,38 @@ object FnOps {
     """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
       |  length(text) AS n_len
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Regexp family — extraction-all, match counting, regex split,
+    * global replace, anchored match. Patterns stay in the RE2 ∩ Java
+    * common subset (no backrefs, no lookaround — same discipline as
+    * the PII scrubber) so Spark's java.util.regex and DuckDB's RE2
+    * produce identical results. Map-side only: regexps are codegen'd
+    * scalar calls inside one WholeStageCodegen span; at 100 TB the
+    * only scale concern is pattern compile-per-row, which Spark avoids
+    * by caching the compiled Pattern per task when the pattern is a
+    * literal. */
+  def fnRegexp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        // array results serialized to a joined string: the driver
+        // comparator requires atomic output columns (ContractSpec)
+        concat_ws(",", regexp_extract_all($"text", lit("(s[a-z]+)"), lit(1))).as("s_words"),
+        size(regexp_extract_all($"text", lit("(s[a-z]+)"), lit(1))).as("n_s_words"),
+        concat_ws("|", split($"text", "qu[a-z]+ ")).as("qu_split"),
+        regexp_replace($"text", "(qu[a-z]+)", "Q").as("scrubbed"),
+        $"text".rlike("(^| )stream( |$)").as("has_stream"),
+        regexp_extract($"text", "([a-z]+an) ([a-z]+)", 2).as("after_an"))
+      .orderBy($"doc_id")
+  }
+
+  val fnRegexpSql: String =
+    """SELECT doc_id,
+      |  COALESCE(array_to_string(regexp_extract_all(text, '(s[a-z]+)', 1), ','), '') AS s_words,
+      |  len(regexp_extract_all(text, '(s[a-z]+)', 1)) AS n_s_words,
+      |  array_to_string(regexp_split_to_array(text, 'qu[a-z]+ '), '|') AS qu_split,
+      |  regexp_replace(text, '(qu[a-z]+)', 'Q', 'g') AS scrubbed,
+      |  regexp_matches(text, '(^| )stream( |$)') AS has_stream,
+      |  regexp_extract(text, '([a-z]+an) ([a-z]+)', 2) AS after_an
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Changelog → snapshot operators: CDC latest-wins compaction (the
+  * MERGE/upsert every lakehouse pipeline runs) and SCD2 validity
+  * intervals (the warehouse-history form). The `events` purchase stream
+  * plays the changelog: key = user_id, each event is an update carrying
+  * a new `value`.
+  *
+  * Scale notes (100 TB):
+  * - Both are ONE shuffle on the key followed by a per-key sort — the
+  *   window's partitionBy. That is the minimum any keyed compaction can
+  *   do; engines that MERGE row-at-a-time (transactional upsert) pay
+  *   random I/O instead, which is why bulk CDC compaction is always the
+  *   windowed form.
+  * - Latest-wins keeps max-(ts, event_id) per key; at scale this is the
+  *   compaction step of every incremental table format (Delta/Hudi/
+  *   Iceberg MoR) — Spark plans it as window + filter, with partial
+  *   row_number short-circuit (a top-1-per-key never materializes the
+  *   full sorted partition when AQE's window-group-limit kicks in).
+  * - SCD2's lead() needs the same sort; valid_to of the last version is
+  *   NULL = "current". Ties on ts are broken by event_id so the version
+  *   chain is total — nondeterministic version order would corrupt
+  *   history on rerun.
+  */
+object SnapshotOps {
+
+  /** CDC latest-wins upsert compaction: collapse the purchase
+    * changelog to one current row per user (newest ts, event_id
+    * tiebreak), carrying the number of superseded updates. */
+  def upsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val wAll = Window.partitionBy($"user_id")
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_updates", count(lit(1)).over(wAll))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"ts".as("last_ts"), $"value".as("last_value"), $"n_updates")
+      .orderBy($"user_id")
+  }
+
+  val upsertLatestSql: String =
+    """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |  value AS last_value, n_updates
+      |FROM (
+      |  SELECT user_id, event_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_updates
+      |  FROM events WHERE event_type = 'purchase')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** SCD2 history build: every update becomes a version row with
+    * [valid_from, valid_to) bounds; the open (current) version has
+    * valid_to NULL and is_current = 1. */
+  def scd2Versions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"version", $"event_id", $"value",
+        $"ts".as("valid_from"), $"valid_to",
+        when($"valid_to".isNull, 1).otherwise(0).as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  val scd2VersionsSql: String =
+    """SELECT user_id, version, event_id, value, valid_from, valid_to,
+      |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM (
+      |  SELECT user_id, event_id, ts AS valid_from, value,
+      |    row_number() OVER w AS version,
+      |    lead(ts, 1) OVER w AS valid_to
+      |  FROM events WHERE event_type = 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |ORDER BY user_id, version""".stripMargin
+}

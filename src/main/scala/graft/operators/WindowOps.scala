@@ -220,6 +220,57 @@ object WindowOps {
       |    AS distinct_custs
       |FROM flagged ORDER BY o_orderkey""".stripMargin
 
+  /** Batch sessionization (gaps-and-islands): a new session starts
+    * when a user's inter-event gap exceeds 1 h; sessions are then
+    * aggregated to (start, end, n_events, duration). The batch twin of
+    * [[graft.streaming.StreamOps.streamSession]]'s session windows.
+    *
+    * Scale shape: ONE shuffle on user_id serves both windows (lag for
+    * the gap flag, running sum for the session number — same partition
+    * key, same sort), then the session aggregation reuses that
+    * partitioning. Gap arithmetic is exact integer microseconds. */
+  def winSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 3600L * 1000000L
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("gap_us",
+        expr("unix_micros(ts)") - expr("unix_micros(lag(ts, 1) over (partition by user_id order by ts asc, event_id asc))"))
+      .withColumn("is_new",
+        when($"gap_us".isNull || $"gap_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"),
+        (max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)"))).as("duration_us"))
+      .orderBy($"user_id", $"session_no")
+  }
+
+  val winSessionSql: String =
+    """WITH gapped AS (
+      |  SELECT user_id, event_id, ts,
+      |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |flagged AS (
+      |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM gapped),
+      |numbered AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_no
+      |  FROM flagged)
+      |SELECT user_id, session_no, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+      |FROM numbered GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
   // ---- §2.6 sorts / limits / top-k ----
 
   /** Multi-key total order (MR: TotalOrderPartitioner). Spark plans a

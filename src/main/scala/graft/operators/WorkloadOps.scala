@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Exact, Tables}
+
+/** Flagship composite workloads — TPC-H-shaped analytics adapted to the
+  * fixture schema (the fixtures carry a subset of the TPC-H columns, so
+  * each query states its adaptation). These are the "a real user's real
+  * query" tier on top of the per-operator inventory: multi-way joins,
+  * selective filters, aggregation, and top-k in ONE plan, exercising
+  * join reorder, filter pushdown, and partial aggregation together.
+  *
+  * Scale notes (100 TB):
+  * - Every filter is declared on the base table before any join, so
+  *   Catalyst pushes it into the parquet scan — the joins see the
+  *   filtered minority, not the full fact table.
+  * - Dimension chains (region⋈nation, customer) are broadcast-sized at
+  *   any scale; AQE picks broadcast joins at runtime. The only big-big
+  *   join (orders⋈lineitem) shuffles on the orderkey once.
+  * - Revenue sums go through DECIMAL (Exact.xsum) — order-independent,
+  *   so retries/partitioning cannot change bytes.
+  * - Top-k (`orderBy + limit`) compiles to TakeOrderedAndProject:
+  *   per-partition heaps + driver merge, never a global sort.
+  */
+object WorkloadOps {
+  import Exact._
+
+  /** TPC-H Q3 (shipping priority), adapted: the fixture orders table
+    * has no o_shippriority, so the output is (orderkey, revenue,
+    * orderdate); date split pivots mid-range (1998-01-01). */
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = to_timestamp(lit("1998-01-01"))
+    val c = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    s"""SELECT o_orderkey, o_orderdate,
+       |  ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY o_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (local supplier volume): revenue per nation where the
+    * supplier and the customer share the nation, region = ASIA, one
+    * order-year window. The c_nationkey = s_nationkey predicate is the
+    * interesting bit: it correlates two dimension paths through the
+    * fact row. */
+  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = to_timestamp(lit("1997-01-01"))
+    val hi = to_timestamp(lit("1998-01-01"))
+    val asiaNations = Tables.region(spark, sfDir)
+      .filter($"r_name" === "ASIA")
+      .join(Tables.nation(spark, sfDir), $"r_regionkey" === $"n_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+    o.join(l, $"o_orderkey" === $"l_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(s, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(asiaNations, $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc)
+  }
+
+  val tpchQ5Sql: String =
+    s"""SELECT n_name,
+       |  ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM region
+       |JOIN nation ON r_regionkey = n_regionkey
+       |JOIN supplier ON s_nationkey = n_nationkey
+       |JOIN lineitem ON l_suppkey = s_suppkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** TPC-H Q10 (returned-item reporting), adapted: top-20 customers by
+    * revenue lost to returns in one quarter (the fixture customer table
+    * has no address/phone columns; nation join kept). */
+  def tpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = to_timestamp(lit("1997-10-01"))
+    val hi = to_timestamp(lit("1998-01-01"))
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    o.join(l, $"o_orderkey" === $"l_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM orders
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
+}
