@@ -20,7 +20,8 @@ object Bench {
     "q_cf_item_cosine", "q_cf_item_pearson", "q_cf_predict_knn",
     "q_cf_als", "q_dedup_minhash_lsh", "q_dedup_near",
     "q_simsearch_topk", "q_simsearch_ivf", "q_text_tfidf",
-    "q_stream_sliding", "q_stream_tws")
+    "q_stream_sliding", "q_stream_tws",
+    "q_tpch_q5", "q_dedup_cluster", "q_win_session")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

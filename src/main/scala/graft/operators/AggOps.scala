@@ -422,4 +422,54 @@ object AggOps {
       |  FROM c)
       |SELECT l_returnflag, l_quantity AS mode_qty, cnt
       |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Equi-width histogram via width_bucket — the data-profiling /
+    * feature-binning primitive. One combiner-friendly shuffle on the
+    * (group, bucket) key; bucket boundaries are closed-form arithmetic
+    * (not data-dependent quantiles), so the operator is a single pass
+    * and the bucket id is engine-identical. Profiling a 100 TB column
+    * this way costs one scan + one tiny shuffle. */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderpriority",
+        width_bucket($"o_totalprice", lit(0.0), lit(600000.0), lit(12)).as("bucket"))
+      .groupBy($"o_orderpriority", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority", $"bucket")
+  }
+
+  /** DuckDB 1.0.0 has no width_bucket — the oracle spells out Spark's
+    * exact formula (floor((v-lo)/((hi-lo)/n)) + 1, under/overflow to 0
+    * and n+1): same IEEE-double ops in the same order ⇒ identical
+    * bucket ids. */
+  val aggHistogramSql: String =
+    """SELECT o_orderpriority,
+      |  CASE WHEN o_totalprice < 0.0 THEN 0
+      |       WHEN o_totalprice >= 600000.0 THEN 13
+      |       ELSE CAST(floor((o_totalprice - 0.0) / ((600000.0 - 0.0) / 12)) AS BIGINT) + 1
+      |  END AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin
+
+  /** Mergeable-sketch distinct counting: per-partition HLL sketches
+    * built map-side (hll_sketch_agg), merged across partitions
+    * (hll_union_agg), then estimated — the EXACT pattern a 100 TB
+    * pipeline uses to keep distinct-count state tiny and re-mergeable
+    * across days/segments (pre-aggregate sketches, union later; never
+    * re-scan raw data). The two-level build here proves the merge path:
+    * per-event-type daily sketches union up to per-type totals. Sketch
+    * bytes are implementation-specific ⇒ no SQL oracle; the spec
+    * asserts the estimate against the exact count (±2 %) and
+    * determinism across repartitioning. */
+  def aggSketchUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", date_trunc("DAY", $"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+    daily.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy($"event_type")
+  }
 }

@@ -31,6 +31,19 @@ object DedupOps {
 
   private val P31 = Int.MaxValue.toLong // 2^31 − 1, prime
 
+  /** Persist-once cache for the shared dedup intermediates (same
+    * pattern as the CF chain): the shingle inverted index feeds
+    * near-dup, MinHash-LSH (twice per plan), and clustering; the
+    * near-pair edge set feeds near-dup AND clustering. Without this,
+    * every dedup query re-explodes the corpus. Keyed per (application,
+    * sfDir); MEMORY_AND_DISK so cluster-scale spills instead of OOM. */
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cached(spark: SparkSession, sfDir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir|$name",
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Spark-side token explode of lower(text) (whitespace tokens). */
   private def tokens(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -45,17 +58,18 @@ object DedupOps {
     * both exact-Jaccard and MinHash (a shingle universe keeps LSH
     * bands discriminative even over a tiny vocabulary, where raw
     * token sets would collide almost everywhere). */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select($"doc_id", split(lower($"text"), " ").as("t"))
-      .select($"doc_id", explode(expr(
-        """CASE WHEN size(t) >= 3
-          |  THEN transform(sequence(0, size(t) - 3),
-          |         i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3)))
-          |  ELSE cast(array() as array<string>) END""".stripMargin)).as("shingle"))
-      .distinct()
-  }
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "shingles") {
+      import spark.implicits._
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", split(lower($"text"), " ").as("t"))
+        .select($"doc_id", explode(expr(
+          """CASE WHEN size(t) >= 3
+            |  THEN transform(sequence(0, size(t) - 3),
+            |         i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3)))
+            |  ELSE cast(array() as array<string>) END""".stripMargin)).as("shingle"))
+        .distinct()
+    }
 
   private val shinglesCte =
     """pt AS (
@@ -88,20 +102,21 @@ object DedupOps {
   /** Unsorted near-dup pair stream (3-gram Jaccard ≥ 0.1 through the
     * inverted shingle index) — shared by [[dedupNear]] and the
     * connected-components clustering in [[dedupCluster]]. */
-  private def nearPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sh = shingles(spark, sfDir)
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
-    val b = sh.select($"doc_id".as("doc_b"), $"shingle".as("sh_b"))
-    a.join(b, $"shingle" === $"sh_b" && $"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
-      .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
-      .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
-      .select($"doc_a", $"doc_b", $"shared",
-        rnd6($"shared" / ($"na" + $"nb" - $"shared")).as("jaccard"))
-      .filter($"jaccard" >= 0.1)
-  }
+  private def nearPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "nearPairs") {
+      import spark.implicits._
+      val sh = shingles(spark, sfDir)
+      val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select($"doc_id".as("doc_a"), $"shingle")
+      val b = sh.select($"doc_id".as("doc_b"), $"shingle".as("sh_b"))
+      a.join(b, $"shingle" === $"sh_b" && $"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+        .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+        .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+        .select($"doc_a", $"doc_b", $"shared",
+          rnd6($"shared" / ($"na" + $"nb" - $"shared")).as("jaccard"))
+        .filter($"jaccard" >= 0.1)
+    }
 
   /** Near-dup by exact 3-gram (word-shingle) Jaccard ≥ 0.1 via an
     * inverted shingle index (SURVEY.md §2.11 `q_dedup_near`). */

@@ -337,4 +337,38 @@ object FnOps {
       |  regexp_matches(text, '(^| )stream( |$)') AS has_stream,
       |  regexp_extract(text, '([a-z]+an) ([a-z]+)', 2) AS after_an
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** URL parsing family: crawl-style pipelines slice URLs into host /
+    * path / query params constantly (domain filtering, per-site quotas,
+    * canonicalization). Spark's parse_url is a codegen'd built-in; the
+    * oracle reproduces each slice with anchored regexps (DuckDB has no
+    * URL parser), which also documents the exact grammar subset relied
+    * on. The URL is assembled deterministically from fixture columns so
+    * the operator has a stable input without a crawl fixture. */
+  def fnUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", concat(lit("https://"), $"source",
+        lit(".example.com/docs/"), $"doc_id",
+        lit("?lang="), $"lang", lit("&n="), $"n_chars").as("url"))
+      .select($"doc_id", $"url",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY")).as("query"),
+        parse_url($"url", lit("QUERY"), lit("lang")).as("lang_param"))
+      .orderBy($"doc_id")
+  }
+
+  val fnUrlSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || source || '.example.com/docs/' || doc_id ||
+      |    '?lang=' || lang || '&n=' || n_chars AS url
+      |  FROM documents)
+      |SELECT doc_id, url,
+      |  regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+      |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+      |FROM u ORDER BY doc_id""".stripMargin
 }

@@ -76,6 +76,25 @@ class Round3Spec extends SparkSpec {
     assert(s.filter($"duration_us" < 0).isEmpty)
   }
 
+  test("hll sketch union estimates within 2% of exact and is repartition-stable") {
+    import spark.implicits._
+    val est = graft.operators.AggOps.aggSketchUnion(spark, sf)
+      .select($"event_type", $"approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.engine.Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= math.max(1L, (n * 0.02).toLong),
+        s"$k: est=${est(k)} exact=$n")
+    }
+    // merge result must not depend on partitioning (sketches commute)
+    val again = graft.operators.AggOps.aggSketchUnion(spark, sf).collect()
+    val once = graft.operators.AggOps.aggSketchUnion(spark, sf).collect()
+    assert(again.sameElements(once))
+  }
+
   test("tpch q5 returns only ASIA nations with positive revenue") {
     import spark.implicits._
     val rows = WorkloadOps.tpchQ5(spark, sf).collect()
