@@ -306,7 +306,7 @@ object CfOps {
     * (user-based kNN). Same shape: one self-join on the capped rating
     * stream sharing a single shuffle, decimal-exact moment sums,
     * MIN_SUPPORT ≥ 2 common items. */
-  private def userSimPairs(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def userSimPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "userSimPairs") {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Exact.sqlXsum
+
+/** Iterative graph analytics over derived similarity graphs — the
+  * second fixpoint-style operator family next to the dedup clustering:
+  * PageRank by power iteration over the user–user co-rating graph
+  * (users as nodes, capped cosine pairs as undirected edges).
+  *
+  * Determinism contract: FIXED-POINT INTEGER arithmetic. An iterative
+  * float computation cannot be made cross-engine reproducible by
+  * per-iteration decimal rounding alone: DuckDB's DECIMAL→DOUBLE cast
+  * is not always correctly rounded (int128 / 10^scale evaluated in
+  * binary), so a 1-ulp difference can flip the next rounding at the
+  * boundary — observed once in five chained iterations at sf0.01.
+  * Instead ranks are kept in BIGINT units of 1e-12 ([[SCALE]]):
+  * integer division and summation are bit-identical in every engine,
+  * iteration count is fixed (no data-dependent convergence test), and
+  * the ONLY float operation is the final `CAST(units AS DOUBLE) /
+  * 1e12` — a single correctly-rounded IEEE division on both sides.
+  * Truncation bias: each edge loses < 1 unit (1e-12) and each damping
+  * step < 1 unit, so total mass drifts < (|E|+|V|)·ITERS·1e-12 below
+  * 1.0 — invisible at the 6 decimals anyone reads, and the spec
+  * asserts mass ≈ 1.
+  *
+  * Scale notes (100 TB): each iteration is one join (edges ⋈ ranks,
+  * shuffling on the rank key) + one sum-aggregation on the destination
+  * — the textbook distributed PageRank step. Edge volume is bounded by
+  * the CF chain's per-item rater cap, and the rank table is one row
+  * per node. At cluster scale the edge table is the thing to
+  * co-partition (bucket by src) so every iteration reuses the same
+  * exchange; iterations beyond ~10 warrant checkpointing to cut
+  * lineage, exactly as with ALS. Fixed-point longs also make retried
+  * or speculative tasks byte-stable, the same property the Exact
+  * helpers buy for one-shot aggregations.
+  */
+object GraphOps {
+
+  /** Damping factor 0.85 as an exact rational. */
+  private val DAMP_NUM = 85L
+  private val DAMP_DEN = 100L
+  private val ITERS = 5
+  /** Rank mass 1.0 in fixed-point units (1e-12 per unit). Headroom:
+    * the largest intermediate is DAMP_NUM · Σcontrib ≤ 85·10^12,
+    * six orders below Long.MaxValue; per-node units ≥ 10^12/|V|,
+    * so contributions survive integer division by any realistic
+    * out-degree. */
+  private val SCALE = 1000000000000L
+
+  /** Undirected edge list (both directions) from the capped user–user
+    * cosine pairs, with per-source out-degree attached. */
+  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
+    pairs.union(pairs.select($"user_b".as("user_a"), $"user_a".as("user_b")))
+      .toDF("src", "dst")
+  }
+
+  /** PageRank after [[ITERS]] power iterations, damping 0.85.
+    * Every node appears in the edge list in both directions (the pair
+    * stream is symmetric), so out-degree ≥ 1 — no dangling-mass term. */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = edges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val n = deg.count() // driver scalar: node count only, never data
+    // Driver-side Long division == the oracle's `//` (operands > 0).
+    val base = (SCALE * (DAMP_DEN - DAMP_NUM) / DAMP_DEN) / n
+    var ranks = deg.select($"src".as("user_id"), lit(SCALE / n).as("prs"))
+    for (_ <- 1 to ITERS) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("user_id", "src"), "src")
+        .join(deg, "src")
+        .select($"dst".as("user_id"), expr("prs div outdeg").as("c"))
+      ranks = contrib.groupBy($"user_id")
+        .agg((lit(base) + expr(s"($DAMP_NUM * sum(c)) div $DAMP_DEN"))
+          .as("prs"))
+    }
+    val out = ranks
+      .select($"user_id", ($"prs".cast("double") / SCALE.toDouble).as("pr"))
+      .orderBy($"user_id")
+    e.unpersist()
+    out
+  }
+
+  /** Oracle: the same five iterations unrolled as chained CTEs over
+    * the identical capped user-pair graph, in the same BIGINT
+    * fixed-point units. DuckDB `//` floors and Spark `div` truncates,
+    * identical for the all-positive operands here; DuckDB's SUM over
+    * BIGINT widens to HUGEINT, still exact. */
+  val graphPagerankSql: String = {
+    val base =
+      s"""WITH ratings AS (
+         |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         |    ${sqlXsum("l_quantity")} AS rating
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |capped AS (
+         |  SELECT user_id, item_id, rating FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY item_id
+         |      ORDER BY rating DESC, user_id ASC) AS irk
+         |    FROM ratings) WHERE irk <= 16),
+         |pairs AS (
+         |  SELECT r1.user_id AS user_a, r2.user_id AS user_b
+         |  FROM capped r1 JOIN capped r2
+         |    ON r1.item_id = r2.item_id AND r1.user_id < r2.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |edges AS (
+         |  SELECT user_a AS src, user_b AS dst FROM pairs
+         |  UNION ALL SELECT user_b, user_a FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS user_id,
+         |  $SCALE // (SELECT n FROM nn) AS prs FROM deg)""".stripMargin
+    val iters = (1 to ITERS).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS user_id,
+         |    ($SCALE * ${DAMP_DEN - DAMP_NUM} // $DAMP_DEN) // (SELECT n FROM nn)
+         |      + ($DAMP_NUM * SUM(p.prs // d.outdeg)) // $DAMP_DEN AS prs
+         |  FROM edges e
+         |  JOIN pr${i - 1} p ON e.src = p.user_id
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT user_id,
+       |  CAST(prs AS DOUBLE) / CAST($SCALE AS DOUBLE) AS pr
+       |FROM pr$ITERS ORDER BY user_id""".stripMargin
+  }
+}

@@ -134,6 +134,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         df.queryExecution.executedPlan)
   }
 
+  test("sessionization shares one user_id exchange across lag, running sum, and agg") {
+    val plan = executedPlan(WindowOps.winSession(spark, sf))
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    // one exchange on user_id feeding both windows AND the session
+    // aggregation, plus the final presentation orderBy — never a third
+    assert(shuffles.size <= 2,
+      s"session windows + agg should share the user_id exchange:\n$plan")
+  }
+
+  test("CDC latest-wins compaction is one shuffle + per-key sort") {
+    val plan = executedPlan(SnapshotOps.upsertLatest(spark, sf))
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    // one exchange on user_id for both window functions, one output sort
+    assert(shuffles.size <= 2,
+      s"compaction must not shuffle beyond the key exchange:\n$plan")
+  }
+
+  test("tpch q5 broadcasts every dimension (one big-big shuffle pair at most)") {
+    val plan = executedPlan(WorkloadOps.tpchQ5(spark, sf))
+    val bhj = collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3,
+      s"region/nation/customer/supplier joins should broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val plan = executedPlan(FilterOps.filterPred(spark, sf))
     val spans = collectWithSubqueries(plan) {

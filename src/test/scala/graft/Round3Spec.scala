@@ -95,6 +95,18 @@ class Round3Spec extends SparkSpec {
     assert(again.sameElements(once))
   }
 
+  test("pagerank mass stays ~1, ranks positive, rerun-identical") {
+    import spark.implicits._
+    val pr = graft.operators.GraphOps.graphPagerank(spark, sf)
+    val rows = pr.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(1) > 0))
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 0.05, s"rank mass drifted: $mass")
+    val again = graft.operators.GraphOps.graphPagerank(spark, sf).collect()
+    assert(rows.sameElements(again), "power iteration must be deterministic")
+  }
+
   test("tpch q5 returns only ASIA nations with positive revenue") {
     import spark.implicits._
     val rows = WorkloadOps.tpchQ5(spark, sf).collect()
