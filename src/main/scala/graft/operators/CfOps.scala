@@ -618,4 +618,89 @@ object CfOps {
         rnd6($"rec.rating".cast("double")).as("score"))
       .orderBy($"user_id", $"rk")
   }
+
+  /** Weighted Slope One prediction (Lemire & Maclachlan 2005) — the
+    * third prediction rule next to item-kNN and ALS. For each ordered
+    * item pair (i → j) the deviation table keeps the co-rater count c
+    * and the rating-difference sum Σ(r_j − r_i); a user's score for an
+    * unseen item j is the support-weighted average over their rated
+    * items i:  score = Σᵢ(diff_sum(j,i) + r_ui·c(j,i)) / Σᵢ c(j,i).
+    * Folding the per-pair average dev(j,i) = diff_sum/c into that form
+    * keeps the numerator a single decimal-exact sum — ONE division at
+    * the very end instead of one per pair, which is both faster and
+    * what makes the result oracle-matchable.
+    *
+    * The deviation sums come FREE off the shared [[pairMoments]] pass
+    * (diff_sum(b,a) = Σrb − Σra = sy − sx), so Slope One adds no new
+    * self-join. Deviation partners per rated item are capped at the
+    * top-[[K_NEIGHBORS]] by support (tie → partner id) — same 100 TB
+    * fan-out bound as the kNN chain, applied identically in the
+    * oracle. */
+  def slopeOne(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = pairMoments(spark, sfDir)
+      .select($"item_a", $"item_b", $"sx", $"sy", $"n_common")
+    val devs = m.select($"item_a".as("i"), $"item_b".as("j"),
+        ($"sy" - $"sx").as("diff"), $"n_common".as("c"))
+      .union(m.select($"item_b".as("i"), $"item_a".as("j"),
+        ($"sx" - $"sy").as("diff"), $"n_common".as("c")))
+    val dw = Window.partitionBy($"i").orderBy($"c".desc, $"j".asc)
+    val capped = devs.withColumn("drk", row_number().over(dw))
+      .filter($"drk" <= K_NEIGHBORS)
+      .select($"i", $"j", $"diff", $"c")
+    val r = ratings(spark, sfDir)
+    val scored = r.join(capped, $"item_id" === $"i")
+      .groupBy($"user_id", $"j")
+      .agg((xsumFast($"diff" + $"rating" * $"c") / sum($"c")).as("score_raw"))
+    val unseen = scored.join(
+      r.select($"user_id".as("su"), $"item_id".as("si")),
+      $"user_id" === $"su" && $"j" === $"si", "left_anti")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"score".desc, $"item_id".asc)
+    unseen.select($"user_id", $"j".as("item_id"), rnd6($"score_raw").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TOP_N)
+      .select($"user_id", $"item_id", $"score", $"rk")
+      .orderBy($"user_id", $"rk")
+  }
+
+  val slopeOneSql: String =
+    s"""WITH $ratingsCte,
+       |$cappedCte,
+       |mom AS (
+       |  SELECT r1.item_id AS item_a, r2.item_id AS item_b,
+       |    COUNT(*) AS n_common,
+       |    ${sqlXsum("r1.rating")} AS sx, ${sqlXsum("r2.rating")} AS sy
+       |  FROM capped r1 JOIN capped r2
+       |    ON r1.user_id = r2.user_id AND r1.item_id < r2.item_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT),
+       |devs AS (
+       |  SELECT item_a AS i, item_b AS j, sy - sx AS diff, n_common AS c
+       |  FROM mom
+       |  UNION ALL
+       |  SELECT item_b, item_a, sx - sy, n_common FROM mom),
+       |dcapped AS (
+       |  SELECT i, j, diff, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY i
+       |      ORDER BY c DESC, j ASC) AS drk
+       |    FROM devs) WHERE drk <= $K_NEIGHBORS),
+       |scored AS (
+       |  SELECT r.user_id, d.j,
+       |    ${sqlXsum("d.diff + r.rating * d.c")} / SUM(d.c) AS score_raw
+       |  FROM ratings r JOIN dcapped d ON r.item_id = d.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  ANTI JOIN ratings r
+       |    ON s.user_id = r.user_id AND s.j = r.item_id),
+       |ranked AS (
+       |  SELECT user_id, j AS item_id,
+       |    ${sqlRnd6("score_raw")} AS score,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ${sqlRnd6("score_raw")} DESC, j ASC) AS rk
+       |  FROM unseen)
+       |SELECT user_id, item_id, score, rk
+       |FROM ranked WHERE rk <= $TOP_N
+       |ORDER BY user_id, rk""".stripMargin
 }

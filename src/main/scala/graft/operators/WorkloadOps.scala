@@ -144,4 +144,46 @@ object WorkloadOps {
        |GROUP BY c_custkey, c_name, c_acctbal, n_name
        |ORDER BY revenue DESC, c_custkey ASC
        |LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 (large-volume customer): orders whose total line
+    * quantity exceeds a threshold, reported with their customer. The
+    * textbook form is `o_orderkey IN (SELECT … HAVING sum > T)` plus a
+    * RE-aggregation after the join; because the quantity aggregation is
+    * keyed by the same l_orderkey the join uses, the engine form
+    * pre-aggregates lineitem ONCE and joins the (much smaller) heavy
+    * tail — at 100 TB the fact table collapses to |orders| rows before
+    * any join, and the > T filter then keeps only the ~0.1 % tail, so
+    * the customer join probes thousands of rows, not billions. The
+    * oracle spells the same shape as a CTE (semantically the IN form —
+    * one row per qualifying order). */
+  def tpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity")
+      .groupBy($"l_orderkey")
+      .agg(xsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 300.0)
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
+    big.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  val tpchQ18Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${sqlXsum("l_quantity")} AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING ${sqlXsum("l_quantity")} > 300.0)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       |  o_totalprice, sum_qty
+       |FROM big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey ASC
+       |LIMIT 100""".stripMargin
 }
