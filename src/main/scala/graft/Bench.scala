@@ -21,7 +21,8 @@ object Bench {
     "q_cf_als", "q_dedup_minhash_lsh", "q_dedup_near",
     "q_simsearch_topk", "q_simsearch_ivf", "q_text_tfidf",
     "q_stream_sliding", "q_stream_tws",
-    "q_tpch_q5", "q_dedup_cluster", "q_win_session")
+    "q_tpch_q5", "q_tpch_q18", "q_cf_slope_one",
+    "q_dedup_cluster", "q_win_session")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,11 +48,21 @@ object Bench {
     // pair moments, a table's first cold scan) changed per build and
     // made per-query numbers incomparable round-over-round. Sorted
     // order pins the assignment deterministically.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // SPARK_GRAFT_BENCH_REPS (default 1, driver unchanged): report the
+    // per-query MIN over n reps so a single noisy draw on this shared
+    // host (±2× documented in BASELINE.md) can't masquerade as a
+    // regression. Reps run as full passes (rep 1 pays every one-time
+    // shared build, exactly like today's single pass) so rep-1-only
+    // numbers stay comparable with earlier rounds.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = (1 to reps).map { _ =>
+      sortedQueries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     // Locale.ROOT: f"%.3f" under a comma-decimal JVM locale would emit
     // 0,123 and break the JSON line.
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -49,6 +49,28 @@ class CfSpec extends SparkSpec {
     assert(rec.join(seen, Seq("user_id", "item_id"), "inner").count() == 0)
   }
 
+  test("slope-one predictions skip seen items, respect top-N, and rank densely") {
+    import graft.operators.CfOps
+    import spark.implicits._
+    val rec = CfOps.slopeOne(spark, sf)
+    val seen = CfOps.ratingsDerive(spark, sf).select($"user_id", $"item_id")
+    assert(rec.join(seen, Seq("user_id", "item_id"), "inner").count() == 0,
+      "slope-one recommended an already-rated item")
+    assert(rec.filter($"rk" > 5).count() == 0, "rank exceeded TOP_N")
+    // rk dense 1..n per user, score non-increasing in rk
+    val bad = rec.select($"user_id", $"item_id", $"score", $"rk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+      .groupBy(_._1).values.count { rows =>
+        val sorted = rows.sortBy(_._4)
+        sorted.map(_._4) != (1 to sorted.size).toSeq ||
+          sorted.sliding(2).exists {
+            case Seq(x, y) => y._3 > x._3
+            case _ => false
+          }
+      }
+    assert(bad == 0)
+  }
+
   test("ALS is deterministic under a fixed seed and beats the trivial bound") {
     val a = CfOps.als(spark, sf).collect()
     val b = CfOps.als(spark, sf).collect()

@@ -158,6 +158,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"region/nation/customer/supplier joins should broadcast:\n$plan")
   }
 
+  test("tpch q18 pre-aggregates lineitem below the join and top-100s without a full sort") {
+    val plan = executedPlan(WorkloadOps.tpchQ18(spark, sf))
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected joins in:\n$plan")
+    // the quantity aggregation must sit BELOW the joins (fact collapses
+    // to |orders| rows before any probe — the 100 TB shape), never after
+    val aggUnderJoin = joins.exists(j => collectWithSubqueries(j) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty)
+    assert(aggUnderJoin, s"lineitem aggregation did not stay below the join:\n$plan")
+    assert(collectWithSubqueries(plan) {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProjectExec for ORDER BY+LIMIT 100:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val plan = executedPlan(FilterOps.filterPred(spark, sf))
     val spans = collectWithSubqueries(plan) {
