@@ -22,8 +22,12 @@ import graft.functions.Udfs.{rnd6, sqlRnd6}
   * - The n-gram/minhash self-joins are inverted-index joins: the join
   *   key is the shingle/band, so only docs sharing a key ever meet —
   *   never an all-pairs product. Hot shingles (stop-shingles) are the
-  *   skew hazard; the standard cap is dropping shingles above a
-  *   doc-frequency ceiling (AQE skew-join handles the residue).
+  *   skew hazard: one corpus-universal trigram makes an O(df²) pair
+  *   blowup on a single shuffle key. The cap is a doc-frequency
+  *   ceiling — [[informativeShingles]] drops shingles present in more
+  *   than half the corpus (df·2 > n_docs, integer-exact) from the
+  *   dedup universe before any index join, mirrored in every dedup
+  *   oracle CTE; AQE skew-join handles sub-ceiling residue.
   * - SimHash reduces each doc to 8 bytes map-side; near-pair search
   *   then bucketizes by bit-bands exactly like MinHash-LSH.
   */
@@ -54,21 +58,45 @@ object DedupOps {
   private val tokensCte =
     "toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)"
 
-  /** Distinct 3-gram word shingles per doc — the dedup universe for
-    * both exact-Jaccard and MinHash (a shingle universe keeps LSH
-    * bands discriminative even over a tiny vocabulary, where raw
-    * token sets would collide almost everywhere). */
+  /** Distinct 3-gram word shingles per doc with the hot-shingle
+    * doc-frequency ceiling applied: shingles present in more than half
+    * the corpus (df·2 > n_docs — integer arithmetic, so Spark and the
+    * oracle agree exactly) are stop-shingles and are dropped from the
+    * dedup universe, guarded by an absolute floor (df > 4) so a
+    * handful-of-docs corpus — where every legitimately shared shingle
+    * exceeds half the corpus — never loses its dup signal. A shingle
+    * universe keeps LSH bands discriminative
+    * even over a tiny vocabulary, where raw token sets would collide
+    * almost everywhere; the ceiling is what keeps the inverted-index
+    * self-join from exploding O(df²) on one corpus-universal trigram
+    * at 100 TB. The hot list is by construction tiny (each hot shingle
+    * needs > n_docs/2 occurrences, so there are < 2·(shingles/doc) of
+    * them), so the exclusion is a broadcast anti-join — map-side, no
+    * extra shuffle of the index. Takes the documents DataFrame (not a
+    * path) so specs can feed a synthetic hot-shingle corpus. */
+  private[graft] def informativeShingles(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val raw = docs
+      .select($"doc_id", split(lower($"text"), " ").as("t"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(t) >= 3
+          |  THEN transform(sequence(0, size(t) - 3),
+          |         i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3)))
+          |  ELSE cast(array() as array<string>) END""".stripMargin)).as("shingle"))
+      .distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val hot = raw.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs) // 1-row broadcast
+      .filter($"df" * 2 > $"n_docs" && $"df" > 4)
+      .select($"shingle")
+    raw.join(hot, Seq("shingle"), "left_anti")
+      .select($"doc_id", $"shingle")
+  }
+
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "shingles") {
-      import spark.implicits._
-      Tables.documents(spark, sfDir)
-        .select($"doc_id", split(lower($"text"), " ").as("t"))
-        .select($"doc_id", explode(expr(
-          """CASE WHEN size(t) >= 3
-            |  THEN transform(sequence(0, size(t) - 3),
-            |         i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3)))
-            |  ELSE cast(array() as array<string>) END""".stripMargin)).as("shingle"))
-        .distinct()
+      informativeShingles(Tables.documents(spark, sfDir))
     }
 
   private val shinglesCte =
@@ -76,12 +104,18 @@ object DedupOps {
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
       |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
       |  FROM documents),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT a.doc_id,
       |    a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
       |  FROM pt a
       |  JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      |  JOIN pt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)""".stripMargin
+      |  JOIN pt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM sh0
+      |  WHERE shingle NOT IN (
+      |    SELECT shingle FROM sh0 GROUP BY shingle
+      |    HAVING count(*) * 2 > (SELECT count(*) FROM documents)
+      |      AND count(*) > 4))""".stripMargin
 
   /** Exact dedup: deterministic survivor = min(doc_id) per content key
     * (the 100 TB form: group on md5, not the body). */
@@ -272,6 +306,26 @@ object DedupOps {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id")
     val pairs = nearPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    hashMinLabels(docs, pairs).orderBy($"doc_id")
+  }
+
+  /** The hash-min propagation loop behind [[dedupCluster]], over an
+    * arbitrary (docs, undirected pair) graph so specs can drive it with
+    * synthetic deep components (a path graph needs diameter rounds —
+    * the worst case the fixture's shallow dup families never reach).
+    * Each generation is an EAGER localCheckpoint, not a plain persist:
+    * every round references the previous labels twice (once in the
+    * union, once under the edge join), so an un-truncated logical plan
+    * DOUBLES per round — by round ~10 Catalyst analysis and AQE's plan
+    * stringification dominate (and can OOM on) the actual data work,
+    * which a persist alone does not prevent because persisted frames
+    * keep their full lineage. localCheckpoint materializes to executor
+    * storage (which the per-round convergence count pays for anyway)
+    * and cuts the plan to a leaf; at cluster scale with flaky
+    * executors, `checkpoint()` to reliable storage is the swap-in. */
+  private[graft] def hashMinLabels(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val edges = pairs.union(
       pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -286,7 +340,7 @@ object DedupOps {
           .select($"doc_b".as("doc_id"), $"label")
         val next = labels.select($"doc_id", $"label").union(viaEdges)
           .groupBy($"doc_id").agg(min($"label").as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val changed = next.join(
             labels.select($"doc_id".as("od"), $"label".as("ol")),
             $"doc_id" === $"od")
@@ -300,7 +354,6 @@ object DedupOps {
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, $"label" === $"cl")
         .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
-        .orderBy($"doc_id")
     } finally edges.unpersist()
   }
 

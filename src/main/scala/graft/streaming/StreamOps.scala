@@ -189,6 +189,71 @@ object StreamOps {
        |FROM s GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Watermark late-data semantics, driver-visible (SURVEY.md §2.9
+    * "late data"): a 1-hour tumbling aggregation with a 30-minute
+    * watermark, replayed in TWO micro-batches split by event_id % 3 —
+    * batch 2 is genuinely out-of-order (it holds rows older than batch
+    * 1's max), so rows whose window closed under batch 1's watermark
+    * are DROPPED, and append mode emits only windows finalized by the
+    * final watermark. The batch twin reproduces both predicates
+    * exactly: wm_k = ms-truncated max(ts observed through batch k) −
+    * 30 min (Spark tracks event time in milliseconds while the fixture
+    * carries microseconds — the truncation is part of the contract);
+    * a batch-2 row is dropped iff its window end ≤ wm1; a window is
+    * emitted iff its end ≤ wm2. At 100 TB the same watermark bounds
+    * the state store: without it every hour-window ever seen stays
+    * resident forever. */
+  def streamLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val (b1, b2) = rows.partition(_.event_id % 3 != 0)
+    val source = MemoryStream[Ev](spark)
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = source.toDS()
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        source.addData(b1)
+        q.processAllAvailable()
+        source.addData(b2)
+        q.processAllAvailable()
+        // one empty batch so the watermark advanced by batch 2 flushes
+        // its newly-finalized windows deterministically
+        source.addData(Seq.empty[Ev])
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sinkName).orderBy($"ws", $"event_type")
+  }
+
+  val streamLateDataSql: String =
+    s"""WITH b1 AS (SELECT * FROM events WHERE event_id % 3 <> 0),
+       |b2 AS (SELECT * FROM events WHERE event_id % 3 = 0),
+       |wm1 AS (SELECT date_trunc('milliseconds', max(ts))
+       |  - INTERVAL '30 minutes' AS w FROM b1),
+       |wm2 AS (SELECT date_trunc('milliseconds', max(ts))
+       |  - INTERVAL '30 minutes' AS w FROM events),
+       |kept AS (
+       |  SELECT ts, event_type, value FROM b1
+       |  UNION ALL
+       |  SELECT ts, event_type, value FROM b2
+       |  WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+       |    > (SELECT w FROM wm1)),
+       |agg AS (
+       |  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       |    COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
+       |  FROM kept GROUP BY 1, 2)
+       |SELECT ws, event_type, n, sum_value FROM agg
+       |WHERE ws + INTERVAL '1 hour' <= (SELECT w FROM wm2)
+       |ORDER BY ws, event_type""".stripMargin
+
   /** Stateful streaming dedup on (user_id, event_type) within the
     * watermark (append mode): first occurrence of each key passes. */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {

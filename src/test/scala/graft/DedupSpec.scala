@@ -53,6 +53,42 @@ class DedupSpec extends SparkSpec {
       s"near-dup hamming too large: ${java.lang.Long.bitCount(sh(1L) ^ sh(3L))}")
   }
 
+  test("hot shingles above the doc-frequency ceiling are excluded from the dedup index") {
+    import spark.implicits._
+    // "end user license" appears in 6 of 8 docs: df=6 > 4 and 12 > 8 ⇒
+    // stop-shingle, dropped; each doc's private trigrams (df=1) stay.
+    val boiler = "end user license"
+    val docs = (1L to 6L).map(i =>
+      (i, s"$boiler uniq${i}a uniq${i}b uniq${i}c")) ++ Seq(
+      (7L, "seven alpha beta gamma delta epsilon"),
+      (8L, "eight zeta eta theta iota kappa"))
+    val df = docs.toDF("doc_id", "text")
+    val kept = DedupOps.informativeShingles(df)
+      .select($"shingle").distinct().as[String].collect().toSet
+    assert(!kept.contains("end user license"), "stop-shingle survived the ceiling")
+    assert(kept.contains("uniq1a uniq1b uniq1c"), "informative shingle was dropped")
+    assert(kept.contains("seven alpha beta"))
+    // trigrams straddling the boilerplate boundary ("user license
+    // uniqNa") differ per doc (df=1) and must be KEPT — the ceiling
+    // removes exactly the universal trigram, not its neighborhood
+    assert(kept.contains("user license uniq1a"))
+  }
+
+  test("hash-min clustering converges on a deep path graph (diameter >> round count heuristics)") {
+    import spark.implicits._
+    // 24-doc path graph: 1-2-3-...-24. Hash-min needs ~diameter rounds,
+    // crossing two localCheckpoint generations (rounds 10 and 20) —
+    // the lineage-truncation path a shallow dup family never exercises.
+    val n = 24
+    val docs = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.hashMinLabels(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 1L), s"path graph must collapse to one cluster: ${labels.toSeq}")
+    assert(labels.forall(_._3 == n.toLong))
+  }
+
   test("n-gram jaccard is 1.0 only for identical shingle sets") {
     import spark.implicits._
     val a = "one two three four five six seven eight nine ten"

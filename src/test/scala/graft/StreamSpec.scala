@@ -67,6 +67,18 @@ class StreamSpec extends SparkSpec {
     assert(n0.map(_.getLong(1)).toSeq == Seq(30L))
   }
 
+  test("q_stream_late_data drops a nonzero late tail (non-vacuous replay)") {
+    import spark.implicits._
+    val out = graft.streaming.StreamOps.streamLateData(spark, sf)
+    val emitted = out.agg(sum($"n")).collect()(0).getLong(0)
+    val total = graft.engine.Tables.events(spark, sf).count()
+    assert(emitted > 0, "late-data replay emitted nothing")
+    // batch 2 contains rows in windows closed by batch 1's watermark
+    // AND append mode withholds the unfinalized tail — both must bite
+    assert(emitted < total,
+      s"no rows dropped: emitted=$emitted total=$total — the replay is vacuous")
+  }
+
   test("operators are source-agnostic: file stream source gives the same result") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fstream").toString
