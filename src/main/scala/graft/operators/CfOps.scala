@@ -619,6 +619,38 @@ object CfOps {
       .orderBy($"user_id", $"rk")
   }
 
+  /** Implicit-feedback ALS (Hu, Koren & Volinsky, "Collaborative
+    * Filtering for Implicit Feedback Datasets", ICDM'08) on the same
+    * derived quantities — which ARE implicit feedback (purchase
+    * volumes, not expressed preferences), so `setImplicitPrefs(true)`
+    * is the statistically honest MLlib configuration next to [[als]]'s
+    * explicit form: the quantity becomes a CONFIDENCE weight
+    * (c = 1 + alpha·r) on a binary preference, instead of a value to
+    * regress to. Same seed/rank/iteration budget as [[als]] so the two
+    * factorizations are comparable. No SQL oracle (iterative);
+    * seeded-rerun determinism + an interacted-items ranking bound live
+    * in Round4Spec. */
+  def alsImplicit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.recommendation.ALS
+    val r = ratings(spark, sfDir)
+      .select($"user_id".cast("int").as("user"),
+        $"item_id".cast("int").as("item"),
+        $"rating".cast("float").as("rating"))
+    val model = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(10).setMaxIter(5).setRegParam(0.1).setSeed(42L)
+      .setImplicitPrefs(true).setAlpha(1.0).setColdStartStrategy("drop")
+      .fit(r)
+    model.recommendForAllUsers(10)
+      .select($"user".as("user_id"),
+        posexplode($"recommendations").as(Seq("rk0", "rec")))
+      .select($"user_id", ($"rk0" + 1).as("rk"),
+        $"rec.item".as("item_id"),
+        rnd6($"rec.rating".cast("double")).as("score"))
+      .orderBy($"user_id", $"rk")
+  }
+
   /** Weighted Slope One prediction (Lemire & Maclachlan 2005) — the
     * third prediction rule next to item-kNN and ALS. For each ordered
     * item pair (i → j) the deviation table keeps the co-rater count c

@@ -86,6 +86,50 @@ object GraphOps {
     out
   }
 
+  /** Data-dependent convergence variant of [[graphPagerank]]: iterate
+    * until the max per-node rank change drops below `epsUnits`
+    * (fixed-point units of 1e-12), instead of a fixed count. Spec-only
+    * — the oracled query keeps the fixed unroll because a chained-CTE
+    * twin needs a static iteration count; this variant proves the
+    * fixpoint is actually reached and stable, which the fixed unroll
+    * cannot. Each generation is an eager localCheckpoint (same
+    * doubling-lineage argument as [[DedupOps.hashMinLabels]]: ranks
+    * feed both the contribution join and the delta join). Returns the
+    * final ranks and the number of iterations used. */
+  private[graft] def pagerankConverged(spark: SparkSession, sfDir: String,
+      epsUnits: Long, maxIters: Int = 60): (DataFrame, Int) = {
+    import spark.implicits._
+    val e = edges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val n = deg.count()
+    val base = (SCALE * (DAMP_DEN - DAMP_NUM) / DAMP_DEN) / n
+    var ranks = deg.select($"src".as("user_id"), lit(SCALE / n).as("prs"))
+      .localCheckpoint(true)
+    var it = 0
+    var delta = Long.MaxValue
+    while (delta >= epsUnits && it < maxIters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("user_id", "src"), "src")
+        .join(deg, "src")
+        .select($"dst".as("user_id"), expr("prs div outdeg").as("c"))
+      val next = contrib.groupBy($"user_id")
+        .agg((lit(base) + expr(s"($DAMP_NUM * sum(c)) div $DAMP_DEN"))
+          .as("prs"))
+        .localCheckpoint(true)
+      delta = next
+        .join(ranks.select($"user_id", $"prs".as("prev")), "user_id")
+        .agg(max(abs($"prs" - $"prev"))).collect()(0).getLong(0)
+      ranks = next
+      it += 1
+    }
+    e.unpersist()
+    val out = ranks
+      .select($"user_id", ($"prs".cast("double") / SCALE.toDouble).as("pr"))
+      .orderBy($"user_id")
+    (out, it)
+  }
+
   /** Oracle: the same five iterations unrolled as chained CTEs over
     * the identical capped user-pair graph, in the same BIGINT
     * fixed-point units. DuckDB `//` floors and Spark `div` truncates,

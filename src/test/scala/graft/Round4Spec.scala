@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CfOps, GraphOps}
+
+/** Round-4 additions: data-dependent PageRank convergence and the
+  * implicit-feedback ALS variant (both iterative — no SQL oracle, so
+  * their correctness story lives here). */
+class Round4Spec extends SparkSpec {
+
+  test("pagerank converges to a stable fixpoint under a data-dependent delta test") {
+    val eps = 10000000L // 1e7 units = 1e-5 rank mass
+    val (ranks, iters) = GraphOps.pagerankConverged(spark, sf, eps)
+    // loop exit with iters < maxIters proves max per-node delta < eps
+    assert(iters > 0 && iters < 60, s"did not converge: iters=$iters")
+    val prs = ranks.collect().map(_.getDouble(1))
+    assert(prs.forall(p => p > 0.0 && p < 1.0))
+    // fixed-point truncation drifts mass only DOWN, and only slightly
+    val mass = prs.sum
+    assert(mass <= 1.0 + 1e-9 && mass > 0.98, s"mass=$mass")
+    // integer arithmetic ⇒ the converged ranks are rerun-identical
+    val (again, iters2) = GraphOps.pagerankConverged(spark, sf, eps)
+    assert(iters2 == iters)
+    assert(again.collect().toSeq == ranks.collect().toSeq)
+  }
+
+  test("implicit-feedback ALS is seed-stable and ranks interacted items above chance") {
+    import spark.implicits._
+    val a = CfOps.alsImplicit(spark, sf).collect()
+    val b = CfOps.alsImplicit(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "seeded implicit ALS must be rerun-stable")
+    assert(a.nonEmpty)
+    // ranking bound: implicit ALS reconstructs confidence-weighted
+    // preference, so a user's top-10 should contain at least one item
+    // they actually interacted with far more often than a random
+    // top-10 would (10/n_items per draw)
+    val recs = CfOps.alsImplicit(spark, sf).select($"user_id", $"item_id")
+    val seen = CfOps.ratingsDerive(spark, sf).select($"user_id", $"item_id")
+    val nUsers = recs.select($"user_id").distinct().count().toDouble
+    val nItems = seen.select($"item_id").distinct().count().toDouble
+    val hitUsers = recs.join(seen, Seq("user_id", "item_id"), "inner")
+      .select($"user_id").distinct().count().toDouble
+    val hitRate = hitUsers / nUsers
+    val chance = math.min(1.0, 10.0 / nItems * 10.0) // ≈ P(≥1 hit) upper bound × slack
+    assert(hitRate > math.max(0.2, chance),
+      s"hitRate=$hitRate chance≈$chance nItems=$nItems — factorization is not ranking")
+  }
+}
