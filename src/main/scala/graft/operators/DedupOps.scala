@@ -357,7 +357,9 @@ object DedupOps {
     } finally edges.unpersist()
   }
 
-  val dedupClusterSql: String =
+  /** Shared CTE chain for the clustering oracles: near-pair edges →
+    * recursive reachability closure → min-label components + sizes. */
+  private val clusterCtesSql: String =
     s"""WITH RECURSIVE $shinglesCte,
        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |shared AS (
@@ -380,9 +382,122 @@ object DedupOps {
        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
        |  FROM reach GROUP BY src),
        |sizes AS (SELECT cluster_id, count(*) AS cluster_size
-       |  FROM comp GROUP BY cluster_id)
+       |  FROM comp GROUP BY cluster_id)""".stripMargin
+
+  val dedupClusterSql: String =
+    s"""$clusterCtesSql
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM comp c JOIN sizes s USING (cluster_id)
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the deep-component upgrade to
+    * [[hashMinLabels]]: hash-min needs DIAMETER rounds (a 10M-doc
+    * chain of pairwise near-dups — common in crawl data with rolling
+    * boilerplate — needs 10M rounds), while star contraction converges
+    * in O(log n) rounds regardless of diameter, using the same
+    * join+min building blocks.
+    *
+    * Edges are kept canonical (hi > lo). Large-star: every node u
+    * re-points its LARGER neighbors at m = min(Γ(u) ∪ {u}) — one
+    * groupBy(u) + join, shuffling on u. Small-star: every hi re-points
+    * its smaller neighbors (and itself) at m = min(its lo's). Both
+    * preserve connectivity and monotonically pull components onto
+    * their minimum; at the fixpoint every edge is (node, component
+    * root) — a star. Convergence is detected with exact symmetric
+    * set difference (two anti-joins), never a lossy checksum; the
+    * only driver-side values are per-round counts. Per-round eager
+    * localCheckpoints cut the doubling lineage exactly as in
+    * [[hashMinLabels]].
+    *
+    * Registered as `q_dedup_cluster_star` against the SAME recursive-
+    * CTE oracle as `q_dedup_cluster`: both must produce the identical
+    * min-reachable labeling — an algorithm-level differential test,
+    * not just a property check. */
+  private[graft] def largeSmallStarLabels(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest($"doc_a", $"doc_b").as("hi"),
+        least($"doc_a", $"doc_b").as("lo"))
+      .filter($"hi" =!= $"lo").distinct()
+    var edges = canon(pairs).localCheckpoint(true)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // large-star: neighborhoods in both directions
+      val nbrs = edges.select($"hi".as("u"), $"lo".as("v"))
+        .union(edges.select($"lo".as("u"), $"hi".as("v")))
+      val mins = nbrs.groupBy($"u")
+        .agg(least(min($"v"), first($"u")).as("m"))
+      val large = nbrs.join(mins, "u").filter($"v" > $"u")
+        .select($"v".as("doc_a"), $"m".as("doc_b"))
+      val afterLarge = canon(large).localCheckpoint(true)
+      // small-star: each hi re-points {its lo's} ∪ {itself} at min(lo)
+      val smins = afterLarge.groupBy($"hi").agg(min($"lo").as("m"))
+      val small = afterLarge.join(smins, "hi")
+        .select($"lo".as("doc_a"), $"m".as("doc_b"))
+        .union(smins.select($"hi".as("doc_a"), $"m".as("doc_b")))
+      val next = canon(small).localCheckpoint(true)
+      val changed =
+        next.join(edges, Seq("hi", "lo"), "left_anti").count() +
+          edges.join(next, Seq("hi", "lo"), "left_anti").count()
+      edges = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val labels = docs.select($"doc_id")
+      .join(edges.select($"hi".as("doc_id"), $"lo".as("root")), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"root", $"doc_id").as("label"))
+    val sizes = labels.groupBy($"label".as("cl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, $"label" === $"cl")
+      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
+  }
+
+  /** [[dedupCluster]] with the star-contraction backend — same pair
+    * graph, same output contract, O(log n) rounds instead of
+    * O(diameter). */
+  def dedupClusterStar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val pairs = nearPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    largeSmallStarLabels(docs, pairs).orderBy($"doc_id")
+  }
+
+  val dedupClusterStarSql: String = dedupClusterSql
+
+  /** The dedup pipeline's actual DELIVERABLE: the corpus after
+    * near-dup removal — one survivor (the cluster minimum, matching
+    * [[dedupExact]]'s deterministic min-id rule) per connected
+    * component, annotated with how many near-dups it absorbed. At
+    * 100 TB this is the query a training-data pipeline materializes;
+    * everything upstream (shingles, LSH, clustering) exists to make
+    * this one cheap and correct. Survivor selection is a filter on the
+    * labels (doc_id == cluster_id), not another aggregation — the
+    * component root IS the min by construction. */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val labels = hashMinLabels(
+      docs.select($"doc_id"),
+      nearPairs(spark, sfDir).select($"doc_a", $"doc_b"))
+    labels.filter($"doc_id" === $"cluster_id")
+      .select($"doc_id", ($"cluster_size" - 1).as("n_dups_removed"))
+      .join(docs.select($"doc_id", $"lang", $"n_chars"), "doc_id")
+      .select($"doc_id", $"lang", $"n_chars", $"n_dups_removed")
+      .orderBy($"doc_id")
+  }
+
+  val dedupSurvivorsSql: String =
+    s"""$clusterCtesSql
+       |SELECT c.doc_id, d.lang, d.n_chars,
+       |  s.cluster_size - 1 AS n_dups_removed
+       |FROM comp c
+       |JOIN sizes s USING (cluster_id)
+       |JOIN documents d ON d.doc_id = c.doc_id
+       |WHERE c.doc_id = c.cluster_id
        |ORDER BY c.doc_id""".stripMargin
 
   /** Embedding-cosine near-dup, blocked by label (the IVF-style

@@ -89,6 +89,29 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._3 == n.toLong))
   }
 
+  test("large/small-star contraction agrees with hash-min on path and random graphs") {
+    import spark.implicits._
+    // deep path graph — star contraction's O(log n) advantage case
+    val n = 24
+    val docs = (1L to n.toLong).toDF("doc_id")
+    val path = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val a = DedupOps.hashMinLabels(docs, path).orderBy("doc_id").collect().toSeq
+    val b = DedupOps.largeSmallStarLabels(docs, path).orderBy("doc_id").collect().toSeq
+    assert(a == b, "star labels diverge from hash-min on the path graph")
+    // deterministic pseudo-random multigraph: mixed component sizes,
+    // duplicate and reversed edges included on purpose
+    val m = 40L
+    val docs2 = (1L to m).toDF("doc_id")
+    val rnd = (1 to 60).map { i =>
+      val x = (i * 1103515245L + 12345L) % m + 1
+      val y = (i * 69069L + 1L) % m + 1
+      (x, y)
+    }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val a2 = DedupOps.hashMinLabels(docs2, rnd).orderBy("doc_id").collect().toSeq
+    val b2 = DedupOps.largeSmallStarLabels(docs2, rnd).orderBy("doc_id").collect().toSeq
+    assert(a2 == b2, "star labels diverge from hash-min on the random graph")
+  }
+
   test("n-gram jaccard is 1.0 only for identical shingle sets") {
     import spark.implicits._
     val a = "one two three four five six seven eight nine ten"
