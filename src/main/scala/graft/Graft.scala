@@ -37,6 +37,8 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def userSimilarity(): DataFrame = CfOps.userCosine(spark, dataDir)
   def recommendations(): DataFrame = CfOps.predictKnn(spark, dataDir)
   def recommendationsAls(): DataFrame = CfOps.als(spark, dataDir)
+  def recommendationsAlsImplicit(): DataFrame = CfOps.alsImplicit(spark, dataDir)
+  def recommendationsSlopeOne(): DataFrame = CfOps.slopeOne(spark, dataDir)
   def recommenderRmse(): DataFrame = CfOps.evalRmse(spark, dataDir)
 
   // — LLM-data-pipeline surface —
@@ -44,6 +46,8 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def nearDuplicates(): DataFrame = DedupOps.dedupNear(spark, dataDir)
   def nearDuplicatesMinhash(): DataFrame = DedupOps.dedupMinhashLsh(spark, dataDir)
   def nearDuplicatesSimhash(): DataFrame = DedupOps.dedupSimhash(spark, dataDir)
+  def nearDuplicatesSimhashPairs(): DataFrame = DedupOps.dedupSimhashPairs(spark, dataDir)
+  def containedDocuments(): DataFrame = DedupOps.dedupContainment(spark, dataDir)
   def nearDuplicatesEmbedding(): DataFrame = DedupOps.dedupEmbed(spark, dataDir)
   def similarVectors(): DataFrame = SimOps.simsearchTopk(spark, dataDir)
   def similarVectorsIvf(): DataFrame = SimOps.simsearchIvf(spark, dataDir)
@@ -66,8 +70,10 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   // — user-based CF (the transpose chain) —
   def recommendationsUserBased(): DataFrame = CfOps.predictUserKnn(spark, dataDir)
 
-  // — dedup clustering (pairs → groups) —
+  // — dedup clustering (pairs → groups → deduplicated corpus) —
   def duplicateClusters(): DataFrame = DedupOps.dedupCluster(spark, dataDir)
+  def duplicateClustersStar(): DataFrame = DedupOps.dedupClusterStar(spark, dataDir)
+  def dedupedCorpus(): DataFrame = DedupOps.dedupSurvivors(spark, dataDir)
 
   // — changelog → snapshot —
   def currentSnapshot(): DataFrame = SnapshotOps.upsertLatest(spark, dataDir)

@@ -133,11 +133,13 @@ object DedupOps {
       |  md5(text) AS text_md5
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
-  /** Unsorted near-dup pair stream (3-gram Jaccard ≥ 0.1 through the
-    * inverted shingle index) — shared by [[dedupNear]] and the
-    * connected-components clustering in [[dedupCluster]]. */
-  private def nearPairs(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "nearPairs") {
+  /** Pairs sharing ≥1 shingle, with shared count and each side's
+    * shingle-set size — ONE inverted-index self-join feeding both the
+    * Jaccard family ([[nearPairs]]) and the containment detector
+    * ([[dedupContainment]], which needs pairs a Jaccard threshold
+    * would discard: a small doc fully inside a big one). */
+  private def sharedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "sharedPairs") {
       import spark.implicits._
       val sh = shingles(spark, sfDir)
       val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
@@ -147,6 +149,16 @@ object DedupOps {
         .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
         .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
         .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+        .select($"doc_a", $"doc_b", $"shared", $"na", $"nb")
+    }
+
+  /** Unsorted near-dup pair stream (3-gram Jaccard ≥ 0.1 through the
+    * inverted shingle index) — shared by [[dedupNear]] and the
+    * connected-components clustering in [[dedupCluster]]. */
+  private def nearPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "nearPairs") {
+      import spark.implicits._
+      sharedPairs(spark, sfDir)
         .select($"doc_a", $"doc_b", $"shared",
           rnd6($"shared" / ($"na" + $"nb" - $"shared")).as("jaccard"))
         .filter($"jaccard" >= 0.1)
@@ -172,6 +184,38 @@ object DedupOps {
        |JOIN counts ca ON s.doc_a = ca.doc_id
        |JOIN counts cb ON s.doc_b = cb.doc_id
        |WHERE ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} >= 0.1
+       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+
+  /** Shingle containment (Broder's resemblance companion):
+    * C = shared / min(|A|, |B|) ≥ 0.8 — catches a short document
+    * embedded verbatim in a long one, which Jaccard structurally
+    * misses (|A∩B|/|A∪B| stays small when |B| ≫ |A|). The standard
+    * quote/boilerplate-inclusion detector in crawl pipelines, and at
+    * 100 TB it is FREE given the Jaccard family: both read the same
+    * [[sharedPairs]] self-join, so adding containment adds zero
+    * shuffles. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sharedPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"shared",
+        rnd6($"shared" / least($"na", $"nb")).as("containment"))
+      .filter($"containment" >= 0.8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH $shinglesCte,
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b, s.shared,
+       |  ${sqlRnd6("s.shared / least(ca.n_sh, cb.n_sh)")} AS containment
+       |FROM shared s
+       |JOIN counts ca ON s.doc_a = ca.doc_id
+       |JOIN counts cb ON s.doc_b = cb.doc_id
+       |WHERE ${sqlRnd6("s.shared / least(ca.n_sh, cb.n_sh)")} >= 0.8
        |ORDER BY s.doc_a, s.doc_b""".stripMargin
 
   /** MinHash(8 permutations) + LSH(4 bands × 2 rows) near-dup, fully
@@ -253,30 +297,83 @@ object DedupOps {
     * md5-derived token hash). Near-pair search over the signatures is
     * band-bucketed exactly like MinHash-LSH; here the per-doc
     * signature is the verified output. */
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "simhashSigs") {
+      import spark.implicits._
+      tokens(spark, sfDir)
+        .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+        .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("j"))
+        .groupBy($"doc_id", $"j")
+        .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("vote"))
+        .groupBy($"doc_id")
+        .agg(sum(expr("CASE WHEN vote > 0 THEN cast(pow(2, j) as bigint) ELSE 0 END")).as("simhash"))
+    }
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    tokens(spark, sfDir)
-      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
-      .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("j"))
-      .groupBy($"doc_id", $"j")
-      .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("vote"))
-      .groupBy($"doc_id")
-      .agg(sum(expr("CASE WHEN vote > 0 THEN cast(pow(2, j) as bigint) ELSE 0 END")).as("simhash"))
-      .orderBy($"doc_id")
+    simhashSigs(spark, sfDir).orderBy($"doc_id")
   }
 
-  val dedupSimhashSql: String =
-    s"""WITH $tokensCte,
+  /** Signature CTE chain shared by the SimHash query pair: per-doc
+    * 32-bit signature as `sims(doc_id, simhash)`. */
+  private val simhashCtesSql: String =
+    s"""$tokensCte,
        |th AS (SELECT doc_id,
        |  CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
        |votes AS (
        |  SELECT doc_id, CAST(j.range AS INT) AS j,
        |    SUM(CASE WHEN (h >> CAST(j.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-       |  FROM th, range(0, 32) j GROUP BY 1, 2)
-       |SELECT doc_id,
-       |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
-       |    AS BIGINT) AS simhash
-       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM th, range(0, 32) j GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashCtesSql
+       |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-pair SEARCH (completing the signature step above,
+    * which previously only promised it in prose): band the 32-bit
+    * signature into 4 bytes; hamming distance ≤ 3 guarantees at least
+    * one band byte equal (pigeonhole), so candidates are byte-bucket
+    * collisions only — never an all-pairs product, the same
+    * bucket-then-verify shape as MinHash-LSH but with a zero-shuffle
+    * map-side signature. Verification is the exact popcount of the
+    * XOR. */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sig = simhashSigs(spark, sfDir)
+    val bands = sig.select($"doc_id", $"simhash",
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("(simhash >> (8 * band)) & 255"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.simhash".as("sa"), $"y.simhash".as("sb"))
+      .distinct()
+    cand.withColumn("hamming", expr("cast(bit_count(sa ^ sb) as int)"))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupSimhashPairsSql: String =
+    s"""WITH $simhashCtesSql,
+       |bands AS (
+       |  SELECT doc_id, simhash, CAST(b.range AS INT) AS band,
+       |    (simhash >> (8 * CAST(b.range AS INT))) & 255 AS bkey
+       |  FROM sims, range(0, 4) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS sa, y.simhash AS sb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Connected components over the near-dup graph: each document gets
     * a cluster_id = min(doc_id reachable through Jaccard ≥ 0.1 edges),

@@ -89,6 +89,46 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._3 == n.toLong))
   }
 
+  test("containment catches a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 6).map(i => s"q$i").mkString(" ") // 6 tokens → 4 shingles
+    val host = ((1 to 60).map(i => s"h$i") :+ quote).mkString(" ")
+    val docs = Seq(
+      (1L, quote, "en", "s", quote.length.toLong),
+      (2L, host, "en", "s", host.length.toLong),
+      (3L, "unrelated tokens about something else entirely here", "en", "s", 50L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("cont_spec").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = DedupOps.dedupContainment(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(cont.contains((1L, 2L)), s"embedded quote not caught: $cont")
+    assert(cont((1L, 2L)) == 1.0, "full embedding must have containment 1.0")
+    // the same pair is BELOW the Jaccard near-dup threshold — the case
+    // that justifies containment as its own detector
+    val jac = DedupOps.dedupNear(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "fixture degenerate: Jaccard already catches the embedding")
+  }
+
+  test("simhash band search finds near-identical docs by hamming distance") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "s", 10L),
+      (2L, base, "en", "s", 10L), // identical → hamming 0
+      (3L, (1 to 50).map(i => s"other$i").mkString(" "), "en", "s", 10L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("shp_spec").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.dedupSimhashPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"identical docs not paired: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated doc within hamming 3")
+  }
+
   test("large/small-star contraction agrees with hash-min on path and random graphs") {
     import spark.implicits._
     // deep path graph — star contraction's O(log n) advantage case

@@ -175,6 +175,38 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.nonEmpty, s"expected TakeOrderedAndProjectExec for ORDER BY+LIMIT 100:\n$plan")
   }
 
+  test("selective big-big join injects a runtime bloom filter on the fact scan") {
+    // Runtime row-level filtering is the non-partition-key complement of
+    // DPP at 100 TB: the filtered dim side builds a bloom filter that
+    // prunes fact rows BEFORE the shuffle. The size thresholds are
+    // cluster-scale knobs (app side ≥ 10 GB by default), so the test
+    // pins the capability by lowering them — the join shape itself is
+    // exactly q_join_shuffle's.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = graft.engine.Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val l = graft.engine.Tables.lineitem(spark, sf)
+        .select($"l_orderkey", $"l_quantity")
+      val joined = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter in:\n$optimized")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val plan = executedPlan(FilterOps.filterPred(spark, sf))
     val spans = collectWithSubqueries(plan) {
