@@ -107,6 +107,25 @@ object ScanOps {
   val scanOrcRoundtripSql: String =
     "SELECT * FROM nation ORDER BY n_nationkey"
 
+  /** XML ingest round-trip (Spark 4's built-in XML source — the format
+    * enterprise feeds still arrive in): write `region` as row-tagged
+    * XML, read back with an explicit schema. Oracle compares against
+    * the parquet original (DuckDB has no XML reader — equality with
+    * the parquet-sourced result IS the round-trip property, as with
+    * ORC). */
+  def scanXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch(sfDir) + "/region_xml"
+    Tables.region(spark, sfDir).write.mode("overwrite")
+      .option("rowTag", "region").xml(path)
+    spark.read.schema(Tables.regionSchema)
+      .option("rowTag", "region").xml(path)
+      .orderBy($"r_regionkey")
+  }
+
+  val scanXmlRoundtripSql: String =
+    "SELECT * FROM region ORDER BY r_regionkey"
+
   /** Hive-style partition pruning: events re-laid-out partitioned by
     * event_type, then scanned with a partition predicate — the scan
     * reads ONLY the matching directory (PlanSpec asserts the partition
