@@ -399,11 +399,20 @@ object DedupOps {
     * reachability closure + min — tractable because the closure is
     * bounded by component size, and exact because hash-min's fixpoint
     * IS min-over-reachable-set. */
+  /** Converged hash-min labels, cached per (app, sfDir): the SAME
+    * convergence loop feeds [[dedupCluster]] and [[dedupSurvivors]] —
+    * without this each would pay its own fixpoint iteration. */
+  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "clusterLabels") {
+      import spark.implicits._
+      hashMinLabels(
+        Tables.documents(spark, sfDir).select($"doc_id"),
+        nearPairs(spark, sfDir).select($"doc_a", $"doc_b"))
+    }
+
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir).select($"doc_id")
-    val pairs = nearPairs(spark, sfDir).select($"doc_a", $"doc_b")
-    hashMinLabels(docs, pairs).orderBy($"doc_id")
+    clusterLabels(spark, sfDir).orderBy($"doc_id")
   }
 
   /** The hash-min propagation loop behind [[dedupCluster]], over an
@@ -577,10 +586,7 @@ object DedupOps {
   def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val labels = hashMinLabels(
-      docs.select($"doc_id"),
-      nearPairs(spark, sfDir).select($"doc_a", $"doc_b"))
-    labels.filter($"doc_id" === $"cluster_id")
+    clusterLabels(spark, sfDir).filter($"doc_id" === $"cluster_id")
       .select($"doc_id", ($"cluster_size" - 1).as("n_dups_removed"))
       .join(docs.select($"doc_id", $"lang", $"n_chars"), "doc_id")
       .select($"doc_id", $"lang", $"n_chars", $"n_dups_removed")

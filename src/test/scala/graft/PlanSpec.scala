@@ -207,6 +207,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("hot-shingle exclusion is a broadcast anti-join, not a shuffle of the index") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val df = graft.operators.DedupOps.informativeShingles(docs)
+    // pre-AQE physical plan: the exclusion must PLAN as a broadcast
+    // LeftAnti (the index side is never shuffled for it)
+    val planned = df.queryExecution.sparkPlan
+    val antiJoins = collectWithSubqueries(planned) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString.contains("LeftAnti") => j
+    }
+    assert(antiJoins.nonEmpty,
+      s"expected the hot-list exclusion as a broadcast LeftAnti join:\n$planned")
+    // at runtime the fixture hot list is EMPTY, and AQE's empty-relation
+    // propagation should erase the join completely — zero cost when the
+    // ceiling has nothing to do. Either the eliminated form or the
+    // broadcast anti join is acceptable; a shuffled anti join is not.
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan
+    val shuffledAnti = collectWithSubqueries(finalPlan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.toString.contains("LeftAnti") => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.toString.contains("LeftAnti") => j
+    }
+    assert(shuffledAnti.isEmpty,
+      s"hot-list exclusion fell back to a shuffled anti join:\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val plan = executedPlan(FilterOps.filterPred(spark, sf))
     val spans = collectWithSubqueries(plan) {
