@@ -43,6 +43,7 @@ final case class Graft(spark: SparkSession, dataDir: String) {
 
   // — LLM-data-pipeline surface —
   def dedupExact(): DataFrame = DedupOps.dedupExact(spark, dataDir)
+  def dedupExactNormalized(): DataFrame = DedupOps.dedupExactNorm(spark, dataDir)
   def nearDuplicates(): DataFrame = DedupOps.dedupNear(spark, dataDir)
   def nearDuplicatesMinhash(): DataFrame = DedupOps.dedupMinhashLsh(spark, dataDir)
   def nearDuplicatesSimhash(): DataFrame = DedupOps.dedupSimhash(spark, dataDir)

@@ -133,6 +133,33 @@ object DedupOps {
       |  md5(text) AS text_md5
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
+  /** Exact dedup after TEXT NORMALIZATION (lowercase, strip
+    * non-alphanumerics, collapse whitespace) — the first rung between
+    * byte-exact and near-dup: catches re-capitalized / re-punctuated /
+    * re-wrapped copies for the cost of a map-side projection on top of
+    * [[dedupExact]]'s single hash-shuffle. The normalization regexes
+    * stay in the RE2 ∩ Java common subset; DuckDB's replace needs the
+    * 'g' flag to match Spark's replace-all default. */
+  def dedupExactNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+      .groupBy(md5(encode($"norm", "UTF-8")).as("norm_md5"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select($"doc_id", $"n_copies", $"norm_md5")
+      .orderBy($"doc_id")
+  }
+
+  val dedupExactNormSql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+      |FROM documents
+      |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+      |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+      |ORDER BY doc_id""".stripMargin
+
   /** Pairs sharing ≥1 shingle, with shared count and each side's
     * shingle-set size — ONE inverted-index self-join feeding both the
     * Jaccard family ([[nearPairs]]) and the containment detector

@@ -18,6 +18,24 @@ class DedupSpec extends SparkSpec {
     assert(again == n)
   }
 
+  test("normalized exact dedup collapses re-capitalized and re-punctuated copies") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World! This is Fine.", "en", "s", 27L),
+      (2L, "hello world  this is fine", "en", "s", 25L), // normalizes equal
+      (3L, "a genuinely different document", "en", "s", 30L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("norm_spec").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.dedupExactNorm(spark, dir).collect()
+    assert(out.length == 2, s"expected 2 normalized groups, got ${out.toSeq}")
+    val g = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) == 2L, "docs 1+2 must collapse with survivor min(doc_id)=1")
+    assert(g(3L) == 1L)
+    // byte-exact dedup must NOT collapse them — that's the point
+    assert(DedupOps.dedupExact(spark, dir).count() == 3)
+  }
+
   test("minhash-LSH finds the planted near-duplicate pair") {
     import spark.implicits._
     val base = ((1 to 40).map(i => s"word$i") :+ "tail").mkString(" ")
