@@ -167,4 +167,243 @@ object TpchOps {
        |WHERE p_brand = 'Brand#23' AND p_size < 10
        |  AND l_quantity < (SELECT (${sqlXavg("l_quantity")}) * 0.2
        |                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  /** TPC-H Q7 (volume shipping) — unmodified shape: revenue flowing
+    * between a nation pair (either direction), by ship year. The fact
+    * row reaches two independent dimension chains (supplier→nation and
+    * orders→customer→nation); both chains broadcast, the only big
+    * shuffle is lineitem⋈orders on the orderkey. The pair predicate
+    * needs both chains, so it stays above the joins — but each chain's
+    * nation scan still prunes to 25 rows. */
+  def tpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+      .join(n, $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val co = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+        $"l_shipdate" < to_timestamp(lit("1998-01-01")))
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+    l.join(s, $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(co, $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === "NATION_9" && $"cust_nation" === "NATION_11") ||
+        ($"supp_nation" === "NATION_11" && $"cust_nation" === "NATION_9"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(xsum($"volume").as("revenue"))
+      .orderBy($"supp_nation".asc, $"cust_nation".asc, $"l_year".asc)
+  }
+
+  val tpchQ7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  year(l_shipdate) AS l_year,
+       |  ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+       |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+       |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin
+
+  /** TPC-H Q8 (national market share) — the share of one supplier
+    * nation in a region's market for one part type, per order year.
+    * Adaptation: p_type is exact-match 'ECONOMY' (single-word types).
+    * The numerator/denominator are conditional and unconditional
+    * exact sums over the SAME joined row set — one aggregation, no
+    * second pass. */
+  def tpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val americaNations = Tables.region(spark, sfDir)
+      .filter($"r_name" === "AMERICA")
+      .join(Tables.nation(spark, sfDir), $"r_regionkey" === $"n_regionkey")
+      .select($"n_nationkey")
+    val suppNation = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+      .join(Tables.nation(spark, sfDir).select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation")),
+        $"s_nationkey" === $"sn_key")
+      .select($"s_suppkey", $"supp_nation")
+    val p = Tables.part(spark, sfDir).filter($"p_type" === "ECONOMY").select($"p_partkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+        $"o_orderdate" < to_timestamp(lit("1998-01-01")))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+      .join(americaNations, $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+      .join(p, $"l_partkey" === $"p_partkey")
+      .join(suppNation, $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg((xsum(when($"supp_nation" === "NATION_6", $"volume").otherwise(0.0)) /
+        xsum($"volume")).as("mkt_share"))
+      .orderBy($"o_year".asc)
+  }
+
+  val tpchQ8Sql: String =
+    s"""SELECT year(o_orderdate) AS o_year,
+       |  ${sqlXsum("CASE WHEN n2.n_name = 'NATION_6' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+       |  ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN region ON n1.n_regionkey = r_regionkey
+       |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY year(o_orderdate)
+       |ORDER BY o_year ASC""".stripMargin
+
+  /** TPC-H Q15 (top supplier) — per-supplier quarterly revenue, keep
+    * the supplier(s) at the max. The max is a 1-row broadcast against
+    * the |suppliers|-row revenue table (never against lineitem), and
+    * the equality is safe because both sides are the SAME exact
+    * decimal sum — bit-identical across engines and reruns. */
+  def tpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= to_timestamp(lit("1997-10-01")) &&
+        $"l_shipdate" < to_timestamp(lit("1998-01-01")))
+      .groupBy($"l_suppkey")
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+    val maxRev = rev.agg(max($"total_revenue").as("max_rev"))
+    rev.join(broadcast(maxRev), $"total_revenue" === $"max_rev")
+      .join(Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey".asc)
+  }
+
+  val tpchQ15Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+       |ORDER BY s_suppkey ASC""".stripMargin
+
+  /** TPC-H Q12 (shipping modes and order priority), adapted: the
+    * fixture has no l_shipmode or l_receiptdate, so the mode classes
+    * are l_returnflag ∈ {A, N} and "late" is shipped >30 days after
+    * the order date. The shape survives intact: fact⋈fact join with a
+    * residual range predicate, then conditional counts by class. */
+  def tpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag".isin("A", "N") &&
+        $"l_shipdate" >= to_timestamp(lit("1997-01-01")) &&
+        $"l_shipdate" < to_timestamp(lit("1998-01-01")))
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    l.join(o, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy($"l_returnflag".asc)
+  }
+
+  val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_returnflag IN ('A','N')
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue) — disjunctive pushdown: three
+    * (brand, size-band, quantity-band) conjunctions OR-ed together
+    * (p_size bands stand in for the missing p_container). Catalyst
+    * extracts the common l_partkey=p_partkey equi-key so the join
+    * stays a hash join; per-side OR fragments (brand∈{...}, qty
+    * ranges) push into the scans. */
+  def tpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_quantity",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand", $"p_size")
+    l.join(p, $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) && $"l_quantity".between(20, 30)))
+      .agg(xsum($"rev").as("revenue"))
+  }
+
+  val tpchQ19Sql: String =
+    s"""SELECT ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity), adapted twice: cntrycode
+    * is c_nationkey (no c_phone to substring), and — because every
+    * fixture customer has orders — "never ordered" becomes "no orders
+    * since 2000-07-01" (inactive customers). The shape is the
+    * original's: a scalar average over the filtered pool, a range
+    * filter against it, and an anti-join against (date-filtered)
+    * orders. */
+  def tpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pool = Tables.customer(spark, sfDir)
+      .filter($"c_nationkey".isin(2, 7, 10, 11, 19))
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+    val avgBal = pool.filter($"c_acctbal" > 0.0)
+      .agg(xavg($"c_acctbal").as("avg_bal"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= to_timestamp(lit("2000-07-01")))
+      .select($"o_custkey")
+    pool.crossJoin(broadcast(avgBal)).filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey".as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), xsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"cntrycode".asc)
+  }
+
+  val tpchQ22Sql: String =
+    s"""WITH pool AS (
+       |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+       |  WHERE c_nationkey IN (2, 7, 10, 11, 19))
+       |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       |  ${sqlXsum("c_acctbal")} AS totacctbal
+       |FROM pool
+       |WHERE c_acctbal > (SELECT ${sqlXavg("c_acctbal")} FROM pool WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+       |GROUP BY c_nationkey
+       |ORDER BY cntrycode ASC""".stripMargin
 }
