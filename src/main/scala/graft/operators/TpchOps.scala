@@ -406,4 +406,255 @@ object TpchOps {
        |                    AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
        |GROUP BY c_nationkey
        |ORDER BY cntrycode ASC""".stripMargin
+
+  // ——— The partsupp-derived queries ———————————————————————————————
+  // The fixture has no partsupp table, so Q2/Q9/Q11/Q16/Q20 derive the
+  // supplier–part relation from lineitem history:
+  //   supplycost(part, supp) := min observed unit price (Q2)
+  //   availqty(part, supp)   := all-time shipped − period shipped (Q20)
+  //   value(part)            := shipped revenue from the nation's
+  //                             suppliers (Q11)
+  // One groupBy(l_partkey, l_suppkey) shuffle builds each relation;
+  // at 100 TB that aggregation is the map-side-combinable kind (keys ≪
+  // rows), and everything downstream operates on |parts|·|supps-seen|
+  // rows, not |lineitem|.
+
+  /** TPC-H Q2 (minimum-cost supplier), adapted: supplycost is the min
+    * observed unit price per (part, supplier) from lineitem. The
+    * correlated min-cost-per-part subquery is decorrelated to a
+    * groupBy on the correlation key joined back on equality of the
+    * SAME double (deterministic: min over identical values). */
+  def tpchQ2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val europeSupp = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, sfDir).filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val ps = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("supplycost"))
+    val psE = ps.join(europeSupp, $"l_suppkey" === $"s_suppkey")
+    val minCost = psE.groupBy($"l_partkey".as("mc_partkey"))
+      .agg(min($"supplycost").as("min_cost"))
+    psE
+      .join(Tables.part(spark, sfDir).filter($"p_size" === 15).select($"p_partkey"),
+        $"l_partkey" === $"p_partkey")
+      .join(minCost, $"p_partkey" === $"mc_partkey" && $"supplycost" === $"min_cost")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey")
+      .orderBy($"s_acctbal".desc, $"n_name".asc, $"s_name".asc, $"p_partkey".asc)
+      .limit(100)
+  }
+
+  val tpchQ2Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |pse AS (
+      |  SELECT ps.*, s_name, s_acctbal, n_name
+      |  FROM ps
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey
+      |FROM pse JOIN part ON p_partkey = l_partkey
+      |WHERE p_size = 15
+      |  AND supplycost = (SELECT min(supplycost) FROM pse pse2
+      |                    WHERE pse2.l_partkey = pse.l_partkey)
+      |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 (product type profit), adapted: no ps_supplycost, so
+    * the cost model is 0.6 × p_retailprice per unit; the part class is
+    * p_name containing 'gear' (names are "color noun"). Profit rolls
+    * up by supplier nation and order year. */
+  def tpchQ9(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_name".contains("gear"))
+      .select($"p_partkey", $"p_retailprice")
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+      .join(Tables.nation(spark, sfDir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity",
+        $"l_extendedprice", $"l_discount")
+      .join(p, $"l_partkey" === $"p_partkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"nation", year($"o_orderdate").as("o_year"))
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        lit(0.6) * $"p_retailprice" * $"l_quantity").as("sum_profit"))
+      .orderBy($"nation".asc, $"o_year".desc)
+  }
+
+  val tpchQ9Sql: String =
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |  ${sqlXsum("l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity")} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |WHERE p_name LIKE '%gear%'
+       |GROUP BY n_name, year(o_orderdate)
+       |ORDER BY nation ASC, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 (important stock), adapted: a part's "value" is the
+    * shipped revenue from a three-nation supplier group; keep parts
+    * above 0.1 % of the group total. The total re-sums the per-part
+    * exact sums through DECIMAL again, so the threshold comparison is
+    * bit-identical in both engines. */
+  def tpchQ11(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s9 = Tables.supplier(spark, sfDir)
+      .filter($"s_nationkey".isin(9, 14, 19))
+      .select($"s_suppkey")
+    val v = Tables.lineitem(spark, sfDir)
+      .join(s9, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey".as("ps_partkey"))
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("value"))
+    val tot = v.agg(xsum($"value").as("total_value"))
+    v.crossJoin(broadcast(tot))
+      .filter($"value" > lit(0.001) * $"total_value")
+      .select($"ps_partkey", $"value")
+      .orderBy($"value".desc, $"ps_partkey".asc)
+  }
+
+  val tpchQ11Sql: String =
+    s"""WITH v AS (
+       |  SELECT l_partkey AS ps_partkey,
+       |    ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS value
+       |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |  WHERE s_nationkey IN (9, 14, 19)
+       |  GROUP BY l_partkey)
+       |SELECT ps_partkey, value FROM v
+       |WHERE value > 0.001 * (SELECT ${sqlXsum("value")} FROM v)
+       |ORDER BY value DESC, ps_partkey ASC""".stripMargin
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: the supplier–
+    * part relation is the DISTINCT (part, supplier) pairs observed in
+    * lineitem, and the excluded-supplier predicate is s_acctbal < 0
+    * (no s_comment to regex). Distinct-supplier counts per
+    * (brand, type, size) bucket, NOT-IN as an anti-join. */
+  def tpchQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val badSupp = Tables.supplier(spark, sfDir)
+      .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_brand" =!= "Brand#5" &&
+        $"p_size".isin(3, 9, 14, 19, 23, 36, 45, 49))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    pairs.join(badSupp, $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(p, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand".asc, $"p_type".asc, $"p_size".asc)
+  }
+
+  val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion), adapted: "available
+    * quantity" for a (part, supplier) pair is its all-time shipped
+    * minus its 1997 shipped, and the promotion condition keeps pairs
+    * whose remaining stock exceeds half their 1997 volume. Suppliers
+    * of a nation group holding such stock in 's…' parts survive the
+    * IN-subquery chain (two semi-joins here). */
+  def tpchQ20(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pair = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(
+        xsum($"l_quantity").as("all_qty"),
+        xsum(when($"l_shipdate" >= to_timestamp(lit("1997-01-01")) &&
+          $"l_shipdate" < to_timestamp(lit("1998-01-01")), $"l_quantity")
+          .otherwise(0.0)).as("qty97"))
+    val sParts = Tables.part(spark, sfDir)
+      .filter($"p_name".startsWith("s")).select($"p_partkey")
+    val cand = pair
+      .join(sParts, $"l_partkey" === $"p_partkey", "left_semi")
+      .filter($"qty97" > 0.0 && $"all_qty" - $"qty97" > lit(0.5) * $"qty97")
+      .select($"l_suppkey")
+    Tables.supplier(spark, sfDir)
+      .filter($"s_nationkey".isin(9, 11))
+      .join(cand, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey".asc)
+  }
+
+  val tpchQ20Sql: String =
+    s"""WITH pair AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ${sqlXsum("l_quantity")} AS all_qty,
+       |    ${sqlXsum("CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' THEN l_quantity ELSE 0.0 END")} AS qty97
+       |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+       |SELECT s_suppkey, s_name
+       |FROM supplier
+       |WHERE s_nationkey IN (9, 11)
+       |  AND s_suppkey IN (
+       |    SELECT l_suppkey FROM pair
+       |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 's%')
+       |      AND qty97 > 0.0 AND all_qty - qty97 > 0.5 * qty97)
+       |ORDER BY s_suppkey ASC""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: "late"
+    * is shipped >60 days after the order date (no receipt/commit
+    * dates). The triple-quantifier shape survives: the late line's
+    * supplier was not alone on the order (EXISTS → left-semi on a
+    * ≠-residual) but was the only late one (NOT EXISTS → left-anti).
+    * The F-order line set is built once and reused for all three
+    * roles; each quantifier is one hash join on the orderkey. */
+  def tpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lf = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
+    val l1 = lf.filter($"late")
+      .join(Tables.supplier(spark, sfDir)
+        .filter($"s_nationkey" === 9).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+    val others = lf.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+    val lateOthers = lf.filter($"late")
+      .select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+    l1.join(others, $"l_orderkey" === $"o2" && $"s2" =!= $"l_suppkey", "left_semi")
+      .join(lateOthers, $"l_orderkey" === $"o3" && $"s3" =!= $"l_suppkey", "left_anti")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name".asc)
+      .limit(100)
+  }
+
+  val tpchQ21Sql: String =
+    """WITH lf AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_name, count(*) AS numwait
+      |FROM lf l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.late AND s_nationkey = 9
+      |  AND EXISTS (SELECT 1 FROM lf l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lf l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT 100""".stripMargin
 }
