@@ -735,4 +735,214 @@ object CfOps {
        |SELECT user_id, item_id, score, rk
        |FROM ranked WHERE rk <= $TOP_N
        |ORDER BY user_id, rk""".stripMargin
+
+  // ——— Ranking evaluation (beyond RMSE: did the top-N list actually
+  // contain what the user went on to buy?) ————————————————————————
+
+  /** The [[predictKnn]] pipeline parameterized by its input ratings
+    * relation, so evaluation can train on a fold while the production
+    * chain keeps its session caches. Same cap/support/k/top-N
+    * constants, same rounding discipline. */
+  private def knnTopNOn(r0: DataFrame): DataFrame = {
+    import r0.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val capW = Window.partitionBy($"user_id")
+      .orderBy($"rating".desc, $"item_id".asc)
+    val capped = r0.withColumn("urk", row_number().over(capW))
+      .filter($"urk" <= USER_ITEM_CAP)
+      .select($"user_id", $"item_id", $"rating")
+    val a = capped.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
+    val b = capped.select($"user_id".as("ub"), $"item_id".as("item_b"), $"rating".as("rb"))
+    val mom = a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b")
+      .agg(count(lit(1)).as("n_common"), xsumFast($"ra" * $"rb").as("dot"))
+      .filter($"n_common" >= MIN_SUPPORT)
+    val norms = capped.groupBy($"item_id")
+      .agg(xsumFast($"rating" * $"rating").as("norm_sq"))
+    val pairs = mom
+      .join(norms.select($"item_id".as("item_a"), $"norm_sq".as("na")), "item_a")
+      .join(norms.select($"item_id".as("item_b"), $"norm_sq".as("nb")), "item_b")
+      .select($"item_a", $"item_b",
+        rnd6($"dot" / (sqrt($"na") * sqrt($"nb"))).as("sim"))
+    val sim2 = pairs.select($"item_a", $"item_b", $"sim")
+      .union(pairs.select($"item_b".as("item_a"), $"item_a".as("item_b"), $"sim"))
+    val nW = Window.partitionBy($"item_a").orderBy($"sim".desc, $"item_b".asc)
+    val neigh = sim2.withColumn("nrk", row_number().over(nW))
+      .filter($"nrk" <= K_NEIGHBORS)
+      .select($"item_a".as("rated_item"), $"item_b".as("cand_item"), $"sim")
+    val scored = r0.join(neigh, $"item_id" === $"rated_item")
+      .groupBy($"user_id", $"cand_item")
+      .agg((xsumFast($"sim" * $"rating") / xsumFast(abs($"sim"))).as("score_raw"))
+    val unseen = scored.join(
+      r0.select($"user_id".as("su"), $"item_id".as("si")),
+      $"user_id" === $"su" && $"cand_item" === $"si", "left_anti")
+    val w = Window.partitionBy($"user_id").orderBy($"score".desc, $"cand_item".asc)
+    unseen.select($"user_id", $"cand_item", rnd6($"score_raw").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TOP_N)
+      .select($"user_id", $"cand_item".as("item_id"), $"score", $"rk")
+  }
+
+  /** SQL twin of [[knnTopNOn]] as a CTE chain over relation `src`
+    * (which must expose user_id, item_id, rating). Ends in `recs`. */
+  private def knnCtesOn(src: String): String =
+    s"""capped AS (
+       |  SELECT user_id, item_id, rating FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY rating DESC, item_id ASC) AS urk
+       |    FROM $src) WHERE urk <= $USER_ITEM_CAP),
+       |norms AS (
+       |  SELECT item_id, ${sqlXsum("rating * rating")} AS norm_sq
+       |  FROM capped GROUP BY item_id),
+       |pairs AS (
+       |  SELECT a.item_a, a.item_b,
+       |    ${sqlRnd6("a.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq))")} AS sim
+       |  FROM (
+       |    SELECT r1.item_id AS item_a, r2.item_id AS item_b,
+       |      ${sqlXsum("r1.rating * r2.rating")} AS dot
+       |    FROM capped r1 JOIN capped r2
+       |      ON r1.user_id = r2.user_id AND r1.item_id < r2.item_id
+       |    GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT) a
+       |  JOIN norms na ON a.item_a = na.item_id
+       |  JOIN norms nb ON a.item_b = nb.item_id),
+       |sim2 AS (
+       |  SELECT item_a, item_b, sim FROM pairs
+       |  UNION ALL
+       |  SELECT item_b AS item_a, item_a AS item_b, sim FROM pairs),
+       |knn AS (
+       |  SELECT item_id, neighbor_id, sim FROM (
+       |    SELECT item_a AS item_id, item_b AS neighbor_id, sim,
+       |      row_number() OVER (PARTITION BY item_a
+       |        ORDER BY sim DESC, item_b ASC) AS nrk
+       |    FROM sim2) WHERE nrk <= $K_NEIGHBORS),
+       |scored AS (
+       |  SELECT r.user_id, n.neighbor_id AS cand_item,
+       |    ${sqlRnd6(s"${sqlXsum("n.sim * r.rating")} / ${sqlXsum("abs(n.sim)")}")} AS score
+       |  FROM $src r JOIN knn n ON r.item_id = n.item_id
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  ANTI JOIN $src r
+       |    ON s.user_id = r.user_id AND s.cand_item = r.item_id),
+       |recs AS (
+       |  SELECT user_id, item_id, score, rk FROM (
+       |    SELECT user_id, cand_item AS item_id, score,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY score DESC, cand_item ASC) AS rk
+       |    FROM unseen) WHERE rk <= $TOP_N)""".stripMargin
+
+  /** Cumulative ideal-DCG for m = least(ntest, TOP_N) relevant items
+    * at ranks 1..m — spelled as the identical left-associated literal
+    * arithmetic in both engines so the doubles agree bitwise. */
+  private def idcgExpr(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(m === 1, lit(1.0))
+      .when(m === 2, lit(1.0) + lit(1.0) / log2(lit(3.0)))
+      .when(m === 3, lit(1.0) + lit(1.0) / log2(lit(3.0)) + lit(1.0) / log2(lit(4.0)))
+      .when(m === 4, lit(1.0) + lit(1.0) / log2(lit(3.0)) + lit(1.0) / log2(lit(4.0))
+        + lit(1.0) / log2(lit(5.0)))
+      .otherwise(lit(1.0) + lit(1.0) / log2(lit(3.0)) + lit(1.0) / log2(lit(4.0))
+        + lit(1.0) / log2(lit(5.0)) + lit(1.0) / log2(lit(6.0)))
+
+  private val idcgSql: String =
+    """CASE LEAST(ntest, 5)
+      |    WHEN 1 THEN 1.0
+      |    WHEN 2 THEN 1.0 + 1.0 / log2(3.0)
+      |    WHEN 3 THEN 1.0 + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+      |    WHEN 4 THEN 1.0 + 1.0 / log2(3.0) + 1.0 / log2(4.0) + 1.0 / log2(5.0)
+      |    ELSE 1.0 + 1.0 / log2(3.0) + 1.0 / log2(4.0) + 1.0 / log2(5.0) + 1.0 / log2(6.0)
+      |  END""".stripMargin
+
+  /** Precision@N / Recall@N / NDCG@N of the item-kNN recommender,
+    * trained on the 4/5 train fold of the deterministic arithmetic
+    * split (same fold rule as [[evalRmse]]) and judged against the
+    * held-out fold: a recommendation is a hit iff the user actually
+    * bought that item in the held-out data. Per-user DCG terms are
+    * rounded to 6 decimals before the exact sum so log2's last-ulp
+    * engine differences cannot reach the hash.
+    *
+    * Scale notes: the eval chain is the production chain (same capped
+    * self-join bounds), plus one broadcast-sized join of per-user rec
+    * lists (≤ N rows/user) against held-out counts — the metric
+    * aggregation itself touches |users| rows, not |ratings|. */
+  def evalTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val folded = ratings(spark, sfDir)
+      .withColumn("fold", pmod($"user_id" * 31 + $"item_id", lit(5)))
+    val train = folded.filter($"fold" =!= 0)
+      .select($"user_id", $"item_id", $"rating")
+    val test = folded.filter($"fold" === 0)
+      .select($"user_id".as("tu"), $"item_id".as("ti"))
+    val recs = knnTopNOn(train)
+    val marked = recs
+      .join(test, $"user_id" === $"tu" && $"item_id" === $"ti", "left")
+      .select($"user_id", $"rk",
+        when($"ti".isNotNull, 1.0).otherwise(0.0).as("hit"))
+    val perUser = marked.groupBy($"user_id").agg(
+      xsumFast($"hit").as("hits"),
+      xsumFast(rnd6(when($"hit" === 1.0, lit(1.0) / log2($"rk" + 1))
+        .otherwise(0.0))).as("dcg"))
+    val tcount = test.groupBy($"tu").agg(count(lit(1)).as("ntest"))
+    perUser.join(tcount, $"user_id" === $"tu")
+      .withColumn("idcg", idcgExpr(least($"ntest", lit(TOP_N))))
+      .agg(
+        rnd6(xavgFast($"hits" / lit(TOP_N.toDouble))).as("p_at_k"),
+        rnd6(xavgFast($"hits" / $"ntest")).as("r_at_k"),
+        rnd6(xavgFast(rnd6($"dcg" / $"idcg"))).as("ndcg_at_k"),
+        count(lit(1)).as("n_users"))
+  }
+
+  val evalTopkSql: String =
+    s"""WITH $ratingsCte,
+       |folded AS (
+       |  SELECT *, (user_id * 31 + item_id) % 5 AS fold FROM ratings),
+       |train AS (
+       |  SELECT user_id, item_id, rating FROM folded WHERE fold <> 0),
+       |test AS (
+       |  SELECT user_id, item_id FROM folded WHERE fold = 0),
+       |${knnCtesOn("train")},
+       |marked AS (
+       |  SELECT r.user_id, r.rk,
+       |    CASE WHEN t.item_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS hit
+       |  FROM recs r LEFT JOIN test t
+       |    ON r.user_id = t.user_id AND r.item_id = t.item_id),
+       |peruser AS (
+       |  SELECT user_id, ${sqlXsum("hit")} AS hits,
+       |    ${sqlXsum(sqlRnd6("CASE WHEN hit = 1.0 THEN 1.0 / log2(rk + 1) ELSE 0.0 END"))} AS dcg
+       |  FROM marked GROUP BY user_id),
+       |eu AS (
+       |  SELECT p.user_id, p.hits, p.dcg, t.ntest,
+       |  $idcgSql AS idcg
+       |  FROM peruser p
+       |  JOIN (SELECT user_id, COUNT(*) AS ntest FROM test GROUP BY user_id) t
+       |    ON p.user_id = t.user_id)
+       |SELECT
+       |  ${sqlRnd6(sqlXavg("hits / 5.0"))} AS p_at_k,
+       |  ${sqlRnd6(sqlXavg("hits / ntest"))} AS r_at_k,
+       |  ${sqlRnd6(sqlXavg(sqlRnd6("dcg / idcg")))} AS ndcg_at_k,
+       |  COUNT(*) AS n_users
+       |FROM eu""".stripMargin
+
+  /** Catalog coverage of the production recommender: the fraction of
+    * the item catalog that appears in at least one user's top-N list.
+    * Low coverage = popularity bias — the classic CF failure mode a
+    * 100 TB catalog makes expensive to discover late. Reuses the
+    * session-cached chain. */
+  def evalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val recItems = predictKnn(spark, sfDir)
+      .agg(countDistinct($"item_id").as("rec_items"))
+    val catalog = ratings(spark, sfDir)
+      .agg(countDistinct($"item_id").as("catalog_items"))
+    recItems.crossJoin(broadcast(catalog))
+      .select($"rec_items", $"catalog_items",
+        rnd6($"rec_items" / $"catalog_items").as("coverage"))
+  }
+
+  val evalCoverageSql: String =
+    s"""WITH $ratingsCte,
+       |${knnCtesOn("ratings")}
+       |SELECT
+       |  (SELECT COUNT(DISTINCT item_id) FROM recs) AS rec_items,
+       |  (SELECT COUNT(DISTINCT item_id) FROM ratings) AS catalog_items,
+       |  ${sqlRnd6("(SELECT COUNT(DISTINCT item_id) FROM recs) / (SELECT COUNT(DISTINCT item_id) FROM ratings)")} AS coverage""".stripMargin
 }
