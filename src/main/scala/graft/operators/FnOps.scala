@@ -371,4 +371,51 @@ object FnOps {
       |  regexp_extract(url, '\?([^#]*)', 1) AS query,
       |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
       |FROM u ORDER BY doc_id""".stripMargin
+
+  /** Generator family: `sequence` + `explode` — the declarative
+    * row-multiplier (range fan-out, calendar expansion, retry
+    * schedules). Spark's Generate node streams elements without
+    * materializing the array per row; each input row fans out
+    * map-side, so no shuffle is involved at any scale. */
+  def fnSequence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, sfDir)
+      .select($"n_nationkey",
+        explode(sequence(lit(0), pmod($"n_nationkey", lit(5)))).as("n"))
+      .select($"n_nationkey", $"n", ($"n" * $"n").as("n_sq"),
+        ($"n_nationkey" * 10 + $"n").as("derived_key"))
+      .orderBy($"n_nationkey", $"n")
+  }
+
+  val fnSequenceSql: String =
+    """SELECT n_nationkey, n, n * n AS n_sq,
+      |  n_nationkey * 10 + n AS derived_key
+      |FROM (SELECT n_nationkey,
+      |        unnest(generate_series(0, n_nationkey % 5)) AS n
+      |      FROM nation)
+      |ORDER BY n_nationkey, n""".stripMargin
+
+  /** Data masking: `mask()` redacts by character class (upper → X,
+    * lower → x, digit → n) — the PII-redaction primitive for shipping
+    * analytics-safe copies of identifier columns. Codegen'd per-row
+    * transform; the DuckDB twin is the equivalent regexp_replace
+    * chain. */
+  def fnMask(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name",
+        mask($"c_name").as("masked"),
+        mask($"c_name", lit("U"), lit("l"), lit("#"), lit("*")).as("masked_custom"))
+      .orderBy($"c_custkey")
+  }
+
+  val fnMaskSql: String =
+    """SELECT c_custkey, c_name,
+      |  regexp_replace(regexp_replace(regexp_replace(c_name,
+      |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+      |    '[^A-Za-z0-9]', '*', 'g'), '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'),
+      |    '[0-9]', '#', 'g') AS masked_custom
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
 }

@@ -301,6 +301,36 @@ object WindowOps {
       |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
       |LIMIT 100""".stripMargin
 
+  /** Distribution ranks: ntile quartiles, percent_rank, cume_dist per
+    * market segment by account balance. The window ORDER BY ends in
+    * the unique c_custkey so no two rows are peers — that makes
+    * percent_rank/cume_dist pure rank arithmetic ((rk-1)/(n-1), rk/n:
+    * small rationals, bit-identical cross-engine) and ntile
+    * deterministic. One shuffle on the segment key serves all three
+    * functions. */
+  def winNtilePct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy($"c_mktsegment".asc, $"c_acctbal".asc, $"c_custkey".asc)
+  }
+
+  val winNtilePctSql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY c_acctbal ASC, c_custkey ASC)
+      |ORDER BY c_mktsegment ASC, c_acctbal ASC, c_custkey ASC""".stripMargin
+
   /** Partition-local sort (MR: map-output sort). Output order is
     * partitioning-dependent ⇒ no oracle (rows-only check). */
   def sortWithinPartitions(spark: SparkSession, sfDir: String): DataFrame = {
