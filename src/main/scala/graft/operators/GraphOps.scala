@@ -130,6 +130,129 @@ object GraphOps {
     (out, it)
   }
 
+  /** Shared oracle CTE block: the capped user–user co-rating pair
+    * graph (undirected, user_a < user_b) that every graph query here
+    * is defined over — the SQL twin of [[CfOps.userSimPairs]] minus
+    * the similarity value, which graph topology queries don't need. */
+  private val pairsCte: String =
+    s"""ratings AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    ${sqlXsum("l_quantity")} AS rating
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT user_id, item_id, rating FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY item_id
+       |      ORDER BY rating DESC, user_id ASC) AS irk
+       |    FROM ratings) WHERE irk <= 16),
+       |pairs AS (
+       |  SELECT r1.user_id AS user_a, r2.user_id AS user_b
+       |  FROM capped r1 JOIN capped r2
+       |    ON r1.item_id = r2.item_id AND r1.user_id < r2.user_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  /** Undirected degree per node over the pair graph — one shuffle. */
+  private def degrees(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
+    pairs.select($"user_a".as("user_id"))
+      .union(pairs.select($"user_b".as("user_id")))
+      .groupBy($"user_id").agg(count(lit(1)).as("degree"))
+  }
+
+  /** Degree distribution of the user–user graph: how many nodes have
+    * each degree. Two aggregations, both with map-side partial
+    * combine; output size is bounded by the max degree, so the second
+    * shuffle is tiny. The standard first diagnostic over any derived
+    * graph (skew detection before choosing a join strategy). */
+  def graphDegrees(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    degrees(spark, sfDir)
+      .groupBy($"degree").agg(count(lit(1)).as("n_users"))
+      .orderBy($"degree")
+  }
+
+  val graphDegreesSql: String =
+    s"""WITH $pairsCte,
+       |edges AS (
+       |  SELECT user_a AS src, user_b AS dst FROM pairs
+       |  UNION ALL SELECT user_b, user_a FROM pairs),
+       |deg AS (SELECT src AS user_id, COUNT(*) AS degree
+       |  FROM edges GROUP BY src)
+       |SELECT degree, COUNT(*) AS n_users
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  /** Per-node triangle participation count over the user–user graph.
+    *
+    * Edges are ORIENTED by (degree, id) before enumeration — each
+    * undirected edge points from its lower-(degree, id) endpoint to
+    * the higher one. The orientation is acyclic and total, so every
+    * triangle is enumerated exactly once (as u→v, u→w, v→w), and —
+    * the 100 TB point — every node's out-degree is O(√m) regardless
+    * of its in-degree: a celebrity node with 10M neighbors
+    * contributes wedges only through its few high-degree peers, not
+    * through 10M² fan-out. This is the degree-oriented node-iterator
+    * of Suri & Vassilvitskii's MapReduce triangle counting, expressed
+    * as two self-joins that Catalyst plans as shuffle hash joins on
+    * edge endpoints. The oracle applies the identical orientation. */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
+    val deg = degrees(spark, sfDir)
+    // orient: src = endpoint with lexicographically smaller (degree, id)
+    val withDeg = pairs
+      .join(deg.select($"user_id".as("user_a"), $"degree".as("da")), "user_a")
+      .join(deg.select($"user_id".as("user_b"), $"degree".as("db")), "user_b")
+    val oriented = withDeg.select(
+      when($"da" < $"db" || ($"da" === $"db" && $"user_a" < $"user_b"),
+        $"user_a").otherwise($"user_b").as("src"),
+      when($"da" < $"db" || ($"da" === $"db" && $"user_a" < $"user_b"),
+        $"user_b").otherwise($"user_a").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges u→v, u→w closed by oriented edge v→w
+    val e1 = oriented.select($"src".as("u"), $"dst".as("v"))
+    val e2 = oriented.select($"src".as("u2"), $"dst".as("w"))
+    val tris = e1.join(e2, $"u" === $"u2" && $"v" =!= $"w")
+      .join(oriented.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"))
+      .select($"u", $"v", $"w")
+    // materialize the small per-node counts eagerly, then drop the
+    // oriented-edge blocks (three plan subtrees read them)
+    val out = tris.select(explode(array($"u", $"v", $"w")).as("user_id"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"user_id")
+      .localCheckpoint(true)
+    oriented.unpersist()
+    out
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH $pairsCte,
+       |edges AS (
+       |  SELECT user_a AS src, user_b AS dst FROM pairs
+       |  UNION ALL SELECT user_b, user_a FROM pairs),
+       |deg AS (SELECT src AS user_id, COUNT(*) AS degree
+       |  FROM edges GROUP BY src),
+       |oriented AS (
+       |  SELECT
+       |    CASE WHEN (da.degree, p.user_a) < (db.degree, p.user_b)
+       |      THEN p.user_a ELSE p.user_b END AS src,
+       |    CASE WHEN (da.degree, p.user_a) < (db.degree, p.user_b)
+       |      THEN p.user_b ELSE p.user_a END AS dst
+       |  FROM pairs p
+       |  JOIN deg da ON p.user_a = da.user_id
+       |  JOIN deg db ON p.user_b = db.user_id),
+       |tris AS (
+       |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |  FROM oriented e1
+       |  JOIN oriented e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+       |  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |members AS (
+       |  SELECT u AS user_id FROM tris
+       |  UNION ALL SELECT v FROM tris
+       |  UNION ALL SELECT w FROM tris)
+       |SELECT user_id, COUNT(*) AS n_triangles
+       |FROM members GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Oracle: the same five iterations unrolled as chained CTEs over
     * the identical capped user-pair graph, in the same BIGINT
     * fixed-point units. DuckDB `//` floors and Spark `div` truncates,

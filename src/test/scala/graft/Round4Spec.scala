@@ -45,4 +45,26 @@ class Round4Spec extends SparkSpec {
     assert(hitRate > math.max(0.2, chance),
       s"hitRate=$hitRate chance≈$chance nItems=$nItems — factorization is not ranking")
   }
+
+  test("degree-oriented triangle counts match a naive in-memory enumeration") {
+    import spark.implicits._
+    // independent witness: enumerate triangles by brute force over the
+    // same pair graph, driver-side (fixture graph is small)
+    val pairs = CfOps.userCosine(spark, sf)
+      .select($"user_a", $"user_b").as[(Long, Long)].collect()
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val naive = scala.collection.mutable.Map.empty[Long, Long]
+    for ((a, b) <- pairs; c <- adj(a) if c > b && adj(b).contains(c)) {
+      for (v <- Seq(a, b, c)) naive(v) = naive.getOrElse(v, 0L) + 1L
+    }
+    val got = GraphOps.graphTriangles(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive.toMap,
+      s"oriented enumeration disagrees with naive: got=${got.size} naive=${naive.size}")
+    // degree histogram mass = node count of the pair graph
+    val histMass = GraphOps.graphDegrees(spark, sf)
+      .agg(sum($"n_users")).collect()(0).getLong(0)
+    assert(histMass == adj.size)
+  }
 }

@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Local Verify runner with the same JDK-17 --add-opens set as build.sbt
+# (plain `java -cp` lacks them, which breaks the Kryo-buffered UDAF).
+# Usage: tools/run-verify.sh <sfDir> <outDir> [prefix...]
+set -euo pipefail
+OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke \
+         java.base/java.lang.reflect java.base/java.io java.base/java.net \
+         java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs \
+         java.base/sun.security.action java.base/sun.util.calendar \
+         java.base/java.math; do
+  OPENS="$OPENS --add-opens=$p=ALL-UNNAMED"
+done
+exec java $OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Verify "$@"
