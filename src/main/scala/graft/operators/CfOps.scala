@@ -736,6 +736,95 @@ object CfOps {
        |FROM ranked WHERE rk <= $TOP_N
        |ORDER BY user_id, rk""".stripMargin
 
+  /** Regularization strength for the bias baseline — the λ in
+    * b = Σdev / (λ + n): biases estimated from few ratings shrink
+    * toward 0 instead of memorizing noise. Part of the model SPEC
+    * (the oracle applies the identical λ). */
+  private val BIAS_REG = 5L
+
+  /** Fixed-point unit for the bias baseline: 1e-9 of a rating point.
+    * Ratings are integer-valued (sums of l_quantity ∈ 1..50), so the
+    * whole model runs in BIGINT units: global quantity sum ~1.5e7 at
+    * sf0.1 × 1e9 ≈ 1.5e16, six orders under Long.MaxValue. */
+  private val BIAS_SCALE = 1000000000L
+
+  /** Regularized bias baseline b_ui = μ + b_u + b_i — the classic
+    * first rung of the Netflix-Prize model ladder (Koren's "baseline
+    * predictors"): global mean, then item bias against μ, then user
+    * bias against μ + b_i, each shrunk by [[BIAS_REG]]. Everything the
+    * neighborhood/factor models beat is measured against this.
+    *
+    * Three aggregations, each one shuffle with map-side partial
+    * combine, and the two bias tables join back broadcast-sized (one
+    * row per item / per user). At 100 TB this is the cheapest model in
+    * the family — no self-join, no pair explosion — which is exactly
+    * why it's the standard first pass over a new interaction corpus.
+    *
+    * Determinism: FIXED-POINT BIGINT, like [[GraphOps.graphPagerank]].
+    * A two-stage chain of derived means (μ feeding b_i feeding b_u) is
+    * where per-stage rnd6 rounding breaks down: DuckDB's decimal→double
+    * cast can sit 1 ulp off Spark's, and with thousands of rows one of
+    * them WILL land on a 6th-decimal rounding boundary (observed at
+    * sf0.01: pred 25.478693 vs 25.478692). Integer units make every
+    * intermediate bit-identical by construction; floor division is
+    * spelled `(a - pmod(a, b)) div b` on both sides because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — they
+    * disagree on negative deviations unless the remainder is removed
+    * first. The ONLY float op is the final units→double division. */
+  def biasBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = ratings(spark, sfDir)
+      .select($"user_id", $"item_id", $"rating", $"rating".cast("long").as("ri"))
+    val g = r.agg(sum($"ri").as("s"), count(lit(1)).as("n"))
+    val rm = r.crossJoin(broadcast(g))
+      .withColumn("mu_u", expr(s"(s * $BIAS_SCALE) div n")) // positive: div == floor
+    val ib = rm.groupBy($"item_id")
+      .agg(first($"mu_u").as("mu_u"), sum($"ri").as("si"), count(lit(1)).as("ni"))
+      .withColumn("dev", expr(s"si * $BIAS_SCALE - ni * mu_u"))
+      .withColumn("dn", lit(BIAS_REG) + $"ni")
+      .select($"item_id", expr("(dev - pmod(dev, dn)) div dn").as("ib_u"))
+    val ub = rm.join(ib, "item_id")
+      .groupBy($"user_id")
+      .agg(first($"mu_u").as("mu_u"), sum($"ri").as("su"),
+        count(lit(1)).as("nu"), sum($"ib_u").as("sib"))
+      .withColumn("dev", expr(s"su * $BIAS_SCALE - nu * mu_u - sib"))
+      .withColumn("dn", lit(BIAS_REG) + $"nu")
+      .select($"user_id", expr("(dev - pmod(dev, dn)) div dn").as("ub_u"))
+    rm.join(ib, "item_id").join(ub, "user_id")
+      .select($"user_id", $"item_id", $"rating",
+        (($"mu_u" + $"ub_u" + $"ib_u").cast("double") / BIAS_SCALE.toDouble)
+          .as("pred"))
+      .orderBy($"user_id", $"item_id")
+  }
+
+  val biasBaselineSql: String =
+    s"""WITH $ratingsCte,
+       |ri AS (SELECT user_id, item_id, rating,
+       |  CAST(rating AS BIGINT) AS ri FROM ratings),
+       |m AS (SELECT (SUM(ri) * $BIAS_SCALE) // COUNT(*) AS mu_u FROM ri),
+       |ib AS (
+       |  SELECT item_id, (dev - ((dev % dn) + dn) % dn) // dn AS ib_u
+       |  FROM (
+       |    SELECT item_id,
+       |      SUM(ri) * $BIAS_SCALE - COUNT(*) * (SELECT mu_u FROM m) AS dev,
+       |      $BIAS_REG + COUNT(*) AS dn
+       |    FROM ri GROUP BY item_id)),
+       |ub AS (
+       |  SELECT user_id, (dev - ((dev % dn) + dn) % dn) // dn AS ub_u
+       |  FROM (
+       |    SELECT r.user_id,
+       |      SUM(r.ri) * $BIAS_SCALE - COUNT(*) * (SELECT mu_u FROM m)
+       |        - SUM(i.ib_u) AS dev,
+       |      $BIAS_REG + COUNT(*) AS dn
+       |    FROM ri r JOIN ib i USING (item_id) GROUP BY r.user_id))
+       |SELECT r.user_id, r.item_id, r.rating,
+       |  CAST((SELECT mu_u FROM m) + u.ub_u + i.ib_u AS DOUBLE)
+       |    / $BIAS_SCALE.0 AS pred
+       |FROM ri r
+       |JOIN ib i USING (item_id)
+       |JOIN ub u USING (user_id)
+       |ORDER BY r.user_id, r.item_id""".stripMargin
+
   // ——— Ranking evaluation (beyond RMSE: did the top-N list actually
   // contain what the user went on to buy?) ————————————————————————
 

@@ -78,4 +78,27 @@ object SampleOps {
        |SELECT l_returnflag, l_linestatus, rn, l_orderkey, l_linenumber
        |FROM ranked WHERE rn <= 500
        |ORDER BY l_returnflag, l_linestatus, rn""".stripMargin
+
+  /** Weighted deterministic Bernoulli sample: row kept iff
+    * scatter(key) < weight · WEIGHT_GAIN, i.e. P(keep) ∝ l_quantity
+    * (a quantity-50 line is 50× likelier than a quantity-1 line).
+    * This is the importance-sampling primitive of training-data mix
+    * construction — upweight rare-but-valuable rows without a shuffle.
+    * Pure integer comparison against the same key scatter as
+    * [[sampleHash]]: repartition/retry-stable, engine-reproducible,
+    * and the predicate evaluates inside the scan (zero shuffle,
+    * filter pushed to the parquet reader at any scale). */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter(expr(scatterExpr) < $"l_quantity" * 15)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+  }
+
+  val sampleWeightedSql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       |FROM lineitem
+       |WHERE $scatterSql < l_quantity * 15
+       |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
 }
