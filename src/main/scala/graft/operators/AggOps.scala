@@ -472,4 +472,41 @@ object AggOps {
         count(lit(1)).as("n_days"))
       .orderBy($"event_type")
   }
+
+  /** Heavy hitters: items in the top percentile of scan traffic, with
+    * their share of total rows — the "which keys dominate the
+    * workload" diagnostic that decides salting/broadcast strategy
+    * before any big join. Candidate cut is the exact p99 of the
+    * per-item count distribution (self-calibrating: never empty, never
+    * the full table, at any SF). Two aggregations: the count pass has
+    * map-side combine; the percentile runs over one row per item. At
+    * 100 TB the candidate pass becomes a count-min sketch (point
+    * queries over the sketch nominate candidates, an exact second pass
+    * verifies — same two-pass shape, sketch-sized first pass);
+    * the exact form here doubles as that verifier. */
+  def aggHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(expr("percentile(cnt, 0.99)").as("thr"),
+      sum($"cnt").as("total"))
+    counts.crossJoin(broadcast(stats))
+      .filter($"cnt" >= $"thr")
+      .select($"l_partkey", $"cnt",
+        rnd6($"cnt".cast("double") / $"total".cast("double")).as("share"))
+      .orderBy($"cnt".desc, $"l_partkey".asc)
+  }
+
+  val aggHeavyHittersSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH counts AS (
+       |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+       |s AS (SELECT quantile_cont(cnt, 0.99) AS thr,
+       |  CAST(SUM(cnt) AS BIGINT) AS total FROM counts)
+       |SELECT l_partkey, cnt,
+       |  ${sqlRnd6("CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)")} AS share
+       |FROM counts, s WHERE cnt >= thr
+       |ORDER BY cnt DESC, l_partkey ASC""".stripMargin
+  }
 }

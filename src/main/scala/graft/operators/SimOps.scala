@@ -67,6 +67,44 @@ object SimOps {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Similarity floor for [[simsearchRange]] — ~p97 of the corpus
+    * cosine distribution, so each query returns the genuinely-similar
+    * few percent rather than nothing or everything. */
+  private val RANGE_THRESH = 0.25
+
+  /** Range query: ALL corpus vectors with cosine ≥ [[RANGE_THRESH]]
+    * of each query — the radius-search twin of top-k (dedup wants
+    * "everything this close", not "the 5 closest"). Same broadcast
+    * query fan and codegen'd cosine kernel as [[simsearchTopk]], but
+    * no window: the threshold filter composes with the scan, so the
+    * plan is scan → broadcast-nested-loop → filter with nothing
+    * driver-side. At 100 TB the same predicate runs after an IVF/LSH
+    * bucket prune ([[simsearchIvf]], [[simsearchLsh]]) — the
+    * brute-force form here is the exactness baseline the pruned
+    * variants are measured against. */
+  def simsearchRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        rnd6(expr("graft_cosine_sim(embedding, qv)")).as("cos_sim"))
+      .filter($"cos_sim" >= RANGE_THRESH)
+      .orderBy($"query_id", $"cos_sim".desc, $"vec_id".asc)
+  }
+
+  val simsearchRangeSql: String = {
+    val cos = Udfs.sqlCosSimDbl("e.embedding", "q.embedding")
+    s"""SELECT q.vec_id AS query_id, e.vec_id, ${sqlRnd6(cos)} AS cos_sim
+       |FROM embeddings e
+       |JOIN embeddings q ON q.vec_id < $N_QUERIES AND e.vec_id <> q.vec_id
+       |WHERE ${sqlRnd6(cos)} >= $RANGE_THRESH
+       |ORDER BY query_id, cos_sim DESC, e.vec_id ASC""".stripMargin
+  }
+
   /** IVF-style search: label = pre-assigned coarse list; centroid per
     * list from one aggregation pass over exploded dims; each query
     * probes its NPROBE nearest centroids and scans only those lists.

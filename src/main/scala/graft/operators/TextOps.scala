@@ -350,4 +350,49 @@ object TextOps {
       |      '[a-z0-9._]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
       |    '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS n_len
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Zipf view of the corpus vocabulary: top-100 terms by total
+    * frequency with rank, document frequency, and cumulative share of
+    * all tokens — the first question asked of any pretraining corpus
+    * (how head-heavy is it? where do stopword cuts land?).
+    *
+    * tf and df come from one grouped count each (map-side combined);
+    * the rank/cumulative window runs over vocabulary-sized data, and
+    * the top-100 cut keeps the output constant-size at any corpus
+    * scale. Counts are exact integers; the only float is the final
+    * share division, rnd6'd on identical operands. */
+  def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val tk = tokens(spark, sfDir)
+    val tf = tk.groupBy($"tok").agg(count(lit(1)).as("tf"),
+      countDistinct($"doc_id").as("df"))
+    val total = tf.agg(sum($"tf").as("total"))
+    val w = Window.orderBy($"tf".desc, $"tok".asc)
+    tf.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tf", sum($"tf").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"rank" <= 100)
+      .select($"rank", $"tok", $"tf", $"df",
+        rnd6($"cum_tf".cast("double") / $"total".cast("double")).as("cum_share"))
+      .orderBy($"rank")
+  }
+
+  val textZipfSql: String =
+    s"""WITH $tokensCte,
+       |tf AS (
+       |  SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |  FROM toks GROUP BY tok),
+       |t AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf),
+       |ranked AS (
+       |  SELECT tok, tf, df,
+       |    row_number() OVER (ORDER BY tf DESC, tok ASC) AS rank,
+       |    SUM(tf) OVER (ORDER BY tf DESC, tok ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tf
+       |  FROM tf)
+       |SELECT rank, tok, tf, df,
+       |  ${sqlRnd6("CAST(cum_tf AS DOUBLE) / CAST(total AS DOUBLE)")} AS cum_share
+       |FROM ranked, t WHERE rank <= 100
+       |ORDER BY rank""".stripMargin
 }

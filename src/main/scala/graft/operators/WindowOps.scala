@@ -340,4 +340,59 @@ object WindowOps {
       .sortWithinPartitions($"o_custkey", $"o_orderdate", $"o_orderkey")
       .select($"o_custkey", $"o_orderkey", $"o_orderdate")
   }
+
+  /** Ordered conversion funnel view → click → purchase over the event
+    * stream: a user advances a stage only with a LATER event of the
+    * next type (min-timestamp chaining, the sequential-pattern
+    * restriction of sessionized funnel analytics). Output is one row
+    * per stage with the surviving-user count.
+    *
+    * Each stage is one aggregation on user_id; all three group on the
+    * same key, so the chained joins reuse a single hash-partitioning
+    * of the user axis (EnsureRequirements inserts no extra exchange),
+    * and each stage's output is one row per surviving user — strictly
+    * shrinking. That makes the funnel depth-k cost one events scan +
+    * k same-key reduced joins at any scale; timestamps compare as
+    * exact µs integers, so the stage predicates are
+    * engine-reproducible. */
+  def winFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts")
+    val tv = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("tv"))
+    val tc = e.filter($"event_type" === "click")
+      .join(tv, "user_id").filter($"ts" > $"tv")
+      .groupBy($"user_id").agg(min($"ts").as("tc"))
+    val tp = e.filter($"event_type" === "purchase")
+      .join(tc, "user_id").filter($"ts" > $"tc")
+      .groupBy($"user_id").agg(min($"ts").as("tp"))
+    val stage = (ord: Int, name: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"), $"n_users")
+    stage(1, "view", tv)
+      .unionAll(stage(2, "view_click", tc))
+      .unionAll(stage(3, "view_click_purchase", tp))
+      .orderBy($"stage_ord")
+  }
+
+  val winFunnelSql: String =
+    s"""WITH tv AS (
+       |  SELECT user_id, MIN(ts) AS tv FROM events
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |tc AS (
+       |  SELECT e.user_id, MIN(e.ts) AS tc
+       |  FROM events e JOIN tv ON e.user_id = tv.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > tv.tv
+       |  GROUP BY e.user_id),
+       |tp AS (
+       |  SELECT e.user_id, MIN(e.ts) AS tp
+       |  FROM events e JOIN tc ON e.user_id = tc.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > tc.tc
+       |  GROUP BY e.user_id)
+       |SELECT 1 AS stage_ord, 'view' AS stage,
+       |  (SELECT COUNT(*) FROM tv) AS n_users
+       |UNION ALL SELECT 2, 'view_click', (SELECT COUNT(*) FROM tc)
+       |UNION ALL SELECT 3, 'view_click_purchase', (SELECT COUNT(*) FROM tp)
+       |ORDER BY stage_ord""".stripMargin
 }
