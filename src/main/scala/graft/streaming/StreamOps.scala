@@ -254,6 +254,58 @@ object StreamOps {
        |WHERE ws + INTERVAL '1 hour' <= (SELECT w FROM wm2)
        |ORDER BY ws, event_type""".stripMargin
 
+  /** Update output mode made driver-visible: an unbounded per-type
+    * aggregation over a TWO-micro-batch replay (event_id parity
+    * split). Update mode re-emits a key's CURRENT value in every
+    * micro-batch that changes it, so the memory sink accumulates the
+    * batch-1 snapshot of every type plus the batch-2 final value of
+    * each type batch 2 touched — the changelog contract that feeds
+    * incremental materialized views. The batch twin reproduces both
+    * emissions exactly (per-prefix aggregation + final aggregation
+    * filtered to batch-2 keys); (event_type, n) is a total order
+    * because a re-emitted key strictly grows its count. At 100 TB
+    * update mode is the low-latency path: state is one row per key,
+    * and each batch ships only touched keys downstream instead of the
+    * complete-mode full-table rewrite. */
+  def streamUpdateMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val (b1, b2) = rows.partition(_.event_id % 2 != 0)
+    val source = MemoryStream[Ev](spark)
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = source.toDS()
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        source.addData(b1)
+        q.processAllAvailable()
+        source.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sinkName).orderBy($"event_type", $"n")
+  }
+
+  val streamUpdateModeSql: String =
+    s"""WITH b1 AS (SELECT * FROM events WHERE event_id % 2 <> 0),
+       |b2 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+       |s1 AS (
+       |  SELECT event_type, COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
+       |  FROM b1 GROUP BY event_type),
+       |sall AS (
+       |  SELECT event_type, COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
+       |  FROM events GROUP BY event_type)
+       |SELECT event_type, n, sum_value FROM s1
+       |UNION ALL
+       |SELECT event_type, n, sum_value FROM sall
+       |WHERE event_type IN (SELECT DISTINCT event_type FROM b2)
+       |ORDER BY event_type, n""".stripMargin
+
   /** Stateful streaming dedup on (user_id, event_type) within the
     * watermark (append mode): first occurrence of each key passes. */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
