@@ -122,5 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(RollingHash.NAME),
         new ExpressionInfo(classOf[RollingHash].getName, RollingHash.NAME),
         (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+    // whole-operator extension: partial/final per-key top-k
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

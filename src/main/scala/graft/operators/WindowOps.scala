@@ -41,6 +41,27 @@ object WindowOps {
       |  FROM orders
       |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** [[rankTopN]] through the library's custom physical operator
+    * ([[graft.plans.TopKPerKey]]): same rows, same oracle, but the
+    * plan is partial-heap → exchange → final-heap instead of
+    * exchange-all-rows → full sort → Window — the exchange carries at
+    * most k rows per (key, map partition). The oracle twin proves the
+    * custom operator's semantics equal the window form byte-for-byte;
+    * PlanSpec pins the exchange-diet plan shape. */
+  def rankTopNNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.TopKPerKey.topK(
+      Tables.orders(spark, sfDir)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      keyCols = Seq("o_custkey"),
+      orderSpec = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3, rankName = "rn")
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val rankTopNNativeSql: String = rankTopNSql
+
   /** rank / dense_rank / percent_rank / ntile in one window spec. */
   def rankDense(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

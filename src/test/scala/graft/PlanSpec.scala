@@ -242,4 +242,33 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(spans.nonEmpty, s"hot path fell out of whole-stage codegen:\n$plan")
   }
+
+  test("custom top-k operator plans partial→exchange→final with no window sort") {
+    val df = WindowOps.rankTopNNative(spark, sf)
+    val plan = executedPlan(df)
+    val partials = collectWithSubqueries(plan) {
+      case p: graft.plans.PartialTopKPerKeyExec => p
+    }
+    val finals = collectWithSubqueries(plan) {
+      case f: graft.plans.TopKPerKeyExec => f
+    }
+    assert(partials.size == 1 && finals.size == 1,
+      s"expected one partial + one final TopKPerKey:\n$plan")
+    // the map-side heap must sit BELOW the key exchange (that's the
+    // point: the shuffle moves ≤ k rows per key per map partition);
+    // the output orderBy adds a separate rangepartitioning exchange
+    val keyExchanges = collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec
+        if e.find(_.isInstanceOf[graft.plans.PartialTopKPerKeyExec]).isDefined => e
+    }
+    assert(keyExchanges.size == 1,
+      s"expected the partial heap below exactly one key exchange:\n$plan")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "custom operator still planned a Window")
+    // value-equivalence with the window formulation
+    assert(df.collect().toSeq == WindowOps.rankTopN(spark, sf).collect().toSeq,
+      "native top-k disagrees with the window top-k")
+  }
 }
