@@ -290,6 +290,72 @@ object CfOps {
        |JOIN counts cb ON i.item_b = cb.item_id
        |ORDER BY item_a, item_b""".stripMargin
 
+  /** Adjusted cosine (Sarwar et al.'s item-based CF metric): cosine
+    * over USER-MEAN-CENTERED ratings — the variant that corrects for
+    * rating-scale differences between users, which plain [[itemCosine]]
+    * conflates with preference. Sums run over each pair's co-raters.
+    *
+    * Determinism: deviations are kept EXACT by clearing the mean's
+    * denominator — dev'_u = n_u·r − S_u is a small integer (|dev'| ≤
+    * 2·CAP·50), so the only per-row float op is one division by n_u²,
+    * correctly rounded identically in both engines, before the exact
+    * decimal sum. This avoids the chained-rounding trap the bias
+    * baseline hit (two stages of rnd6'd means drift past a rounding
+    * boundary); here there is exactly one rounding site, the final
+    * rnd6(sim). Same capped self-join shape and shuffle budget as
+    * [[simPairs]]; pairs where either side has zero variance are
+    * dropped (sim undefined). */
+  def itemAdjustedCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val capped = cappedRatings(spark, sfDir)
+      .select($"user_id", $"item_id", $"rating".cast("long").as("ri"))
+    val um = capped.groupBy($"user_id")
+      .agg(sum($"ri").as("su"), count(lit(1)).as("nu"))
+    val dev = capped.join(um, "user_id")
+      .select($"user_id", $"item_id",
+        ($"nu" * $"ri" - $"su").as("d"), ($"nu" * $"nu").as("n2"))
+    val a = dev.select($"user_id", $"item_id".as("item_a"),
+      $"d".as("da"), $"n2")
+    val b = dev.select($"user_id".as("ub"), $"item_id".as("item_b"),
+      $"d".as("db"))
+    a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b")
+      .agg(count(lit(1)).as("n_common"),
+        xsumFast(($"da" * $"db").cast("double") / $"n2").as("dot"),
+        xsumFast(($"da" * $"da").cast("double") / $"n2").as("naa"),
+        xsumFast(($"db" * $"db").cast("double") / $"n2").as("nbb"))
+      .filter($"n_common" >= MIN_SUPPORT && $"naa" > 0 && $"nbb" > 0)
+      .select($"item_a", $"item_b", $"n_common",
+        rnd6($"dot" / sqrt($"naa" * $"nbb")).as("sim"))
+      .orderBy($"item_a", $"item_b")
+  }
+
+  val itemAdjustedCosineSql: String =
+    s"""WITH $ratingsCte,
+       |$cappedCte,
+       |ci AS (SELECT user_id, item_id, CAST(rating AS BIGINT) AS ri
+       |  FROM capped),
+       |um AS (SELECT user_id, SUM(ri) AS su, COUNT(*) AS nu
+       |  FROM ci GROUP BY user_id),
+       |dev AS (
+       |  SELECT c.user_id, c.item_id,
+       |    um.nu * c.ri - um.su AS d, um.nu * um.nu AS n2
+       |  FROM ci c JOIN um USING (user_id)),
+       |pairs AS (
+       |  SELECT a.item_a, a.item_b, a.n_common, a.dot, a.naa, a.nbb FROM (
+       |    SELECT x.item_id AS item_a, y.item_id AS item_b,
+       |      COUNT(*) AS n_common,
+       |      ${sqlXsum("CAST(x.d * y.d AS DOUBLE) / x.n2")} AS dot,
+       |      ${sqlXsum("CAST(x.d * x.d AS DOUBLE) / x.n2")} AS naa,
+       |      ${sqlXsum("CAST(y.d * y.d AS DOUBLE) / y.n2")} AS nbb
+       |    FROM dev x JOIN dev y
+       |      ON x.user_id = y.user_id AND x.item_id < y.item_id
+       |    GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT) a
+       |  WHERE a.naa > 0 AND a.nbb > 0)
+       |SELECT item_a, item_b, n_common,
+       |  ${sqlRnd6("dot / sqrt(naa * nbb)")} AS sim
+       |FROM pairs ORDER BY item_a, item_b""".stripMargin
+
   /** Cap for the user–user pair explosion: similarity is computed over
     * each ITEM's top raters only, the exact transpose of
     * [[USER_ITEM_CAP]] — pairs per item are hard-bounded, shuffle

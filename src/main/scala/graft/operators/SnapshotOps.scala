@@ -87,4 +87,72 @@ object SnapshotOps {
       |  FROM events WHERE event_type = 'purchase'
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
       |ORDER BY user_id, version""".stripMargin
+
+  /** Snapshot boundary for [[snapshotDiff]]: state of the world as of
+    * this instant vs the final state. */
+  private val DIFF_CUTOFF = "2024-01-15 00:00:00"
+
+  /** Snapshot diff: compare the latest-wins state at [[DIFF_CUTOFF]]
+    * against the final state and emit what changed — `added` keys
+    * (first update after the cutoff) and `changed` keys (newer value
+    * superseded the cutoff-time one), with old/new values side by
+    * side. The table-versioning diff primitive (what changed between
+    * yesterday's and today's snapshot?) that drives incremental
+    * downstream recompute; the changelog is append-only, so `removed`
+    * cannot occur and unchanged keys are filtered out.
+    *
+    * Both snapshots are the same one-shuffle latest-wins compaction
+    * ([[upsertLatest]]'s shape) over prefixes of the changelog, and
+    * the diff itself is a full-outer join on the key — at 100 TB all
+    * three steps shuffle on the same key, so the whole diff is ONE
+    * logical repartition of the changelog (Spark reuses the exchange
+    * across the two window subtrees and the join). */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def snap(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      df.select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"value")
+    }
+    val base = Tables.events(spark, sfDir).filter($"event_type" === "purchase")
+    val before = snap(base.filter($"ts" < lit(DIFF_CUTOFF).cast("timestamp")))
+      .select($"user_id", $"value".as("old_value"))
+    val after = snap(base).select($"user_id", $"value".as("new_value"))
+    after.join(before, Seq("user_id"), "left")
+      .withColumn("change",
+        when($"old_value".isNull, lit("added"))
+          .when($"old_value" =!= $"new_value", lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter($"change" =!= "unchanged")
+      .select($"user_id", $"change", $"old_value", $"new_value")
+      .orderBy($"user_id")
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, ts, value FROM events
+       |  WHERE event_type = 'purchase'),
+       |before AS (
+       |  SELECT user_id, value AS old_value FROM (
+       |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM base WHERE ts < TIMESTAMP '$DIFF_CUTOFF')
+       |  WHERE rn = 1),
+       |after AS (
+       |  SELECT user_id, value AS new_value FROM (
+       |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM base)
+       |  WHERE rn = 1)
+       |SELECT a.user_id,
+       |  CASE WHEN b.old_value IS NULL THEN 'added'
+       |       WHEN b.old_value <> a.new_value THEN 'changed'
+       |       ELSE 'unchanged' END AS change,
+       |  b.old_value, a.new_value
+       |FROM after a LEFT JOIN before b USING (user_id)
+       |WHERE b.old_value IS NULL OR b.old_value <> a.new_value
+       |ORDER BY a.user_id""".stripMargin
 }
