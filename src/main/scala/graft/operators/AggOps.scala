@@ -473,6 +473,39 @@ object AggOps {
       .orderBy($"event_type")
   }
 
+  /** Count-min sketch point estimates: build one CMS over l_partkey
+    * (ε = 1/2048 relative error over ~6M rows at sf0.1, δ = 1 %,
+    * fixed seed → deterministic), then point-query the top-percentile
+    * candidates from [[aggHeavyHitters]] and emit estimate next to
+    * exact. This IS the 100 TB candidate-generation pass the
+    * heavy-hitter doc comment promises: the sketch is a few KB of
+    * mergeable state (map-side partial sketches combine like partial
+    * sums), candidates come off the sketch, and the exact second pass
+    * verifies only them. Sketch bytes are implementation-specific ⇒
+    * no SQL oracle (same policy as HLL); the spec asserts
+    * estimate ≥ exact (one-sided CMS guarantee), the ε·N error bound,
+    * and repartition-determinism. */
+  def aggCountmin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val sk = li.agg(
+      count_min_sketch($"l_partkey", lit(0.00048828125d), lit(0.99d), lit(42))
+        .as("sk"))
+    // Spark ships the mergeable CMS agg but no point-query expression;
+    // this UDF closes the gap. It deserializes per evaluated row, so
+    // it is applied ONLY to the percentile-sized candidate set (the
+    // 100 TB contract: sketches travel, point queries stay few).
+    val estimate = udf { (bytes: Array[Byte], key: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(key)
+    }
+    val hot = aggHeavyHitters(spark, sfDir).select($"l_partkey", $"cnt")
+    hot.crossJoin(broadcast(sk))
+      .select($"l_partkey", $"cnt",
+        estimate($"sk", $"l_partkey").as("est"))
+      .orderBy($"l_partkey")
+  }
+
   /** Heavy hitters: items in the top percentile of scan traffic, with
     * their share of total rows — the "which keys dominate the
     * workload" diagnostic that decides salting/broadcast strategy

@@ -46,6 +46,23 @@ class Round4Spec extends SparkSpec {
       s"hitRate=$hitRate chance≈$chance nItems=$nItems — factorization is not ranking")
   }
 
+  test("count-min estimates dominate exact counts within the eps*N bound") {
+    import spark.implicits._
+    val rows = graft.operators.AggOps.aggCountmin(spark, sf)
+      .select($"cnt", $"est").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = graft.engine.Tables.lineitem(spark, sf).count()
+    val slack = (0.00048828125 * n).toLong + 1
+    rows.foreach { case (cnt, est) =>
+      assert(est >= cnt, s"CMS under-counted: est=$est < exact=$cnt")
+      assert(est <= cnt + slack, s"est=$est beyond exact=$cnt + eps*N=$slack")
+    }
+    // counter merges are long additions — repartition cannot change bytes
+    val again = graft.operators.AggOps.aggCountmin(spark, sf)
+      .select($"cnt", $"est").as[(Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("degree-oriented triangle counts match a naive in-memory enumeration") {
     import spark.implicits._
     // independent witness: enumerate triangles by brute force over the
