@@ -330,6 +330,47 @@ object JoinOps {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Forward as-of join: each purchase ↔ EARLIEST click strictly
+    * after it, per user ("what did the user do next"). Same
+    * single-shuffle union + running-last composition as [[joinAsof]],
+    * iterated in DESCENDING time: the last click seen walking
+    * downward is the earliest one above the current row. Strictness
+    * (`>`): at equal ts the purchase sorts before the click in the
+    * iteration, so the tying click is not yet visible. DuckDB's ASOF
+    * is backward-only, so the oracle is the windowed min-over-matches
+    * form instead. */
+  def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"),
+        lit(null).cast("bigint").as("purchase_id"), lit(1).as("tag"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast("bigint").as("click_id"),
+        $"event_id".as("purchase_id"), lit(0).as("tag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts".desc, $"tag".asc, $"click_id".desc_nulls_last)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("matched_click", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"tag" === 0 && $"matched_click".isNotNull)
+      .select($"purchase_id", $"user_id", $"ts", $"matched_click".as("click_id"))
+      .orderBy($"purchase_id")
+  }
+
+  val joinAsofForwardSql: String =
+    """SELECT purchase_id, user_id, ts, click_id FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+      |    c.event_id AS click_id,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ts ASC, c.event_id ASC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id AND c.ts > p.ts)
+      |WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   /** Interval join: clicks within the hour before each error, same
     * user. Equi on user_id + time-range residual — hash-joinable; at
     * 100 TB add coarse time-bucket keys to both sides to bound the
