@@ -74,10 +74,14 @@ object DedupOps {
     * them), so the exclusion is a broadcast anti-join — map-side, no
     * extra shuffle of the index. Takes the documents DataFrame (not a
     * path) so specs can feed a synthetic hot-shingle corpus. */
-  private[graft] def informativeShingles(docs: DataFrame): DataFrame = {
+  /** Distinct 3-gram shingles per doc, NO frequency ceiling — the
+    * universe for operators that must see common shingles too
+    * (contamination scoring scores against a benchmark regardless of
+    * how corpus-frequent an n-gram is). */
+  private[graft] def rawShingles(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val raw = docs
+    docs
       .select($"doc_id", split(lower($"text"), " ").as("t"))
       .select($"doc_id", explode(expr(
         """CASE WHEN size(t) >= 3
@@ -85,6 +89,12 @@ object DedupOps {
           |         i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3)))
           |  ELSE cast(array() as array<string>) END""".stripMargin)).as("shingle"))
       .distinct()
+  }
+
+  private[graft] def informativeShingles(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val raw = rawShingles(docs)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val hot = raw.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .crossJoin(nDocs) // 1-row broadcast

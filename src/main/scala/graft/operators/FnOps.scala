@@ -418,4 +418,32 @@ object FnOps {
       |    '[0-9]', '#', 'g') AS masked_custom
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
+
+  /** Error-safe (`try_`) function family: NULL instead of exception
+    * for bad casts, division by zero, and out-of-bounds access — the
+    * ANSI-mode escape hatches a dirty-data pipeline needs (a single
+    * malformed row must not kill a 100 TB job; NULL + downstream
+    * filter beats task retry storms). DuckDB lacks `try_divide`/
+    * `try_element_at`, so the oracle spells their exact semantics
+    * (NULLIF denominator; 1-based list access already NULL-safe). */
+  def fnTry(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        expr("try_divide(l_quantity, l_linenumber - 1)").as("safe_div"),
+        expr("try_cast(cast(l_orderkey AS string) AS int)").as("cast_ok"),
+        expr("try_cast(l_returnflag AS int)").as("cast_bad"),
+        expr("try_element_at(array(l_returnflag, l_linestatus), l_linenumber)")
+          .as("safe_elem"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"safe_div")
+  }
+
+  val fnTrySql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity / NULLIF(l_linenumber - 1, 0) AS safe_div,
+      |  TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INTEGER) AS cast_ok,
+      |  TRY_CAST(l_returnflag AS INTEGER) AS cast_bad,
+      |  ([l_returnflag, l_linestatus])[l_linenumber] AS safe_elem
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, safe_div""".stripMargin
 }

@@ -351,6 +351,64 @@ object TextOps {
       |    '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS n_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Benchmark-contamination score: 3-gram overlap of every corpus
+    * document against a benchmark set (here: the `src0` docs — in
+    * production, the eval suites). The GPT-3/PaLM-style n-gram
+    * contamination check as one query: a doc whose shingles appear in
+    * the benchmark is leaking eval data into training. RAW shingles
+    * (no stop-shingle ceiling — common n-grams count as contamination
+    * too, that's the point). Benchmarks are small by construction, so
+    * the benchmark shingle set is a BROADCAST semi-join against the
+    * corpus shingle stream — the corpus is scanned once, nothing
+    * shuffles on the corpus side, at any corpus scale. Only docs with
+    * ≥ 1 shared shingle are emitted (at 100 TB the clean majority
+    * never leaves the executors). */
+  def textContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val sh = DedupOps.rawShingles(docs)
+    val benchDocs = docs.filter($"source" === "src0").select($"doc_id")
+    val benchSet = sh.join(benchDocs, "doc_id").select($"shingle").distinct()
+    val corpus = sh.join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
+    val totals = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = corpus.join(broadcast(benchSet), Seq("shingle"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, "doc_id")
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        rnd6($"n_shared".cast("double") / $"n_shingles".cast("double"))
+          .as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  val textContaminationSql: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+       |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+       |  FROM documents),
+       |rawsh AS (
+       |  SELECT DISTINCT a.doc_id,
+       |    a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       |  FROM pt a
+       |  JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN pt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |bench AS (
+       |  SELECT DISTINCT shingle FROM rawsh
+       |  JOIN documents USING (doc_id) WHERE source = 'src0'),
+       |corpus AS (
+       |  SELECT r.doc_id, r.shingle FROM rawsh r
+       |  JOIN documents d USING (doc_id) WHERE d.source <> 'src0'),
+       |totals AS (
+       |  SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+       |shared AS (
+       |  SELECT doc_id, COUNT(*) AS n_shared FROM corpus
+       |  WHERE shingle IN (SELECT shingle FROM bench)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_shared,
+       |  ${sqlRnd6("CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)")}
+       |    AS contamination
+       |FROM totals JOIN shared USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Zipf view of the corpus vocabulary: top-100 terms by total
     * frequency with rank, document frequency, and cumulative share of
     * all tokens — the first question asked of any pretraining corpus
