@@ -366,14 +366,18 @@ object TextOps {
   def textContamination(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val sh = DedupOps.rawShingles(docs)
-    val benchDocs = docs.filter($"source" === "src0").select($"doc_id")
-    val benchSet = sh.join(benchDocs, "doc_id").select($"shingle").distinct()
-    val corpus = sh.join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
-    val totals = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val shared = corpus.join(broadcast(benchSet), Seq("shingle"), "left_semi")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-    totals.join(shared, "doc_id")
+    // shingle each side SEPARATELY (the benchmark side shingles only
+    // its few docs), and fold totals + shared into ONE aggregation via
+    // a marking left join — the corpus shingle stream is built exactly
+    // once and scanned exactly once (Catalyst does not dedupe repeated
+    // subtrees; a totals/shared two-subtree form builds it twice).
+    val bench = DedupOps.rawShingles(docs.filter($"source" === "src0"))
+      .select($"shingle").distinct().withColumn("hit", lit(1))
+    val corpus = DedupOps.rawShingles(docs.filter($"source" =!= "src0"))
+    corpus.join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_shared"))
+      .filter($"n_shared" > 0)
       .select($"doc_id", $"n_shingles", $"n_shared",
         rnd6($"n_shared".cast("double") / $"n_shingles".cast("double"))
           .as("contamination"))
@@ -381,32 +385,34 @@ object TextOps {
   }
 
   val textContaminationSql: String =
-    s"""WITH pt AS (
+    s"""WITH bpt AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
        |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
-       |  FROM documents),
-       |rawsh AS (
+       |  FROM documents WHERE source = 'src0'),
+       |bench AS (
+       |  SELECT DISTINCT a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       |  FROM bpt a
+       |  JOIN bpt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN bpt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |cpt AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+       |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+       |  FROM documents WHERE source <> 'src0'),
+       |corpus AS (
        |  SELECT DISTINCT a.doc_id,
        |    a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
-       |  FROM pt a
-       |  JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       |  JOIN pt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-       |bench AS (
-       |  SELECT DISTINCT shingle FROM rawsh
-       |  JOIN documents USING (doc_id) WHERE source = 'src0'),
-       |corpus AS (
-       |  SELECT r.doc_id, r.shingle FROM rawsh r
-       |  JOIN documents d USING (doc_id) WHERE d.source <> 'src0'),
-       |totals AS (
-       |  SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
-       |shared AS (
-       |  SELECT doc_id, COUNT(*) AS n_shared FROM corpus
-       |  WHERE shingle IN (SELECT shingle FROM bench)
-       |  GROUP BY doc_id)
+       |  FROM cpt a
+       |  JOIN cpt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN cpt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |scored AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_shingles,
+       |    COUNT(b.shingle) AS n_shared
+       |  FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+       |  GROUP BY c.doc_id)
        |SELECT doc_id, n_shingles, n_shared,
        |  ${sqlRnd6("CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)")}
        |    AS contamination
-       |FROM totals JOIN shared USING (doc_id)
+       |FROM scored WHERE n_shared > 0
        |ORDER BY doc_id""".stripMargin
 
   /** Zipf view of the corpus vocabulary: top-100 terms by total

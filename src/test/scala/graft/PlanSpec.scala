@@ -243,6 +243,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spans.nonEmpty, s"hot path fell out of whole-stage codegen:\n$plan")
   }
 
+  test("contamination scoring broadcasts the benchmark shingle set") {
+    val plan = executedPlan(TextOps.textContamination(spark, sf))
+    val bhj = collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("shingle")) => j
+    }
+    assert(bhj.nonEmpty,
+      s"benchmark set did not broadcast onto the corpus shingle stream:\n$plan")
+    val smjOnShingle = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.contains("shingle")) => j
+    }
+    assert(smjOnShingle.isEmpty,
+      "corpus shingle stream got shuffled for the benchmark join")
+  }
+
   test("custom top-k operator plans partial→exchange→final with no window sort") {
     val df = WindowOps.rankTopNNative(spark, sf)
     val plan = executedPlan(df)
