@@ -88,6 +88,91 @@ object SnapshotOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
       |ORDER BY user_id, version""".stripMargin
 
+  /** Point-in-time (temporal) join: each click joined to the SCD2
+    * purchase-dimension version VALID AT the click's timestamp — the
+    * "what did the dimension say when the fact happened" join that
+    * every warehouse with slowly-changing dimensions runs, and the
+    * batch twin of stream–stream event-time joins. Clicks before a
+    * user's first version drop (inner semantics).
+    *
+    * Equi-join on user_id with the validity range as a residual
+    * predicate: hash-joinable, ONE shuffle pair, and the per-key
+    * fan-out is bounded by that user's version count (version chains
+    * are short by construction — this is NOT the unbounded range-join
+    * blowup, because each fact matches exactly one version). At 100 TB
+    * bucket both sides by the key and the join is exchange-free. */
+  def temporalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val dim = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id".as("d_user"), $"version",
+        $"value".as("dim_value"), $"ts".as("valid_from"), $"valid_to")
+    val clicks = Tables.events(spark, sfDir)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts")
+    clicks.join(dim,
+      $"user_id" === $"d_user" && $"valid_from" <= $"ts" &&
+        ($"valid_to".isNull || $"ts" < $"valid_to"))
+      .select($"click_id", $"user_id", $"ts", $"version", $"dim_value")
+      .orderBy($"click_id")
+  }
+
+  val temporalJoinSql: String =
+    """WITH dim AS (
+      |  SELECT user_id, value AS dim_value,
+      |    row_number() OVER w AS version,
+      |    ts AS valid_from, lead(ts, 1) OVER w AS valid_to
+      |  FROM events WHERE event_type = 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events
+      |  WHERE event_type = 'click')
+      |SELECT c.click_id, c.user_id, c.ts, d.version, d.dim_value
+      |FROM clicks c JOIN dim d
+      |  ON c.user_id = d.user_id AND d.valid_from <= c.ts
+      |  AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+      |ORDER BY c.click_id""".stripMargin
+
+  /** Cohort retention: users grouped by first-activity week, counted
+    * in each subsequent activity week — the product-analytics matrix
+    * behind every "week-4 retention" number. Two aggregations on
+    * user_id (cohort assignment + distinct activity weeks) and one
+    * join that reuses the same key partitioning; all counts exact
+    * integers, week arithmetic in whole days / 7 so both engines
+    * agree on the bucket. */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", date_trunc("WEEK", $"ts").cast("date").as("wk"))
+    val cohort = e.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    val activity = e.distinct()
+    activity.join(cohort, "user_id")
+      .select($"cohort_week",
+        (datediff($"wk", $"cohort_week") / 7).cast("int").as("weeks_since"))
+      .groupBy($"cohort_week", $"weeks_since")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_week", $"weeks_since")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week, e.wk) // 7 AS INTEGER)
+      |    AS weeks_since,
+      |  COUNT(*) AS n_users
+      |FROM e JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Snapshot boundary for [[snapshotDiff]]: state of the world as of
     * this instant vs the final state. */
   private val DIFF_CUTOFF = "2024-01-15 00:00:00"
