@@ -473,6 +473,39 @@ object AggOps {
       .orderBy($"event_type")
   }
 
+  /** EXACT distinct counting via mergeable bitmaps: key space bucketed
+    * into 64-bit words (bucket = key div 64), per-bucket `bit_or` of
+    * `1 << (key mod 64)`, popcount-sum at the end. Unlike HLL this is
+    * exact, and unlike count_distinct the state is RE-AGGREGATABLE:
+    * per-partition/per-day bitmap fragments OR together losslessly, so
+    * incremental rollups never recount the raw data — the
+    * bounded-domain twin of [[aggSketchUnion]] (surrogate-keyed IDs at
+    * 100 TB are exactly such a domain; this is the roaring-bitmap
+    * pattern with plain SQL types). Both aggregations combine
+    * map-side; shuffle volume is one long per (group, bucket). */
+  def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      // 32-bit words: a shift into a BIGINT sign bit is an overflow
+      // error in DuckDB, so the portable word width is 32
+      .groupBy($"l_returnflag", expr("l_partkey div 32").as("bucket"))
+      .agg(expr("bit_or(shiftleft(1L, cast(l_partkey % 32 as int)))").as("bits"))
+      .groupBy($"l_returnflag")
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n_distinct_parts"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggBitmapDistinctSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag, l_partkey // 32 AS bucket,
+      |    BIT_OR(1::BIGINT << CAST(l_partkey % 32 AS INTEGER)) AS bits
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag,
+      |  CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct_parts,
+      |  COUNT(*) AS n_buckets
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Count-min sketch point estimates: build one CMS over l_partkey
     * (ε = 1/2048 relative error over ~6M rows at sf0.1, δ = 1 %,
     * fixed seed → deterministic), then point-query the top-percentile
