@@ -356,6 +356,49 @@ object CfOps {
        |  ${sqlRnd6("dot / sqrt(naa * nbb)")} AS sim
        |FROM pairs ORDER BY item_a, item_b""".stripMargin
 
+  /** Time-decayed implicit ratings: each purchase contributes
+    * quantity · 2^-(age_years), age anchored at the corpus's newest
+    * order date — recency weighting for the recommender (a purchase
+    * six years ago says less than one last month; Ding & Li's
+    * time-weighted CF, with a one-year half-life).
+    *
+    * Determinism: the weight is a DYADIC rational — quantity divided
+    * by an integer power of two (`shiftleft`, capped at 2^30) — so
+    * the per-row double is EXACT, not a `pow()` approximation, and
+    * the exact-decimal sum is byte-identical cross-engine. Decay
+    * beyond 6 decimals truncates to zero in the DECIMAL(18,6) sum on
+    * both sides — part of the spec, not drift. Same single-shuffle
+    * derive as [[ratingsDerive]] plus one broadcast scalar (the
+    * anchor date). */
+  def ratingsTimeDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val anchor = o.agg(max($"o_orderdate".cast("date")).as("anchor"))
+    o.select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .crossJoin(broadcast(anchor))
+      .join(Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_partkey", $"l_quantity"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("user_id"), $"l_partkey".as("item_id"),
+        ($"l_quantity" / expr(
+          "cast(shiftleft(1L, cast(least(datediff(anchor, cast(o_orderdate as date)) div 365, 30) as int)) as double)"))
+          .as("wq"))
+      .groupBy($"user_id", $"item_id")
+      .agg(xsumFast($"wq").as("rating_decayed"))
+      .orderBy($"user_id", $"item_id")
+  }
+
+  val ratingsTimeDecaySql: String =
+    s"""WITH a AS (
+       |  SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders)
+       |SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |  ${sqlXsum(
+            "l_quantity / CAST(1::BIGINT << CAST(LEAST(" +
+            "date_diff('day', CAST(o_orderdate AS DATE), (SELECT anchor FROM a)) // 365, 30) AS INTEGER) AS DOUBLE)")}
+       |    AS rating_decayed
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1, 2 ORDER BY user_id, item_id""".stripMargin
+
   /** Cap for the user–user pair explosion: similarity is computed over
     * each ITEM's top raters only, the exact transpose of
     * [[USER_ITEM_CAP]] — pairs per item are hard-bounded, shuffle
