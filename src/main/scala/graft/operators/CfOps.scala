@@ -665,6 +665,63 @@ object CfOps {
        |FROM ranked WHERE rk <= $TOP_N
        |ORDER BY user_id, rk""".stripMargin
 
+  /** Intra-list diversity of each user's top-N recommendations:
+    * 1 − mean pairwise similarity of the recommended items (item
+    * pairs with no computed similarity count as 0 — unrelated). The
+    * metric that catches a recommender collapsing onto one franchise:
+    * accuracy metrics reward it, users hate it. Reuses the session-
+    * cached similarity pairs and the kNN top-N; the rec-list
+    * self-join fans out N(N−1)/2 rows per user (N=5 → 10), so the
+    * whole evaluation is rec-list-sized at any corpus scale. The
+    * per-user mean is an exact-decimal sum of rnd6'd sims — byte-
+    * stable under any partitioning. */
+  def evalDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val recs = predictKnn(spark, sfDir).select($"user_id", $"item_id")
+    val a = recs.select($"user_id", $"item_id".as("item_a"))
+    val b = recs.select($"user_id".as("ub"), $"item_id".as("item_b"))
+    val listPairs = a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
+      .select($"user_id", $"item_a", $"item_b")
+    listPairs
+      .join(simPairs(spark, sfDir).select($"item_a", $"item_b", $"sim"),
+        Seq("item_a", "item_b"), "left")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        rnd6(lit(1.0) -
+          xsumFast(coalesce($"sim", lit(0.0))) / count(lit(1))).as("ild"))
+      .orderBy($"user_id")
+  }
+
+  val evalDiversitySql: String =
+    s"""$pairsCtePrefix,
+       |scored AS (
+       |  SELECT r.user_id, n.neighbor_id AS cand_item,
+       |    ${sqlRnd6(s"${sqlXsum("n.sim * r.rating")} / ${sqlXsum("abs(n.sim)")}")} AS score
+       |  FROM ratings r
+       |  JOIN (SELECT item_id, neighbor_id, sim FROM neighbors
+       |        WHERE rk <= $K_NEIGHBORS) n
+       |    ON r.item_id = n.item_id
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  ANTI JOIN ratings r
+       |    ON s.user_id = r.user_id AND s.cand_item = r.item_id),
+       |recs AS (
+       |  SELECT user_id, cand_item AS item_id FROM (
+       |    SELECT user_id, cand_item, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY score DESC, cand_item ASC) AS rk
+       |    FROM unseen) WHERE rk <= $TOP_N),
+       |list_pairs AS (
+       |  SELECT x.user_id, x.item_id AS item_a, y.item_id AS item_b
+       |  FROM recs x JOIN recs y
+       |    ON x.user_id = y.user_id AND x.item_id < y.item_id)
+       |SELECT lp.user_id, COUNT(*) AS n_pairs,
+       |  ${sqlRnd6(s"1.0 - ${sqlXsum("COALESCE(p.sim, 0.0)")} / COUNT(*)")} AS ild
+       |FROM list_pairs lp
+       |LEFT JOIN pairs p ON lp.item_a = p.item_a AND lp.item_b = p.item_b
+       |GROUP BY lp.user_id
+       |ORDER BY lp.user_id""".stripMargin
+
   /** Holdout RMSE of the user-mean predictor over a deterministic
     * arithmetic split (MR: the evaluation job). Split: test fold is
     * `(user_id * 31 + item_id) % 5 == 0` — integer arithmetic, no
