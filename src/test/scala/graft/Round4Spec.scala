@@ -46,6 +46,32 @@ class Round4Spec extends SparkSpec {
       s"hitRate=$hitRate chance≈$chance nItems=$nItems — factorization is not ranking")
   }
 
+  test("TopKPerKey matches window top-k on adversarial random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // seeded generator: heavy key skew (key 0 gets ~half the rows),
+    // duplicate (v, id) sort keys, k larger than some groups
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(3000)((
+      if (rnd.nextBoolean()) 0L else rnd.nextInt(40).toLong,
+      rnd.nextInt(25), rnd.nextInt(50).toLong))
+    val df = rows.toDF("k", "v", "id").repartition(7)
+    val native = graft.plans.TopKPerKey
+      .topK(df, Seq("k"), Seq("v" -> false, "id" -> true), 4, "rk")
+      .select($"k", $"v", $"id", $"rk")
+    val w = Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)
+    val win = df.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 4).select($"k", $"v", $"id", $"rk")
+    val (n, wn) = (native.collect(), win.collect())
+    assert(n.length == wn.length)
+    // rows with duplicate (v, id) sort keys are interchangeable at the
+    // rank boundary, so compare as multisets of identical rows
+    assert(n.groupBy(identity).view.mapValues(_.length).toMap ==
+      wn.groupBy(identity).view.mapValues(_.length).toMap,
+      "native top-k diverged from the window formulation")
+  }
+
   test("count-min estimates dominate exact counts within the eps*N bound") {
     import spark.implicits._
     val rows = graft.operators.AggOps.aggCountmin(spark, sf)
