@@ -508,7 +508,7 @@ object AggOps {
 
   /** Count-min sketch point estimates: build one CMS over l_partkey
     * (ε = 1/2048 relative error over ~6M rows at sf0.1, δ = 1 %,
-    * fixed seed → deterministic), then point-query the top-percentile
+    * fixed seed → deterministic), then point-query the heavy-hitter
     * candidates from [[aggHeavyHitters]] and emit estimate next to
     * exact. This IS the 100 TB candidate-generation pass the
     * heavy-hitter doc comment promises: the sketch is a few KB of
@@ -539,14 +539,18 @@ object AggOps {
       .orderBy($"l_partkey")
   }
 
-  /** Heavy hitters: items in the top percentile of scan traffic, with
-    * their share of total rows — the "which keys dominate the
+  /** Heavy hitters: keys with at least 1.5× the mean per-key traffic,
+    * with their share of total rows — the "which keys dominate the
     * workload" diagnostic that decides salting/broadcast strategy
-    * before any big join. Candidate cut is the exact p99 of the
-    * per-item count distribution (self-calibrating: never empty, never
-    * the full table, at any SF). Two aggregations: the count pass has
-    * map-side combine; the percentile runs over one row per item. At
-    * 100 TB the candidate pass becomes a count-min sketch (point
+    * before any big join. The cut is pure integer arithmetic
+    * (2 · cnt · n_keys ≥ 3 · total ⟺ cnt ≥ 1.5×mean), so the boundary
+    * is EXACT and engine-identical — an interpolated percentile
+    * threshold would hinge on each engine's float interpolation rule
+    * at the cut point (1-ulp differences flip membership). Self-
+    * calibrating: the cut tracks the mean at any SF (fixture: ~1 % of
+    * keys qualify at every scale factor, never zero, never the table). Two aggregations: the count pass
+    * has map-side combine; the stats pass runs over one row per key.
+    * At 100 TB the candidate pass becomes a count-min sketch (point
     * queries over the sketch nominate candidates, an exact second pass
     * verifies — same two-pass shape, sketch-sized first pass);
     * the exact form here doubles as that verifier. */
@@ -555,10 +559,9 @@ object AggOps {
     import graft.functions.Udfs.rnd6
     val counts = Tables.lineitem(spark, sfDir)
       .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
-    val stats = counts.agg(expr("percentile(cnt, 0.99)").as("thr"),
-      sum($"cnt").as("total"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total"))
     counts.crossJoin(broadcast(stats))
-      .filter($"cnt" >= $"thr")
+      .filter($"cnt" * lit(2) * $"n_keys" >= lit(3) * $"total")
       .select($"l_partkey", $"cnt",
         rnd6($"cnt".cast("double") / $"total".cast("double")).as("share"))
       .orderBy($"cnt".desc, $"l_partkey".asc)
@@ -568,11 +571,11 @@ object AggOps {
     import graft.functions.Udfs.sqlRnd6
     s"""WITH counts AS (
        |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
-       |s AS (SELECT quantile_cont(cnt, 0.99) AS thr,
+       |s AS (SELECT COUNT(*) AS n_keys,
        |  CAST(SUM(cnt) AS BIGINT) AS total FROM counts)
        |SELECT l_partkey, cnt,
        |  ${sqlRnd6("CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)")} AS share
-       |FROM counts, s WHERE cnt >= thr
+       |FROM counts, s WHERE cnt * 2 * n_keys >= 3 * total
        |ORDER BY cnt DESC, l_partkey ASC""".stripMargin
   }
 }

@@ -32,7 +32,10 @@ import graft.functions.Udfs.{rnd6, sqlRnd6}
 object CfOps {
   import Exact._
 
-  private val MIN_SUPPORT = 2 // min co-raters for an item pair
+  // visible to GraphOps so its oracle CTEs interpolate the SAME
+  // constants as userSimPairs (a literal copy would silently
+  // desynchronize the graph oracles if either knob changed)
+  private[operators] val MIN_SUPPORT = 2 // min co-raters for an item pair
   private val K_NEIGHBORS = 10 // neighbors kept per item
   private val TOP_N = 5 // recommendations per user
 
@@ -49,18 +52,14 @@ object CfOps {
 
   /** Persist-once cache for genuine reuse points (the normalized-
     * ratings and similarity intermediates are consumed by several
-    * downstream queries, and by several subtrees WITHIN one query —
-    * Catalyst does not deduplicate repeated logical subtrees, so
-    * without this the orders⋈lineitem aggregation runs up to 6× per
-    * plan). Keyed per (application, sfDir); values are decimal-exact,
-    * so caching cannot change bytes. MEMORY_AND_DISK: at cluster scale
-    * the intermediate may exceed executor memory — spill, don't OOM. */
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    * downstream queries, and by several subtrees WITHIN one query).
+    * Shared [[graft.engine.DfCache]] semantics: per-(application,
+    * sfDir) scope, other scopes evicted + unpersisted on first use of
+    * a new one — see its doc for the lifecycle rationale. */
+  private[graft] val cache = new graft.engine.DfCache
   private def cached(spark: SparkSession, sfDir: String, name: String)(
       build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}|$sfDir|$name",
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cache(spark, sfDir, name)(build)
 
   /** (user_id, item_id, rating) from orders⋈lineitem. Reads the shared
     * persisted intermediate — the whole CF chain derives ratings exactly
@@ -408,7 +407,7 @@ object CfOps {
     * item axis has ~20k generators at sf0.1 vs 1.5k users — measured
     * 20 s → ~6 s for the user chain at sf0.1 with no change in the
     * operator's shape. */
-  private val ITEM_USER_CAP = 16
+  private[operators] val ITEM_USER_CAP = 16
 
   /** User–user cosine similarity over co-rated items — the transpose
     * of [[itemCosine]], the other classic neighborhood CF axis

@@ -39,14 +39,14 @@ object DedupOps {
     * pattern as the CF chain): the shingle inverted index feeds
     * near-dup, MinHash-LSH (twice per plan), and clustering; the
     * near-pair edge set feeds near-dup AND clustering. Without this,
-    * every dedup query re-explodes the corpus. Keyed per (application,
-    * sfDir); MEMORY_AND_DISK so cluster-scale spills instead of OOM. */
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    * every dedup query re-explodes the corpus. Shared
+    * [[graft.engine.DfCache]] semantics: per-(application, sfDir)
+    * scope, other scopes evicted + unpersisted on first use of a new
+    * one — see its doc for the lifecycle rationale. */
+  private[graft] val cache = new graft.engine.DfCache
   private def cached(spark: SparkSession, sfDir: String, name: String)(
       build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}|$sfDir|$name",
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cache(spark, sfDir, name)(build)
 
   /** Spark-side token explode of lower(text) (whitespace tokens). */
   private def tokens(spark: SparkSession, sfDir: String): DataFrame = {

@@ -435,7 +435,12 @@ object FnOps {
         expr("try_cast(l_returnflag AS int)").as("cast_bad"),
         expr("try_element_at(array(l_returnflag, l_linestatus), l_linenumber)")
           .as("safe_elem"))
-      .orderBy($"l_orderkey", $"l_linenumber", $"safe_div")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture
+      // (SampleOps.scala documents this), so sort by every output
+      // column — rows that tie on all of them are identical and
+      // therefore interchangeable under the driver's hash compare.
+      .orderBy($"l_orderkey", $"l_linenumber", $"safe_div",
+        $"cast_ok", $"cast_bad", $"safe_elem")
   }
 
   val fnTrySql: String =
@@ -445,5 +450,6 @@ object FnOps {
       |  TRY_CAST(l_returnflag AS INTEGER) AS cast_bad,
       |  ([l_returnflag, l_linestatus])[l_linenumber] AS safe_elem
       |FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber, safe_div""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, safe_div,
+      |  cast_ok, cast_bad, safe_elem""".stripMargin
 }

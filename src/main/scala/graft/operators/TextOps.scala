@@ -421,10 +421,15 @@ object TextOps {
     * (how head-heavy is it? where do stopword cuts land?).
     *
     * tf and df come from one grouped count each (map-side combined);
-    * the rank/cumulative window runs over vocabulary-sized data, and
-    * the top-100 cut keeps the output constant-size at any corpus
-    * scale. Counts are exact integers; the only float is the final
-    * share division, rnd6'd on identical operands. */
+    * the top-100 cut happens FIRST, via orderBy+limit — planned as
+    * TakeOrderedAndProject (bounded per-partition heaps, no global
+    * sort, no full-vocabulary window). The rank/cumulative window then
+    * runs over the bounded 100-row result only, so its unpartitioned
+    * WindowExec is O(100) at any corpus scale — billions of distinct
+    * tokens never funnel through one task. Counts are exact integers;
+    * the only float is the final share division, rnd6'd on identical
+    * operands. Cutting before ranking is equivalent to ranking then
+    * cutting because both use the same total order (tf desc, tok). */
   def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
@@ -432,12 +437,12 @@ object TextOps {
     val tf = tk.groupBy($"tok").agg(count(lit(1)).as("tf"),
       countDistinct($"doc_id").as("df"))
     val total = tf.agg(sum($"tf").as("total"))
+    val top = tf.orderBy($"tf".desc, $"tok".asc).limit(100)
     val w = Window.orderBy($"tf".desc, $"tok".asc)
-    tf.crossJoin(broadcast(total))
+    top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w))
       .withColumn("cum_tf", sum($"tf").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter($"rank" <= 100)
       .select($"rank", $"tok", $"tf", $"df",
         rnd6($"cum_tf".cast("double") / $"total".cast("double")).as("cum_share"))
       .orderBy($"rank")

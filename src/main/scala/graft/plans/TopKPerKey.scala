@@ -117,7 +117,19 @@ object TopKPerKey {
 
   /** Size-k heap per key over one partition. PQ comparator is the
     * REVERSED row order so poll() evicts the worst row; a row that
-    * can't beat the current worst is rejected without copying. */
+    * can't beat the current worst is rejected without copying.
+    *
+    * Memory caveat: the map holds O(distinct keys per partition × k)
+    * copied rows ON HEAP, outside Spark's task memory manager — it
+    * cannot spill. That is the right trade when k·keys/partition is
+    * small relative to executor memory (the exchange-diet scenario
+    * this operator exists for); for extreme key cardinality per
+    * partition (keys × k approaching partition row count) the heap
+    * holds nearly the whole partition with per-key PQ overhead on
+    * top, and the spillable WindowExec formulation (or more input
+    * partitions, which shrink the per-partition key set) is the safer
+    * plan. A production hardening would back this with a spillable
+    * map acquired from the TaskMemoryManager. */
   private[plans] def heaps(iter: Iterator[InternalRow], keys: Seq[Expression],
       order: Seq[SortOrder], k: Int, childOut: Seq[Attribute])
       : java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]] = {

@@ -36,18 +36,23 @@ object StreamOps {
   private val nameCounter = new AtomicInteger(0)
 
   /** Replay rows cached per (application, sfDir): five stream queries
-    * share one collect+sort of the events table. */
+    * share one collect+sort of the events table. Same lifecycle as
+    * [[graft.engine.DfCache]]: switching to a new sfDir drops the old
+    * scope's rows, so a session sweeping many scale factors holds one
+    * replay set in driver memory, not all of them. */
   private val replayCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Ev]]
 
-  private def replayRows(spark: SparkSession, sfDir: String): Seq[Ev] =
-    replayCache.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}|$sfDir", {
-        import spark.implicits._
-        Tables.events(spark, sfDir)
-          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-          .orderBy($"ts", $"event_id").as[Ev].collect().toSeq
-      })
+  private def replayRows(spark: SparkSession, sfDir: String): Seq[Ev] = {
+    val scope = s"${spark.sparkContext.applicationId}|$sfDir"
+    replayCache.keys.filter(_ != scope).foreach(replayCache.remove)
+    replayCache.getOrElseUpdate(scope, {
+      import spark.implicits._
+      Tables.events(spark, sfDir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .orderBy($"ts", $"event_id").as[Ev].collect().toSeq
+    })
+  }
 
   /** Run `build` on a MemoryStream replay of `events` (event-time
     * order, one micro-batch) and return the collected sink table. */
@@ -420,13 +425,15 @@ object StreamOps {
 
   /** foreachBatch sink — the production escape hatch for sinks
     * Structured Streaming lacks natively (JDBC, multi-table writes,
-    * merge-upserts). Each micro-batch lands as an idempotent parquet
-    * append keyed by batchId; the replay drives THREE real micro-
-    * batches so the per-batch path actually exercises re-planning.
-    * Plain parquet append (used here) is at-least-once on batch retry;
-    * production exactly-once needs a batchId-idempotent write
-    * (overwrite-by-batch-partition or a MERGE keyed on batchId). The
-    * union of batches must equal the batch query — the oracle. */
+    * merge-upserts). Each micro-batch lands as a parquet DYNAMIC
+    * PARTITION OVERWRITE of its own batch_id partition ([[febWrite]]);
+    * the replay drives THREE real micro-batches so the per-batch path
+    * actually exercises re-planning. Overwrite-by-batch-partition is
+    * what makes the sink exactly-once under retry: re-delivering a
+    * micro-batch replaces its partition with identical bytes instead
+    * of appending duplicates (plain append would be at-least-once).
+    * StreamSpec proves idempotence by re-driving one batch. The union
+    * of batches must equal the batch query — the oracle. */
   def streamForeachBatch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rows = replayRows(spark, sfDir)
@@ -443,10 +450,7 @@ object StreamOps {
         .filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts", $"value")
         .writeStream
-        .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          df.withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(out)
-        }
+        .foreachBatch(febWrite(out) _)
         .outputMode(OutputMode.Append()).start()
       try {
         val chunk = math.max(1, rows.size / 3 + 1)
@@ -460,6 +464,21 @@ object StreamOps {
       .select($"event_id", $"user_id", $"ts", $"value")
       .orderBy($"event_id")
   }
+
+  /** The per-micro-batch write used by [[streamForeachBatch]]:
+    * overwrite THIS batch's partition only (dynamic partition
+    * overwrite scoped to the batch_id values present in the batch —
+    * i.e. exactly one). Retrying a failed/duplicated batch rewrites
+    * the same partition with the same bytes — idempotent, which is
+    * the foreachBatch exactly-once contract. Exposed private[graft]
+    * so StreamSpec can re-drive a batch and assert idempotence. */
+  private[graft] def febWrite(out: String)(
+      df: Dataset[org.apache.spark.sql.Row], id: Long): Unit =
+    df.withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(out)
 
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)

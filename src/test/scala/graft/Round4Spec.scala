@@ -79,10 +79,17 @@ class Round4Spec extends SparkSpec {
     assert(rows.nonEmpty)
     val n = graft.engine.Tables.lineitem(spark, sf).count()
     val slack = (0.00048828125 * n).toLong + 1
+    // one-sided dominance is a hard CMS guarantee — assert per key
     rows.foreach { case (cnt, est) =>
       assert(est >= cnt, s"CMS under-counted: est=$est < exact=$cnt")
-      assert(est <= cnt + slack, s"est=$est beyond exact=$cnt + eps*N=$slack")
     }
+    // the eps*N error bound holds per query only with prob 1-delta
+    // (delta = 1%), so with dozens of candidate keys the all-pass
+    // probability is materially below 1 on arbitrary data — assert a
+    // large fraction instead of every key
+    val within = rows.count { case (cnt, est) => est <= cnt + slack }
+    assert(within >= math.ceil(rows.length * 0.95).toInt,
+      s"only $within/${rows.length} CMS estimates within eps*N=$slack")
     // counter merges are long additions — repartition cannot change bytes
     val again = graft.operators.AggOps.aggCountmin(spark, sf)
       .select($"cnt", $"est").as[(Long, Long)].collect()
