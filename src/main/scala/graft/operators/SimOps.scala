@@ -246,6 +246,69 @@ object SimOps {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** LSH search against a PHYSICALLY PARTITIONED corpus layout — the
+    * demonstrated form of the 100 TB story [[simsearchLsh]] narrates.
+    * The corpus is persisted ONCE partitioned BY bucket (directory per
+    * bucket id, freshness-checked against the source like the bucketed
+    * join layout), and the probe joins the broadcast query side on the
+    * PARTITION column — so dynamic partition pruning injects the query
+    * buckets into the scan's PartitionFilters and only the matching
+    * bucket DIRECTORIES are read (asserted in PlanSpec). At 100 TB a
+    * probe touches ~1/2^planes of the files instead of filtering
+    * after a full scan; same results as the in-join LSH form — the
+    * oracle is identical. */
+  def simsearchLshPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val corpus = spark.read.parquet(lshLayoutDir(spark, sfDir))
+    val q = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        expr(lshSigExpr("embedding")).as("q_bucket"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    corpus.join(broadcast(q),
+        $"bucket" === $"q_bucket" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"bucket".cast("bigint").as("bucket"), $"vec_id",
+        rnd6(expr("graft_cosine_sim(embedding, qv)")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TOP_K)
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Write-once bucket-partitioned embedding layout under the local
+    * warehouse (same freshness contract as the bucketed-join tables:
+    * _SUCCESS newer than the source AND a _SPEC fingerprint matching
+    * this build's layout definition, else rewrite). ≤ 2^LSH_PLANES
+    * directories; at cluster scale this is the one-off write that
+    * converts every later probe from full-scan+filter to a
+    * partition-pruned read. */
+  private[graft] def lshLayoutDir(spark: SparkSession, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = if (wh.contains(":")) new java.net.URI(wh).getPath else wh
+    val dir = new java.io.File(whPath, s"emb_lsh$tag")
+    val spec = s"vec_id,label,embedding|partitionBy(bucket)|planes=$LSH_PLANES"
+    val marker = new java.io.File(dir, "_SUCCESS")
+    val specFile = new java.io.File(dir, "_SPEC")
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    def newestUnder(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
+      else f.lastModified()
+    val fresh = marker.exists() && specFile.exists() &&
+      newestUnder(src) <= marker.lastModified() &&
+      new String(java.nio.file.Files.readAllBytes(specFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == spec
+    if (!fresh) {
+      Tables.embeddings(spark, sfDir)
+        .withColumn("bucket", expr(lshSigExpr("embedding")))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(dir.getAbsolutePath)
+      java.nio.file.Files.write(specFile.toPath,
+        spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    dir.getAbsolutePath
+  }
+
   /** Per-label stats over the array column ("multimodal columns"):
     * count, mean L2 norm, centroid L2 norm, mean of dim 1 — all via
     * higher-order functions + decimal-exact aggregation. */
