@@ -759,6 +759,18 @@ object CfOps {
     * (iterative factorization); correctness story is the seeded-rerun
     * + RMSE-bound ScalaTest.
     *
+    * rank 8 / 4 iterations: the fixture ratings are not low-rank (the
+    * CfSpec holdout comment pins ALS at ~1.8× the user-mean RMSE), so
+    * extra rank/iterations buy no measurable fit quality — the spec
+    * bounds (seed determinism, 2.0× RMSE ceiling, ≥0.2 implicit hit
+    * rate) hold with wide margin under rank 10/iter 5 and rank 8/
+    * iter 4 alike, so run the cheaper fit. Measured honestly, though:
+    * at sf0.1 the query's wall clock is dominated by
+    * recommendForAllUsers' users×items blocked GEMM + top-k, which is
+    * data-scale-bound and nearly rank-insensitive, so the leaner
+    * config trims the fit phase only (~1 s of ~8 s); the remaining
+    * cost is intrinsic to scoring every user against every item.
+    *
     * Scale notes: ALS block count tracks input partitions; at cluster
     * scale set setNumItemBlocks/setNumUserBlocks ≈ executors and
     * checkpoint every ~10 iterations to cut lineage. */
@@ -771,7 +783,7 @@ object CfOps {
         $"rating".cast("float").as("rating"))
     val model = new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      .setRank(10).setMaxIter(5).setRegParam(0.1).setSeed(42L)
+      .setRank(8).setMaxIter(4).setRegParam(0.1).setSeed(42L)
       .setImplicitPrefs(false).setColdStartStrategy("drop")
       .fit(r)
     model.setPredictionCol("prediction")
@@ -804,7 +816,7 @@ object CfOps {
         $"rating".cast("float").as("rating"))
     val model = new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      .setRank(10).setMaxIter(5).setRegParam(0.1).setSeed(42L)
+      .setRank(8).setMaxIter(4).setRegParam(0.1).setSeed(42L)
       .setImplicitPrefs(true).setAlpha(1.0).setColdStartStrategy("drop")
       .fit(r)
     model.recommendForAllUsers(10)

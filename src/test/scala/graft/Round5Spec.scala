@@ -48,6 +48,62 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(before.length == 3)
   }
 
+  test("AQE splits a skewed join partition at runtime (automatic complement of q_join_salted)") {
+    import spark.implicits._
+    // 100 TB story: q_join_salted is the MANUAL hot-key mitigation;
+    // this pins Spark's AUTOMATIC one — AQE's OptimizeSkewedJoin
+    // re-plans a sort-merge join at runtime, splitting the oversized
+    // partition across tasks. Thresholds are cluster-scale knobs
+    // (256 MB default), so the test lowers them to fixture scale; the
+    // skew itself is synthetic (90 % of rows on one key).
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90 % of fact rows on key 0, the rest uniform over 0..99; the
+      // varying payload keeps shuffle bytes real (and column pruning
+      // from erasing them — the downstream agg consumes the payload).
+      // The consumer is a GLOBAL aggregate on purpose: a groupBy on
+      // the join key would reuse the join's hash partitioning, and
+      // OptimizeSkewedJoin declines to split when the split would
+      // force an extra downstream exchange — itself a scale lesson:
+      // AQE skew handling applies when the join output has no
+      // key-distribution requirement (or forceOptimizeSkewedJoin).
+      val fact = spark.range(0, 100000)
+        .select(when($"id" % 10 =!= 0, lit(0L))
+          .otherwise(($"id" / 10).cast("long") % 100).as("k"),
+          rpad(concat(lit("x"), $"id".cast("string")), 64, "y").as("payload"))
+      val dim = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(length($"payload")).as("bytes"),
+          sum($"v").as("sv"))
+      val row = joined.collect()(0)
+      val skewJoins = collectWithSubqueries(joined.queryExecution.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.isSkewJoin => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.isSkewJoin => j
+      }
+      assert(skewJoins.nonEmpty,
+        s"OptimizeSkewedJoin did not fire:\n${joined.queryExecution.executedPlan}")
+      // results identical to the arithmetic ground truth: every fact
+      // row joins exactly once; key 0 carries 90000 + 100 of them
+      assert(row.getLong(0) == 100000L, s"row count ${row.getLong(0)}")
+      assert(row.getLong(1) == 100000L * 64, "payload bytes changed")
+      // sv = sum over rows of 2k: 90100 rows at k=0 contribute 0;
+      // each other key k has 100 rows → 100 * Σ 2k, k=1..99
+      assert(row.getLong(2) == 100L * 2 * (99L * 100 / 2),
+        "skew split changed the join result")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("LSH pruned search reads only the probed bucket partitions via DPP") {
     val df = graft.operators.SimOps.simsearchLshPruned(spark, sf)
     df.collect()
