@@ -506,6 +506,58 @@ object AggOps {
       |  COUNT(*) AS n_buckets
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Correlation / covariance per group — NOT via the engines' builtin
+    * corr()/covar_*() (each accumulates floats in its own order and
+    * formula; cross-engine bytes would differ), but assembled from the
+    * five decimal-exact moment sums (Σx, Σy, Σxy, Σx², Σy²) with ONE
+    * identical double-arithmetic expression tree on both sides —
+    * the same discipline as the CF similarity moments. Products are
+    * computed in double first (IEEE-identical in both engines), then
+    * decimal-summed, so the sums are order- and partition-independent;
+    * the final formulas are single correctly-rounded double ops.
+    * Map-side combine applies; one shuffle on the group key. */
+  def aggCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        xsum($"l_quantity").as("sx"),
+        xsum($"l_extendedprice").as("sy"),
+        xsum($"l_quantity" * $"l_extendedprice").as("sxy"),
+        xsum($"l_quantity" * $"l_quantity").as("sxx"),
+        xsum($"l_extendedprice" * $"l_extendedprice").as("syy"))
+    val nd = $"n".cast("double")
+    m.select($"l_returnflag", $"n",
+        rnd6(($"sxy" - $"sx" * $"sy" / nd) / nd).as("covar_pop"),
+        rnd6(($"sxy" - $"sx" * $"sy" / nd) / (nd - lit(1.0))).as("covar_samp"),
+        rnd6((nd * $"sxy" - $"sx" * $"sy") /
+          sqrt((nd * $"sxx" - $"sx" * $"sx") * (nd * $"syy" - $"sy" * $"sy")))
+          .as("corr_qp"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggCorrSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${sqlXsum("l_quantity")} AS sx,
+       |    ${sqlXsum("l_extendedprice")} AS sy,
+       |    ${sqlXsum("l_quantity * l_extendedprice")} AS sxy,
+       |    ${sqlXsum("l_quantity * l_quantity")} AS sxx,
+       |    ${sqlXsum("l_extendedprice * l_extendedprice")} AS syy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  ${sqlRnd6("(sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)")}
+       |    AS covar_pop,
+       |  ${sqlRnd6("(sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)")}
+       |    AS covar_samp,
+       |  ${sqlRnd6("(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+           "sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+           "(CAST(n AS DOUBLE) * syy - sy * sy))")} AS corr_qp
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Count-min sketch point estimates: build one CMS over l_partkey
     * (ε = 1/2048 relative error over ~6M rows at sf0.1, δ = 1 %,
     * fixed seed → deterministic), then point-query the heavy-hitter

@@ -298,4 +298,70 @@ object GraphOps {
        |  CAST(prs AS DOUBLE) / CAST($SCALE AS DOUBLE) AS pr
        |FROM pr$ITERS ORDER BY user_id""".stripMargin
   }
+
+  /** BFS hop bound shared by the operator and its oracle: the level-
+    * synchronous loop stops here even if the frontier is non-empty,
+    * and the recursive-CTE oracle enumerates walks to the same depth —
+    * keeping the two definitions identical even on a graph with a
+    * larger diameter (fixture diameters are single-digit). */
+  private val MAX_HOPS = 20
+
+  /** Single-source shortest hop counts over the user–user pair graph
+    * (source = the smallest user id in the graph — deterministic),
+    * level-synchronous BFS: each round advances the frontier one hop
+    * through an edges join, anti-joins out already-visited nodes, and
+    * stops when the frontier empties (or at [[MAX_HOPS]]).
+    *
+    * Scale shape: per round one join on the CURRENT FRONTIER (not the
+    * whole graph) + one anti-join against visited — both shuffles are
+    * bounded by frontier/visited size, the textbook distributed BFS.
+    * Each generation localCheckpoints eagerly: visited feeds the next
+    * anti-join AND the final output, and frontier feeds the next join,
+    * so lineage would otherwise double per round (same argument as
+    * [[pagerankConverged]]). The per-round emptiness check is a 1-row
+    * driver scalar — the documented driver-loop pattern. Unreachable
+    * nodes are absent from the output (no sentinel row), matching the
+    * oracle's reachable-only enumeration. */
+  def graphShortestPath(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
+    val e = edges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val src = pairs.agg(min($"user_a")).collect()(0).getLong(0)
+    var visited = Seq((src, 0L)).toDF("user_id", "hops").localCheckpoint(true)
+    var frontier = visited
+    var hop = 0L
+    var frontierSize = 1L
+    while (frontierSize > 0 && hop < MAX_HOPS) {
+      hop += 1
+      val next = frontier.join(e, frontier("user_id") === e("src"))
+        .select($"dst".as("user_id")).distinct()
+        .join(visited, Seq("user_id"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    e.unpersist()
+    visited.select($"user_id", $"hops").orderBy($"user_id")
+  }
+
+  /** Oracle: bounded recursive-CTE walk enumeration with MIN(hops) —
+    * level-synchronous BFS firsts equal the minimum over all walks of
+    * depth ≤ [[MAX_HOPS]]; the UNION (distinct) on (node, hops) keeps
+    * the enumeration finite. */
+  val graphShortestPathSql: String =
+    s"""WITH RECURSIVE $pairsCte,
+       |edges AS (
+       |  SELECT user_a AS src, user_b AS dst FROM pairs
+       |  UNION ALL SELECT user_b, user_a FROM pairs),
+       |bfs AS (
+       |  SELECT (SELECT MIN(user_a) FROM pairs) AS user_id, 0 AS hops
+       |  UNION
+       |  SELECT e.dst, b.hops + 1
+       |  FROM bfs b JOIN edges e ON e.src = b.user_id
+       |  WHERE b.hops < $MAX_HOPS)
+       |SELECT user_id, CAST(MIN(hops) AS BIGINT) AS hops
+       |FROM bfs GROUP BY user_id ORDER BY user_id""".stripMargin
 }

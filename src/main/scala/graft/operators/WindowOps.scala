@@ -163,6 +163,40 @@ object WindowOps {
       |    ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_rev
       |FROM daily ORDER BY day""".stripMargin
 
+  /** Trailing 1-hour per-user event window — the PARTITIONED
+    * time-range frame next to [[frameRange]]'s global per-day one:
+    * RANGE over epoch seconds within each user's event stream (count
+    * and decimal-exact value sum over everything ≤ 3599 s back). The
+    * partition key makes this the shape that scales: one exchange on
+    * user_id, per-user sorted ranges, no global anything. Numeric
+    * RANGE again (interval-RANGE dialects differ); rows tied on the
+    * same second share one frame, so the result is well-defined
+    * without a sub-second tiebreak — the OUTPUT order still carries
+    * event_id for totality. */
+  def frameRangeTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("sec"), $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"sec").rangeBetween(-3599, 0)
+    ev.select($"user_id", $"event_id", $"sec",
+        count(lit(1)).over(w).as("n_1h"),
+        sum($"value".cast(DecimalType(18, 6))).over(w)
+          .cast(DoubleType).as("v_1h"))
+      .orderBy($"user_id", $"sec", $"event_id")
+  }
+
+  val frameRangeTsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS sec, value
+      |  FROM events)
+      |SELECT user_id, event_id, sec,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, sec, event_id""".stripMargin
+
   /** Navigation functions: first/last/nth order value per customer —
     * frame must be the full partition for last/nth to see every row.
     * Tiebreak on o_orderkey keeps cross-engine navigation identical. */
