@@ -506,6 +506,58 @@ object AggOps {
       |  COUNT(*) AS n_buckets
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-user z-score outliers over the event stream — the streaming-
+    * adjacent data-quality primitive (fraud / sensor-glitch triage):
+    * flag events more than 3 sample standard deviations from their
+    * user's own mean. Same exact-moment discipline as [[aggCorr]]:
+    * mean and variance are assembled from decimal-exact Σv and Σv²
+    * with one identical double expression tree in both engines, and
+    * the z threshold compares rnd6'd values so a last-ulp sqrt cannot
+    * flip membership. Users with < 10 events or zero variance are
+    * skipped (a z-score against 3 points is noise, not signal). One
+    * shuffle on user_id for the moments, then a broadcast-sized join
+    * of per-user stats back onto the stream — the 100 TB shape. */
+  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"value")
+    val stats = ev.groupBy($"user_id").agg(
+      count(lit(1)).as("n"),
+      xsum($"value").as("sv"),
+      xsum($"value" * $"value").as("svv"))
+    val nd = $"n".cast("double")
+    val enriched = stats
+      .filter($"n" >= 10)
+      .select($"user_id".as("su"), $"n",
+        ($"sv" / nd).as("mean"),
+        sqrt(($"svv" - $"sv" * $"sv" / nd) / (nd - lit(1.0))).as("std"))
+      .filter($"std" > 0.0)
+    ev.join(broadcast(enriched), $"user_id" === $"su")
+      .select($"user_id", $"event_id", $"value",
+        rnd6(($"value" - $"mean") / $"std").as("z"))
+      .filter(abs($"z") > 3.0)
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val eventsAnomalySql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH stats AS (
+       |  SELECT user_id, COUNT(*) AS n,
+       |    ${sqlXsum("value")} AS sv,
+       |    ${sqlXsum("value * value")} AS svv
+       |  FROM events GROUP BY 1),
+       |enriched AS (
+       |  SELECT user_id, sv / CAST(n AS DOUBLE) AS mean,
+       |    sqrt((svv - sv * sv / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS std
+       |  FROM stats WHERE n >= 10)
+       |SELECT e.user_id, e.event_id, e.value,
+       |  ${sqlRnd6("(e.value - s.mean) / s.std")} AS z
+       |FROM events e JOIN enriched s ON e.user_id = s.user_id
+       |WHERE s.std > 0 AND abs(${sqlRnd6("(e.value - s.mean) / s.std")}) > 3.0
+       |ORDER BY e.user_id, e.event_id""".stripMargin
+  }
+
   /** Correlation / covariance per group — NOT via the engines' builtin
     * corr()/covar_*() (each accumulates floats in its own order and
     * formula; cross-engine bytes would differ), but assembled from the

@@ -1211,4 +1211,51 @@ object CfOps {
        |  (SELECT COUNT(DISTINCT item_id) FROM recs) AS rec_items,
        |  (SELECT COUNT(DISTINCT item_id) FROM ratings) AS catalog_items,
        |  ${sqlRnd6("(SELECT COUNT(DISTINCT item_id) FROM recs) / (SELECT COUNT(DISTINCT item_id) FROM ratings)")} AS coverage""".stripMargin
+
+  /** Popularity-baseline recommender: each user gets the global
+    * top-[[TOP_N]] items (by total implicit rating) they have NOT
+    * already interacted with — the non-personalized baseline every
+    * recommender evaluation needs as its floor, and the fallback a
+    * production system serves when personalization has nothing.
+    *
+    * Scale shape: the popular list is a global orderBy+limit over the
+    * per-item aggregate (TakeOrderedAndProject — bounded heaps), then
+    * BROADCAST against the user set; "unseen" is a left-anti join on
+    * the user's own ratings. No per-user state anywhere; the big side
+    * is touched once. */
+  def predictPopular(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = ratings(spark, sfDir)
+    val popular = r.groupBy($"item_id")
+      .agg(xsumFast($"rating").as("pop"))
+      .orderBy($"pop".desc, $"item_id".asc)
+      .limit(TOP_N)
+    val users = r.select($"user_id").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"pop".desc, $"item_id".asc)
+    users.crossJoin(broadcast(popular))
+      .join(r.select($"user_id", $"item_id"), Seq("user_id", "item_id"),
+        "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .select($"user_id", $"rk", $"item_id", rnd6($"pop").as("pop"))
+      .orderBy($"user_id", $"rk")
+  }
+
+  val predictPopularSql: String =
+    s"""WITH $ratingsCte,
+       |popular AS (
+       |  SELECT item_id, ${sqlXsum("rating")} AS pop
+       |  FROM ratings GROUP BY 1
+       |  ORDER BY pop DESC, item_id ASC LIMIT $TOP_N),
+       |users AS (SELECT DISTINCT user_id FROM ratings),
+       |unseen AS (
+       |  SELECT u.user_id, p.item_id, p.pop
+       |  FROM users u CROSS JOIN popular p
+       |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+       |    WHERE r.user_id = u.user_id AND r.item_id = p.item_id))
+       |SELECT user_id,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY pop DESC, item_id ASC) AS rk,
+       |  item_id, ${sqlRnd6("pop")} AS pop
+       |FROM unseen ORDER BY user_id, rk""".stripMargin
 }

@@ -85,7 +85,17 @@ object ContentOps {
        |  JOIN attrs ab ON ab.item_id = c.item_b AND ab.a = aa.a
        |  GROUP BY 1, 2)""".stripMargin
 
-  private def candidates(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Verified candidate pairs are consumed by BOTH contentSim and
+    * contentKnn — persist once per (application, sfDir) scope, same
+    * lifecycle as the CF/dedup intermediates. */
+  private[graft] val cache = new graft.engine.DfCache
+
+  private def candidates(spark: SparkSession, sfDir: String): DataFrame =
+    cache(spark, sfDir, "content_candidates") {
+      candidatesUncached(spark, sfDir)
+    }
+
+  private def candidatesUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val at = attrs(spark, sfDir)
     val wCap = Window.partitionBy($"k").orderBy($"item_id".asc)

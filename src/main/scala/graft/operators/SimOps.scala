@@ -299,8 +299,14 @@ object SimOps {
       new String(java.nio.file.Files.readAllBytes(specFile.toPath),
         java.nio.charset.StandardCharsets.UTF_8) == spec
     if (!fresh) {
+      // repartition BY bucket before the partitioned write: one file
+      // per bucket directory instead of (shuffle partitions × buckets)
+      // fragments — file-listing and open() cost dominate small-probe
+      // reads otherwise. At cluster scale this is the standard
+      // write-shaping step for any partitioned layout.
       Tables.embeddings(spark, sfDir)
         .withColumn("bucket", expr(lshSigExpr("embedding")))
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(dir.getAbsolutePath)
       java.nio.file.Files.write(specFile.toPath,

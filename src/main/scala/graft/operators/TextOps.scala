@@ -90,6 +90,47 @@ object TextOps {
        |FROM tf JOIN df ON tf.tok = df.tok, n
        |ORDER BY tf.doc_id, tf.tok""".stripMargin
 
+  /** Keyword extraction: the top-3 terms per document by TF-IDF —
+    * [[textTfidf]]'s scores turned into the per-doc keyword list a
+    * search/tagging pipeline actually consumes. Window partitioned by
+    * doc_id (rank desc by rounded tfidf, term tiebreak), so the rank
+    * filter is WindowGroupLimit-prunable and per-key bounded at any
+    * corpus scale; scores are the already-oracled rnd6 values, so
+    * ranking on them is engine-identical. */
+  def textKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tk = tokens(spark, sfDir)
+    val nDf = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_total"))
+    val tf = tk.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(nDf))
+      .select($"doc_id", $"tok",
+        rnd6($"tf" * rnd6(log(($"n_total" + 1.0) / ($"df" + 1.0)) + 1.0)).as("tfidf"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"tok".as("keyword"), $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val textKeywordsSql: String =
+    s"""WITH $tokensCte,
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |    ${sqlRnd6(s"tf.tf * ${sqlRnd6("ln((n.n + 1.0) / (df.df + 1.0)) + 1.0")}")} AS tfidf
+       |  FROM tf JOIN df ON tf.tok = df.tok, n),
+       |ranked AS (
+       |  SELECT doc_id, tok AS keyword, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, tok ASC) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, keyword, tfidf
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
   /** Data-driven language-ID: learn a top-10-token profile per lang
     * from the corpus, score each doc by how many of its tokens (with
     * multiplicity) fall in each profile, predict argmax (score desc,

@@ -259,6 +259,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "corpus shingle stream got shuffled for the benchmark join")
   }
 
+  test("rank-filter window pushes down as WindowGroupLimit (bounded per-key state)") {
+    // Spark 4's own partial top-k: a row_number() <= k filter plans a
+    // WindowGroupLimitExec BELOW the exchange, pruning each map
+    // partition to k rows per key before the shuffle — the built-in
+    // sibling of graft.plans.TopKPerKey, and the reason the window
+    // formulation is also 100 TB-safe for small k.
+    val plan = executedPlan(WindowOps.rankTopN(spark, sf))
+    val limits = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.nonEmpty,
+      s"expected WindowGroupLimitExec pushdown in:\n$plan")
+  }
+
   test("custom top-k operator plans partial→exchange→final with no window sort") {
     val df = WindowOps.rankTopNNative(spark, sf)
     val plan = executedPlan(df)
