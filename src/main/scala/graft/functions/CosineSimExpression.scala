@@ -122,7 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(RollingHash.NAME),
         new ExpressionInfo(classOf[RollingHash].getName, RollingHash.NAME),
         (exprs: Seq[Expression]) => RollingHash(exprs(0))))
-    // whole-operator extension: partial/final per-key top-k
+    // whole-operator extension: partial/final per-key top-k, plus the
+    // conf-gated rewrite that swaps it in for row_number()<=k windows
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }

@@ -62,6 +62,27 @@ object WindowOps {
 
   val rankTopNNativeSql: String = rankTopNSql
 
+  /** [[rankTopN]] rewritten AUTOMATICALLY: the query is the verbatim
+    * idiomatic window formulation — no custom API call — and
+    * [[graft.plans.TopKRewriteRule]] transforms its
+    * `row_number() <= 3` filter-over-window into [[graft.plans
+    * .TopKPerKeyPlan]] (here applied directly to the analyzed plan;
+    * the same rule injects into the optimizer via GraftExtensions
+    * behind spark.graft.topk.rewrite, exercised in Round5Spec). Same
+    * oracle as both siblings: three formulations, one semantics. */
+  def rankTopNAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.TopKPerKey.register(spark)
+    val win = rankTopN(spark, sfDir)
+    val rewritten = graft.plans.TopKRewriteRule.force(
+      win.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.analyzed)
+    org.apache.spark.sql.graft.Bridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], rewritten)
+  }
+
+  val rankTopNAutoSql: String = rankTopNSql
+
   /** rank / dense_rank / percent_rank / ntile in one window spec. */
   def rankDense(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -104,6 +104,65 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("topk rewrite rule swaps row_number<=k windows for the custom operator") {
+    import spark.implicits._
+    import graft.operators.WindowOps
+    // direct-application path (what q_win_rank_topn_auto registers)
+    val auto = WindowOps.rankTopNAuto(spark, sf)
+    val plan = { auto.collect(); auto.queryExecution.executedPlan }
+    assert(collectWithSubqueries(plan) {
+      case e: graft.plans.TopKPerKeyExec => e
+    }.nonEmpty, s"rewrite did not produce the custom operator:\n$plan")
+    assert(collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "rewrite left a WindowExec behind")
+    assert(auto.collect().toSeq == WindowOps.rankTopN(spark, sf).collect().toSeq,
+      "rewritten plan changed the result")
+
+    // injected path: rule registered in the optimizer, gated by conf —
+    // the VERBATIM window query plans through the custom operator
+    graft.plans.TopKRewrite.register(spark)
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      val df = WindowOps.rankTopN(spark, sf)
+      df.collect()
+      val p2 = df.queryExecution.executedPlan
+      assert(collectWithSubqueries(p2) {
+        case e: graft.plans.TopKPerKeyExec => e
+      }.nonEmpty, s"injected rule did not fire under the flag:\n$p2")
+    } finally spark.conf.unset("spark.graft.topk.rewrite")
+    // flag off (default): the window plan is untouched
+    val off = WindowOps.rankTopN(spark, sf)
+    off.collect()
+    assert(collectWithSubqueries(off.queryExecution.executedPlan) {
+      case e: graft.plans.TopKPerKeyExec => e
+    }.isEmpty, "rule fired without the opt-in flag")
+  }
+
+  test("topk rewrite declines tie-capable ranks and unpartitioned windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val base = graft.engine.Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    def forced(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.TopKRewriteRule.force(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution.analyzed)
+    // dense_rank ties can exceed k rows per key — a size-k heap must not apply
+    val dr = base.withColumn("rk", dense_rank().over(
+        Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)))
+      .filter($"rk" <= 3)
+    assert(!forced(dr).exists(_.isInstanceOf[graft.plans.TopKPerKeyPlan]),
+      "rewrote a dense_rank filter")
+    // global top-k (no partition keys) belongs to TakeOrderedAndProject
+    val gl = base.withColumn("rk", row_number().over(
+        Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)))
+      .filter($"rk" <= 3)
+    assert(!forced(gl).exists(_.isInstanceOf[graft.plans.TopKPerKeyPlan]),
+      "rewrote an unpartitioned window")
+  }
+
   test("LSH pruned search reads only the probed bucket partitions via DPP") {
     val df = graft.operators.SimOps.simsearchLshPruned(spark, sf)
     df.collect()
