@@ -165,7 +165,9 @@ object CfOps {
         .filter($"n_common" >= MIN_SUPPORT)
     }
 
-  private def simPairs(spark: SparkSession, sfDir: String): DataFrame =
+  // private[operators]: the hybrid recommender (ContentOps) blends
+  // these collaborative pairs with content pairs
+  private[operators] def simPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "simPairs") {
       import spark.implicits._
       val r = cappedRatings(spark, sfDir)
@@ -189,13 +191,16 @@ object CfOps {
     simPairs(spark, sfDir).orderBy($"item_a", $"item_b")
   }
 
-  val itemCosineSql: String =
-    s"""WITH $ratingsCte,
+  /** CTE chain ending in `cf_pairs(item_a, item_b, n_common, sim)` —
+    * the SQL twin of [[simPairs]], shared with the hybrid oracle in
+    * ContentOps so the two can never desynchronize. */
+  private[operators] val cfPairsCte: String =
+    s"""$ratingsCte,
        |$cappedCte,
        |norms AS (
        |  SELECT item_id, ${sqlXsum("rating * rating")} AS norm_sq
        |  FROM capped GROUP BY item_id),
-       |pairs AS (
+       |cf_pairs AS (
        |  SELECT a.item_a, a.item_b, a.n_common,
        |    ${sqlRnd6("a.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq))")} AS sim
        |  FROM (
@@ -206,9 +211,12 @@ object CfOps {
        |      ON r1.user_id = r2.user_id AND r1.item_id < r2.item_id
        |    GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SUPPORT) a
        |  JOIN norms na ON a.item_a = na.item_id
-       |  JOIN norms nb ON a.item_b = nb.item_id)
+       |  JOIN norms nb ON a.item_b = nb.item_id)""".stripMargin
+
+  val itemCosineSql: String =
+    s"""WITH $cfPairsCte
        |SELECT item_a, item_b, n_common, sim
-       |FROM pairs ORDER BY item_a, item_b""".stripMargin
+       |FROM cf_pairs ORDER BY item_a, item_b""".stripMargin
 
   /** Item–item Pearson correlation over co-rating users — the classic
     * Netflix-recommender alternative to cosine, computed on the SAME
@@ -671,9 +679,17 @@ object CfOps {
     * accuracy metrics reward it, users hate it. Reuses the session-
     * cached similarity pairs and the kNN top-N; the rec-list
     * self-join fans out N(N−1)/2 rows per user (N=5 → 10), so the
-    * whole evaluation is rec-list-sized at any corpus scale. The
-    * per-user mean is an exact-decimal sum of rnd6'd sims — byte-
-    * stable under any partitioning. */
+    * whole evaluation is rec-list-sized at any corpus scale.
+    *
+    * Numeric discipline — scaled-integer, NOT rnd6-of-mean: the sims
+    * are 6-decimal values and n_pairs is usually exactly 10, so the
+    * mean 1 − Σsim/n lands ON a 6-decimal rounding boundary for ~1 in
+    * 10 users, where Spark's BigDecimal HALF_UP of the binary double
+    * and DuckDB's ROUND disagree by 1 in the last digit (observed at
+    * sf0.1). Instead each sim becomes an exact micro-unit integer
+    * (×10⁶ in decimal), and ild = (n·10⁶ − Σunits) / (n·10⁶) is ONE
+    * correctly-rounded IEEE division of two exact integers — bit-
+    * identical in every engine, no rounding step at all. */
   def evalDiversity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val recs = predictKnn(spark, sfDir).select($"user_id", $"item_id")
@@ -686,8 +702,12 @@ object CfOps {
         Seq("item_a", "item_b"), "left")
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_pairs"),
-        rnd6(lit(1.0) -
-          xsumFast(coalesce($"sim", lit(0.0))) / count(lit(1))).as("ild"))
+        sum((coalesce($"sim", lit(0.0))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * lit(1000000))
+          .cast("long")).as("units"))
+      .select($"user_id", $"n_pairs",
+        (($"n_pairs" * lit(1000000L) - $"units").cast("double") /
+          ($"n_pairs" * lit(1000000L)).cast("double")).as("ild"))
       .orderBy($"user_id")
   }
 
@@ -715,7 +735,9 @@ object CfOps {
        |  FROM recs x JOIN recs y
        |    ON x.user_id = y.user_id AND x.item_id < y.item_id)
        |SELECT lp.user_id, COUNT(*) AS n_pairs,
-       |  ${sqlRnd6(s"1.0 - ${sqlXsum("COALESCE(p.sim, 0.0)")} / COUNT(*)")} AS ild
+       |  CAST(COUNT(*) * 1000000 - SUM(CAST(
+       |      CAST(COALESCE(p.sim, 0.0) AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+       |    AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS ild
        |FROM list_pairs lp
        |LEFT JOIN pairs p ON lp.item_a = p.item_a AND lp.item_b = p.item_b
        |GROUP BY lp.user_id

@@ -151,6 +151,68 @@ object ContentOps {
       .orderBy($"item_id", $"rk")
   }
 
+  /** Hybrid item neighbors: the collaborative cosine pairs blended
+    * 50/50 with the content-attribute Jaccard — the classic hybrid
+    * recommender shape. Where both signals exist the score rewards
+    * agreement; where ratings are too sparse for CF (cold items, the
+    * MIN_SUPPORT casualty) the content term alone still produces
+    * neighbors, which is the entire point of the blend. Pair sets
+    * full-outer-merge on the pair key (both already hard-bounded:
+    * CF by USER_ITEM_CAP, content by ATTR_CAP), so the merge is
+    * pair-table-sized, never items².
+    *
+    * Numerics: score = 0.5·cf + 0.5·ct with NO rounding — both inputs
+    * are engine-identical (cf is the oracled rnd6 cosine, ct ∈
+    * {0.5, 1.0}), halving a double is exact, and one addition is
+    * correctly rounded the same everywhere — so the raw double is
+    * byte-stable (the rnd6-of-mean boundary lesson from
+    * [[CfOps.evalDiversity]] applied by construction). */
+  def hybridKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cf = CfOps.simPairs(spark, sfDir)
+      .select($"item_a", $"item_b", $"sim".as("cf_sim"))
+    val ct = candidates(spark, sfDir)
+      .select($"item_a", $"item_b",
+        ($"n_shared".cast("double") / (lit(6) - $"n_shared")).as("ct_sim"))
+    val merged = cf.join(ct, Seq("item_a", "item_b"), "full_outer")
+      .select($"item_a", $"item_b",
+        (lit(0.5) * coalesce($"cf_sim", lit(0.0)) +
+         lit(0.5) * coalesce($"ct_sim", lit(0.0))).as("score"))
+    val sym = merged.select($"item_a".as("item_id"),
+        $"item_b".as("neighbor_id"), $"score")
+      .union(merged.select($"item_b", $"item_a", $"score"))
+    val w = Window.partitionBy($"item_id")
+      .orderBy($"score".desc, $"neighbor_id".asc)
+    sym.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= CONTENT_K)
+      .select($"item_id", $"rk", $"neighbor_id", $"score")
+      .orderBy($"item_id", $"rk")
+  }
+
+  val hybridKnnSql: String =
+    s"""WITH ${CfOps.cfPairsCte},
+       |$candCte,
+       |merged AS (
+       |  SELECT COALESCE(c.item_a, k.item_a) AS item_a,
+       |    COALESCE(c.item_b, k.item_b) AS item_b,
+       |    0.5 * COALESCE(c.sim, 0.0)
+       |      + 0.5 * COALESCE(CAST(k.n_shared AS DOUBLE) / (6 - k.n_shared),
+       |                       0.0) AS score
+       |  FROM cf_pairs c FULL OUTER JOIN cand k
+       |    ON c.item_a = k.item_a AND c.item_b = k.item_b),
+       |sym AS (
+       |  SELECT item_a AS item_id, item_b AS neighbor_id, score FROM merged
+       |  UNION ALL
+       |  SELECT item_b, item_a, score FROM merged),
+       |ranked AS (
+       |  SELECT item_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY item_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rk
+       |  FROM sym)
+       |SELECT item_id, rk, neighbor_id, score
+       |FROM ranked WHERE rk <= $CONTENT_K
+       |ORDER BY item_id, rk""".stripMargin
+
   val contentKnnSql: String =
     s"""WITH $candCte,
        |sym AS (
