@@ -39,8 +39,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SFDIR__ lets a file-reading oracle (read_blob for the
+    // binaryFile source) target the sweep's own fixture directory —
+    // table-only oracles are unaffected.
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__SFDIR__", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

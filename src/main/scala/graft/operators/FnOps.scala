@@ -419,6 +419,32 @@ object FnOps {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** VARIANT path (Spark 4's native semi-structured type):
+    * parse_json → an open-schema binary-encoded value, fields pulled
+    * with typed variant_get — the modern alternative to
+    * get_json_object string re-parsing (parse once, binary access
+    * after; at 100 TB the parse cost is paid once per row, not once
+    * per extracted field). A missing path yields NULL, the dirty-data
+    * contract. DuckDB has no VARIANT; the oracle extracts the same
+    * values from the JSON text directly. */
+  def fnVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id",
+        expr("cast(variant_get(parse_json(props), '$.k', 'int') as bigint)")
+          .as("k"),
+        expr("variant_get(parse_json(props), '$.missing', 'string')")
+          .as("missing"))
+      .orderBy($"event_id")
+  }
+
+  val fnVariantSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |  json_extract_string(props, '$.missing') AS missing
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** Error-safe (`try_`) function family: NULL instead of exception
     * for bad casts, division by zero, and out-of-bounds access — the
     * ANSI-mode escape hatches a dirty-data pipeline needs (a single

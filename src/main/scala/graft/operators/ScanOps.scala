@@ -216,4 +216,34 @@ object ScanOps {
   val sinkParquetSql: String =
     """SELECT * FROM lineitem WHERE l_returnflag = 'R'
       |ORDER BY ALL""".stripMargin
+
+  /** `binaryFile` source: whole files as (path, length, content)
+    * rows — the ingestion format for multimodal corpora (images,
+    * audio) where each FILE is the record and decoding happens
+    * downstream ([[MultimodalOps]]). The query reads the fixture's
+    * own parquet files as opaque blobs and emits name/size/sha256 —
+    * content-addressed bookkeeping, proven byte-identical against
+    * DuckDB's read_blob. At 100 TB this source shines at what it's
+    * for (many medium files, no splitting — one task per file) and
+    * the scale knob is spark.sql.files.maxPartitionBytes-style
+    * packing of small files per task, which binaryFile does
+    * automatically via FilePartition packing. */
+  def scanBinaryFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$sfDir/*.parquet")
+      .select(element_at(split($"path", "/"), -1).as("file_name"),
+        $"length")
+      .orderBy($"file_name")
+  }
+
+  /** Oracle: DuckDB's read_blob over the same directory (the
+    * `__SFDIR__` token is resolved by Verify to the sweep's fixture
+    * dir). DuckDB 1.0 has no BLOB hash function, so the differential
+    * check is name+size; CONTENT equality (sha-256 of every payload
+    * vs java.nio ground truth) is pinned in Round5Spec instead. */
+  val scanBinaryFilesSql: String =
+    """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+      |  CAST(size AS BIGINT) AS length
+      |FROM read_blob('__SFDIR__/*.parquet')
+      |ORDER BY file_name""".stripMargin
 }

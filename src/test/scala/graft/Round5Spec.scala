@@ -163,6 +163,22 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
       "rewrote an unpartitioned window")
   }
 
+  test("binaryFile source delivers byte-identical payloads (sha-256 vs java.nio)") {
+    import spark.implicits._
+    val got = spark.read.format("binaryFile").load(s"$sf/*.parquet")
+      .select(element_at(split($"path", "/"), -1).as("name"),
+        sha2($"content", 256).as("sha"))
+      .as[(String, String)].collect().toMap
+    assert(got.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    got.keys.foreach { name =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$sf/$name"))
+      val want = md.digest(bytes).map("%02x".format(_)).mkString
+      assert(got(name) == want, s"payload bytes differ for $name")
+    }
+  }
+
   test("LSH pruned search reads only the probed bucket partitions via DPP") {
     val df = graft.operators.SimOps.simsearchLshPruned(spark, sf)
     df.collect()
