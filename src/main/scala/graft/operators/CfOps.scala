@@ -1234,6 +1234,70 @@ object CfOps {
        |  (SELECT COUNT(DISTINCT item_id) FROM ratings) AS catalog_items,
        |  ${sqlRnd6("(SELECT COUNT(DISTINCT item_id) FROM recs) / (SELECT COUNT(DISTINCT item_id) FROM ratings)")} AS coverage""".stripMargin
 
+  /** Novelty of the production recommender: mean self-information
+    * −log₂(p(item)) over all recommended items, where p(item) is the
+    * fraction of users who rated it — the "are we recommending things
+    * people would find anyway?" metric that completes the evaluation
+    * suite next to accuracy (RMSE/topk), coverage, and diversity. A
+    * popularity-biased recommender scores low; a long-tail one high.
+    *
+    * Numerics: per-item self-information is ONE libm log2 on an
+    * identical integer ratio, rnd6'd; the mean then uses the same
+    * scaled-integer discipline as [[evalDiversity]] (micro-unit
+    * integers, one exact IEEE division) so no rounding of a mean can
+    * sit on an engine-disagreement boundary. */
+  def evalNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = ratings(spark, sfDir)
+    val nUsers = r.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val itemPop = r.groupBy($"item_id")
+      .agg(countDistinct($"user_id").as("n_raters"))
+    val recs = predictKnn(spark, sfDir).select($"user_id", $"item_id")
+    recs.join(itemPop, "item_id")
+      .crossJoin(broadcast(nUsers))
+      .select(rnd6(-log2($"n_raters".cast("double") / $"n_users".cast("double")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("si"))
+      .agg(count(lit(1)).as("n_recs"),
+        sum(($"si" * lit(1000000)).cast("long")).as("units"))
+      .select($"n_recs",
+        ($"units".cast("double") / ($"n_recs" * lit(1000000L)).cast("double"))
+          .as("novelty"))
+  }
+
+  val evalNoveltySql: String =
+    s"""$pairsCtePrefix,
+       |scored AS (
+       |  SELECT r.user_id, n.neighbor_id AS cand_item,
+       |    ${sqlRnd6(s"${sqlXsum("n.sim * r.rating")} / ${sqlXsum("abs(n.sim)")}")} AS score
+       |  FROM ratings r
+       |  JOIN (SELECT item_id, neighbor_id, sim FROM neighbors
+       |        WHERE rk <= $K_NEIGHBORS) n
+       |    ON r.item_id = n.item_id
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  ANTI JOIN ratings r
+       |    ON s.user_id = r.user_id AND s.cand_item = r.item_id),
+       |recs AS (
+       |  SELECT user_id, cand_item AS item_id FROM (
+       |    SELECT user_id, cand_item, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY score DESC, cand_item ASC) AS rk
+       |    FROM unseen) WHERE rk <= $TOP_N),
+       |pop AS (
+       |  SELECT item_id, COUNT(DISTINCT user_id) AS n_raters
+       |  FROM ratings GROUP BY 1),
+       |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ratings),
+       |si AS (
+       |  SELECT CAST(${sqlRnd6(
+             "-log2(CAST(p.n_raters AS DOUBLE) / CAST(nu.n_users AS DOUBLE))")}
+       |    AS DECIMAL(18,6)) AS si
+       |  FROM recs rc JOIN pop p ON rc.item_id = p.item_id, nu)
+       |SELECT COUNT(*) AS n_recs,
+       |  CAST(SUM(CAST(si * 1000000 AS BIGINT)) AS DOUBLE)
+       |    / CAST(COUNT(*) * 1000000 AS DOUBLE) AS novelty
+       |FROM si""".stripMargin
+
   /** Popularity-baseline recommender: each user gets the global
     * top-[[TOP_N]] items (by total implicit rating) they have NOT
     * already interacted with — the non-personalized baseline every

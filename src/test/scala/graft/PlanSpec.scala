@@ -273,6 +273,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected WindowGroupLimitExec pushdown in:\n$plan")
   }
 
+  test("popularity baseline: bounded top-N heap + broadcast fan-out, no global sort") {
+    val plan = executedPlan(CfOps.predictPopular(spark, sf))
+    // the popular list is orderBy+limit → TakeOrderedAndProject
+    // (bounded heaps), never a total sort of the item aggregate
+    assert(collectWithSubqueries(plan) {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject for the popular list:\n$plan")
+    // the N-row list fans out by broadcast (nested-loop is fine for a
+    // 5-row side) — the user set must never shuffle for it
+    val bcast = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bcast.nonEmpty, s"popular list did not broadcast:\n$plan")
+  }
+
   test("custom top-k operator plans partial→exchange→final with no window sort") {
     val df = WindowOps.rankTopNNative(spark, sf)
     val plan = executedPlan(df)
