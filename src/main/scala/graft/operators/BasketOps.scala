@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.fpm.FPGrowth
+import graft.engine.{Exact, Tables}
+import graft.functions.Udfs
+import graft.functions.Udfs.rnd6
+
+/** Market-basket mining — the "users who bought X also bought Y"
+  * complement to the similarity-based recommender chain in [[CfOps]]:
+  * frequent itemsets give co-purchase structure directly, and
+  * association rules give directed recommend-Y-given-X signals with
+  * confidence/lift scores.
+  *
+  * Runs MLlib's FPGrowth (the parallel FP-Growth of Li et al., PFP —
+  * PAPERS.md), which distributes by item suffix in two shuffles; at
+  * 100 TB the cost driver is basket width, so baskets here are each
+  * user's TOP-[[BASKET_CAP]] brands by exact quantity (deterministic
+  * tiebreak) — conditional FP-trees stay O(cap) deep and the pair
+  * universe is hard-bounded, the same linearization [[CfOps]] applies
+  * via USER_ITEM_CAP.
+  *
+  * Both queries are ORACLED EXACTLY despite going through an ML
+  * library: FP-Growth is exhaustive counting, not estimation, so the
+  * DuckDB twin reproduces frequent singletons/pairs from the identical
+  * capped baskets with plain GROUP BYs, and rule metrics are the same
+  * integer ratios. MIN_SUPPORT is 1/64 — a negative power of two, so
+  * MLlib's `ceil(minSupport * n)` threshold is bit-identical to the
+  * oracle's `CEIL(n / 64.0)`. Itemsets above size 2 are out of scope
+  * of the registered surface (the oracle would need k-way self-joins);
+  * the size filter is applied identically on both sides.
+  */
+object BasketOps {
+  import Exact._
+
+  private val BASKET_CAP = 4 // brands kept per user basket
+  private val MIN_SUPPORT = 1.0 / 64 // exactly representable in binary
+
+  /** (user_id, brand) baskets: each user's top-CAP brands by exact
+    * quantity. Cached — both queries and their one FPGrowth fit share
+    * it. */
+  private def baskets(spark: SparkSession, sfDir: String): DataFrame =
+    CfOps.cache(spark, sfDir, "baskets") {
+      import spark.implicits._
+      val byBrand = Tables.orders(spark, sfDir)
+        .select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(spark, sfDir)
+          .select($"l_orderkey", $"l_partkey", $"l_quantity"),
+          $"o_orderkey" === $"l_orderkey")
+        .join(Tables.part(spark, sfDir).select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"o_custkey".as("user_id"), $"p_brand".as("brand"))
+        .agg(xsumFast($"l_quantity").as("q"))
+      byBrand
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"q".desc, $"brand".asc)))
+        .filter($"rk" <= BASKET_CAP)
+        .select($"user_id", $"brand")
+    }
+
+  private val basketsCte: String =
+    s"""baskets AS (
+       |  SELECT user_id, brand FROM (
+       |    SELECT o_custkey AS user_id, p_brand AS brand,
+       |      row_number() OVER (PARTITION BY o_custkey
+       |        ORDER BY ${sqlXsum("l_quantity")} DESC, p_brand ASC) AS rk
+       |    FROM orders
+       |    JOIN lineitem ON o_orderkey = l_orderkey
+       |    JOIN part ON l_partkey = p_partkey
+       |    GROUP BY o_custkey, p_brand)
+       |  WHERE rk <= $BASKET_CAP)""".stripMargin
+
+  /** Threshold / pair-count CTEs shared by both oracles. nb is the
+    * basket count; minc mirrors MLlib's ceil(minSupport * n). */
+  private val countsCte: String =
+    s"""$basketsCte,
+       |nb AS (SELECT COUNT(DISTINCT user_id) AS n FROM baskets),
+       |f1 AS (SELECT brand, COUNT(*) AS c FROM baskets GROUP BY 1),
+       |f2 AS (
+       |  SELECT x.brand AS a, y.brand AS b, COUNT(*) AS c
+       |  FROM baskets x JOIN baskets y
+       |    ON x.user_id = y.user_id AND x.brand < y.brand
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def fitModel(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    val tx = baskets(spark, sfDir)
+      .groupBy($"user_id").agg(collect_list($"brand").as("items"))
+    new FPGrowth()
+      .setItemsCol("items")
+      .setMinSupport(MIN_SUPPORT)
+      .setMinConfidence(0.0) // no confidence cut — avoids a float-boundary filter
+      .fit(tx)
+  }
+
+  /** Frequent itemsets of size ≤ 2 (singleton brands and brand pairs)
+    * with exact support counts. */
+  def fpgrowthItemsets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    fitModel(spark, sfDir).freqItemsets
+      .filter(size($"items") <= 2)
+      .select(size($"items").as("n_items"),
+        array_sort($"items").as("s"),
+        $"freq")
+      .select($"n_items",
+        element_at($"s", 1).as("item_a"),
+        when($"n_items" === 2, element_at($"s", 2)).as("item_b"),
+        $"freq")
+      .orderBy($"n_items", $"item_a", $"item_b".asc_nulls_first)
+  }
+
+  val fpgrowthItemsetsSql: String =
+    s"""WITH $countsCte
+       |SELECT n_items, item_a, item_b, freq FROM (
+       |  SELECT 1 AS n_items, brand AS item_a,
+       |    CAST(NULL AS VARCHAR) AS item_b, c AS freq
+       |  FROM f1 WHERE c >= (SELECT CEIL(n / 64.0) FROM nb)
+       |  UNION ALL
+       |  SELECT 2, a, b, c FROM f2
+       |  WHERE c >= (SELECT CEIL(n / 64.0) FROM nb))
+       |ORDER BY n_items, item_a, item_b NULLS FIRST""".stripMargin
+
+  /** Directed association rules X→Y from the frequent pairs, with
+    * MLlib's confidence / lift / support ratios (mirrored in the same
+    * operation order in the oracle, rnd6 on the float outputs). */
+  def fpgrowthRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    fitModel(spark, sfDir).associationRules
+      .filter(size($"antecedent") === 1 && size($"consequent") === 1)
+      .select(element_at($"antecedent", 1).as("ante"),
+        element_at($"consequent", 1).as("cons"),
+        rnd6($"confidence").as("confidence"),
+        rnd6($"lift").as("lift"),
+        rnd6($"support").as("support"))
+      .orderBy($"ante", $"cons")
+  }
+
+  val fpgrowthRulesSql: String =
+    s"""WITH $countsCte,
+       |fp AS (SELECT a, b, c FROM f2
+       |  WHERE c >= (SELECT CEIL(n / 64.0) FROM nb)),
+       |dir AS (
+       |  SELECT a AS ante, b AS cons, c FROM fp
+       |  UNION ALL
+       |  SELECT b, a, c FROM fp)
+       |SELECT d.ante, d.cons,
+       |  ${Udfs.sqlRnd6("CAST(d.c AS DOUBLE) / fa.c")} AS confidence,
+       |  ${Udfs.sqlRnd6("(CAST(d.c AS DOUBLE) / fa.c) / (CAST(fc.c AS DOUBLE) / (SELECT n FROM nb))")} AS lift,
+       |  ${Udfs.sqlRnd6("CAST(d.c AS DOUBLE) / (SELECT n FROM nb)")} AS support
+       |FROM dir d
+       |JOIN f1 fa ON fa.brand = d.ante
+       |JOIN f1 fc ON fc.brand = d.cons
+       |ORDER BY ante, cons""".stripMargin
+}

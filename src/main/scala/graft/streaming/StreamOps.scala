@@ -162,6 +162,41 @@ object StreamOps {
        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
        |GROUP BY 1, 2 ORDER BY ws, c_mktsegment""".stripMargin
 
+  /** Stream-static ANTI join — the streaming ingest gate: drop every
+    * event from a blocklisted user before it reaches downstream state.
+    * The blocklist is computed from the static events snapshot with
+    * pure integer arithmetic (users with ≥ 2× the mean event count:
+    * cnt · n_users ≥ 2 · total — exact in both engines at any SF), so
+    * the oracle is a plain NOT IN. Stateless on the stream side: the
+    * static side is re-planned each micro-batch, which is also the
+    * production story — a refreshed blocklist is picked up on the next
+    * batch without restarting the query. At 100 TB keep the blocklist
+    * broadcastable (it's per-user aggregates, tiny relative to the
+    * stream); a huge one moves to a bucketed shuffle join, same as the
+    * enrichment join above. */
+  def streamStaticAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val totals = ev.agg(count(lit(1)).as("total"),
+      countDistinct($"user_id").as("n_users"))
+    val blocklist = ev.groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals)) // 1-row totals: scalar fan-in, not a real cross join
+      .filter($"cnt" * $"n_users" >= lit(2) * $"total")
+      .select($"user_id".as("blocked_uid"))
+    runStream(spark, sfDir, OutputMode.Append()) { ds =>
+      ds.join(blocklist, ds("user_id") === $"blocked_uid", "left_anti")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+    }.orderBy($"event_id")
+  }
+
+  val streamStaticAntiSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE user_id NOT IN (
+      |  SELECT user_id FROM events GROUP BY user_id
+      |  HAVING COUNT(*) * (SELECT COUNT(DISTINCT user_id) FROM events)
+      |    >= 2 * (SELECT COUNT(*) FROM events))
+      |ORDER BY event_id""".stripMargin
+
   /** Per-user session windows, 30-minute gap (complete mode). Session
     * = [first ts, last ts + gap); a new session starts when an event
     * arrives ≥ gap after the previous one. */

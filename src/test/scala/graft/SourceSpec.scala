@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import graft.operators.SourceOps
+import graft.sources.{SynthScan, SynthSource}
+
+/** Pins the DataSourceV2 connector contract for [[graft.sources.SynthSource]]:
+  * pushdown actually reached the source, pruning actually dropped
+  * partitions/columns, and no residual FilterExec re-checks what the
+  * source already guaranteed. These are the plan properties that make
+  * a custom source viable at 100 TB — asserted, not narrated. */
+class SourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def synthScan(plan: SparkPlan): SynthScan = {
+    val scans = collectWithSubqueries(plan) {
+      case b: BatchScanExec if b.scan.isInstanceOf[SynthScan] =>
+        b.scan.asInstanceOf[SynthScan]
+    }
+    assert(scans.size == 1, s"expected exactly one synth scan:\n$plan")
+    scans.head
+  }
+
+  test("bucket equality + id range push into the source and prune to 1 of 32 partitions") {
+    val df = SourceOps.sourceSynth(spark, sf)
+    df.collect() // finalize any adaptive plan before inspecting
+    val plan = df.queryExecution.executedPlan
+    val scan = synthScan(plan)
+
+    assert(scan.keptBuckets == Seq(3),
+      s"bucket filter should prune partitions, kept=${scan.keptBuckets}")
+    assert(scan.planInputPartitions().length == 1)
+    val pushed = scan.description()
+    assert(pushed.contains("EqualTo(bucket,3)") &&
+      pushed.contains("GreaterThanOrEqual(id,1000)") &&
+      pushed.contains("LessThan(id,20000)"),
+      s"expected all three predicates pushed: $pushed")
+    // fully-applied pushdown ⇒ Spark plans no post-scan re-filter
+    val residual = collectWithSubqueries(plan) { case f: FilterExec => f }
+    assert(residual.isEmpty, s"unexpected residual FilterExec:\n$plan")
+  }
+
+  test("aggregate prunes the id column out of the scan while still pushing its bound") {
+    val df = SourceOps.sourceSynthAgg(spark, sf)
+    df.collect()
+    val scan = synthScan(df.queryExecution.executedPlan)
+
+    assert(scan.readSchema().fieldNames.toSeq == Seq("bucket", "value"),
+      s"id should be pruned from the read schema: ${scan.readSchema()}")
+    assert(scan.keptBuckets.length == 32, "no bucket predicate ⇒ all partitions")
+    assert(scan.description().contains("LessThan(id,30000)"),
+      s"id bound should still push without the column being read: ${scan.description()}")
+  }
+
+  test("unsupported predicates stay residual instead of being wrongly consumed") {
+    import spark.implicits._
+    // value predicate is NOT evaluable by the generator — must remain
+    // a post-scan filter, and the result must still be exact
+    val df = spark.read.format("graft-synth").load()
+      .filter($"value" > 0.5 && $"bucket" === 7)
+    val n = df.count()
+    val scan = synthScan(df.queryExecution.executedPlan)
+    assert(scan.keptBuckets == Seq(7))
+    assert(!scan.description().contains("GreaterThan(value"),
+      s"value predicate must not be claimed as pushed: ${scan.description()}")
+    val expected = (0L until 60000L).count(id =>
+      id % 32 == 7 && SynthSource.valueOf(id) > 0.5)
+    assert(n == expected)
+  }
+
+  test("reported statistics reflect pruning so small pruned reads can broadcast") {
+    import spark.implicits._
+    val df = spark.read.format("graft-synth").load()
+      .filter($"bucket" === 3 && $"id" < 20000L)
+    df.collect()
+    val scan = synthScan(df.queryExecution.executedPlan)
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows().getAsLong == 20000 / 32,
+      s"expected post-pushdown row estimate, got ${stats.numRows()}")
+    assert(stats.sizeInBytes().getAsLong < 10L * 1024 * 1024,
+      "pruned remainder should look broadcastable")
+  }
+}
