@@ -153,4 +153,39 @@ object BasketOps {
        |JOIN f1 fa ON fa.brand = d.ante
        |JOIN f1 fc ON fc.brand = d.cons
        |ORDER BY ante, cons""".stripMargin
+
+  /** First-order Markov transition model over each user's event
+    * stream — the sequential-recommender complement to the basket
+    * rules above ("after state X, users most often do Y next"). One
+    * lag window partitioned by user (a single user_id exchange, state
+    * bounded by per-user history) then a grouped count; the transition
+    * probability is an exact integer ratio. The (ts, event_id) sort
+    * key is total per user, so the lag is deterministic at any scale
+    * and under retries. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", rnd6($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"prev_type"))))
+      .orderBy($"prev_type", $"cur_type")
+  }
+
+  val markovTransitionsSql: String =
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |t AS (
+       |  SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT prev_type, cur_type, n,
+       |  ${Udfs.sqlRnd6("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)")} AS p
+       |FROM t ORDER BY prev_type, cur_type""".stripMargin
 }

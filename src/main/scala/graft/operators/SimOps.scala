@@ -365,4 +365,50 @@ object SimOps {
        |FROM sq s JOIN cent c ON s.label = c.label
        |GROUP BY s.label ORDER BY s.label""".stripMargin
   }
+
+  /** Int8 scalar quantization of the embedding column (absmax per
+    * vector: scale = max|vᵢ| / 127, qᵢ = ⌊vᵢ/scale + ½⌋) plus the
+    * reconstruction-error audit a quantized ANN corpus ships with.
+    *
+    * The rounding is spelled `floor(x + 0.5)` deliberately: `round()`
+    * on doubles is half-up in Spark and half-even in DuckDB, while
+    * `floor` is a single exact IEEE operation in both — the same
+    * reasoning as [[graft.functions.Udfs.rnd6]]. Every per-element op
+    * (widen to double, divide by the per-vector scale, floor, int
+    * cast, dequant-error) is order-free scalar arithmetic, so the
+    * whole query is scan→project with zero shuffles and zero UDFs —
+    * at 100 TB this runs at parquet-read speed and cuts ANN
+    * storage/bandwidth 4× (the IVF-PQ-style scale path cited in
+    * PAPERS.md quantizes exactly like this, just per-subvector). */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+      .filter($"scale" > 0) // an all-zero vector has no absmax scale
+      .select($"vec_id", $"label", rnd6($"scale").as("scale"),
+        expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))").as("qvec"),
+        rnd6(expr(
+          "array_max(transform(v, x -> abs(CAST(floor(x / scale + 0.5) AS INT) * scale - x)))"))
+          .as("max_err"),
+        expr("CAST(size(filter(v, x -> abs(CAST(floor(x / scale + 0.5) AS INT)) >= 127)) AS INT)")
+          .as("n_sat"))
+      .orderBy($"vec_id")
+  }
+
+  val embedQuantizeSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH scaled AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings)
+       |SELECT vec_id, label, ${sqlRnd6("scale")} AS scale,
+       |  list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS qvec,
+       |  ${sqlRnd6("list_max(list_transform(v, x -> abs(CAST(FLOOR(x / scale + 0.5) AS INTEGER) * scale - x)))")} AS max_err,
+       |  CAST(length(list_filter(v, x -> abs(CAST(FLOOR(x / scale + 0.5) AS INTEGER)) >= 127)) AS INTEGER) AS n_sat
+       |FROM scaled WHERE scale > 0 ORDER BY vec_id""".stripMargin
+  }
 }
