@@ -682,4 +682,56 @@ object AggOps {
        |FROM counts, s WHERE cnt * 2 * n_keys >= 3 * total
        |ORDER BY cnt DESC, l_partkey ASC""".stripMargin
   }
+
+  /** Distribution-drift check between two event cohorts (first vs
+    * second half of the month): the per-category χ² contribution of
+    * the event_type × cohort contingency table — the data-contract
+    * monitor a training pipeline runs before accepting a new snapshot
+    * ("did the event mix shift?").
+    *
+    * One shuffle builds the contingency table (|event_types| rows);
+    * the column totals come back as a broadcast 1-row aggregate, NOT
+    * an unpartitioned window — the table is small but the pattern must
+    * hold when the category domain is huge. Expected counts and χ²
+    * terms are assembled from exact BIGINT counts with one identical
+    * double expression tree in both engines (products ≤ 2⁵³ at any
+    * plausible count scale), so only the final rnd6 rounds. */
+  def eventsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val counted = Tables.events(spark, sfDir)
+      .select($"event_type",
+        (dayofmonth($"ts") <= 15).cast("long").as("in_a"))
+      .groupBy($"event_type")
+      .agg(sum($"in_a").as("n_a"), sum(lit(1L) - $"in_a").as("n_b"))
+    val totals = counted.agg(
+      sum($"n_a").as("tot_a"), sum($"n_b").as("tot_b"))
+    val t = $"tot_a" + $"tot_b"
+    val eA = (($"n_a" + $"n_b") * $"tot_a").cast("double") / t.cast("double")
+    val eB = (($"n_a" + $"n_b") * $"tot_b").cast("double") / t.cast("double")
+    counted.crossJoin(broadcast(totals))
+      .select($"event_type", $"n_a", $"n_b",
+        rnd6(($"n_a".cast("double") - eA) * ($"n_a".cast("double") - eA) / eA
+          + ($"n_b".cast("double") - eB) * ($"n_b".cast("double") - eB) / eB)
+          .as("chi2_term"))
+      .orderBy($"event_type")
+  }
+
+  val eventsDriftSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val eA = "(CAST((n_a + n_b) * tot_a AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE))"
+    val eB = "(CAST((n_a + n_b) * tot_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE))"
+    s"""WITH counted AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |  FROM events GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+       |    CAST(SUM(n_b) AS BIGINT) AS tot_b FROM counted)
+       |SELECT event_type, n_a, n_b,
+       |  ${sqlRnd6(s"(CAST(n_a AS DOUBLE) - $eA) * (CAST(n_a AS DOUBLE) - $eA) / $eA" +
+         s" + (CAST(n_b AS DOUBLE) - $eB) * (CAST(n_b AS DOUBLE) - $eB) / $eB")} AS chi2_term
+       |FROM counted, totals ORDER BY event_type""".stripMargin
+  }
 }

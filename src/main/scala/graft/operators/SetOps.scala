@@ -113,4 +113,34 @@ object SetOps {
       |INTERSECT ALL
       |SELECT user_id FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id""".stripMargin
+
+  /** Schema-evolving union: `unionByName(allowMissingColumns = true)`
+    * aligns two frames with DIFFERENT column sets by NAME (positional
+    * union would mis-bind or reject), null-filling each side's missing
+    * columns — the heterogeneous-batch append every long-lived ingest
+    * pipeline hits when a field is added mid-stream. Pure map-side
+    * concatenation: no shuffle beyond the output sort. The oracle
+    * spells the alignment out column-by-column, which is exactly the
+    * contract the API implements. */
+  def unionByName(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"value")
+    val signups = e.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id",
+        dayofmonth($"ts").as("signup_day"))
+    clicks.unionByName(signups, allowMissingColumns = true)
+      .orderBy($"event_id")
+  }
+
+  val unionByNameSql: String =
+    """SELECT event_id, user_id, value,
+      |  CAST(NULL AS INTEGER) AS signup_day
+      |FROM events WHERE event_type = 'click'
+      |UNION ALL
+      |SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value,
+      |  CAST(day(ts) AS INTEGER) AS signup_day
+      |FROM events WHERE event_type = 'signup'
+      |ORDER BY event_id""".stripMargin
 }

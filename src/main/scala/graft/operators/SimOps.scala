@@ -411,4 +411,96 @@ object SimOps {
        |  CAST(length(list_filter(v, x -> abs(CAST(FLOOR(x / scale + 0.5) AS INTEGER)) >= 127)) AS INTEGER) AS n_sat
        |FROM scaled WHERE scale > 0 ORDER BY vec_id""".stripMargin
   }
+
+  /** Candidate overfetch factor for [[simsearchQuantized]]: the int8
+    * stage keeps TOP_K×4 per query before the exact re-rank. */
+  private val OVERFETCH = 4
+
+  /** Quantize-then-rerank ANN: rank candidates by the cosine of the
+    * INT8 vectors from [[embedQuantize]], keep the top
+    * TOP_K×[[OVERFETCH]] per query, then re-rank those few with the
+    * exact float kernel. This is the production two-stage retrieval
+    * shape: the scan stage touches 4×-smaller vectors (at 100 TB
+    * that is the memory-bandwidth bound — int8 scan ≈ 4× the float32
+    * scan rate), and the expensive exact kernel runs on a bounded
+    * candidate set (TOP_K×OVERFETCH rows per query, not the corpus).
+    *
+    * Engine-exactness: cosine of the quantized vectors is
+    * dot_int / (√ssq_q · √ssq_c) — the per-vector absmax scales
+    * cancel, so the approximate score is built ONLY from exact
+    * integer sums, two correctly-rounded sqrts, and one divide:
+    * bit-identical in any IEEE engine, no fold-order hazard at all
+    * (the int sums are order-free). Both rank stages tiebreak on
+    * vec_id over rnd6'd scores. */
+  def simsearchQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val qz = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+      .filter($"scale" > 0)
+      .select($"vec_id", $"embedding",
+        expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))").as("qv"))
+      .withColumn("ssq",
+        expr("aggregate(qv, 0L, (acc, x) -> acc + CAST(x AS BIGINT) * x)"))
+    val q = qz.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"),
+        $"qv".as("qqv"), $"ssq".as("qssq"))
+    val wApprox = Window.partitionBy($"query_id")
+      .orderBy($"approx_cos".desc, $"vec_id".asc)
+    val wExact = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    qz.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"embedding", $"qemb",
+        rnd6(
+          expr("aggregate(zip_with(qv, qqv, (x, y) -> CAST(x AS BIGINT) * y), 0L, (acc, p) -> acc + p)")
+            / (sqrt($"ssq".cast("double")) * sqrt($"qssq".cast("double"))))
+          .as("approx_cos"))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter($"ark" <= TOP_K * OVERFETCH)
+      .select($"query_id", $"vec_id", $"approx_cos",
+        rnd6(expr("graft_cosine_sim(embedding, qemb)")).as("cos_sim"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter($"rk" <= TOP_K)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val simsearchQuantizedSql: String = {
+    val dot = "CAST(list_sum(list_transform(list_zip(e.qv, q.qv), " +
+      "s -> CAST(s[1] AS BIGINT) * s[2])) AS DOUBLE)"
+    val approx = sqlRnd6(
+      s"$dot / (sqrt(CAST(e.ssq AS DOUBLE)) * sqrt(CAST(q.ssq AS DOUBLE)))")
+    val cos = Udfs.sqlCosSimDbl("emb", "qemb")
+    s"""WITH qz AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS qv
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |      list_max(list_transform(embedding,
+       |        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |    FROM embeddings) WHERE scale > 0),
+       |qs AS (
+       |  SELECT vec_id, embedding, qv,
+       |    list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS ssq
+       |  FROM qz),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id,
+       |      e.embedding AS emb, q.embedding AS qemb, $approx AS approx_cos,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $approx DESC, e.vec_id ASC) AS ark
+       |    FROM qs e JOIN qs q ON q.vec_id < $N_QUERIES
+       |      AND e.vec_id <> q.vec_id)
+       |  WHERE ark <= ${TOP_K * OVERFETCH})
+       |SELECT query_id, vec_id, approx_cos, cos_sim, rk FROM (
+       |  SELECT query_id, vec_id, approx_cos,
+       |    ${sqlRnd6(cos)} AS cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${sqlRnd6(cos)} DESC, vec_id ASC) AS rk
+       |  FROM cand)
+       |WHERE rk <= $TOP_K ORDER BY query_id, rk""".stripMargin
+  }
 }

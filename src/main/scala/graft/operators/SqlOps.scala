@@ -65,6 +65,28 @@ object SqlOps {
       |    AND l.l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
       |ORDER BY s_suppkey""".stripMargin
 
+  /** NOT IN over nullable columns — the three-valued-logic form that
+    * NOT EXISTS sidesteps (any NULL in the inner set empties the
+    * result; a NULL probe never qualifies). A naive distributed
+    * implementation needs a nested-loop join to evaluate the NULL
+    * disjunct; Catalyst instead plans a NULL-AWARE ANTI JOIN
+    * (BroadcastHashJoin with isNullAwareAntiJoin=true): the inner set
+    * broadcasts once with an any-null flag, the probe side streams —
+    * same O(n) shape as a plain anti join. Round5Spec pins the NAAJ
+    * operator in the physical plan. Both engines implement standard
+    * SQL three-valued NOT IN, so one SQL string serves both. */
+  def subqueryNotIn(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(subqueryNotInSql)
+  }
+
+  val subqueryNotInSql: String =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer
+      |WHERE c_nationkey NOT IN (
+      |  SELECT s_nationkey FROM supplier WHERE s_acctbal < 1000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** Recursive CTE (Spark 4's WITH RECURSIVE): generate the full
     * 1995-01 … 2001-12 month series in pure integer arithmetic (no
     * engine-specific date stepping), then left-join per-month order

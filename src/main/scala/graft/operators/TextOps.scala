@@ -505,4 +505,49 @@ object TextOps {
        |  ${sqlRnd6("CAST(cum_tf AS DOUBLE) / CAST(total AS DOUBLE)")} AS cum_share
        |FROM ranked, t WHERE rank <= 100
        |ORDER BY rank""".stripMargin
+
+  /** Pack shards and per-bin token budget for [[textPack]]. */
+  private val PACK_SHARDS = 8
+  private val PACK_BUDGET = 2048L
+
+  /** Token-budget sequence packing: assign each document to a
+    * fixed-budget training chunk ("which 2048-token bin does this doc
+    * start in?"). Documents are first scattered across [[PACK_SHARDS]]
+    * independent pack shards by the Knuth multiplicative hash (the
+    * same scatter discipline as SampleOps), then chunk ids come from
+    * the exclusive running token total within the shard.
+    *
+    * Scale shape: real packing is embarrassingly parallel ACROSS
+    * output shards — a global running sum would serialize the corpus
+    * through one task (the exact anti-pattern WindowGuardSpec bans),
+    * so the cumulative window is partitioned by shard: one bounded
+    * exchange, every shard packs independently, add shards to scale.
+    * All integer arithmetic — exact in any engine. */
+  def textPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        expr("CAST(regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS BIGINT)")
+          .as("n_tok"),
+        expr(s"CAST(pmod(doc_id * 2654435761, $PACK_SHARDS) AS INT)").as("shard"))
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .select($"doc_id", $"shard", $"n_tok",
+        expr(s"(cum_tok - n_tok) div $PACK_BUDGET").as("bin"))
+      .orderBy($"doc_id")
+  }
+
+  val textPackSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok,
+       |    CAST(((doc_id * 2654435761) % $PACK_SHARDS + $PACK_SHARDS)
+       |      % $PACK_SHARDS AS INTEGER) AS shard
+       |  FROM documents)
+       |SELECT doc_id, shard, n_tok,
+       |  CAST((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) - n_tok) // $PACK_BUDGET AS BIGINT) AS bin
+       |FROM toks ORDER BY doc_id""".stripMargin
 }

@@ -199,4 +199,19 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
       .collect().map(_.toString).toSeq
     assert(pruned == plain, "pruned-layout LSH disagrees with in-join LSH")
   }
+
+  test("NOT IN plans as a null-aware anti join, not a nested loop") {
+    val df = graft.operators.SqlOps.subqueryNotIn(spark, sf)
+    df.collect()
+    val naaj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.size == 1,
+      s"expected one null-aware BroadcastHashJoin:\n${df.queryExecution.executedPlan}")
+    val bnl = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.isEmpty, "NOT IN fell back to a nested-loop join")
+  }
 }
