@@ -188,4 +188,84 @@ object BasketOps {
        |SELECT prev_type, cur_type, n,
        |  ${Udfs.sqlRnd6("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)")} AS p
        |FROM t ORDER BY prev_type, cur_type""".stripMargin
+
+  /** Items per session kept for pair generation (smallest item ids —
+    * deterministic, not arrival order) and the minimum co-session
+    * support a pair must reach to be reported. The cap bounds pair
+    * fan-out at C(16,2)=120 rows per session, so shuffle volume is
+    * linear in sessions — the same discipline as CfOps.USER_ITEM_CAP. */
+  private val COVIS_CAP = 16
+  private val COVIS_MIN_SUPPORT = 2L
+
+  /** Session co-visitation: "items seen together in one browsing
+    * session" — the classic item-to-item signal, computed from raw
+    * events with no ratings at all. Reuses [[graft.operators
+    * .WindowOps.winSession]]'s gaps-and-islands decomposition (one
+    * user_id exchange serves the lag AND the running session number),
+    * takes each session's distinct item set (item = the `k` attribute
+    * of the event's JSON props), caps it, and counts co-sessions per
+    * item pair via a session-key equi-join. */
+  def covisitation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 3600L * 1000000L
+    val sessioned = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts",
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("item"))
+      .filter($"item".isNotNull)
+      .withColumn("gap_us", expr("unix_micros(ts)") -
+        expr("unix_micros(lag(ts, 1) over (partition by user_id order by ts asc, event_id asc))"))
+      .withColumn("is_new",
+        when($"gap_us".isNull || $"gap_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum($"is_new").over(wRun))
+      .select($"user_id", $"session_no", $"item")
+      .distinct()
+    val wCap = Window.partitionBy($"user_id", $"session_no").orderBy($"item".asc)
+    val capped = sessioned
+      .withColumn("rk", row_number().over(wCap))
+      .filter($"rk" <= COVIS_CAP)
+      .select($"user_id", $"session_no", $"item")
+    capped.as("a").join(capped.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"a.session_no" === $"b.session_no" &&
+          $"a.item" < $"b.item")
+      .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .filter($"n_sessions" >= COVIS_MIN_SUPPORT)
+      .orderBy($"item_a", $"item_b")
+  }
+
+  val covisitationSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |gapped AS (
+       |  SELECT user_id, event_id, ts, item,
+       |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       |numbered AS (
+       |  SELECT user_id, item,
+       |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+       |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+       |      ORDER BY ts ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_no
+       |  FROM gapped),
+       |items AS (SELECT DISTINCT user_id, session_no, item FROM numbered),
+       |capped AS (
+       |  SELECT user_id, session_no, item FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id, session_no
+       |      ORDER BY item ASC) AS rk
+       |    FROM items) WHERE rk <= $COVIS_CAP)
+       |SELECT a.item AS item_a, b.item AS item_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sessions
+       |FROM capped a JOIN capped b
+       |  ON a.user_id = b.user_id AND a.session_no = b.session_no
+       |  AND a.item < b.item
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $COVIS_MIN_SUPPORT
+       |ORDER BY item_a, item_b""".stripMargin
 }

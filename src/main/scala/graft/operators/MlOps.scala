@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Exact, Tables}
+
+/** Closed-form model fitting — the "classical ML on a warehouse"
+  * family: models whose sufficient statistics are plain aggregates, so
+  * the fit is ONE distributed aggregation + driver-free arithmetic
+  * (unlike the iterative ALS/k-means paths, these are exactly
+  * oracle-checkable).
+  *
+  * Scale notes: every fit here reduces the data to O(groups) moment
+  * rows in a single partial-aggregated shuffle; model arithmetic runs
+  * on those rows. At 100 TB nothing changes — the moments are the
+  * same five columns, the shuffle is the same one exchange.
+  */
+object MlOps {
+  import Exact._
+
+  /** Per-group simple linear regression y = a·x + b (y = extended
+    * price, x = quantity, grouped by return flag), fit by the normal
+    * equations on decimal-exact moment sums (Σx, Σy, Σxy, Σx², Σy²).
+    * Slope/intercept/r² are assembled from those exact sums with one
+    * identical double expression tree in both engines — the same
+    * discipline as [[AggOps.aggCorr]], so only the final rnd6 rounds.
+    */
+  def mlLinreg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val moments = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        xsum($"l_quantity").as("sx"),
+        xsum($"l_extendedprice").as("sy"),
+        xsum($"l_quantity" * $"l_extendedprice").as("sxy"),
+        xsum($"l_quantity" * $"l_quantity").as("sxx"),
+        xsum($"l_extendedprice" * $"l_extendedprice").as("syy"))
+    val nd = $"n".cast("double")
+    val covN = nd * $"sxy" - $"sx" * $"sy"   // n·cov(x,y) scaled by n
+    val varXN = nd * $"sxx" - $"sx" * $"sx"  // n²·var(x)
+    val varYN = nd * $"syy" - $"sy" * $"sy"
+    val slope = covN / varXN
+    moments.select($"l_returnflag", $"n",
+      rnd6(slope).as("slope"),
+      rnd6(($"sy" - slope * $"sx") / nd).as("intercept"),
+      rnd6(covN * covN / (varXN * varYN)).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  val mlLinregSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val nd = "CAST(n AS DOUBLE)"
+    val covN = s"($nd * sxy - sx * sy)"
+    val varXN = s"($nd * sxx - sx * sx)"
+    val varYN = s"($nd * syy - sy * sy)"
+    val slope = s"($covN / $varXN)"
+    s"""WITH moments AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${sqlXsum("l_quantity")} AS sx,
+       |    ${sqlXsum("l_extendedprice")} AS sy,
+       |    ${sqlXsum("l_quantity * l_extendedprice")} AS sxy,
+       |    ${sqlXsum("l_quantity * l_quantity")} AS sxx,
+       |    ${sqlXsum("l_extendedprice * l_extendedprice")} AS syy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  ${sqlRnd6(slope)} AS slope,
+       |  ${sqlRnd6(s"(sy - $slope * sx) / $nd")} AS intercept,
+       |  ${sqlRnd6(s"$covN * $covN / ($varXN * $varYN)")} AS r2
+       |FROM moments ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** k-means clusters and Lloyd rounds. ITERS is deliberately small:
+    * each round doubles the oracle's unrolled-CTE depth, and two full
+    * Lloyd rounds already move every centroid off its seed — enough to
+    * prove the iteration is engine-identical (the PageRank precedent,
+    * GraphOps.scala). */
+  private val KM_K = 4
+  private val KM_ITERS = 2
+  private val KM_DIMS = 64
+
+  /** Distributed k-means (Lloyd's algorithm) over the embedding
+    * corpus: seed centroids = vectors 0..K-1, then ITERS rounds of
+    * [assign each vector to its nearest centroid] → [recompute each
+    * centroid as the per-dim mean of its members], then a final
+    * assignment. Per round: centroids BROADCAST to the corpus scan
+    * (no corpus shuffle to assign), the update is one posexplode +
+    * (cid, dim) partial-aggregated shuffle — at 100 TB the shuffle
+    * moves K×dims rows per partition, not the data.
+    *
+    * Engine-exactness (the whole point — an ITERATIVE fit that is
+    * still bit-checkable): distances fold in fixed ascending-index
+    * IEEE double (the [[graft.functions.Udfs.cosSimDblExpr]]
+    * discipline), assignment tiebreaks (rnd6(dist), cid), and each
+    * new centroid coordinate is a decimal-exact sum / count that is
+    * then ROUND-TRIPPED THROUGH FLOAT32 — the float grid is the same
+    * in both engines, so per-round drift cannot compound. Oracle =
+    * the identical computation unrolled CTE-by-CTE. */
+  def mlKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val distExpr =
+      "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as double), (acc, t) -> acc + t)"
+    import graft.functions.Udfs.rnd6
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
+      e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"v", $"cid", rnd6(expr(distExpr)).as("dist2"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+    }
+    var cent = e.filter($"vec_id" < KM_K)
+      .select($"vec_id".cast("int").as("cid"), $"v".as("c"))
+    for (_ <- 1 to KM_ITERS) {
+      cent = assign(cent)
+        .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cid", $"dim")
+        .agg((Exact.xsum($"x") / count(lit(1))).as("m"))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"dim", $"m"))).as("ms"))
+        .select($"cid",
+          expr("transform(ms, s -> CAST(CAST(s.m AS FLOAT) AS DOUBLE))").as("c"))
+    }
+    assign(cent)
+      .select($"vec_id", $"cid".as("cluster"), $"dist2")
+      .orderBy($"vec_id")
+  }
+
+  val mlKmeansSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def dist(v: String, c: String) =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(list_zip($v, $c), s -> (s[1] - s[2]) * (s[1] - s[2]))), " +
+        "(acc, t) -> acc + t)"
+    def assignCte(name: String, centCte: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cid, dist2 FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      ${sqlRnd6(dist("e.v", "c.c"))} AS dist2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlRnd6(dist("e.v", "c.c"))} ASC, c.cid ASC) AS rk
+         |    FROM e, $centCte c) WHERE rk = 1)"""
+    def updateCte(name: String, assignCteName: String) =
+      s"""$name AS (
+         |  SELECT cid, list_transform(list(m ORDER BY dim),
+         |    x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c
+         |  FROM (
+         |    SELECT cid, CAST(i.range AS INT) AS dim,
+         |      CAST(SUM(CAST(v[CAST(i.range AS INT)] AS DECIMAL(38,6)))
+         |        AS DOUBLE) / COUNT(*) AS m
+         |    FROM $assignCteName, range(1, ${KM_DIMS + 1}) i GROUP BY 1, 2)
+         |  GROUP BY cid)"""
+    val rounds = (1 to KM_ITERS).map { k =>
+      assignCte(s"a$k", s"c${k - 1}") + ",\n" + updateCte(s"c$k", s"a$k")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c
+       |  FROM e WHERE vec_id < $KM_K),
+       |$rounds,
+       |${assignCte("afinal", s"c$KM_ITERS")}
+       |SELECT vec_id, cid AS cluster, dist2
+       |FROM afinal ORDER BY vec_id""".stripMargin
+  }
+}

@@ -217,6 +217,40 @@ object ScanOps {
     """SELECT * FROM lineitem WHERE l_returnflag = 'R'
       |ORDER BY ALL""".stripMargin
 
+  /** Parquet schema evolution: two generations of the same dataset
+    * land under one root (`gen=1` with the original columns, `gen=2`
+    * with an added `r_clen`), and ONE read with
+    * `mergeSchema = true` returns the unioned schema — old files
+    * null-fill the new column, the `gen=` directory name comes back
+    * as a partition column. This is how a long-lived parquet lake
+    * absorbs additive schema change without rewriting history
+    * (mergeSchema is off by default because footer-merging every file
+    * costs a listing pass — turned on explicitly here, which is the
+    * documented production practice for evolving tables). */
+  def scanMergeSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(sfDir) + "/nation_evolved"
+    Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name")
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .select($"n_nationkey", $"n_name", $"n_regionkey",
+        $"gen".cast("int").as("gen"))
+      .orderBy($"gen", $"n_nationkey")
+  }
+
+  val scanMergeSchemaSql: String =
+    """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+      |  CAST(1 AS INTEGER) AS gen
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS INTEGER)
+      |FROM nation
+      |ORDER BY gen, n_nationkey""".stripMargin
+
   /** `binaryFile` source: whole files as (path, length, content)
     * rows — the ingestion format for multimodal corpora (images,
     * audio) where each FILE is the record and decoding happens
