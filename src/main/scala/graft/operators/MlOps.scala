@@ -169,4 +169,156 @@ object MlOps {
        |SELECT vec_id, cid AS cluster, dist2
        |FROM afinal ORDER BY vec_id""".stripMargin
   }
+
+  /** Hashed feature-space width for [[mlFeatureHash]]. */
+  private val FH_BUCKETS = 128
+
+  /** Feature hashing (the "hashing trick"): vectorize text into a
+    * FIXED 128-wide count space by hashing each token — no vocabulary
+    * to build, broadcast, or keep consistent across training runs,
+    * which is why it is the streaming/100 TB-safe featurizer
+    * (a dictionary featurizer needs a global vocab pass + broadcast
+    * that grows with the corpus; the hash needs nothing). Collisions
+    * are accepted by design. Token → bucket runs in the library's own
+    * codegen'd [[graft.functions.RollingHash]] Catalyst expression
+    * (same polynomial spelled per-token in the oracle), so the hot
+    * path is whole-stage codegen, not a boxing UDF. Output is the
+    * sparse (doc, bucket, count, tf) form — exactly what a trainer
+    * ingests. */
+  def mlFeatureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    graft.functions.RollingHash.register(spark)
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .select($"doc_id",
+        expr(s"CAST(graft_rolling_hash(tok) % $FH_BUCKETS AS INT)").as("bucket"))
+    val perDoc = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_toks"))
+    toks.groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("cnt"))
+      .join(perDoc, "doc_id")
+      .select($"doc_id", $"bucket", $"cnt",
+        rnd6($"cnt".cast("double") / $"n_toks".cast("double")).as("tf"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  val mlFeatureHashSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(tok, ''),
+       |          c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 131 + x) % 1000000007)
+       |      % $FH_BUCKETS AS INTEGER) AS bucket
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+       |  FROM toks GROUP BY 1)
+       |SELECT t.doc_id, t.bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  ${sqlRnd6("CAST(COUNT(*) AS DOUBLE) / CAST(MAX(p.n_toks) AS DOUBLE)")} AS tf
+       |FROM toks t JOIN per_doc p ON t.doc_id = p.doc_id
+       |GROUP BY t.doc_id, t.bucket
+       |ORDER BY t.doc_id, t.bucket""".stripMargin
+  }
+
+  /** Test split, neighbor count, and stop-token df ceiling for
+    * [[mlKnnClassify]]. Tokens appearing in more than a quarter of
+    * the corpus carry no class signal and would dominate the inverted
+    * index's join fan-out (the O(df²) hazard DedupOps documents) —
+    * dropped on BOTH sides before the index join. */
+  private val KNN_TEST_MOD = 10
+  private val KNN_K = 3
+  private val KNN_DF_CEIL_PCT = 25
+
+  /** k-nearest-neighbor text classification by exact token Jaccard:
+    * every 10th document is the unlabeled "test" split, the rest are
+    * the labeled train corpus; each test doc takes the majority label
+    * of its [[KNN_K]] most-similar train docs. Candidate pairs come
+    * from an inverted token index (equi-join on informative tokens —
+    * never all-pairs), Jaccard is exact integer arithmetic, and every
+    * ranking tiebreaks deterministically (sim desc, train id asc;
+    * votes desc, label asc). The lazy-learner classifier whose "fit"
+    * is pure data engineering — no gradient, fully oracle-checkable. */
+  def mlKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.select(countDistinct($"doc_id").as("n"))
+    val toks = docs
+      .select($"doc_id", $"lang",
+        explode(array_distinct(split(lower($"text"), " "))).as("tok"))
+    // informative tokens: document frequency under the ceiling
+    val df = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val kept = toks.join(broadcast(
+        df.crossJoin(nDocs).filter($"df" * 100 <= $"n" * KNN_DF_CEIL_PCT)
+          .select($"tok")), "tok")
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val test = kept.filter($"doc_id" % KNN_TEST_MOD === 0)
+      .select($"doc_id".as("tid"), $"tok")
+    val train = kept.filter($"doc_id" % KNN_TEST_MOD =!= 0)
+      .select($"doc_id".as("nid"), $"lang".as("nlang"), $"tok")
+    val shared = test.join(train, "tok")
+      .groupBy($"tid", $"nid", $"nlang").agg(count(lit(1)).as("shared"))
+    val wK = Window.partitionBy($"tid").orderBy($"sim".desc, $"nid".asc)
+    val wVote = Window.partitionBy($"tid").orderBy($"votes".desc, $"nlang".asc)
+    val neighbors = shared
+      .join(sizes.select($"doc_id".as("tid"), $"sz".as("tsz")), "tid")
+      .join(sizes.select($"doc_id".as("nid"), $"sz".as("nsz")), "nid")
+      .select($"tid", $"nid", $"nlang",
+        rnd6($"shared".cast("double") /
+          ($"tsz" + $"nsz" - $"shared").cast("double")).as("sim"))
+      .withColumn("rk", row_number().over(wK))
+      .filter($"rk" <= KNN_K)
+    neighbors
+      .groupBy($"tid", $"nlang").agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(wVote))
+      .filter($"vrk" === 1)
+      .select($"tid".as("doc_id"), $"nlang".as("pred_lang"), $"votes")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"pred_lang", $"votes",
+        ($"pred_lang" === $"lang").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val mlKnnClassifySql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(list_distinct(
+       |    string_split(lower(text), ' '))) AS tok
+       |  FROM documents),
+       |kept AS (
+       |  SELECT t.* FROM toks t JOIN (
+       |    SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+       |      (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+       |    WHERE df * 100 <= n * $KNN_DF_CEIL_PCT) i ON t.tok = i.tok),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS tid, b.doc_id AS nid, b.lang AS nlang,
+       |    COUNT(*) AS shared
+       |  FROM kept a JOIN kept b ON a.tok = b.tok
+       |  WHERE a.doc_id % $KNN_TEST_MOD = 0 AND b.doc_id % $KNN_TEST_MOD <> 0
+       |  GROUP BY 1, 2, 3),
+       |neighbors AS (
+       |  SELECT tid, nlang FROM (
+       |    SELECT s.tid, s.nlang,
+       |      row_number() OVER (PARTITION BY s.tid ORDER BY
+       |        ${sqlRnd6("CAST(s.shared AS DOUBLE) / CAST(ts.sz + ns.sz - s.shared AS DOUBLE)")}
+       |        DESC, s.nid ASC) AS rk
+       |    FROM shared s
+       |    JOIN sizes ts ON ts.doc_id = s.tid
+       |    JOIN sizes ns ON ns.doc_id = s.nid)
+       |  WHERE rk <= $KNN_K),
+       |voted AS (
+       |  SELECT tid, nlang, CAST(COUNT(*) AS BIGINT) AS votes,
+       |    row_number() OVER (PARTITION BY tid
+       |      ORDER BY COUNT(*) DESC, nlang ASC) AS vrk
+       |  FROM neighbors GROUP BY tid, nlang)
+       |SELECT v.tid AS doc_id, v.nlang AS pred_lang, v.votes,
+       |  v.nlang = d.lang AS correct
+       |FROM voted v JOIN documents d ON v.tid = d.doc_id
+       |WHERE v.vrk = 1
+       |ORDER BY doc_id""".stripMargin
+  }
 }

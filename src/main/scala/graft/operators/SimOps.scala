@@ -388,7 +388,10 @@ object SimOps {
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0"))
       .filter($"scale" > 0) // an all-zero vector has no absmax scale
       .select($"vec_id", $"label", rnd6($"scale").as("scale"),
-        expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))").as("qvec"),
+        // '|'-joined, not array<int>: the driver comparator hashes
+        // scalar cells only (same contract note as AggOps.aggCollect)
+        expr("array_join(transform(v, x -> CAST(CAST(floor(x / scale + 0.5) AS INT) AS STRING)), '|')")
+          .as("qvec"),
         rnd6(expr(
           "array_max(transform(v, x -> abs(CAST(floor(x / scale + 0.5) AS INT) * scale - x)))"))
           .as("max_err"),
@@ -406,7 +409,8 @@ object SimOps {
        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
        |  FROM embeddings)
        |SELECT vec_id, label, ${sqlRnd6("scale")} AS scale,
-       |  list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS qvec,
+       |  array_to_string(list_transform(v,
+       |    x -> CAST(CAST(FLOOR(x / scale + 0.5) AS INTEGER) AS VARCHAR)), '|') AS qvec,
        |  ${sqlRnd6("list_max(list_transform(v, x -> abs(CAST(FLOOR(x / scale + 0.5) AS INTEGER) * scale - x)))")} AS max_err,
        |  CAST(length(list_filter(v, x -> abs(CAST(FLOOR(x / scale + 0.5) AS INTEGER)) >= 127)) AS INTEGER) AS n_sat
        |FROM scaled WHERE scale > 0 ORDER BY vec_id""".stripMargin

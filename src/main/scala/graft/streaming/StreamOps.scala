@@ -664,4 +664,51 @@ object StreamOps {
     s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
        |  COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  /** FILE streaming source + `Trigger.AvailableNow`: stream-read the
+    * events parquet directly from disk (explicit schema — file stream
+    * sources never infer), aggregate, and let AvailableNow drain
+    * everything already present and then STOP — the production
+    * backfill/catch-up pattern ("process the backlog with streaming
+    * semantics and exit", vs a forever-running trigger). Unlike the
+    * MemoryStream harness queries above, the source here is the same
+    * one a 100 TB deployment uses — a directory listing with
+    * `maxFilesPerTrigger` rate-limiting micro-batch size; swap the
+    * path and this query IS the production job. Complete-mode hourly
+    * rollup, so the sink equals the batch aggregation exactly. */
+  def streamFileSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      // file-stream paths must be directories: list the sfDir and
+      // glob-filter to the events table's file(s). The fixture stores
+      // ts as a raw nanosecond INT64 — same read discipline as
+      // Tables.eventsRaw.
+      val q = spark.readStream
+        .schema(Tables.eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sinkName).orderBy($"ws", $"event_type")
+  }
+
+  /** Batch twin — AvailableNow + complete mode must equal the batch
+    * rollup bit-for-bit. */
+  val streamFileSourceSql: String =
+    s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       |  COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 }
