@@ -478,4 +478,39 @@ object FnOps {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, safe_div,
       |  cast_ok, cast_bad, safe_elem""".stripMargin
+
+  /** Higher-order array functions as a surfaced family: transform /
+    * filter / exists / forall / aggregate over the token array — the
+    * codegen'd lambda calculus that replaces per-row UDFs (each HOF
+    * inlines into the same whole-stage-codegen span as the
+    * surrounding projection; a Scala UDF would box every array).
+    * DuckDB has no forall/exists, so the oracle rewrites both as
+    * filter-count identities — which is also their definition. */
+  def fnHof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .select($"doc_id",
+        expr("CAST(size(filter(ws, w -> length(w) > 5)) AS INT)").as("n_long"),
+        expr("forall(ws, w -> w rlike '^[a-z]+$')").as("all_alpha"),
+        expr("exists(ws, w -> w rlike '^[0-9]+$')").as("any_num"),
+        expr("array_max(transform(ws, w -> length(w)))").as("longest"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("total_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val fnHofSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(ws, w -> length(w) > 5)) AS INTEGER) AS n_long,
+      |  len(list_filter(ws, w -> NOT regexp_matches(w, '^[a-z]+$'))) = 0
+      |    AS all_alpha,
+      |  len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) > 0
+      |    AS any_num,
+      |  list_max(list_transform(ws, w -> length(w))) AS longest,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+      |    (acc, x) -> acc + x) AS BIGINT) AS total_chars
+      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }

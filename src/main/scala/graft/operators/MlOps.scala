@@ -103,16 +103,27 @@ object MlOps {
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val distExpr =
-      "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
-        "cast(0 as double), (acc, t) -> acc + t)"
-    import graft.functions.Udfs.rnd6
+    // Assignment is 100 % map-side: the K centroids collapse to ONE
+    // row holding a cid-sorted array, broadcast to the corpus scan,
+    // and the nearest centroid falls out of a higher-order fold —
+    // rnd6'd distance with strict `<` over the cid-ascending array is
+    // exactly the (dist2 asc, cid asc) window ranking, without
+    // shuffling corpus×K rows through a vec_id exchange each round
+    // (the plan has NO WindowExec and no exchange on the corpus side;
+    // Round5Spec pins this).
+    val bestExpr =
+      """aggregate(
+        |  transform(cents, ct -> named_struct(
+        |    'cid', ct.cid,
+        |    'd', CAST(CAST(aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)),
+        |           cast(0 as double), (acc, t) -> acc + t) AS DECIMAL(38,6)) AS DOUBLE))),
+        |  named_struct('cid', cast(-1 as int), 'd', cast('Infinity' as double)),
+        |  (acc, s) -> if(s.d < acc.d, s, acc))""".stripMargin
     def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"vec_id").orderBy($"dist2".asc, $"cid".asc)
-      e.crossJoin(broadcast(cent))
-        .select($"vec_id", $"v", $"cid", rnd6(expr(distExpr)).as("dist2"))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" === 1)
+      val cents1 = cent.agg(array_sort(collect_list(struct($"cid", $"c"))).as("cents"))
+      e.crossJoin(broadcast(cents1))
+        .select($"vec_id", $"v", expr(bestExpr).as("best"))
+        .select($"vec_id", $"v", $"best.cid".as("cid"), $"best.d".as("dist2"))
     }
     var cent = e.filter($"vec_id" < KM_K)
       .select($"vec_id".cast("int").as("cid"), $"v".as("c"))

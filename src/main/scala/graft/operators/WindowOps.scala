@@ -471,4 +471,67 @@ object WindowOps {
        |UNION ALL SELECT 2, 'view_click', (SELECT COUNT(*) FROM tc)
        |UNION ALL SELECT 3, 'view_click_purchase', (SELECT COUNT(*) FROM tp)
        |ORDER BY stage_ord""".stripMargin
+
+  /** Users included in the [[winFfill]] densified grid — grid size is
+    * users × hours, so the demo bounds the user set; the operator
+    * itself is per-user-partitioned and scales by adding users. */
+  private val FFILL_USERS = 50
+
+  /** Time-series densify + forward-fill: project each user's event
+    * stream onto the complete hourly grid (missing hours appear as
+    * rows) and carry the last observed hourly sum forward — the
+    * resample→ffill step that turns an irregular event stream into
+    * the fixed-frequency input a forecasting/feature pipeline wants.
+    *
+    * Shape: the hour grid is generated from a 1-row min/max aggregate
+    * (broadcast, no driver round-trip), cross-joined with the bounded
+    * user list, left-joined with the hourly aggregates on the same
+    * (user, hour) key, then ONE per-user window does the fill via
+    * `last(_, ignoreNulls)` over a running frame. Gap arithmetic and
+    * sums are exact; the fill copies bits, so no new rounding sites. */
+  def winFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact.xsum
+    val ev = Tables.events(spark, sfDir)
+      .filter($"user_id" < FFILL_USERS)
+      .select($"user_id", date_trunc("hour", $"ts").as("h"), $"value")
+    val hourly = ev.groupBy($"user_id", $"h")
+      .agg(count(lit(1)).as("n"), xsum($"value").as("sum_v"))
+    val span = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val grid = ev.select($"user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select($"user_id",
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val wFill = Window.partitionBy($"user_id").orderBy($"h".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h",
+        coalesce($"n", lit(0L)).as("n"),
+        last($"sum_v", ignoreNulls = true).over(wFill).as("filled"))
+      .orderBy($"user_id", $"h")
+  }
+
+  val winFfillSql: String = {
+    import graft.engine.Exact.sqlXsum
+    s"""WITH ev AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS h, value
+       |  FROM events WHERE user_id < $FFILL_USERS),
+       |hourly AS (
+       |  SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${sqlXsum("value")} AS sum_v
+       |  FROM ev GROUP BY 1, 2),
+       |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+       |grid AS (
+       |  SELECT u.user_id,
+       |    unnest(generate_series(span.h0, span.h1, INTERVAL 1 HOUR)) AS h
+       |  FROM (SELECT DISTINCT user_id FROM ev) u, span)
+       |SELECT g.user_id, g.h,
+       |  COALESCE(hh.n, 0) AS n,
+       |  last_value(hh.sum_v IGNORE NULLS) OVER (PARTITION BY g.user_id
+       |    ORDER BY g.h ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+       |FROM grid g LEFT JOIN hourly hh
+       |  ON g.user_id = hh.user_id AND g.h = hh.h
+       |ORDER BY g.user_id, g.h""".stripMargin
+  }
 }

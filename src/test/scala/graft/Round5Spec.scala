@@ -214,4 +214,23 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(bnl.isEmpty, "NOT IN fell back to a nested-loop join")
   }
+
+  test("kmeans assignment is map-side: no window, broadcast-only joins") {
+    val df = graft.operators.MlOps.mlKmeans(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "kmeans assignment must be a higher-order fold, not a ranking window")
+    // every join in the plan is a broadcast of the (tiny) centroid
+    // side — the corpus is never shuffled to be assigned
+    val shuffledJoins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffledJoins.isEmpty,
+      s"kmeans shuffled the corpus for assignment:\n$plan")
+  }
 }
