@@ -332,4 +332,105 @@ object MlOps {
        |WHERE v.vrk = 1
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** DBSCAN neighborhood: cosine ≥ [[DB_EPS]] (the radius-search
+    * threshold SimOps uses) and [[DB_MIN_PTS]] neighbors to be a core
+    * point — chosen so the fixture splits into a real core/border/
+    * noise mix (~45 % cores). */
+  private val DB_EPS = 0.25
+  private val DB_MIN_PTS = 12
+
+  /** DBSCAN over the embedding corpus, composed ENTIRELY from
+    * operators the library already proves out: the ε-neighborhood is
+    * [[SimOps.simsearchRange]]'s pairwise cosine predicate, core
+    * points are a degree count, clusters are connected components of
+    * the core-core graph via the SAME hash-min propagation loop the
+    * dedup family uses ([[DedupOps.hashMinLabels]]), and border
+    * points attach to their minimum-labeled core neighbor (the
+    * deterministic tie rule — textbook DBSCAN is order-dependent for
+    * borders, which would be retry-nondeterministic at scale).
+    * Noise gets cluster −1. At 100 TB the pairwise stage is the part
+    * to swap: generate candidates from the LSH/IVF bucketed layouts
+    * ([[SimOps.simsearchLshPruned]]) instead of all-pairs — the
+    * grouping machinery downstream is unchanged.
+    * Oracle: identical composition with a recursive-CTE reachability
+    * closure for the components (the dedup-cluster precedent). */
+  def mlDbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    graft.functions.CosineSim.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = e.select($"vec_id".as("va"), $"embedding".as("ea"))
+      .crossJoin(broadcast(e.select($"vec_id".as("vb"), $"embedding".as("eb"))))
+      .filter($"va" =!= $"vb")
+      .select($"va", $"vb",
+        rnd6(expr("graft_cosine_sim(ea, eb)")).as("sim"))
+      .filter($"sim" >= DB_EPS)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val core = pairs.groupBy($"va".as("vec_id"))
+        .agg(count(lit(1)).as("nn"))
+        .filter($"nn" >= DB_MIN_PTS)
+        .select($"vec_id")
+      val coreEdges = pairs
+        .join(core.select($"vec_id".as("ca")), $"va" === $"ca")
+        .join(core.select($"vec_id".as("cb")), $"vb" === $"cb")
+        .filter($"va" < $"vb")
+        .select($"va".as("doc_a"), $"vb".as("doc_b"))
+      val comp = DedupOps.hashMinLabels(
+          core.select($"vec_id".as("doc_id")), coreEdges)
+        .select($"doc_id".as("cvec"), $"cluster_id")
+      val border = pairs
+        .join(comp.select($"cvec".as("vb2"), $"cluster_id"), $"vb" === $"vb2")
+        .join(comp.select($"cvec".as("notcore")), $"va" === $"notcore", "left_anti")
+        .groupBy($"va".as("bvec"))
+        .agg(min($"cluster_id").as("bcluster"))
+      e.select($"vec_id")
+        .join(comp, $"vec_id" === $"cvec", "left")
+        .join(border, $"vec_id" === $"bvec", "left")
+        .select($"vec_id",
+          when($"cluster_id".isNotNull, "core")
+            .when($"bcluster".isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce($"cluster_id", $"bcluster", lit(-1L)).as("cluster_id"))
+        .orderBy($"vec_id")
+    } finally pairs.unpersist()
+  }
+
+  val mlDbscanSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val cos = graft.functions.Udfs.sqlCosSimDbl("a.embedding", "b.embedding")
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE ${sqlRnd6(cos)} >= $DB_EPS),
+       |core AS (
+       |  SELECT va AS vec_id FROM pairs GROUP BY 1
+       |  HAVING COUNT(*) >= $DB_MIN_PTS),
+       |cedges AS (
+       |  SELECT p.va, p.vb FROM pairs p
+       |  JOIN core ca ON p.va = ca.vec_id
+       |  JOIN core cb ON p.vb = cb.vec_id),
+       |reach(src, dst) AS (
+       |  SELECT vec_id, vec_id FROM core
+       |  UNION
+       |  SELECT r.src, e.vb FROM reach r JOIN cedges e ON r.dst = e.va),
+       |comp AS (SELECT src AS vec_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY 1),
+       |border AS (
+       |  SELECT p.va AS vec_id, min(c.cluster_id) AS cluster_id
+       |  FROM pairs p
+       |  JOIN comp c ON p.vb = c.vec_id
+       |  WHERE p.va NOT IN (SELECT vec_id FROM core)
+       |  GROUP BY 1)
+       |SELECT e.vec_id,
+       |  CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+       |    WHEN b.cluster_id IS NOT NULL THEN 'border'
+       |    ELSE 'noise' END AS role,
+       |  COALESCE(c.cluster_id, b.cluster_id, -1) AS cluster_id
+       |FROM embeddings e
+       |LEFT JOIN comp c ON e.vec_id = c.vec_id
+       |LEFT JOIN border b ON e.vec_id = b.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
 }

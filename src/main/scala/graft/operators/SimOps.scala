@@ -451,23 +451,29 @@ object SimOps {
     val q = qz.filter($"vec_id" < N_QUERIES)
       .select($"vec_id".as("query_id"), $"embedding".as("qemb"),
         $"qv".as("qqv"), $"ssq".as("qssq"))
-    val wApprox = Window.partitionBy($"query_id")
-      .orderBy($"approx_cos".desc, $"vec_id".asc)
-    val wExact = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"vec_id".asc)
-    qz.crossJoin(broadcast(q))
+    // Both ranking stages run through the library's own partial-heap
+    // top-k operator (plans/TopKPerKey): per-partition bounded heaps
+    // prune to ≤ k rows per query BEFORE the exchange — on a 100 TB
+    // corpus the int8 stage's shuffle carries k×overfetch rows per
+    // query per map partition instead of the whole scored corpus.
+    val scored = qz.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"embedding", $"qemb",
         rnd6(
           expr("aggregate(zip_with(qv, qqv, (x, y) -> CAST(x AS BIGINT) * y), 0L, (acc, p) -> acc + p)")
             / (sqrt($"ssq".cast("double")) * sqrt($"qssq".cast("double"))))
           .as("approx_cos"))
-      .withColumn("ark", row_number().over(wApprox))
-      .filter($"ark" <= TOP_K * OVERFETCH)
+    val cands = graft.plans.TopKPerKey.topK(scored,
+        keyCols = Seq("query_id"),
+        orderSpec = Seq("approx_cos" -> false, "vec_id" -> true),
+        k = TOP_K * OVERFETCH, rankName = "ark")
       .select($"query_id", $"vec_id", $"approx_cos",
         rnd6(expr("graft_cosine_sim(embedding, qemb)")).as("cos_sim"))
-      .withColumn("rk", row_number().over(wExact))
-      .filter($"rk" <= TOP_K)
+    graft.plans.TopKPerKey.topK(cands,
+        keyCols = Seq("query_id"),
+        orderSpec = Seq("cos_sim" -> false, "vec_id" -> true),
+        k = TOP_K, rankName = "rk")
+      .select($"query_id", $"vec_id", $"approx_cos", $"cos_sim", $"rk")
       .orderBy($"query_id", $"rk")
   }
 

@@ -233,4 +233,19 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffledJoins.isEmpty,
       s"kmeans shuffled the corpus for assignment:\n$plan")
   }
+
+  test("quantized ANN ranks through two native top-k stages, no windows") {
+    val df = graft.operators.SimOps.simsearchQuantized(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val partials = collectWithSubqueries(plan) {
+      case p: graft.plans.PartialTopKPerKeyExec => p
+    }
+    assert(partials.size == 2,
+      s"expected both rank stages on the partial-heap operator:\n$plan")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "quantized ANN still plans a ranking window")
+  }
 }
