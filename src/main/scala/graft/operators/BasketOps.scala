@@ -268,4 +268,45 @@ object BasketOps {
        |  AND a.item < b.item
        |GROUP BY 1, 2 HAVING COUNT(*) >= $COVIS_MIN_SUPPORT
        |ORDER BY item_a, item_b""".stripMargin
+
+  /** Neighbors kept per item in the serving table. */
+  private val COVIS_TOP_K = 5
+
+  /** The co-visitation SERVING table: symmetrize [[covisitation]]'s
+    * canonical pairs and keep each item's top-[[COVIS_TOP_K]]
+    * co-visited neighbors — the artifact an online "people also
+    * viewed" lookup actually reads. The per-item rank runs through
+    * the library's partial-heap top-k operator
+    * ([[graft.plans.TopKPerKey]]), so at catalog scale the exchange
+    * carries ≤ k rows per item per map partition, not every pair. */
+  def covisitationTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = covisitation(spark, sfDir)
+      .select($"item_a", $"item_b", $"n_sessions")
+    val sym = pairs.unionByName(pairs.select(
+      $"item_b".as("item_a"), $"item_a".as("item_b"), $"n_sessions"))
+    graft.plans.TopKPerKey.topK(sym,
+        keyCols = Seq("item_a"),
+        orderSpec = Seq("n_sessions" -> false, "item_b" -> true),
+        k = COVIS_TOP_K, rankName = "rk")
+      .select($"item_a".as("item"), $"rk",
+        $"item_b".as("neighbor"), $"n_sessions")
+      .orderBy($"item", $"rk")
+  }
+
+  val covisitationTopkSql: String = {
+    val base = covisitationSql
+      .replace("\nORDER BY item_a, item_b", "")
+    s"""WITH canon AS ($base),
+       |sym AS (
+       |  SELECT item_a, item_b, n_sessions FROM canon
+       |  UNION ALL
+       |  SELECT item_b, item_a, n_sessions FROM canon)
+       |SELECT item_a AS item, rk, item_b AS neighbor, n_sessions FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY item_a
+       |    ORDER BY n_sessions DESC, item_b ASC) AS rk
+       |  FROM sym)
+       |WHERE rk <= $COVIS_TOP_K
+       |ORDER BY item, rk""".stripMargin
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Exact, Tables}
@@ -432,5 +432,85 @@ object MlOps {
        |LEFT JOIN comp c ON e.vec_id = c.vec_id
        |LEFT JOIN border b ON e.vec_id = b.vec_id
        |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** Gini-impurity decision stump — the classic single-split tree fit,
+    * done as pure aggregation: label = "was returned" (l_returnflag =
+    * 'R'), feature = quantity. One shuffle reduces the corpus to
+    * per-quantity (n, positives) rows; the cumulative left/right split
+    * statistics come from a broadcast TRIANGULAR JOIN over that
+    * ≤ 50-row table (quantity's domain is bounded by the data spec),
+    * NOT an unpartitioned window — the fleet-wide WindowGuardSpec
+    * stays clean and the whole fit is one exchange at any corpus
+    * scale. Per candidate threshold t: left = rows with qty ≤ t,
+    * weighted Gini = (nL·gini(L) + nR·gini(R)) / n, with gini(S) =
+    * 1 − (pos/|S|)² − (neg/|S|)². The best split is flagged via a
+    * 1-row broadcast min. All ratios are double expressions built
+    * from exact bigint counts with an IDENTICAL tree in the oracle,
+    * so rnd6 equality is engine-exact (the [[mlLinreg]] discipline).
+    */
+  def mlGiniStump(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val byQty = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_quantity".cast("int").as("qty"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"l_returnflag" === "R", 1)).as("pos"))
+    val tot = byQty.agg(sum($"n").as("tot_n"), sum($"pos").as("tot_pos"))
+    val cum = byQty.select($"qty".as("thr"))
+      .join(broadcast(byQty), $"qty" <= $"thr")
+      .groupBy($"thr")
+      .agg(sum($"n").as("nl"), sum($"pos").as("pl"))
+      .crossJoin(broadcast(tot))
+      .filter($"nl" < $"tot_n") // right side must be non-empty
+    def gini(p: Column, n: Column): Column = {
+      val pd = p.cast("double") / n.cast("double")
+      val qd = (n - p).cast("double") / n.cast("double")
+      lit(1.0) - pd * pd - qd * qd
+    }
+    val nr = $"tot_n" - $"nl"
+    val pr = $"tot_pos" - $"pl"
+    val weighted =
+      ($"nl".cast("double") * gini($"pl", $"nl") +
+        nr.cast("double") * gini(pr, nr)) / $"tot_n".cast("double")
+    val scored = cum.select($"thr", $"nl", $"pl",
+      nr.as("nr"), pr.as("pr"), rnd6(weighted).as("gini_split"))
+    val best = scored.agg(min($"gini_split").as("best_gini"))
+    scored.crossJoin(broadcast(best))
+      .select($"thr", $"nl", $"pl", $"nr", $"pr", $"gini_split",
+        ($"gini_split" === $"best_gini").as("is_best"))
+      .orderBy($"thr")
+  }
+
+  val mlGiniStumpSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def gini(p: String, n: String): String = {
+      val pd = s"(CAST($p AS DOUBLE) / CAST($n AS DOUBLE))"
+      val qd = s"(CAST(($n) - ($p) AS DOUBLE) / CAST($n AS DOUBLE))"
+      s"(1.0 - $pd * $pd - $qd * $qd)"
+    }
+    val nr = "(tot_n - nl)"
+    val pr = "(tot_pos - pl)"
+    val weighted = s"((CAST(nl AS DOUBLE) * ${gini("pl", "nl")} + " +
+      s"CAST($nr AS DOUBLE) * ${gini(pr, nr)}) / CAST(tot_n AS DOUBLE))"
+    s"""WITH by_qty AS (
+       |  SELECT CAST(l_quantity AS INTEGER) AS qty, COUNT(*) AS n,
+       |    COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS pos
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+       |  CAST(SUM(pos) AS BIGINT) AS tot_pos FROM by_qty),
+       |cum AS (
+       |  SELECT t.qty AS thr,
+       |    CAST(SUM(b.n) AS BIGINT) AS nl, CAST(SUM(b.pos) AS BIGINT) AS pl
+       |  FROM (SELECT qty FROM by_qty) t
+       |  JOIN by_qty b ON b.qty <= t.qty
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT thr, nl, pl, $nr AS nr, $pr AS pr,
+       |    ${sqlRnd6(weighted)} AS gini_split
+       |  FROM cum, tot WHERE nl < tot_n)
+       |SELECT thr, nl, pl, nr, pr, gini_split,
+       |  gini_split = (SELECT MIN(gini_split) FROM scored) AS is_best
+       |FROM scored ORDER BY thr""".stripMargin
   }
 }

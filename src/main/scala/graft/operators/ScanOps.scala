@@ -251,6 +251,55 @@ object ScanOps {
       |FROM nation
       |ORDER BY gen, n_nationkey""".stripMargin
 
+  /** Partitioned sink with LAYOUT CONTROL — the write-side twin of
+    * [[scanPartitionPruning]]: `orders` lands Hive-partitioned by
+    * o_orderstatus, pre-shuffled so each status writes EXACTLY ONE
+    * file (`repartition(status)` → every status's rows in one task),
+    * and clustered within that file by `sortWithinPartitions
+    * (o_orderstatus, o_orderdate, o_orderkey)` so downstream
+    * date-range scans hit contiguous row groups (parquet min/max
+    * stats prune inside the file). The sort MUST lead with the
+    * partition column: FileFormatWriter demands task rows ordered by
+    * the partition columns and silently inserts its own (unstable)
+    * sort when they are not — which would destroy the date
+    * clustering; leading with o_orderstatus satisfies the required
+    * ordering so our sort is the one the files inherit. This is the canonical 100 TB table-layout recipe:
+    * without the repartition, EVERY upstream task writes a file into
+    * EVERY status dir — the small-files explosion (tasks × partitions
+    * files); with it, file count = partition count. The query reads
+    * the layout back and emits per-status row counts, date range,
+    * exact price sum AND the observed file count — `n_files = 1` is
+    * asserted against the oracle's literal 1, so the layout property
+    * itself is oracle-checked, not just narrated. Within-file
+    * sortedness is pinned in Round5Spec (reads one physical file
+    * directly and checks monotonicity). */
+  def sinkPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact._
+    val path = scratch(sfDir) + "/orders_by_status"
+    Tables.orders(spark, sfDir)
+      .repartition($"o_orderstatus")
+      .sortWithinPartitions($"o_orderstatus", $"o_orderdate", $"o_orderkey")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    spark.read.parquet(path)
+      .select($"o_orderstatus", $"o_orderdate", $"o_totalprice",
+        input_file_name().as("fname"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"fname").as("n_files"),
+        min($"o_orderdate").as("first_date"),
+        max($"o_orderdate").as("last_date"),
+        xsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val sinkPartitionedSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(1 AS BIGINT) AS n_files,
+       |  MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date,
+       |  ${graft.engine.Exact.sqlXsum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   /** `binaryFile` source: whole files as (path, length, content)
     * rows — the ingestion format for multimodal corpora (images,
     * audio) where each FILE is the record and decoding happens

@@ -248,4 +248,28 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(windows.isEmpty, "quantized ANN still plans a ranking window")
   }
+
+  test("partitioned sink writes one file per partition, clustered by date") {
+    import spark.implicits._
+    // materialize the layout (also oracle-checked as q_sink_partitioned)
+    graft.operators.ScanOps.sinkPartitioned(spark, sf).collect()
+    val root = new java.io.File(
+      "/tmp/graft_scratch/" + sf.replaceAll("[^A-Za-z0-9.]", "_")
+        + "/orders_by_status")
+    val dirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("o_orderstatus="))
+    assert(dirs.nonEmpty, s"no partition dirs under $root")
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName}: expected exactly one file, got ${files.length}")
+      // within-file clustering: rows come back in write order — must be
+      // non-decreasing on the sortWithinPartitions key (o_orderdate)
+      val dates = spark.read.parquet(files.head.getAbsolutePath)
+        .select($"o_orderdate").collect().map(_.getTimestamp(0).getTime)
+      assert(dates.length > 0)
+      assert(dates.zip(dates.tail).forall { case (a, b) => a <= b },
+        s"${d.getName}: file not sorted by o_orderdate")
+    }
+  }
 }
