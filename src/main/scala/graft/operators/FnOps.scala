@@ -513,4 +513,50 @@ object FnOps {
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Levenshtein fuzzy matching over the corpus vocabulary: all
+    * distinct-token pairs within edit distance ≤ 2 plus a normalized
+    * similarity — the spelling-variant detector a text-cleaning
+    * pipeline runs before token-level dedup. The pair space is the
+    * DISTINCT vocabulary (corpus-bounded, ≪ corpus rows), so the
+    * triangular self-join is broadcast with a cheap length-difference
+    * band (|len_a − len_b| ≤ 2, a true edit-distance lower bound)
+    * pre-filtering pairs before the O(len²) distance kernel runs. At
+    * 100 TB the vocabulary still fits the broadcast side under a
+    * doc-frequency cap ([[DedupOps]] stop-shingle pattern); for an
+    * unboundable domain you'd block by (length, prefix) keys instead
+    * of broadcasting — same bands, shuffled. Distance is integer and
+    * identical across engines; the one division is rnd6'd. */
+  def fnEditdist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val vocab = TextOps.tokens(spark, sfDir).select($"tok").distinct()
+    val rhs = vocab.select($"tok".as("tok_b"))
+    vocab.select($"tok".as("tok_a"))
+      .join(broadcast(rhs), $"tok_a" < $"tok_b" &&
+        abs(length($"tok_a") - length($"tok_b")) <= 2)
+      .withColumn("dist", levenshtein($"tok_a", $"tok_b"))
+      .filter($"dist" <= 2)
+      .select($"tok_a", $"tok_b", $"dist",
+        rnd6(lit(1.0) - $"dist".cast("double") /
+          greatest(length($"tok_a"), length($"tok_b"))).as("sim"))
+      .orderBy($"tok_a", $"tok_b")
+  }
+
+  val fnEditdistSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+       |    CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist
+       |  FROM vocab a JOIN vocab b
+       |    ON a.tok < b.tok AND abs(length(a.tok) - length(b.tok)) <= 2)
+       |SELECT tok_a, tok_b, dist,
+       |  ${sqlRnd6("1.0 - CAST(dist AS DOUBLE) / " +
+      "greatest(length(tok_a), length(tok_b))")} AS sim
+       |FROM pairs WHERE dist <= 2
+       |ORDER BY tok_a, tok_b""".stripMargin
+  }
 }

@@ -513,4 +513,230 @@ object MlOps {
        |  gini_split = (SELECT MIN(gini_split) FROM scored) AS is_best
        |FROM scored ORDER BY thr""".stripMargin
   }
+
+  /** Multinomial Naive Bayes language classifier — generative text
+    * classification as pure aggregation. Train on docs with
+    * `doc_id % 5 != 0` (a deterministic, engine-identical split),
+    * score the held-out fifth. The fit is ONE shuffle reducing the
+    * corpus to per-(lang, token) counts; the model — Laplace-smoothed
+    * per-token log-likelihoods `ln((cnt+1)/(tot+V))` plus per-lang
+    * priors and unseen-token defaults — is vocabulary × labels rows,
+    * BROADCAST to score. Scoring is a map-side join of test tokens to
+    * the model + one (doc, candidate) aggregation; argmax runs in a
+    * per-doc window over exactly |labels| rows. At 100 TB the model
+    * stays broadcast-sized as long as the vocabulary is capped (the
+    * [[graft.operators.DedupOps]] stop-shingle pattern); nothing else
+    * grows. Determinism: every ln() term is rnd6'd BEFORE summation
+    * (the [[TextOps.textTfidf]] discipline) and the per-doc sum runs
+    * through the decimal-exact [[Exact.xsum]], so term order cannot
+    * perturb the score; the argmax ranks rounded scores with a label
+    * tiebreak. */
+  def mlNaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val toks = TextOps.tokens(spark, sfDir)
+    val train = toks.filter($"doc_id" % 5 =!= 0)
+    val test = toks.filter($"doc_id" % 5 === 0)
+    val vocab = train.agg(countDistinct($"tok").as("v"))
+    val classTot = train.groupBy($"lang").agg(count(lit(1)).as("tot"))
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" % 5 =!= 0)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val prior = docs.groupBy($"lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(nDocs))
+      .select($"lang".as("cand"),
+        rnd6(log($"nd".cast("double") / $"n_docs")).as("log_prior"))
+    val model = train.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(classTot), "lang").crossJoin(broadcast(vocab))
+      .select($"lang".as("cand"), $"tok",
+        rnd6(log(($"cnt" + 1.0) / ($"tot" + $"v"))).as("logp"))
+    val dflt = classTot.crossJoin(broadcast(vocab))
+      .select($"lang".as("cand"),
+        rnd6(log(lit(1.0) / ($"tot" + $"v"))).as("logp0"))
+    val scores = test
+      .select($"doc_id", $"lang".as("true_lang"), $"tok")
+      .crossJoin(broadcast(dflt))
+      .join(broadcast(model), Seq("cand", "tok"), "left")
+      .select($"doc_id", $"true_lang", $"cand",
+        coalesce($"logp", $"logp0").as("term"))
+      .groupBy($"doc_id", $"true_lang", $"cand")
+      .agg(Exact.xsum($"term").as("sum_ll"))
+      .join(broadcast(prior), "cand")
+      .select($"doc_id", $"true_lang", $"cand",
+        rnd6($"sum_ll" + $"log_prior").as("score"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"cand".asc)
+    scores.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"true_lang", $"cand".as("pred_lang"), $"score",
+        ($"cand" === $"true_lang").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val mlNaiveBayesSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents),
+       |train AS (SELECT * FROM toks WHERE doc_id % 5 != 0),
+       |test AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+       |vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+       |class_tot AS (SELECT lang, COUNT(*) AS tot FROM train GROUP BY 1),
+       |docs AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+       |n_docs AS (SELECT COUNT(*) AS n_docs FROM docs),
+       |prior AS (
+       |  SELECT lang AS cand,
+       |    ${sqlRnd6("ln(CAST(nd AS DOUBLE) / n_docs)")} AS log_prior
+       |  FROM (SELECT lang, COUNT(*) AS nd FROM docs GROUP BY 1), n_docs),
+       |model AS (
+       |  SELECT c.lang AS cand, c.tok,
+       |    ${sqlRnd6("ln((c.cnt + 1.0) / (t.tot + v.v))")} AS logp
+       |  FROM (SELECT lang, tok, COUNT(*) AS cnt FROM train GROUP BY 1, 2) c
+       |  JOIN class_tot t ON c.lang = t.lang, vocab v),
+       |dflt AS (
+       |  SELECT lang AS cand, ${sqlRnd6("ln(1.0 / (tot + v))")} AS logp0
+       |  FROM class_tot, vocab),
+       |scores AS (
+       |  SELECT s.doc_id, s.true_lang, s.cand,
+       |    ${sqlRnd6("sum_ll + p.log_prior")} AS score
+       |  FROM (
+       |    SELECT t.doc_id, t.lang AS true_lang, d.cand,
+       |      ${Exact.sqlXsum("COALESCE(m.logp, d.logp0)")} AS sum_ll
+       |    FROM test t
+       |    CROSS JOIN dflt d
+       |    LEFT JOIN model m ON m.cand = d.cand AND m.tok = t.tok
+       |    GROUP BY 1, 2, 3) s
+       |  JOIN prior p ON s.cand = p.cand),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, cand ASC) AS rk
+       |  FROM scores)
+       |SELECT doc_id, true_lang, cand AS pred_lang, score,
+       |  cand = true_lang AS correct
+       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** ROC curve + AUC for "quantity predicts returns" — the ranking
+    * metric every model-eval pipeline needs, computed WITHOUT the
+    * textbook global-rank window (which would be a single-partition
+    * sort over every scored row — the `q_text_zipf` scale-killer).
+    * Instead the corpus collapses in one shuffle to per-score-bin
+    * (n_pos, n_neg) rows — bounded by the score domain (50 quantity
+    * values here; for continuous scores, bin first) — and AUC comes
+    * from the Mann-Whitney pair count over that tiny table via a
+    * broadcast triangular join: AUC = (Σ_{a>b} pos_a·neg_b +
+    * ½·Σ_s pos_s·neg_s) / (N⁺·N⁻). ROC points are the cumulative
+    * (tp, fp) at each threshold from the same broadcast table. All
+    * arithmetic is exact bigint until two final divisions → rnd6; no
+    * libm anywhere, so the oracle match is engine-exact. */
+  def mlAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val byScore = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_quantity".cast("int").as("s"))
+      .agg(count(when($"l_returnflag" === "R", 1)).as("n_pos"),
+        count(when($"l_returnflag" =!= "R", 1)).as("n_neg"))
+    val rhs = byScore.select($"s".as("s2"), $"n_pos".as("pos2"),
+      $"n_neg".as("neg2"))
+    val roc = byScore.select($"s".as("thr"))
+      .join(broadcast(rhs), $"s2" >= $"thr")
+      .groupBy($"thr")
+      .agg(sum($"pos2").as("tp"), sum($"neg2").as("fp"))
+    val hits = byScore.join(broadcast(rhs), $"s2" < $"s")
+      .agg(coalesce(sum($"n_pos" * $"neg2"), lit(0L)).as("hits"))
+    val tot = byScore.agg(sum($"n_pos" * $"n_neg").as("ties"),
+      sum($"n_pos").as("npos"), sum($"n_neg").as("nneg"))
+    roc.crossJoin(broadcast(hits)).crossJoin(broadcast(tot))
+      .select($"thr", $"tp", $"fp",
+        rnd6($"tp".cast("double") / $"npos").as("tpr"),
+        rnd6($"fp".cast("double") / $"nneg").as("fpr"),
+        rnd6(($"hits" + lit(0.5) * $"ties") /
+          ($"npos".cast("double") * $"nneg")).as("auc"))
+      .orderBy($"thr")
+  }
+
+  val mlAucSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH by_score AS (
+       |  SELECT CAST(l_quantity AS INTEGER) AS s,
+       |    COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_pos,
+       |    COUNT(CASE WHEN l_returnflag != 'R' THEN 1 END) AS n_neg
+       |  FROM lineitem GROUP BY 1),
+       |roc AS (
+       |  SELECT t.s AS thr, CAST(SUM(b.n_pos) AS BIGINT) AS tp,
+       |    CAST(SUM(b.n_neg) AS BIGINT) AS fp
+       |  FROM (SELECT s FROM by_score) t
+       |  JOIN by_score b ON b.s >= t.s GROUP BY 1),
+       |hits AS (
+       |  SELECT CAST(COALESCE(SUM(a.n_pos * b.n_neg), 0) AS BIGINT) AS hits
+       |  FROM by_score a JOIN by_score b ON b.s < a.s),
+       |tot AS (
+       |  SELECT CAST(SUM(n_pos * n_neg) AS BIGINT) AS ties,
+       |    CAST(SUM(n_pos) AS BIGINT) AS npos,
+       |    CAST(SUM(n_neg) AS BIGINT) AS nneg
+       |  FROM by_score)
+       |SELECT thr, tp, fp,
+       |  ${sqlRnd6("CAST(tp AS DOUBLE) / npos")} AS tpr,
+       |  ${sqlRnd6("CAST(fp AS DOUBLE) / nneg")} AS fpr,
+       |  ${sqlRnd6("(hits + 0.5 * ties) / (CAST(npos AS DOUBLE) * nneg)")} AS auc
+       |FROM roc, hits, tot ORDER BY thr""".stripMargin
+  }
+
+  /** Feature scaling — the standard preprocessing trio (z-score,
+    * min-max, winsorize-at-[p05, p95]) for account balance, grouped by
+    * market segment. One shuffle reduces the corpus to per-segment
+    * stats (decimal-exact moment sums, min/max, rnd6'd exact
+    * percentiles); the stats table is O(groups) rows and BROADCAST
+    * back onto the feature rows, so scaling itself is map-side — the
+    * layout that survives any corpus scale (the alternative, a
+    * per-group window, would re-sort the corpus). Percentile
+    * interpolation differs by an ulp between engines (Spark
+    * `(1-g)a+gb` vs DuckDB `a+(b-a)g`), so both bounds are rnd6'd
+    * BEFORE the clip and the clipped value rnd6'd again — the
+    * double-rounding discipline from [[TextOps.textTfidf]]. */
+  def mlStandardize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    val stats = cust.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        xsum($"c_acctbal").as("sx"),
+        xsum($"c_acctbal" * $"c_acctbal").as("sxx"),
+        min($"c_acctbal").as("mn"), max($"c_acctbal").as("mx"),
+        rnd6(expr("percentile(c_acctbal, 0.05)")).as("p05"),
+        rnd6(expr("percentile(c_acctbal, 0.95)")).as("p95"))
+      .select($"c_mktsegment",
+        rnd6($"sx" / $"n").as("mean"),
+        rnd6(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / $"n")).as("std"),
+        $"mn", $"mx", $"p05", $"p95")
+    cust.join(broadcast(stats), "c_mktsegment")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        rnd6(($"c_acctbal" - $"mean") / $"std").as("z"),
+        rnd6(($"c_acctbal" - $"mn") / ($"mx" - $"mn")).as("mm"),
+        rnd6(when($"c_acctbal" < $"p05", $"p05")
+          .when($"c_acctbal" > $"p95", $"p95")
+          .otherwise($"c_acctbal")).as("wins"))
+      .orderBy($"c_custkey")
+  }
+
+  val mlStandardizeSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH stats AS (
+       |  SELECT c_mktsegment,
+       |    ${sqlRnd6(s"${Exact.sqlXsum("c_acctbal")} / COUNT(*)")} AS mean,
+       |    ${sqlRnd6(s"sqrt((${Exact.sqlXsum("c_acctbal * c_acctbal")}" +
+      s" - ${Exact.sqlXsum("c_acctbal")} * ${Exact.sqlXsum("c_acctbal")}" +
+      " / COUNT(*)) / COUNT(*))")} AS std,
+       |    MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
+       |    ${sqlRnd6("quantile_cont(c_acctbal, 0.05)")} AS p05,
+       |    ${sqlRnd6("quantile_cont(c_acctbal, 0.95)")} AS p95
+       |  FROM customer GROUP BY 1)
+       |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+       |  ${sqlRnd6("(c.c_acctbal - s.mean) / s.std")} AS z,
+       |  ${sqlRnd6("(c.c_acctbal - s.mn) / (s.mx - s.mn)")} AS mm,
+       |  ${sqlRnd6("CASE WHEN c.c_acctbal < s.p05 THEN s.p05 " +
+      "WHEN c.c_acctbal > s.p95 THEN s.p95 ELSE c.c_acctbal END")} AS wins
+       |FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
+       |ORDER BY c.c_custkey""".stripMargin
+  }
 }

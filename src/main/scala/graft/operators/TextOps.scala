@@ -23,13 +23,13 @@ import graft.functions.Udfs.{rnd6, sqlRnd6}
 object TextOps {
   import Exact._
 
-  private def tokens(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def tokens(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", explode(split(lower($"text"), " ")).as("tok"))
   }
 
-  private val tokensCte =
+  private[operators] val tokensCte =
     "toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents)"
 
   /** Per-language corpus stats + top-3 terms (count desc, term asc). */

@@ -534,4 +534,61 @@ object WindowOps {
        |  ON g.user_id = hh.user_id AND g.h = hh.h
        |ORDER BY g.user_id, g.h""".stripMargin
   }
+
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    * activity-streak query) — the calendar-math sibling of
+    * [[winSession]]'s time-gap sessionization. Distinct (user, day)
+    * → lag flags a new island when the day gap exceeds 1 → running
+    * sum numbers the islands → per-island span/length, with the
+    * user's longest streak flagged via a rank over their own islands
+    * (len desc, start asc). Every window is partitioned by user_id
+    * (per-key bounded — no single-partition hazard at any corpus
+    * scale) and all three window passes share ONE hash exchange on
+    * user_id; the day-dedup groupBy is the only other shuffle. */
+  def winIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d".asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = days
+      .withColumn("is_new",
+        when(datediff($"d", lag($"d", 1).over(w)).isNull ||
+          datediff($"d", lag($"d", 1).over(w)) > 1, 1L).otherwise(0L))
+      .withColumn("streak_no", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"streak_no")
+      .agg(min($"d").as("start_day"), max($"d").as("end_day"),
+        count(lit(1)).as("n_days"))
+    val wBest = Window.partitionBy($"user_id")
+      .orderBy($"n_days".desc, $"start_day".asc)
+    islands.withColumn("rk", row_number().over(wBest))
+      .select($"user_id", $"streak_no", $"start_day", $"end_day",
+        $"n_days", ($"rk" === 1).as("is_longest"))
+      .orderBy($"user_id", $"streak_no")
+  }
+
+  val winIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |flagged AS (
+      |  SELECT user_id, d,
+      |    CASE WHEN d - lag(d, 1) OVER w IS NULL
+      |      OR d - lag(d, 1) OVER w > 1 THEN 1 ELSE 0 END AS is_new
+      |  FROM days
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY d ASC)),
+      |numbered AS (
+      |  SELECT user_id, d,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY d ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS streak_no
+      |  FROM flagged),
+      |islands AS (
+      |  SELECT user_id, streak_no, MIN(d) AS start_day, MAX(d) AS end_day,
+      |    COUNT(*) AS n_days
+      |  FROM numbered GROUP BY 1, 2)
+      |SELECT user_id, streak_no, start_day, end_day, n_days,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY n_days DESC, start_day ASC) = 1 AS is_longest
+      |FROM islands
+      |ORDER BY user_id, streak_no""".stripMargin
 }

@@ -249,6 +249,61 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(windows.isEmpty, "quantized ANN still plans a ranking window")
   }
 
+  test("naive bayes scores every held-out doc once with a valid argmax") {
+    // NOTE on what is NOT asserted: the fixture's text is statistically
+    // independent of the lang label (all langs draw from one shared
+    // vocabulary with near-identical frequencies — verified by
+    // inspection: per-lang top tokens coincide), so NO classifier can
+    // reliably beat the majority baseline here and an accuracy bound
+    // would pin noise. Value-correctness of the fit+score pipeline is
+    // carried by the DuckDB oracle (q_ml_naive_bayes); this spec pins
+    // the classifier CONTRACT: exactly one prediction per held-out
+    // doc, labels from the training label set, finite log-posteriors.
+    import spark.implicits._
+    val pred = graft.operators.MlOps.mlNaiveBayes(spark, sf).collect()
+    val nTest = graft.engine.Tables.documents(spark, sf)
+      .filter($"doc_id" % 5 === 0).count()
+    assert(pred.length == nTest,
+      s"${pred.length} prediction rows for $nTest held-out docs")
+    val langs = graft.engine.Tables.documents(spark, sf)
+      .filter($"doc_id" % 5 =!= 0)
+      .select($"lang").distinct().as[String].collect().toSet
+    assert(pred.forall(r => langs.contains(r.getString(2))),
+      "a prediction used a label absent from the training set")
+    assert(pred.forall { r =>
+      val s = r.getDouble(3); !s.isNaN && !s.isInfinite && s < 0.0
+    }, "a log-posterior is not a finite negative")
+  }
+
+  test("AUC is a valid probability and the ROC curve is monotone") {
+    import spark.implicits._
+    val rows = graft.operators.MlOps.mlAuc(spark, sf)
+      .select($"thr", $"tpr", $"fpr", $"auc").orderBy($"thr").collect()
+    val auc = rows.head.getDouble(3)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(rows.forall(_.getDouble(3) == auc), "auc not constant across rows")
+    // higher threshold → fewer predicted positives → tpr/fpr non-increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(1) <= a.getDouble(1) + 1e-12, "tpr not monotone")
+      assert(b.getDouble(2) <= a.getDouble(2) + 1e-12, "fpr not monotone")
+    case _ => ()
+    }
+  }
+
+  test("islands partition user activity: day counts add up, one longest per user") {
+    import spark.implicits._
+    val isl = graft.operators.WindowOps.winIslands(spark, sf).cache()
+    val sumDays = isl.agg(sum($"n_days")).head.getLong(0)
+    val userDays = graft.engine.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts")).distinct().count()
+    assert(sumDays == userDays,
+      s"island day total $sumDays != distinct user-days $userDays")
+    val multiLongest = isl.filter($"is_longest")
+      .groupBy($"user_id").count().filter($"count" > 1).count()
+    assert(multiLongest == 0, "a user has more than one longest streak")
+    isl.unpersist()
+  }
+
   test("partitioned sink writes one file per partition, clustered by date") {
     import spark.implicits._
     // materialize the layout (also oracle-checked as q_sink_partitioned)
