@@ -666,4 +666,41 @@ object DedupOps {
        |WHERE ${sqlRnd6(cos)} >= 0.3
        |ORDER BY a.label, vec_a, vec_b""".stripMargin
   }
+
+  /** Approximate-membership INCREMENTAL dedup — the bloom-filter gate
+    * an ingest pipeline runs before admitting a new batch into a
+    * 100 TB corpus, where the exact-dedup equi-join against the full
+    * corpus would shuffle corpus-sized data per increment. The corpus
+    * side collapses to ONE broadcastable bitset (`stat.bloomFilter`, a
+    * distributed treeAggregate — the public API over the same
+    * BloomFilterAggregate Spark's runtime join filters use); the
+    * incoming batch probes it map-side. Demo batch = genuinely-new
+    * docs (`doc_id % 10 = 0`) UNION replayed corpus docs
+    * (`doc_id % 7 = 0`, the redelivery case); output is per-cohort
+    * (n, n_flagged). The bloom guarantees NO false negatives — every
+    * replayed doc is flagged, so nothing already ingested slips
+    * through — at a capped false-positive cost on new docs (which for
+    * dedup only means a few new docs get the expensive exact check).
+    * No oracle: the bitset's Murmur3 layout is Spark-specific and not
+    * reproducible in DuckDB; the no-false-negative guarantee, the FP
+    * bound, and run-to-run determinism are pinned in Round5Spec. The
+    * probe is a broadcast-closure UDF — acceptable off the hot path;
+    * the native upgrade is Spark's internal BloomFilterMightContain
+    * expression, which is not public API. */
+  def dedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bloom = corpus.stat.bloomFilter("text", 100000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = udf((t: String) => bc.value.mightContain(t))
+    val batch = docs.filter($"doc_id" % 10 === 0)
+      .withColumn("is_replayed", lit(false))
+      .unionByName(corpus.filter($"doc_id" % 7 === 0)
+        .withColumn("is_replayed", lit(true)))
+    batch.select($"doc_id", $"is_replayed", probe($"text").as("flagged"))
+      .groupBy($"is_replayed")
+      .agg(count(lit(1)).as("n"), sum($"flagged".cast("long")).as("n_flagged"))
+      .orderBy($"is_replayed")
+  }
 }

@@ -567,6 +567,55 @@ object WindowOps {
       .orderBy($"user_id", $"streak_no")
   }
 
+  /** Windowed exponential smoothing (EWMA, α = 0.5, K = 7 days) over
+    * each user's daily event-value series. Deliberately the K-LIMITED
+    * formulation: the textbook recursive EWMA needs (1−α)^rowNumber
+    * factors that overflow double for long histories (and a recursion
+    * no window function expresses); truncating at K=7 keeps every
+    * weight an EXACT binary fraction (powers of ½ — float-exact in
+    * both engines), bounds per-row work at any history length, and
+    * changes the result by at most (1−α)^K < 1 %. Implemented as a
+    * lag-chain over the per-(user, day) pre-aggregate — one shuffle
+    * to daily grain, one user-partitioned window pass; partial days
+    * at the series head renormalize over the available weights. */
+  def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    import graft.engine.Exact.xsum
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(xsum($"value").as("v"))
+    val w = Window.partitionBy($"user_id").orderBy($"d".asc)
+    val terms = (0 until 7).map { i =>
+      val weight = math.pow(0.5, i) // exact binary fraction
+      (when(lag($"v", i).over(w).isNotNull, lit(weight)).otherwise(lit(0.0)),
+        coalesce(lag($"v", i).over(w), lit(0.0)) * weight)
+    }
+    val num = terms.map(_._2).reduce(_ + _)
+    val den = terms.map(_._1).reduce(_ + _)
+    daily.select($"user_id", $"d", $"v",
+        rnd6(num / den).as("ewma7"))
+      .orderBy($"user_id", $"d")
+  }
+
+  val tsEwmaSql: String = {
+    import graft.functions.Udfs.{sqlRnd6}
+    val num = (0 until 7).map { i =>
+      s"COALESCE(lag(v, $i) OVER w, 0.0) * ${math.pow(0.5, i)}"
+    }.mkString(" + ")
+    val den = (0 until 7).map { i =>
+      s"CASE WHEN lag(v, $i) OVER w IS NOT NULL THEN ${math.pow(0.5, i)} ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |    ${graft.engine.Exact.sqlXsum("value")} AS v
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id, d, v, ${sqlRnd6(s"($num) / ($den)")} AS ewma7
+       |FROM daily
+       |WINDOW w AS (PARTITION BY user_id ORDER BY d ASC)
+       |ORDER BY user_id, d""".stripMargin
+  }
+
   val winIslandsSql: String =
     """WITH days AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

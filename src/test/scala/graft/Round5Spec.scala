@@ -304,6 +304,25 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     isl.unpersist()
   }
 
+  test("bloom incremental dedup: no false negatives, bounded FPs, deterministic") {
+    import spark.implicits._
+    val r1 = graft.operators.DedupOps.dedupBloom(spark, sf)
+      .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val r2 = graft.operators.DedupOps.dedupBloom(spark, sf)
+      .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(r1.toSeq == r2.toSeq, "bloom gate not deterministic across runs")
+    val Some((_, nNew, fpNew)) = r1.find(!_._1)
+    val Some((_, nRep, flRep)) = r1.find(_._1)
+    assert(flRep == nRep,
+      s"false negatives: only $flRep of $nRep replayed docs flagged")
+    // fpp = 0.01 at 100k capacity, corpus is far below capacity →
+    // generous 5 % ceiling absorbs per-run variance in the FP draw
+    assert(fpNew.toDouble / nNew <= 0.05,
+      s"FP rate ${fpNew.toDouble / nNew} above bound ($fpNew of $nNew)")
+  }
+
   test("partitioned sink writes one file per partition, clustered by date") {
     import spark.implicits._
     // materialize the layout (also oracle-checked as q_sink_partitioned)
