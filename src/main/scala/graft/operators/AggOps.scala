@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Exact, Tables}
 
@@ -733,5 +733,68 @@ object AggOps {
        |  ${sqlRnd6(s"(CAST(n_a AS DOUBLE) - $eA) * (CAST(n_a AS DOUBLE) - $eA) / $eA" +
          s" + (CAST(n_b AS DOUBLE) - $eB) * (CAST(n_b AS DOUBLE) - $eB) / $eB")} AS chi2_term
        |FROM counted, totals ORDER BY event_type""".stripMargin
+  }
+
+  /** Welch's two-sample t-test between every pair of event-type
+    * cohorts on `value` — the A/B-experiment readout, as pure
+    * aggregation: ONE shuffle reduces the corpus to per-cohort
+    * decimal-exact moments (n, Σx, Σx²); the t statistic and
+    * Welch–Satterthwaite degrees of freedom are assembled pairwise
+    * via a broadcast triangular join over that O(cohorts)-row table.
+    * At 100 TB only the moment pass sees data — the pair math is
+    * constant-size. No p-value on purpose: that needs the
+    * t-distribution CDF, which DuckDB lacks, and the decision
+    * statistic is (t, df) anyway. One identical expression tree from
+    * exact sums → single rnd6 per output (the [[MlOps.mlLinreg]]
+    * discipline); sqrt is IEEE correctly-rounded in both engines. */
+  def eventsAbtest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val stats = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        Exact.xsum($"value").as("sx"),
+        Exact.xsum($"value" * $"value").as("sxx"))
+    val b = stats.select($"event_type".as("type_b"), $"n".as("nb"),
+      $"sx".as("sxb"), $"sxx".as("sxxb"))
+    def mean(sx: Column, n: Column): Column = sx / n.cast("double")
+    def svar(sxx: Column, sx: Column, n: Column): Column =
+      (sxx - sx * sx / n.cast("double")) / (n - 1).cast("double")
+    val va = svar($"sxx", $"sx", $"n") / $"n".cast("double")
+    val vb = svar($"sxxb", $"sxb", $"nb") / $"nb".cast("double")
+    val se2 = va + vb
+    stats.join(broadcast(b), $"event_type" < $"type_b")
+      .select($"event_type".as("type_a"), $"type_b", $"n".as("na"), $"nb",
+        rnd6(mean($"sx", $"n")).as("mean_a"),
+        rnd6(mean($"sxb", $"nb")).as("mean_b"),
+        rnd6((mean($"sx", $"n") - mean($"sxb", $"nb")) / sqrt(se2)).as("t"),
+        rnd6(se2 * se2 / (va * va / ($"n" - 1).cast("double") +
+          vb * vb / ($"nb" - 1).cast("double"))).as("df"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val eventsAbtestSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def mean(sx: String, n: String) = s"($sx / CAST($n AS DOUBLE))"
+    def svar(sxx: String, sx: String, n: String) =
+      s"(($sxx - $sx * $sx / CAST($n AS DOUBLE)) / CAST(($n) - 1 AS DOUBLE))"
+    val va = s"(${svar("a.sxx", "a.sx", "a.n")} / CAST(a.n AS DOUBLE))"
+    val vb = s"(${svar("b.sxx", "b.sx", "b.n")} / CAST(b.n AS DOUBLE))"
+    val se2 = s"($va + $vb)"
+    s"""WITH stats AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    ${Exact.sqlXsum("value")} AS sx,
+       |    ${Exact.sqlXsum("value * value")} AS sxx
+       |  FROM events GROUP BY 1)
+       |SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |  a.n AS na, b.n AS nb,
+       |  ${sqlRnd6(mean("a.sx", "a.n"))} AS mean_a,
+       |  ${sqlRnd6(mean("b.sx", "b.n"))} AS mean_b,
+       |  ${sqlRnd6(s"(${mean("a.sx", "a.n")} - ${mean("b.sx", "b.n")})" +
+      s" / sqrt($se2)")} AS t,
+       |  ${sqlRnd6(s"$se2 * $se2 / ($va * $va / CAST(a.n - 1 AS DOUBLE)" +
+      s" + $vb * $vb / CAST(b.n - 1 AS DOUBLE))")} AS df
+       |FROM stats a JOIN stats b ON a.event_type < b.event_type
+       |ORDER BY type_a, type_b""".stripMargin
   }
 }

@@ -514,6 +514,85 @@ object MlOps {
        |FROM scored ORDER BY thr""".stripMargin
   }
 
+  /** Per-class evaluation of the [[mlKnnClassify]] predictions:
+    * confusion counts folded to (tp, fp, fn) per label with
+    * precision / recall / F1 — the model-eval readout that closes the
+    * classifier loop. Predictions join back to truth on doc_id (the
+    * prediction side is the test split — broadcast-sized relative to
+    * the corpus), then everything reduces to the O(labels²) confusion
+    * table; metric arithmetic runs on those few rows. F1 is computed
+    * as 2·tp/(2·tp+fp+fn) — the direct form whose denominator is ≥ 1
+    * whenever the label has any true or predicted docs — and
+    * precision is explicitly NULL-guarded for never-predicted labels
+    * (Spark's non-ANSI x/0 → NULL vs DuckDB's IEEE inf would
+    * otherwise disagree). */
+  def mlConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val pred = mlKnnClassify(spark, sfDir).select($"doc_id", $"pred_lang")
+    val truth = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang".as("true_lang"))
+    val cm = broadcast(pred).join(truth, "doc_id")
+      .groupBy($"true_lang", $"pred_lang").agg(count(lit(1)).as("n"))
+    val perTrue = cm.groupBy($"true_lang".as("lang"))
+      .agg(sum($"n").as("n_true"))
+    val perPred = cm.groupBy($"pred_lang".as("lang"))
+      .agg(sum($"n").as("n_pred"))
+    val tp = cm.filter($"true_lang" === $"pred_lang")
+      .select($"true_lang".as("lang"), $"n".as("tp"))
+    perTrue.join(perPred, Seq("lang"), "full_outer")
+      .join(tp, Seq("lang"), "left")
+      .select($"lang",
+        coalesce($"tp", lit(0L)).as("tp"),
+        (coalesce($"n_pred", lit(0L)) - coalesce($"tp", lit(0L))).as("fp"),
+        (coalesce($"n_true", lit(0L)) - coalesce($"tp", lit(0L))).as("fn"))
+      .select($"lang", $"tp", $"fp", $"fn",
+        when($"tp" + $"fp" === 0, lit(null).cast("double"))
+          .otherwise(rnd6($"tp".cast("double") / ($"tp" + $"fp")))
+          .as("prec"),
+        when($"tp" + $"fn" === 0, lit(null).cast("double"))
+          .otherwise(rnd6($"tp".cast("double") / ($"tp" + $"fn")))
+          .as("recall"),
+        when(lit(2) * $"tp" + $"fp" + $"fn" === 0, lit(null).cast("double"))
+          .otherwise(rnd6((lit(2) * $"tp").cast("double") /
+            (lit(2) * $"tp" + $"fp" + $"fn"))).as("f1"))
+      .orderBy($"lang")
+  }
+
+  val mlConfusionSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH knn AS (${mlKnnClassifySql}),
+       |cm AS (
+       |  SELECT d.lang AS true_lang, k.pred_lang, COUNT(*) AS n
+       |  FROM knn k JOIN documents d ON k.doc_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |per_true AS (
+       |  SELECT true_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_true
+       |  FROM cm GROUP BY 1),
+       |per_pred AS (
+       |  SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+       |  FROM cm GROUP BY 1),
+       |tp AS (
+       |  SELECT true_lang AS lang, n AS tp FROM cm
+       |  WHERE true_lang = pred_lang),
+       |folded AS (
+       |  SELECT COALESCE(t.lang, p.lang) AS lang,
+       |    COALESCE(tp.tp, 0) AS tp,
+       |    COALESCE(p.n_pred, 0) - COALESCE(tp.tp, 0) AS fp,
+       |    COALESCE(t.n_true, 0) - COALESCE(tp.tp, 0) AS fn
+       |  FROM per_true t
+       |  FULL OUTER JOIN per_pred p ON t.lang = p.lang
+       |  LEFT JOIN tp ON COALESCE(t.lang, p.lang) = tp.lang)
+       |SELECT lang, tp, fp, fn,
+       |  CASE WHEN tp + fp = 0 THEN NULL
+       |    ELSE ${sqlRnd6("CAST(tp AS DOUBLE) / (tp + fp)")} END AS prec,
+       |  CASE WHEN tp + fn = 0 THEN NULL
+       |    ELSE ${sqlRnd6("CAST(tp AS DOUBLE) / (tp + fn)")} END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+       |    ELSE ${sqlRnd6("CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)")} END AS f1
+       |FROM folded ORDER BY lang""".stripMargin
+  }
+
   /** Multinomial Naive Bayes language classifier — generative text
     * classification as pure aggregation. Train on docs with
     * `doc_id % 5 != 0` (a deterministic, engine-identical split),
