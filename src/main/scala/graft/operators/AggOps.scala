@@ -735,6 +735,66 @@ object AggOps {
        |FROM counted, totals ORDER BY event_type""".stripMargin
   }
 
+  /** Per-day Shannon entropy of the event-type mix + KL divergence
+    * from the global mix — the information-theoretic drift monitor
+    * complementing [[eventsDrift]]'s chi-square: entropy collapse
+    * flags a day dominated by one event type, KL flags any shift
+    * from the corpus-wide distribution. One shuffle to (day, type)
+    * counts; day totals and the global distribution are O(days +
+    * types) rows, broadcast back; each ln term is rnd6'd before the
+    * decimal-exact sum (the [[graft.operators.TextOps.textTfidf]]
+    * libm discipline), so term order cannot move the oracle. KL is
+    * finite by construction: every observed (day, type) cell has a
+    * nonzero global count. */
+  def eventsEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"), $"event_type")
+      .agg(count(lit(1)).as("c"))
+    val dayTot = cells.groupBy($"d").agg(sum($"c").as("day_n"))
+    val global = cells.groupBy($"event_type").agg(sum($"c").as("g"))
+    val globTot = global.agg(sum($"g").as("tot"))
+    val p = $"c".cast("double") / $"day_n"
+    val q = $"g".cast("double") / $"tot"
+    cells.join(broadcast(dayTot), "d")
+      .join(broadcast(global), "event_type")
+      .crossJoin(broadcast(globTot))
+      .select($"d", $"c", $"day_n",
+        rnd6(-p * log(p)).as("h_term"),
+        rnd6(p * log(p / q)).as("kl_term"))
+      .groupBy($"d")
+      .agg(max($"day_n").as("n"),
+        Exact.xsum($"h_term").as("entropy"),
+        Exact.xsum($"kl_term").as("kl_from_global"))
+      .orderBy($"d")
+  }
+
+  val eventsEntropySql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val p = "(CAST(c.c AS DOUBLE) / dt.day_n)"
+    val q = "(CAST(g.g AS DOUBLE) / gt.tot)"
+    s"""WITH cells AS (
+       |  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |day_tot AS (SELECT d, CAST(SUM(c) AS BIGINT) AS day_n
+       |  FROM cells GROUP BY 1),
+       |global AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS g
+       |  FROM cells GROUP BY 1),
+       |glob_tot AS (SELECT CAST(SUM(g) AS BIGINT) AS tot FROM global),
+       |terms AS (
+       |  SELECT c.d, dt.day_n,
+       |    ${sqlRnd6(s"-$p * ln($p)")} AS h_term,
+       |    ${sqlRnd6(s"$p * ln($p / $q)")} AS kl_term
+       |  FROM cells c
+       |  JOIN day_tot dt ON c.d = dt.d
+       |  JOIN global g ON c.event_type = g.event_type, glob_tot gt)
+       |SELECT d, MAX(day_n) AS n,
+       |  ${Exact.sqlXsum("h_term")} AS entropy,
+       |  ${Exact.sqlXsum("kl_term")} AS kl_from_global
+       |FROM terms GROUP BY d ORDER BY d""".stripMargin
+  }
+
   /** Welch's two-sample t-test between every pair of event-type
     * cohorts on `value` — the A/B-experiment readout, as pure
     * aggregation: ONE shuffle reduces the corpus to per-cohort

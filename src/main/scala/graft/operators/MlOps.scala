@@ -434,6 +434,73 @@ object MlOps {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  /** Covariance / correlation matrix over the leading 8 embedding
+    * dimensions — the sufficient statistic for PCA / whitening /
+    * feature-selection, reduced the warehouse way: explode each
+    * vector's leading block into (dim, value) pairs, self-pair within
+    * the row (upper triangle), and ONE shuffle collapses the corpus
+    * to d(d+1)/2 moment rows; cov/corr are assembled from exact sums
+    * on those rows. Deliberately a LEADING BLOCK, not all 64 dims:
+    * the exploded intermediate grows as d² per row, so a full matrix
+    * at corpus scale belongs in a blocked/treeAggregate kernel — the
+    * demo pins the moment-reduction pattern and says so. The eigen
+    * step is driver-side by nature (d×d is tiny) and omitted here:
+    * no SQL oracle could check it. Floats are cast to double BEFORE
+    * any product in BOTH engines (float→double is exact; mixed-
+    * precision products would drift). */
+  def mlCovmatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val dims = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", posexplode(slice($"embedding", 1, 8)))
+      .select($"vec_id", ($"pos" + 1).as("i"),
+        $"col".cast("double").as("xi"))
+    val pairs = dims.join(
+      dims.select($"vec_id", $"i".as("j"), $"xi".as("xj")),
+      Seq("vec_id"))
+      .filter($"j" >= $"i")
+    val moments = pairs.groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"),
+        xsum($"xi").as("sx"), xsum($"xj").as("sy"),
+        xsum($"xi" * $"xj").as("sxy"),
+        xsum($"xi" * $"xi").as("sxx"),
+        xsum($"xj" * $"xj").as("syy"))
+    val nd = $"n".cast("double")
+    val covN = nd * $"sxy" - $"sx" * $"sy"
+    val varXN = nd * $"sxx" - $"sx" * $"sx"
+    val varYN = nd * $"syy" - $"sy" * $"sy"
+    moments.select($"i", $"j", $"n",
+        rnd6(covN / (nd * nd)).as("cov_pop"),
+        rnd6(covN / sqrt(varXN * varYN)).as("corr"))
+      .orderBy($"i", $"j")
+  }
+
+  val mlCovmatrixSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val nd = "CAST(n AS DOUBLE)"
+    val covN = s"($nd * sxy - sx * sy)"
+    val varXN = s"($nd * sxx - sx * sx)"
+    val varYN = s"($nd * syy - sy * sy)"
+    s"""WITH pairs AS (
+       |  SELECT e.vec_id, ri.i, rj.j,
+       |    CAST(e.embedding[CAST(ri.i AS INTEGER)] AS DOUBLE) AS xi,
+       |    CAST(e.embedding[CAST(rj.j AS INTEGER)] AS DOUBLE) AS xj
+       |  FROM embeddings e, range(1, 9) AS ri(i), range(1, 9) AS rj(j)
+       |  WHERE rj.j >= ri.i),
+       |moments AS (
+       |  SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       |    COUNT(*) AS n,
+       |    ${Exact.sqlXsum("xi")} AS sx, ${Exact.sqlXsum("xj")} AS sy,
+       |    ${Exact.sqlXsum("xi * xj")} AS sxy,
+       |    ${Exact.sqlXsum("xi * xi")} AS sxx,
+       |    ${Exact.sqlXsum("xj * xj")} AS syy
+       |  FROM pairs GROUP BY 1, 2)
+       |SELECT i, j, n,
+       |  ${sqlRnd6(s"$covN / ($nd * $nd)")} AS cov_pop,
+       |  ${sqlRnd6(s"$covN / sqrt($varXN * $varYN)")} AS corr
+       |FROM moments ORDER BY i, j""".stripMargin
+  }
+
   /** Gini-impurity decision stump — the classic single-split tree fit,
     * done as pure aggregation: label = "was returned" (l_returnflag =
     * 'R'), feature = quantity. One shuffle reduces the corpus to
