@@ -120,12 +120,24 @@ object Udfs {
 
   /** Round to 6 decimals via the decimal-cast path — the ONLY rounding
     * that is bit-identical across Spark and DuckDB (`round()` on
-    * doubles disagrees between the two on values like 2.675). */
+    * doubles disagrees between the two on values like 2.675).
+    *
+    * The +1e-12 nudge (identical on both sides, so comparisons are
+    * unaffected) closes the EXACT-HALF-BOUNDARY class: a ratio of a
+    * 6-decimal quantity by a small integer routinely lands exactly on
+    * a 5e-7 boundary (e.g. 67.76659/20 = 3.3883295), where Spark's
+    * exact-BigDecimal HALF_UP and DuckDB's double-space rounding of
+    * the SAME double can disagree on the last digit (observed:
+    * q_text_perplexity sf0.1 doc 361). The nudge pushes every exact
+    * half decisively above the boundary in BOTH engines; values not
+    * within 1e-12 of a boundary are untouched (5e-7 ≫ 1e-12), and
+    * magnitudes where 1e-12 is below one ulp absorb it as a no-op. */
   def rnd6(c: Column): Column =
-    c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    (c + org.apache.spark.sql.functions.lit(1e-12))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 6))
       .cast(org.apache.spark.sql.types.DoubleType)
 
   /** SQL twin of [[rnd6]]. */
   def sqlRnd6(e: String): String =
-    s"CAST(CAST(($e) AS DECIMAL(38,6)) AS DOUBLE)"
+    s"CAST(CAST(($e) + 1e-12 AS DECIMAL(38,6)) AS DOUBLE)"
 }

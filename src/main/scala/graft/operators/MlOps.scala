@@ -451,14 +451,19 @@ object MlOps {
   def mlCovmatrix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
-    val dims = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", posexplode(slice($"embedding", 1, 8)))
-      .select($"vec_id", ($"pos" + 1).as("i"),
-        $"col".cast("double").as("xi"))
-    val pairs = dims.join(
-      dims.select($"vec_id", $"i".as("j"), $"xi".as("xj")),
-      Seq("vec_id"))
-      .filter($"j" >= $"i")
+    // Pair generation is MAP-SIDE: an indexed transform×transform
+    // lambda expands each row to its d(d+1)/2 upper-triangle cells
+    // inside the scan's codegen stage — no self-join, so the ONLY
+    // exchange in the whole query is the (i, j) moment aggregation.
+    val pairs = Tables.embeddings(spark, sfDir)
+      .select(explode(expr(
+        """flatten(transform(slice(embedding, 1, 8), (x, i) ->
+          |  filter(transform(slice(embedding, 1, 8), (y, j) ->
+          |    struct(i + 1 AS i, j + 1 AS j,
+          |      CAST(x AS DOUBLE) AS xi, CAST(y AS DOUBLE) AS xj)),
+          |    c -> c.j >= c.i)))""".stripMargin)).as("c"))
+      .select($"c.i".as("i"), $"c.j".as("j"), $"c.xi".as("xi"),
+        $"c.xj".as("xj"))
     val moments = pairs.groupBy($"i", $"j")
       .agg(count(lit(1)).as("n"),
         xsum($"xi").as("sx"), xsum($"xj").as("sy"),

@@ -131,6 +131,77 @@ object TextOps {
        |FROM ranked WHERE rk <= 3
        |ORDER BY doc_id, rk""".stripMargin
 
+  /** Bigram language-model perplexity per document — THE classic
+    * corpus-quality filter (CCNet/Gopher-style: score every doc under
+    * a corpus-trained LM, drop the high-perplexity tail). Train and
+    * score in one query: bigrams are generated MAP-SIDE by an indexed
+    * lambda over the token array (no per-doc window, no positions
+    * shuffle); Laplace-smoothed conditionals P(w2|w1) =
+    * (c12+1)/(c1+V) come from one bigram-count shuffle; the model —
+    * O(distinct bigrams), broadcastable under a capped vocabulary
+    * (the stop-token discipline used across this file) — joins back
+    * map-side; one per-doc aggregation finishes. Determinism: each
+    * ln term is rnd6'd before the decimal-exact sum; ppl =
+    * exp(mean NLL) takes exp of an ALREADY-rounded double (identical
+    * in both engines) and rnd6's the result, so libm's last ulp
+    * cannot cross a boundary twice. */
+  def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .filter(size($"ws") >= 2)
+    val bi = d.select($"doc_id", explode(expr(
+        """transform(sequence(1, size(ws) - 1), k ->
+          |  struct(element_at(ws, k) AS w1,
+          |         element_at(ws, k + 1) AS w2))""".stripMargin)).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = tokens(spark, sfDir).agg(countDistinct($"tok").as("v"))
+    val model = c12.join(broadcast(c1), "w1").crossJoin(broadcast(vocab))
+      .select($"w1", $"w2",
+        rnd6(log(($"c12" + 1.0) / ($"c1" + $"v"))).as("lp"))
+    bi.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.engine.Exact.xsum(-$"lp").as("snll"))
+      .select($"doc_id", $"n_bigrams",
+        rnd6($"snll" / $"n_bigrams").as("avg_nll"),
+        rnd6(exp(rnd6($"snll" / $"n_bigrams"))).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
+  val textPerplexitySql: String = {
+    val meanNll = sqlRnd6("snll / n_bigrams")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+       |ks AS (
+       |  SELECT doc_id, ws,
+       |    unnest(generate_series(1, len(ws) - 1)) AS k
+       |  FROM d),
+       |bi AS (
+       |  SELECT doc_id, ws[k] AS w1, ws[k + 1] AS w2 FROM ks),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+       |vocab AS (
+       |  SELECT COUNT(DISTINCT tok) AS v FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents)),
+       |model AS (
+       |  SELECT c12.w1, c12.w2,
+       |    ${sqlRnd6("ln((c12.c12 + 1.0) / (c1.c1 + v.v))")} AS lp
+       |  FROM c12 JOIN c1 ON c12.w1 = c1.w1, vocab v),
+       |scored AS (
+       |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |    ${graft.engine.Exact.sqlXsum("-m.lp")} AS snll
+       |  FROM bi b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams, $meanNll AS avg_nll,
+       |  ${sqlRnd6(s"exp($meanNll)")} AS ppl
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   /** Data-driven language-ID: learn a top-10-token profile per lang
     * from the corpus, score each doc by how many of its tokens (with
     * multiplicity) fall in each profile, predict argmax (score desc,
