@@ -323,6 +323,57 @@ class Round5Spec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"FP rate ${fpNew.toDouble / nNew} above bound ($fpNew of $nNew)")
   }
 
+  test("covmatrix pairs are map-side: no join, one hash exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = graft.operators.MlOps.mlCovmatrix(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val joins = collectWithSubqueries(plan) {
+      case j if j.nodeName.contains("Join") => j
+    }
+    assert(joins.isEmpty,
+      s"pair generation should be a lambda, not a join: ${joins.map(_.nodeName)}")
+    val hashEx = collectWithSubqueries(plan) {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.isInstanceOf[HashPartitioning] => s
+    }
+    assert(hashEx.size == 1,
+      s"expected exactly the (i, j) moment exchange, got ${hashEx.size}")
+  }
+
+  test("naive bayes scoring joins are broadcast-only") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val df = graft.operators.MlOps.mlNaiveBayes(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffledJoins = collectWithSubqueries(plan) {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(shuffledJoins.isEmpty,
+      "model/prior joins must broadcast — a shuffled join means the " +
+        s"corpus re-partitioned on model keys: ${shuffledJoins.map(_.nodeName)}")
+    val broadcasts = collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(broadcasts.nonEmpty, "expected broadcast model joins")
+  }
+
+  test("perplexity plans no window and broadcasts the bigram model") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.operators.TextOps.textPerplexity(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) { case w: WindowExec => w }.isEmpty,
+      "bigram generation must be the map-side lambda, not a window")
+    assert(collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, "expected the broadcast model join")
+  }
+
   test("partitioned sink writes one file per partition, clustered by date") {
     import spark.implicits._
     // materialize the layout (also oracle-checked as q_sink_partitioned)
