@@ -857,4 +857,58 @@ object AggOps {
        |FROM stats a JOIN stats b ON a.event_type < b.event_type
        |ORDER BY type_a, type_b""".stripMargin
   }
+
+  /** Weighted median: per return flag, the smallest l_quantity whose
+    * cumulative l_extendedprice weight reaches half the flag's total —
+    * the inventory-value midpoint ("half the money sits at or below
+    * this quantity"), a robust-statistics staple the plain median
+    * misses when weights are skewed.
+    *
+    * Scale shape: the heavy input collapses FIRST through one
+    * map-side-combined groupBy on (flag, quantity) — the cumulative
+    * window then runs over at most #flags × #distinct-quantities rows
+    * (bounded at any corpus scale; quantities are small integers), so
+    * neither window funnels unbounded data through one task. All
+    * weight arithmetic stays in DECIMAL(38,6) end to end — the
+    * half-total comparison is `2·cum ≥ total` in exact decimals
+    * (no division, no float boundary), so both engines pick the
+    * identical crossing row. */
+  def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val w = org.apache.spark.sql.expressions.Window
+    val grouped = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(sum($"l_extendedprice".cast("decimal(38,6)")).as("wsum"))
+    val cumW = w.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val totW = w.partitionBy($"l_returnflag")
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    grouped
+      .withColumn("cum", sum($"wsum").over(cumW))
+      .withColumn("tot", sum($"wsum").over(totW))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"l_returnflag")
+      .agg(min($"l_quantity").as("w_median"),
+        rnd6(max($"tot").cast("double")).as("w_total"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggWeightedMedianSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH grouped AS (
+       |  SELECT l_returnflag, l_quantity,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS wsum
+       |  FROM lineitem GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT l_returnflag, l_quantity, wsum,
+       |    SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(wsum) OVER (PARTITION BY l_returnflag) AS tot
+       |  FROM grouped)
+       |SELECT l_returnflag, MIN(l_quantity) AS w_median,
+       |  ${sqlRnd6("CAST(MAX(tot) AS DOUBLE)")} AS w_total
+       |FROM cum WHERE cum * 2 >= tot
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
 }

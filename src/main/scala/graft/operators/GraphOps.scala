@@ -364,4 +364,74 @@ object GraphOps {
        |  WHERE b.hops < $MAX_HOPS)
        |SELECT user_id, CAST(MIN(hops) AS BIGINT) AS hops
        |FROM bfs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Hub ceiling for [[graphLinkPred]] wedge enumeration: a common
+    * neighbor with degree above this generates no candidate pairs.
+    * Standard Adamic–Adar practice — a hub's 1/ln(deg) weight is tiny
+    * while its deg² wedge fan-out is exactly the quadratic blow-up a
+    * distributed enumeration must avoid; cutting it bounds per-node
+    * wedge work at CAP² regardless of the true degree distribution. */
+  private[operators] val WEDGE_CAP = 64L
+
+  /** Link prediction over the user–user graph: for every NON-edge
+    * pair at distance 2, the common-neighbor count and Adamic–Adar
+    * score (Σ 1/ln deg(z) over shared neighbors z), top-50 candidates
+    * — "who should be connected but isn't", the classic
+    * friend-of-friend recommender signal.
+    *
+    * Scale shape: wedges come from ONE self-join of the z-centric
+    * adjacency list, keyed on z — with [[WEDGE_CAP]] bounding each
+    * z's fan-out, so no hub explodes the shuffle. Existing edges are
+    * removed by a left-anti join on the canonical (a<b) pair key, the
+    * score sum is an exact decimal fold of rnd6'd 1/ln terms (ln is
+    * the one libm call, rounded before summation like every idf in
+    * this codebase), and the top-50 cut is orderBy+limit →
+    * TakeOrderedAndProject, never a global sort. */
+  def graphLinkPred(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact.xsum
+    import graft.functions.Udfs.rnd6
+    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
+    val e = edges(spark, sfDir)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("degree"))
+    val adj = e.select($"src".as("z"), $"dst".as("nbr"))
+      .join(deg.filter($"degree" <= WEDGE_CAP)
+        .select($"src".as("z"), $"degree".as("zdeg")), "z")
+    val wedges = adj.as("a").join(adj.as("b"), "z")
+      .filter(col("a.nbr") < col("b.nbr"))
+      .select(col("a.nbr").as("user_a"), col("b.nbr").as("user_b"),
+        col("a.zdeg").as("zdeg"))
+    wedges.join(pairs, Seq("user_a", "user_b"), "left_anti")
+      .groupBy($"user_a", $"user_b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        xsum(rnd6(lit(1.0) / log($"zdeg".cast("double"))))
+          .as("adamic_adar"))
+      .orderBy($"adamic_adar".desc, $"user_a".asc, $"user_b".asc)
+      .limit(50)
+  }
+
+  val graphLinkPredSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH $pairsCte,
+       |edges AS (
+       |  SELECT user_a AS src, user_b AS dst FROM pairs
+       |  UNION ALL SELECT user_b, user_a FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src),
+       |adj AS (
+       |  SELECT e.src AS z, e.dst AS nbr, d.degree AS zdeg
+       |  FROM edges e JOIN deg d ON d.src = e.src
+       |  WHERE d.degree <= $WEDGE_CAP),
+       |wedges AS (
+       |  SELECT a.nbr AS user_a, b.nbr AS user_b, a.zdeg
+       |  FROM adj a JOIN adj b ON a.z = b.z AND a.nbr < b.nbr),
+       |cand AS (
+       |  SELECT w.user_a, w.user_b, w.zdeg FROM wedges w
+       |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |    WHERE p.user_a = w.user_a AND p.user_b = w.user_b))
+       |SELECT user_a, user_b, COUNT(*) AS common_neighbors,
+       |  ${sqlXsum(sqlRnd6("1.0 / ln(CAST(zdeg AS DOUBLE))"))} AS adamic_adar
+       |FROM cand GROUP BY 1, 2
+       |ORDER BY adamic_adar DESC, user_a ASC, user_b ASC
+       |LIMIT 50""".stripMargin
+  }
 }

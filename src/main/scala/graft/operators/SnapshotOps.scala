@@ -240,4 +240,136 @@ object SnapshotOps {
        |FROM after a LEFT JOIN before b USING (user_id)
        |WHERE b.old_value IS NULL OR b.old_value <> a.new_value
        |ORDER BY a.user_id""".stripMargin
+
+  /** Marketing attribution: credit every purchase to the FIRST and
+    * LAST touch (click/view) the user made strictly before it, then
+    * roll conversions and revenue up by (first, last) channel pair —
+    * the first-touch/last-touch report in one pass. Purchases with no
+    * prior touch attribute to 'direct'.
+    *
+    * Scale shape: one shuffle on user_id; both touch lookups are
+    * ignoreNulls navigation functions over the SAME per-user window
+    * sort (strictly-preceding ROWS frame — the purchase itself and
+    * later events can't self-attribute), so Spark evaluates them in a
+    * single WindowExec on a per-user-bounded partition. The rollup is
+    * a #channels²-sized aggregate. Revenue sums are exact decimals. */
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("touch",
+        when($"event_type".isin("click", "view"), $"event_type"))
+      .withColumn("first_touch",
+        coalesce(first($"touch", ignoreNulls = true).over(w), lit("direct")))
+      .withColumn("last_touch",
+        coalesce(last($"touch", ignoreNulls = true).over(w), lit("direct")))
+      .filter($"event_type" === "purchase")
+      .groupBy($"first_touch", $"last_touch")
+      .agg(count(lit(1)).as("n_conversions"),
+        rnd6(sum($"value".cast("decimal(38,6)")).cast("double"))
+          .as("revenue"))
+      .orderBy($"first_touch", $"last_touch")
+  }
+
+  val eventsAttributionSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH touched AS (
+       |  SELECT event_type, value,
+       |    COALESCE(first_value(CASE WHEN event_type IN ('click', 'view')
+       |        THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      'direct') AS first_touch,
+       |    COALESCE(last_value(CASE WHEN event_type IN ('click', 'view')
+       |        THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      'direct') AS last_touch
+       |  FROM events)
+       |SELECT first_touch, last_touch, COUNT(*) AS n_conversions,
+       |  ${sqlRnd6("CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)")}
+       |    AS revenue
+       |FROM touched WHERE event_type = 'purchase'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** RFM segmentation: each user scored on Recency (days since last
+    * event, vs the corpus-max day), Frequency (event count), and
+    * Monetary (exact-decimal value total), then bucketed high/low
+    * against the across-users average of each metric and rolled up
+    * per segment ('RFM' = above-average on all three … 'rfm' = below
+    * on all) — the classic customer-base health matrix.
+    *
+    * Scale shape: one groupBy(user_id) builds the per-user triple; the
+    * three thresholds are ONE 1-row aggregate over it, broadcast back
+    * via crossJoin — no window over the user population, no sort, so
+    * nothing funnels through a single task at any user count.
+    * Threshold comparisons use rnd6'd doubles of exact sums on both
+    * sides — a user sitting exactly on a boundary lands in the same
+    * bucket in both engines. */
+  def eventsRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val perUser = Tables.events(spark, sfDir)
+      .crossJoin(broadcast(
+        Tables.events(spark, sfDir).agg(max($"ts").as("max_ts"))))
+      .groupBy($"user_id")
+      .agg(datediff(max($"max_ts"), max($"ts")).cast("long").as("recency_d"),
+        count(lit(1)).as("frequency"),
+        rnd6(sum($"value".cast("decimal(38,6)")).cast("double"))
+          .as("monetary"))
+    val thresholds = perUser.agg(
+      rnd6(sum($"recency_d".cast("decimal(38,6)")).cast("double") /
+        count(lit(1))).as("avg_r"),
+      rnd6(sum($"frequency".cast("decimal(38,6)")).cast("double") /
+        count(lit(1))).as("avg_f"),
+      rnd6(sum($"monetary".cast("decimal(38,6)")).cast("double") /
+        count(lit(1))).as("avg_m"))
+    perUser.crossJoin(broadcast(thresholds))
+      .withColumn("segment", concat(
+        when($"recency_d" <= $"avg_r", lit("R")).otherwise(lit("r")),
+        when($"frequency" >= $"avg_f", lit("F")).otherwise(lit("f")),
+        when($"monetary" >= $"avg_m", lit("M")).otherwise(lit("m"))))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_users"),
+        rnd6(sum($"recency_d".cast("decimal(38,6)")).cast("double") /
+          count(lit(1))).as("seg_avg_recency"),
+        rnd6(sum($"monetary".cast("decimal(38,6)")).cast("double") /
+          count(lit(1))).as("seg_avg_monetary"))
+      .orderBy($"segment")
+  }
+
+  val eventsRfmSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def decAvg(c: String) =
+      sqlRnd6(s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)")
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+       |      CAST((SELECT MAX(ts) FROM events) AS DATE)) AS BIGINT)
+       |      AS recency_d,
+       |    COUNT(*) AS frequency,
+       |    ${sqlRnd6("CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)")}
+       |      AS monetary
+       |  FROM events GROUP BY user_id),
+       |thresholds AS (
+       |  SELECT ${decAvg("recency_d")} AS avg_r,
+       |    ${decAvg("frequency")} AS avg_f,
+       |    ${decAvg("monetary")} AS avg_m
+       |  FROM per_user),
+       |seg AS (
+       |  SELECT
+       |    (CASE WHEN recency_d <= avg_r THEN 'R' ELSE 'r' END)
+       |    || (CASE WHEN frequency >= avg_f THEN 'F' ELSE 'f' END)
+       |    || (CASE WHEN monetary >= avg_m THEN 'M' ELSE 'm' END)
+       |      AS segment,
+       |    recency_d, monetary
+       |  FROM per_user, thresholds)
+       |SELECT segment, COUNT(*) AS n_users,
+       |  ${decAvg("recency_d")} AS seg_avg_recency,
+       |  ${decAvg("monetary")} AS seg_avg_monetary
+       |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+  }
 }

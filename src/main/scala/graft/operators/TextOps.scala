@@ -621,4 +621,71 @@ object TextOps {
        |  CAST((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
        |    ROWS UNBOUNDED PRECEDING) - n_tok) // $PACK_BUDGET AS BIGINT) AS bin
        |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Fixed keyword query for [[textBm25]] — deterministic, present in
+    * the fixture vocabulary. */
+  private val BM25_TERMS = Seq("spark", "merge", "window")
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+
+  /** BM25 (Okapi) relevance ranking of the corpus against a fixed
+    * keyword query — the retrieval scorer behind classic search and
+    * the usual lexical half of RAG hybrid retrieval. Per-term
+    * idf·tf-saturation with length normalization
+    * (k1=[[BM25_K1]], b=[[BM25_B]]), summed across query terms.
+    *
+    * Scale shape: the query-term filter lands on the (doc, tok) tf
+    * stream BEFORE any join (only matching postings survive the
+    * map side); df and avgdl are vocabulary-/corpus-scalar-sized
+    * 1-row or term-count broadcasts; the top-20 cut is
+    * orderBy+limit → TakeOrderedAndProject (bounded heaps, no global
+    * sort). Ln is the one libm call — rnd6'd per term before the
+    * product, like [[textTfidf]]; the cross-term sum is an exact
+    * decimal fold, so partial-aggregation order cannot change bytes. */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tk = tokens(spark, sfDir)
+    val dl = tk.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_tok"))
+    val tf = tk.filter($"tok".isin(BM25_TERMS: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id").crossJoin(broadcast(corpus))
+      .withColumn("avgdl",
+        $"tot_tok".cast("double") / $"n_docs".cast("double"))
+      .withColumn("idf", rnd6(log(lit(1.0) +
+        ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5))))
+      .withColumn("score", rnd6($"idf" * $"tf" * (lit(BM25_K1) + 1.0) /
+        ($"tf" + lit(BM25_K1) *
+          (lit(1.0 - BM25_B) + lit(BM25_B) * $"dl" / $"avgdl"))))
+    perTerm.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), xsum($"score").as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id".asc).limit(20)
+  }
+
+  val textBm25Sql: String = {
+    val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    s"""WITH $tokensCte,
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_tok
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |per_term AS (
+       |  SELECT tf.doc_id,
+       |    ${sqlRnd6(s"${sqlRnd6("ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))")}" +
+      s" * tf.tf * ($BM25_K1 + 1.0) / (tf.tf + $BM25_K1 * ((1.0 - $BM25_B)" +
+      s" + $BM25_B * dl.dl / (CAST(c.tot_tok AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))")}
+       |      AS score
+       |  FROM tf JOIN df ON tf.tok = df.tok
+       |  JOIN dl ON tf.doc_id = dl.doc_id, corpus c)
+       |SELECT doc_id, COUNT(*) AS n_terms_hit,
+       |  ${Exact.sqlXsum("score")} AS bm25
+       |FROM per_term GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
 }
