@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Exact, Tables}
+
+/** Data-quality operators: column profiling and declarative constraint
+  * audit — the pre-flight checks a 100 TB ingest runs before letting a
+  * batch into the lake (schema drift, orphaned keys, duplicate PKs,
+  * out-of-range measures).
+  *
+  * Scale notes: profiling melts the table to (column, value) pairs and
+  * reduces in ONE partially-aggregated shuffle — linear in rows ×
+  * columns with no driver loop and no per-column scan (the naive
+  * profiler scans once per column; this scans once, period). The
+  * constraint audit is a union of independent 1-row aggregates; the
+  * only data-sized moves are the two FK left-joins and the
+  * ship-after-order join, each a standard shuffle join on the key
+  * Spark would pick anyway (AQE broadcasts the dim side when small).
+  */
+object DqOps {
+
+  /** (name, Spark string-image expr, DuckDB string-image expr).
+    * Values are profiled through a CANONICAL STRING IMAGE so one melted
+    * column can carry every type: integers/strings/timestamps cast
+    * directly (both engines print `2024-03-01 00:00:00` style), doubles
+    * go through DECIMAL(18,6) first because Java and DuckDB disagree on
+    * raw double formatting (`1.2E7` vs `12000000.0`) while both print a
+    * scale-6 decimal as `12000000.000000`. min/max are therefore
+    * lexicographic on those images — documented profile semantics, not
+    * numeric bounds (the moments family covers numeric ranges).
+    */
+  private val PROF_COLS: Seq[(String, String, String)] = Seq(
+    ("o_orderkey", "CAST(o_orderkey AS STRING)",
+      "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)",
+      "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS STRING)",
+      "CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR)"),
+    ("o_orderdate", "CAST(o_orderdate AS STRING)",
+      "CAST(o_orderdate AS VARCHAR)"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"))
+
+  /** Per-column profile of `orders`: row/null/distinct counts and
+    * lexicographic min/max of the canonical string image (see
+    * [[PROF_COLS]]) — 6 rows out whatever the input size. Implemented
+    * as melt (array-of-structs explode) → single groupBy, so the table
+    * is read exactly once. */
+  def dqProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val melted = Tables.orders(spark, sfDir)
+      .select(explode(array(PROF_COLS.map { case (n, e, _) =>
+        struct(lit(n).as("col"), expr(e).as("v"))
+      }: _*)).as("c"))
+      .select($"c.col".as("col"), $"c.v".as("v"))
+    melted.groupBy($"col")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"v")).as("n_nulls"),
+        countDistinct($"v").as("n_distinct"),
+        min($"v").as("min_s"), max($"v").as("max_s"))
+      .orderBy($"col")
+  }
+
+  val dqProfileSql: String =
+    PROF_COLS.map { case (n, _, duck) =>
+      s"""SELECT '$n' AS col, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT(v) AS n_nulls,
+         |  COUNT(DISTINCT v) AS n_distinct,
+         |  MIN(v) AS min_s, MAX(v) AS max_s
+         |FROM (SELECT $duck AS v FROM orders)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col")
+
+  /** Declarative constraint audit over the star schema: one output row
+    * per rule with (checked, violations) counts — FK orphans, PK
+    * duplicates, measure ranges, temporal consistency. Rules are
+    * independent aggregates unioned at the end; a real deployment
+    * gates the batch on `violations = 0` per rule. The fixture is
+    * deliberately NOT all-clean: (l_orderkey, l_linenumber) is known
+    * non-unique (SampleOps.scala documents it), so `lineitem_pk_dup`
+    * exercises the non-zero path. */
+  def dqConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+
+    def fkRule(name: String, fact: DataFrame, factKey: String,
+               dim: DataFrame, dimKey: String): DataFrame =
+      fact.join(dim.select(col(dimKey)).distinct(),
+          fact(factKey) === col(dimKey), "left")
+        .agg(count(lit(1)).as("checked"),
+          count(when(col(dimKey).isNull, 1)).as("violations"))
+        .select(lit(name).as("rule"), $"checked", $"violations")
+
+    val ordersFk =
+      fkRule("orders_custkey_fk", orders, "o_custkey", customer, "c_custkey")
+    val lineitemFk =
+      fkRule("lineitem_orderkey_fk", lineitem, "l_orderkey", orders,
+        "o_orderkey")
+    val customerPk = customer
+      .agg(count(lit(1)).as("checked"),
+        (count(lit(1)) - countDistinct($"c_custkey")).as("violations"))
+      .select(lit("customer_pk_dup").as("rule"), $"checked", $"violations")
+    val lineitemPk = lineitem
+      .groupBy($"l_orderkey", $"l_linenumber").agg(count(lit(1)).as("c"))
+      .agg(sum($"c").as("checked"), sum($"c" - 1).as("violations"))
+      .select(lit("lineitem_pk_dup").as("rule"), $"checked", $"violations")
+    val qtyRange = lineitem
+      .agg(count(lit(1)).as("checked"),
+        count(when($"l_quantity" <= 0, 1)).as("violations"))
+      .select(lit("lineitem_qty_positive").as("rule"), $"checked",
+        $"violations")
+    val discRange = lineitem
+      .agg(count(lit(1)).as("checked"),
+        count(when($"l_discount" < 0 || $"l_discount" > 1, 1))
+          .as("violations"))
+      .select(lit("lineitem_discount_range").as("rule"), $"checked",
+        $"violations")
+    val dateBounds = orders
+      .agg(count(lit(1)).as("checked"),
+        count(when($"o_orderdate".isNull ||
+          $"o_orderdate" < lit("1990-01-01").cast("timestamp") ||
+          $"o_orderdate" >= lit("2031-01-01").cast("timestamp"), 1))
+          .as("violations"))
+      .select(lit("orders_date_bounds").as("rule"), $"checked",
+        $"violations")
+    val shipAfterOrder = lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("checked"),
+        count(when($"l_shipdate" < $"o_orderdate", 1)).as("violations"))
+      .select(lit("lineitem_ship_after_order").as("rule"), $"checked",
+        $"violations")
+
+    Seq(ordersFk, lineitemFk, customerPk, lineitemPk, qtyRange, discRange,
+      dateBounds, shipAfterOrder).reduce(_.unionAll(_))
+      .orderBy($"rule")
+  }
+
+  val dqConstraintsSql: String =
+    """SELECT 'orders_custkey_fk' AS rule, COUNT(*) AS checked,
+      |  COUNT(CASE WHEN d.k IS NULL THEN 1 END) AS violations
+      |FROM orders o
+      |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) d
+      |  ON o.o_custkey = d.k
+      |UNION ALL
+      |SELECT 'lineitem_orderkey_fk', COUNT(*),
+      |  COUNT(CASE WHEN d.k IS NULL THEN 1 END)
+      |FROM lineitem l
+      |LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) d
+      |  ON l.l_orderkey = d.k
+      |UNION ALL
+      |SELECT 'customer_pk_dup', COUNT(*),
+      |  COUNT(*) - COUNT(DISTINCT c_custkey)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'lineitem_pk_dup', CAST(SUM(c) AS BIGINT),
+      |  CAST(SUM(c - 1) AS BIGINT)
+      |FROM (SELECT COUNT(*) AS c FROM lineitem
+      |      GROUP BY l_orderkey, l_linenumber)
+      |UNION ALL
+      |SELECT 'lineitem_qty_positive', COUNT(*),
+      |  COUNT(CASE WHEN l_quantity <= 0 THEN 1 END)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_discount_range', COUNT(*),
+      |  COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders_date_bounds', COUNT(*),
+      |  COUNT(CASE WHEN o_orderdate IS NULL
+      |    OR o_orderdate < TIMESTAMP '1990-01-01'
+      |    OR o_orderdate >= TIMESTAMP '2031-01-01' THEN 1 END)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem_ship_after_order', COUNT(*),
+      |  COUNT(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END)
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |ORDER BY rule""".stripMargin
+}

@@ -430,4 +430,70 @@ object JoinOps {
   /** Oracle: identical to [[joinIntervalSql]] — the bucketed plan must
     * reproduce the plain range join bit-for-bit. */
   val joinIntervalBucketedSql: String = joinIntervalSql
+
+  /** Spatial-grid self-join radius: grid cell edge = EPS, pairs kept
+    * when squared L2 distance < EPS². 1/EPS is an exact integer so
+    * `floor(px · 100)` is the cell id with no division. */
+  private val SPA_EPS2 = 1.0e-4
+  private val SPA_INV = 100.0
+
+  /** All point pairs within L2 distance EPS of each other in the 2-D
+    * projection of the embeddings — the grid-bucketed SPATIAL JOIN
+    * (geohash/quadkey pattern): each point is replicated to its 3×3
+    * cell neighborhood, the partner side sits in its HOME cell only,
+    * and the equi-join on cell id finds every candidate exactly once
+    * (cell size = radius ⇒ any qualifying pair differs by ≤ 1 cell per
+    * axis; the replica→home direction plus `a_id < b_id` kills both
+    * duplicates and mirrors). The all-pairs O(n²) comparison collapses
+    * to O(n · density); the 9× replication is map-side (explode before
+    * the one exchange on cell id).
+    *
+    * The oracle is the BRUTE-FORCE quadratic join — a differential
+    * test that the pruning loses nothing, feasible because the fixture
+    * point count is small; at 100 TB only the grid formulation runs.
+    * Determinism: distances are products/sums of identical doubles in
+    * an identical order (no division, no transcendentals), so raw
+    * `dist2` is bit-exact in both engines; the order is total on the
+    * unique (a_id, b_id) key. */
+  def joinSpatialGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        element_at($"embedding", 1).cast("double").as("px"),
+        element_at($"embedding", 2).cast("double").as("py"))
+    val repl = pts.select($"vec_id".as("a_id"), $"px".as("ax"),
+        $"py".as("ay"),
+        explode(expr(
+          s"""flatten(transform(array(-1L, 0L, 1L), dx ->
+             |  transform(array(-1L, 0L, 1L), dy -> struct(
+             |    CAST(floor(px * CAST($SPA_INV AS DOUBLE)) AS BIGINT) + dx
+             |      AS cx,
+             |    CAST(floor(py * CAST($SPA_INV AS DOUBLE)) AS BIGINT) + dy
+             |      AS cy))))""".stripMargin)).as("c"))
+      .select($"a_id", $"ax", $"ay", $"c.cx".as("cx"), $"c.cy".as("cy"))
+    val home = pts.select($"vec_id".as("b_id"), $"px".as("bx"),
+      $"py".as("by"),
+      floor($"px" * lit(SPA_INV)).cast("long").as("cx"),
+      floor($"py" * lit(SPA_INV)).cast("long").as("cy"))
+    val d2 = ($"ax" - $"bx") * ($"ax" - $"bx") +
+      ($"ay" - $"by") * ($"ay" - $"by")
+    repl.join(home, Seq("cx", "cy"))
+      .filter($"a_id" < $"b_id" && d2 < lit(SPA_EPS2))
+      .select($"a_id", $"b_id", d2.as("dist2"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Brute-force quadratic oracle (see [[joinSpatialGrid]]). */
+  val joinSpatialGridSql: String =
+    s"""WITH p AS (
+       |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS px,
+       |    CAST(embedding[2] AS DOUBLE) AS py
+       |  FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+       |    AS dist2
+       |FROM p a JOIN p b ON a.vec_id < b.vec_id
+       |WHERE (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+       |  < CAST($SPA_EPS2 AS DOUBLE)
+       |ORDER BY a_id, b_id""".stripMargin
 }

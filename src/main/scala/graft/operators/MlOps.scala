@@ -586,6 +586,164 @@ object MlOps {
        |FROM scored ORDER BY thr""".stripMargin
   }
 
+  /** Per-group best Gini split over a bounded-domain integer feature:
+    * input is the (grp, f) count table, output one row per grp with
+    * the argmin threshold (ties broken by smallest thr — a two-step
+    * min-gini-then-min-thr reduction, portable to the oracle, instead
+    * of an engine-specific arg_min). Same triangular-join shape as
+    * [[mlGiniStump]], keyed by grp. */
+  private def giniBestSplit(byFeat: DataFrame): DataFrame = {
+    import byFeat.sparkSession.implicits._
+    import graft.functions.Udfs.rnd6
+    val tot = byFeat.groupBy($"grp")
+      .agg(sum($"n").as("tot_n"), sum($"pos").as("tot_pos"))
+    val cum = byFeat.select($"grp", $"f".as("thr"))
+      .join(byFeat.select($"grp".as("g2"), $"f", $"n", $"pos"),
+        $"grp" === $"g2" && $"f" <= $"thr")
+      .groupBy($"grp", $"thr")
+      .agg(sum($"n").as("nl"), sum($"pos").as("pl"))
+      .join(tot, "grp").filter($"nl" < $"tot_n")
+    def gini(p: Column, n: Column): Column = {
+      val pd = p.cast("double") / n.cast("double")
+      val qd = (n - p).cast("double") / n.cast("double")
+      lit(1.0) - pd * pd - qd * qd
+    }
+    val nr = $"tot_n" - $"nl"
+    val pr = $"tot_pos" - $"pl"
+    val weighted =
+      ($"nl".cast("double") * gini($"pl", $"nl") +
+        nr.cast("double") * gini(pr, nr)) / $"tot_n".cast("double")
+    // ANSI guard: the nl = tot_n boundary row (nr = 0) exists in `cum`
+    // before the filter, and this plan's self-joins let codegen reach
+    // the division first — gate the expression on the SAME predicate
+    // as the filter so the phantom row yields NULL instead of a
+    // DIVIDE_BY_ZERO throw (surviving rows are unchanged).
+    val scored = cum.select($"grp", $"thr", $"nl", $"pl",
+      nr.as("nr"), pr.as("pr"),
+      rnd6(when($"nl" < $"tot_n", weighted)).as("gini_split"))
+    val bmin = scored.groupBy($"grp".as("mg"))
+      .agg(min($"gini_split").as("g"))
+    val bthr = scored.join(bmin,
+        $"grp" === $"mg" && $"gini_split" === $"g")
+      .groupBy($"grp".as("bg")).agg(min($"thr").as("bthr"))
+    scored.join(bthr, $"grp" === $"bg" && $"thr" === $"bthr")
+      .select($"grp", $"thr", $"nl", $"pl", $"nr", $"pr", $"gini_split")
+  }
+
+  /** Depth-2 Gini decision tree: root split on quantity (the
+    * [[mlGiniStump]] fit with a deterministic argmin), then within
+    * each branch the best second split on the discount percentage —
+    * the recursive-partitioning step that turns the stump into a real
+    * tree, still as pure aggregation. Two corpus passes total (one per
+    * level); each level reduces to a bounded (branch, feature-value)
+    * count table (≤ 50 quantities, ≤ 101 discount buckets) and the
+    * cumulative split scan is a broadcast triangular join on that
+    * table, never a window over the corpus. The root threshold rides
+    * a 1-row broadcast into the second pass's branch assignment.
+    * Discount is bucketed with an explicit floor (Spark's double→int
+    * cast truncates, DuckDB's rounds — floor is the portable form). */
+  def mlTreeDepth2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val byQty = li
+      .groupBy(lit("root").as("grp"), $"l_quantity".cast("int").as("f"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"l_returnflag" === "R", 1)).as("pos"))
+    val rootBest = giniBestSplit(byQty)
+    val rb = broadcast(rootBest.select($"thr".as("root_thr")))
+    val byDisc = li.crossJoin(rb)
+      .groupBy(
+        when($"l_quantity".cast("int") <= $"root_thr", "left")
+          .otherwise("right").as("grp"),
+        expr("CAST(floor(l_discount * CAST(100.0 AS DOUBLE)) AS INT)")
+          .as("f"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"l_returnflag" === "R", 1)).as("pos"))
+    val branchBest = giniBestSplit(byDisc)
+    rootBest
+      .select(lit("root").as("node"), lit("qty").as("feature"), $"thr",
+        $"nl", $"pl", $"nr", $"pr", $"gini_split")
+      .unionAll(branchBest
+        .select($"grp".as("node"), lit("disc_pct").as("feature"), $"thr",
+          $"nl", $"pl", $"nr", $"pr", $"gini_split"))
+      .orderBy($"node")
+  }
+
+  val mlTreeDepth2Sql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def gini(p: String, n: String): String = {
+      val pd = s"(CAST($p AS DOUBLE) / CAST($n AS DOUBLE))"
+      val qd = s"(CAST(($n) - ($p) AS DOUBLE) / CAST($n AS DOUBLE))"
+      s"(1.0 - $pd * $pd - $qd * $qd)"
+    }
+    val nr = "(tot_n - nl)"
+    val pr = "(tot_pos - pl)"
+    val weighted = s"((CAST(nl AS DOUBLE) * ${gini("pl", "nl")} + " +
+      s"CAST($nr AS DOUBLE) * ${gini(pr, nr)}) / CAST(tot_n AS DOUBLE))"
+    s"""WITH by_qty AS (
+       |  SELECT 'root' AS grp, CAST(l_quantity AS INTEGER) AS f,
+       |    COUNT(*) AS n,
+       |    COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS pos
+       |  FROM lineitem GROUP BY 1, 2),
+       |tot1 AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS tot_n,
+       |  CAST(SUM(pos) AS BIGINT) AS tot_pos FROM by_qty GROUP BY 1),
+       |cum1 AS (
+       |  SELECT t.grp, t.f AS thr,
+       |    CAST(SUM(b.n) AS BIGINT) AS nl, CAST(SUM(b.pos) AS BIGINT) AS pl
+       |  FROM by_qty t JOIN by_qty b ON b.grp = t.grp AND b.f <= t.f
+       |  GROUP BY 1, 2),
+       |scored1 AS (
+       |  SELECT grp, thr, nl, pl, $nr AS nr, $pr AS pr,
+       |    ${sqlRnd6(weighted)} AS gini_split
+       |  FROM cum1 JOIN tot1 USING (grp) WHERE nl < tot_n),
+       |root AS (
+       |  SELECT s.* FROM scored1 s
+       |  JOIN (SELECT grp, MIN(gini_split) AS g FROM scored1 GROUP BY 1) m
+       |    ON s.grp = m.grp AND s.gini_split = m.g
+       |  JOIN (SELECT s2.grp, MIN(s2.thr) AS bthr FROM scored1 s2
+       |        JOIN (SELECT grp, MIN(gini_split) AS g FROM scored1
+       |              GROUP BY 1) m2
+       |          ON s2.grp = m2.grp AND s2.gini_split = m2.g
+       |        GROUP BY 1) t
+       |    ON s.grp = t.grp AND s.thr = t.bthr),
+       |by_disc AS (
+       |  SELECT CASE WHEN CAST(l_quantity AS INTEGER) <= root.thr
+       |      THEN 'left' ELSE 'right' END AS grp,
+       |    CAST(floor(l_discount * CAST(100.0 AS DOUBLE)) AS INTEGER) AS f,
+       |    COUNT(*) AS n,
+       |    COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS pos
+       |  FROM lineitem, root GROUP BY 1, 2),
+       |tot2 AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS tot_n,
+       |  CAST(SUM(pos) AS BIGINT) AS tot_pos FROM by_disc GROUP BY 1),
+       |cum2 AS (
+       |  SELECT t.grp, t.f AS thr,
+       |    CAST(SUM(b.n) AS BIGINT) AS nl, CAST(SUM(b.pos) AS BIGINT) AS pl
+       |  FROM by_disc t JOIN by_disc b ON b.grp = t.grp AND b.f <= t.f
+       |  GROUP BY 1, 2),
+       |scored2 AS (
+       |  SELECT grp, thr, nl, pl, $nr AS nr, $pr AS pr,
+       |    ${sqlRnd6(weighted)} AS gini_split
+       |  FROM cum2 JOIN tot2 USING (grp) WHERE nl < tot_n),
+       |branch_best AS (
+       |  SELECT s.* FROM scored2 s
+       |  JOIN (SELECT grp, MIN(gini_split) AS g FROM scored2 GROUP BY 1) m
+       |    ON s.grp = m.grp AND s.gini_split = m.g
+       |  JOIN (SELECT s2.grp, MIN(s2.thr) AS bthr FROM scored2 s2
+       |        JOIN (SELECT grp, MIN(gini_split) AS g FROM scored2
+       |              GROUP BY 1) m2
+       |          ON s2.grp = m2.grp AND s2.gini_split = m2.g
+       |        GROUP BY 1) t
+       |    ON s.grp = t.grp AND s.thr = t.bthr)
+       |SELECT 'root' AS node, 'qty' AS feature, thr, nl, pl, nr, pr,
+       |  gini_split
+       |FROM root
+       |UNION ALL
+       |SELECT grp AS node, 'disc_pct' AS feature, thr, nl, pl, nr, pr,
+       |  gini_split
+       |FROM branch_best
+       |ORDER BY node""".stripMargin
+  }
+
   /** Per-class evaluation of the [[mlKnnClassify]] predictions:
     * confusion counts folded to (tp, fp, fn) per label with
     * precision / recall / F1 — the model-eval readout that closes the
@@ -889,5 +1047,331 @@ object MlOps {
       "WHEN c.c_acctbal > s.p95 THEN s.p95 ELSE c.c_acctbal END")} AS wins
        |FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
        |ORDER BY c.c_custkey""".stripMargin
+  }
+
+  /** Power-iteration constants for [[mlPcaPower]]: leading block size
+    * (matches [[mlCovmatrix]]), iteration count, and the two
+    * fixed-point unit scales — covariance cells in 1e-6 units (exact
+    * image of their rnd6'd doubles), vector components in 1e-9 units.
+    * Overflow audit: |cell| ≤ 1e6 units, |component| ≤ 1e9 units →
+    * per-term product ≤ 1e15; the re-scale `w·1e9` ≤ ~8e17 and the
+    * Rayleigh sums ≤ 8e18 — all inside Long. */
+  private val PCA_DIM = 8
+  private val PCA_ITERS = 8
+  private val PCA_CU = 1000000L
+  private val PCA_VU = 1000000000L
+
+  /** Truncating (toward-zero) integer division as a SQL fragment —
+    * written sign-explicitly because Spark's `div` truncates while
+    * DuckDB's `//` floors; routing both through abs makes them
+    * byte-identical on negatives. */
+  private def truncDiv(x: String, d: String, op: String) =
+    s"CASE WHEN $x < 0 THEN -((-($x)) $op ($d)) ELSE ($x) $op ($d) END"
+
+  /** Dominant eigenvector of the embedding covariance block by POWER
+    * ITERATION, entirely inside the engine — the eigen step
+    * [[mlCovmatrix]]'s doc calls driver-side, done distributed and
+    * oracle-checked instead. The d×d covariance lives as (i, j, cell)
+    * triples; each iteration is one relational matvec (join on j +
+    * sum by i) followed by max-norm rescaling, repeated
+    * [[PCA_ITERS]] times with per-generation eager localCheckpoints
+    * (no data-dependent driver logic, no collect — the driver only
+    * stamps out a fixed number of tiny distributed jobs). Output:
+    * the unit-scaled loading per dimension plus the
+    * Rayleigh-quotient eigenvalue estimate.
+    *
+    * Determinism contract (same discipline as PageRank): all
+    * iteration state is BIGINT fixed-point — cells are the exact 1e-6
+    * integer image of their rnd6'd doubles, components live in 1e-9
+    * units, every division is the sign-explicit truncating form — so
+    * each of the 8 iterations is bit-identical in both engines and
+    * sign flips/last-ulp drift cannot compound. The ONLY floats are
+    * the two final casts, rnd6'd.
+    *
+    * Scale shape: the corpus appears ONLY in the moment reduction
+    * (one map-side-combined shuffle to d(d+1)/2 rows, the
+    * [[mlCovmatrix]] pattern); every iteration runs on d² triples —
+    * constant-sized whatever the corpus, so at 100 TB this costs one
+    * pass over the data plus noise. */
+  def mlPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val (cov, v) = pcaVector(spark, sfDir)
+    val wF = pcaMatvec(cov, v)
+    val ray = v.join(wF, "i")
+      .agg(sum($"x" * $"w").as("num"), sum($"x" * $"x").as("den"))
+    v.crossJoin(broadcast(ray))
+      .select($"i",
+        rnd6($"x".cast("double") / PCA_VU.toDouble).as("loading"),
+        rnd6($"num".cast("double") / $"den".cast("double"))
+          .as("eigenvalue"))
+      .orderBy($"i")
+  }
+
+  /** One fixed-point matvec `w = C·v` (join on j + sum by i), the
+    * iteration step shared by [[mlPcaPower]] and [[mlPcaScores]]. */
+  private def pcaMatvec(cov: DataFrame, v: DataFrame): DataFrame = {
+    import cov.sparkSession.implicits._
+    cov.join(v.select($"i".as("j"), $"x".as("vx")), "j")
+      .select($"i",
+        expr(truncDiv("c * vx", PCA_CU.toString, "div")).as("t"))
+      .groupBy($"i").agg(sum($"t").as("w"))
+  }
+
+  /** The (covariance triples, converged fixed-point vector) pair after
+    * [[PCA_ITERS]] power iterations — see [[mlPcaPower]] for the full
+    * determinism/scale contract. */
+  private def pcaVector(spark: SparkSession,
+                        sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val pairs = Tables.embeddings(spark, sfDir)
+      .select(explode(expr(
+        s"""flatten(transform(slice(embedding, 1, $PCA_DIM), (x, i) ->
+           |  filter(transform(slice(embedding, 1, $PCA_DIM), (y, j) ->
+           |    struct(i + 1 AS i, j + 1 AS j,
+           |      CAST(x AS DOUBLE) AS xi, CAST(y AS DOUBLE) AS xj)),
+           |    c -> c.j >= c.i)))""".stripMargin)).as("c"))
+      .select($"c.i".as("i"), $"c.j".as("j"), $"c.xi".as("xi"),
+        $"c.xj".as("xj"))
+    val moments = pairs.groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"),
+        xsum($"xi").as("sx"), xsum($"xj").as("sy"),
+        xsum($"xi" * $"xj").as("sxy"))
+    val nd = $"n".cast("double")
+    val triCov = moments
+      .select($"i", $"j",
+        rnd6((nd * $"sxy" - $"sx" * $"sy") / (nd * nd)).as("cov"))
+      .select($"i", $"j",
+        expr(s"CAST(round(cov * $PCA_CU) AS BIGINT)").as("c"))
+    // Eagerly truncate lineage each generation (the PageRank
+    // discipline): v_k feeds BOTH the next matvec and its own
+    // max-norm scalar, so an un-checkpointed unroll embeds the
+    // previous generation twice — 2^ITERS plan copies, each
+    // re-reducing the corpus. Checkpointed, the corpus is reduced
+    // exactly once and every iteration runs on d-row state.
+    val cov = triCov.union(
+      triCov.filter($"i" =!= $"j")
+        .select($"j".as("i"), $"i".as("j"), $"c"))
+      .localCheckpoint(true)
+    var v: DataFrame = spark.range(1, PCA_DIM + 1)
+      .select($"id".cast("int").as("i"), lit(PCA_VU).as("x"))
+    for (_ <- 1 to PCA_ITERS) {
+      val w = pcaMatvec(cov, v)
+      val m = w.agg(max(abs($"w")).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select($"i",
+          expr(truncDiv(s"w * $PCA_VU", "m", "div")).as("x"))
+        .localCheckpoint(true)
+    }
+    (cov, v)
+  }
+
+  /** PC1 scores: every embedding projected onto the dominant
+    * eigenvector from [[pcaVector]] — the dimensionality-reduction
+    * step itself (what a 100 TB pipeline materializes as a feature
+    * column). The d fixed-point loadings are collected into ONE
+    * broadcast array (sorted by dimension — `collect_list` order is
+    * partition-nondeterministic, `array_sort` on (i, x) structs is
+    * not), so the projection is a MAP-SIDE zip: no shuffle touches
+    * the corpus, and per-row work is a d-term fold. Each term is cast
+    * to DECIMAL(38,6) before summing (order-independent, the
+    * [[Exact.xsum]] discipline applied inside a HOF), so DuckDB's
+    * unordered SUM over the unnested terms lands on identical bytes. */
+  def mlPcaScores(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val (_, v) = pcaVector(spark, sfDir)
+    val loads = v
+      .agg(expr("transform(array_sort(collect_list(struct(i, x))), c -> c.x)")
+        .as("lx"))
+    Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(loads))
+      .select($"vec_id",
+        rnd6(expr(
+          s"""CAST(aggregate(
+             |  zip_with(slice(embedding, 1, $PCA_DIM), lx,
+             |    (a, b) -> CAST(CAST(a AS DOUBLE) * b AS DECIMAL(38,6))),
+             |  CAST(0 AS DECIMAL(38,6)),
+             |  (acc, t) -> CAST(acc + t AS DECIMAL(38,6))) AS DOUBLE)
+             |  / CAST($PCA_VU AS DOUBLE)""".stripMargin)).as("pc1_score"))
+      .orderBy($"vec_id")
+  }
+
+  /** Shared oracle CTE chain: moments → fixed-point covariance →
+    * power iterations v1..v[[PCA_ITERS]] (the SQL twin of
+    * [[pcaVector]]); suffix clauses differ per query. */
+  private val pcaSqlCtes: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val nd = "CAST(n AS DOUBLE)"
+    val matvecT = truncDiv("cf.c * v.x", PCA_CU.toString, "//")
+    // MATERIALIZED: DuckDB 1.0 inlines CTEs by default, and each vK
+    // references wK twice (join + scalar MAX) — without the hint the
+    // chain re-expands exponentially (~100 s at sf0.01 vs ~0.1 s).
+    def iter(k: Int, prev: String) =
+      s"""w$k AS MATERIALIZED (
+         |  SELECT cf.i, SUM($matvecT) AS w
+         |  FROM covf cf JOIN $prev v ON cf.j = v.i GROUP BY cf.i),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, ${truncDiv(s"w * $PCA_VU", "m", "//")} AS x
+         |  FROM w$k, (SELECT MAX(ABS(w)) AS m FROM w$k))"""
+        .stripMargin
+    val iters = (1 to PCA_ITERS)
+      .map(k => iter(k, if (k == 1) "v0" else s"v${k - 1}"))
+      .mkString(",\n")
+    s"""pairs AS MATERIALIZED (
+       |  SELECT e.vec_id, ri.i, rj.j,
+       |    CAST(e.embedding[CAST(ri.i AS INTEGER)] AS DOUBLE) AS xi,
+       |    CAST(e.embedding[CAST(rj.j AS INTEGER)] AS DOUBLE) AS xj
+       |  FROM embeddings e, range(1, ${PCA_DIM + 1}) AS ri(i),
+       |    range(1, ${PCA_DIM + 1}) AS rj(j)
+       |  WHERE rj.j >= ri.i),
+       |moments AS (
+       |  SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       |    COUNT(*) AS n,
+       |    ${Exact.sqlXsum("xi")} AS sx, ${Exact.sqlXsum("xj")} AS sy,
+       |    ${Exact.sqlXsum("xi * xj")} AS sxy
+       |  FROM pairs GROUP BY 1, 2),
+       |tri AS (
+       |  SELECT i, j, CAST(round(
+       |    ${sqlRnd6(s"($nd * sxy - sx * sy) / ($nd * $nd)")}
+       |    * $PCA_CU) AS BIGINT) AS c
+       |  FROM moments),
+       |covf AS MATERIALIZED (
+       |  SELECT i, j, c FROM tri
+       |  UNION ALL SELECT j, i, c FROM tri WHERE i <> j),
+       |v0 AS (
+       |  SELECT CAST(i AS INTEGER) AS i, CAST($PCA_VU AS BIGINT) AS x
+       |  FROM range(1, ${PCA_DIM + 1}) AS r(i)),
+       |$iters""".stripMargin
+  }
+
+  val mlPcaPowerSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val last = s"v$PCA_ITERS"
+    s"""WITH $pcaSqlCtes,
+       |wf AS (
+       |  SELECT cf.i, SUM(${truncDiv("cf.c * v.x", PCA_CU.toString, "//")})
+       |    AS w
+       |  FROM covf cf JOIN $last v ON cf.j = v.i GROUP BY cf.i),
+       |ray AS (
+       |  SELECT SUM(v.x * wf.w) AS num, SUM(v.x * v.x) AS den
+       |  FROM $last v JOIN wf ON v.i = wf.i)
+       |SELECT v.i,
+       |  ${sqlRnd6(s"CAST(v.x AS DOUBLE) / $PCA_VU.0")} AS loading,
+       |  ${sqlRnd6("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")}
+       |    AS eigenvalue
+       |FROM $last v, ray ORDER BY v.i""".stripMargin
+  }
+
+  /** IRLS constants: Newton iterations and the price→feature scale
+    * (keeps |x| ≈ O(1) so exp never overflows and the Hessian is
+    * well-conditioned). */
+  private val LR_ITERS = 4
+  private val LR_XS = 100000.0
+
+  /** Logistic regression P(status = 'F' | totalprice) by NEWTON/IRLS,
+    * fully distributed: each iteration broadcasts the 1-row (b0, b1)
+    * state, scores every row map-side (clamped logit, sigmoid), and
+    * reduces the gradient and 2×2 Hessian to ONE row of exact-decimal
+    * sums; the Newton solve is closed-form on that row. Emits the
+    * per-iteration coefficient trace (LR_ITERS rows).
+    *
+    * Determinism contract: the sigmoid is rnd6'd per row BEFORE the
+    * moment sums (so libm exp differences die at the 6th decimal, the
+    * same precedent as ln in [[TextOps]]), sums are decimal-exact and
+    * order-independent ([[Exact.xsum]]), and the state is rnd6'd every
+    * generation — iterations cannot compound drift. The clamp keeps
+    * exp's argument in [−30, 30] in both engines.
+    *
+    * Scale shape: LR_ITERS passes over the facts, each a map-side
+    * score + one partial-aggregated reduction to a single row; state
+    * is eagerly checkpointed so generation k's plan does not re-embed
+    * generation k−1 (the power-iteration discipline). At 100 TB this
+    * is exactly LR_ITERS scans and nothing else. */
+  def mlLogreg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val base = Tables.orders(spark, sfDir)
+      .select(($"o_orderstatus" === "F").cast("double").as("y"),
+        ($"o_totalprice" / lit(LR_XS)).as("x"))
+    var st = spark.range(1)
+      .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+    val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (it <- 1 to LR_ITERS) {
+      val z = greatest(least($"b0" + $"b1" * $"x", lit(30.0)), lit(-30.0))
+      val scored = base.crossJoin(broadcast(st))
+        .select($"y", $"x", $"b0", $"b1",
+          rnd6(lit(1.0) / (lit(1.0) + exp(-z))).as("p"))
+      val a = scored.agg(
+        max($"b0").as("ob0"), max($"b1").as("ob1"),
+        xsum($"y" - $"p").as("g0"),
+        xsum($"x" * ($"y" - $"p")).as("g1"),
+        xsum($"p" * (lit(1.0) - $"p")).as("h00"),
+        xsum($"x" * $"p" * (lit(1.0) - $"p")).as("h01"),
+        xsum($"x" * $"x" * $"p" * (lit(1.0) - $"p")).as("h11"))
+      val det = $"h00" * $"h11" - $"h01" * $"h01"
+      st = a.select(
+        rnd6($"ob0" + ($"h11" * $"g0" - $"h01" * $"g1") / det).as("b0"),
+        rnd6($"ob1" + ($"h00" * $"g1" - $"h01" * $"g0") / det).as("b1"))
+        .localCheckpoint(true)
+      trace += st.select(lit(it).as("iter"), $"b0", $"b1")
+    }
+    trace.reduce(_.unionAll(_)).orderBy($"iter")
+  }
+
+  val mlLogregSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val sigmoid = sqlRnd6("1.0 / (1.0 + exp(-(greatest(least(" +
+      "b0 + b1 * x, CAST(30.0 AS DOUBLE)), CAST(-30.0 AS DOUBLE)))))")
+    // MATERIALIZED for the same reason as pcaSqlCtes: the trace UNION
+    // references every sK, so inlined CTEs re-expand the whole chain.
+    def iter(k: Int, prev: String) =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT y, x, b0, b1, $sigmoid AS p FROM base, $prev),
+         |a$k AS MATERIALIZED (
+         |  SELECT MAX(b0) AS ob0, MAX(b1) AS ob1,
+         |    ${Exact.sqlXsum("y - p")} AS g0,
+         |    ${Exact.sqlXsum("x * (y - p)")} AS g1,
+         |    ${Exact.sqlXsum("p * (1.0 - p)")} AS h00,
+         |    ${Exact.sqlXsum("x * p * (1.0 - p)")} AS h01,
+         |    ${Exact.sqlXsum("x * x * p * (1.0 - p)")} AS h11
+         |  FROM p$k),
+         |s$k AS MATERIALIZED (
+         |  SELECT ${sqlRnd6("ob0 + (h11 * g0 - h01 * g1)" +
+        " / (h00 * h11 - h01 * h01)")} AS b0,
+         |    ${sqlRnd6("ob1 + (h00 * g1 - h01 * g0)" +
+        " / (h00 * h11 - h01 * h01)")} AS b1
+         |  FROM a$k)""".stripMargin
+    val iters = (1 to LR_ITERS)
+      .map(k => iter(k, if (k == 1) "s0" else s"s${k - 1}"))
+      .mkString(",\n")
+    val union = (1 to LR_ITERS)
+      .map(k => s"SELECT $k AS iter, b0, b1 FROM s$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |    o_totalprice / CAST($LR_XS AS DOUBLE) AS x
+       |  FROM orders),
+       |s0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+       |$iters
+       |$union
+       |ORDER BY iter""".stripMargin
+  }
+
+  val mlPcaScoresSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val last = s"v$PCA_ITERS"
+    val term = "CAST(e.embedding[CAST(r.i AS INTEGER)] AS DOUBLE) * v.x"
+    val score = s"CAST(SUM(CAST($term AS DECIMAL(38,6))) AS DOUBLE)" +
+      s" / CAST($PCA_VU AS DOUBLE)"
+    s"""WITH $pcaSqlCtes
+       |SELECT e.vec_id,
+       |  ${sqlRnd6(score)} AS pc1_score
+       |FROM embeddings e
+       |CROSS JOIN range(1, ${PCA_DIM + 1}) AS r(i)
+       |JOIN $last v ON v.i = CAST(r.i AS INTEGER)
+       |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
   }
 }

@@ -688,4 +688,85 @@ object TextOps {
        |FROM per_term GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
   }
+
+  /** Collocation support floor: a bigram must occur this often before
+    * its PMI is meaningful (the classic low-count PMI blowup guard). */
+  private val COLL_MIN_C = 5
+
+  /** Top-50 collocations by pointwise mutual information:
+    * PMI(w1,w2) = ln( P(w1 w2) / (P(w1)·P(w2)) ) with bigram
+    * probability over total bigrams and unigram probabilities over
+    * total tokens — the phrase detector a tokenizer-training pipeline
+    * runs before merging multiword units.
+    *
+    * Shuffle shape: unigram and bigram counts are both map-side-
+    * combined hash-aggs; attaching c1/c2 is two equi-joins on the
+    * token (vocabulary-sized after counting — at 100 TB the vocab
+    * table is MBs and AQE broadcasts it; if not, the join keys are
+    * Zipf-skewed and the [[COLL_MIN_C]] pre-filter cuts the long tail
+    * before the join). Top-50 via orderBy+limit compiles to
+    * TakeOrderedAndProject — bounded heaps, no global sort (the
+    * [[textZipf]] precedent). The ratio is assembled in ONE identical
+    * left-associated double expression in both engines (counts are
+    * exact integers; the only rounding is the final ln + rnd6,
+    * covered by the fleet-wide boundary nudge).
+    */
+  def textCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val ws = Tables.documents(spark, sfDir)
+      .select(split(lower($"text"), " ").as("ws"))
+    val uni = ws.select(explode($"ws").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum($"c").as("t"))
+    val bi = ws.filter(size($"ws") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS w1,
+          |              element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("p"))
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+    val bic = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .filter($"c12" >= COLL_MIN_C)
+    val btot = bi.groupBy().agg(count(lit(1)).as("b"))
+    val pmiArg =
+      ($"c12".cast("double") * $"t".cast("double") * $"t".cast("double")) /
+        ($"b".cast("double") * $"c1".cast("double") * $"c2".cast("double"))
+    bic
+      .join(uni.select($"tok".as("w1"), $"c".as("c1")), "w1")
+      .join(uni.select($"tok".as("w2"), $"c".as("c2")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select($"w1", $"w2", $"c12", rnd6(log(pmiArg)).as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2").limit(50)
+  }
+
+  val textCollocationsSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val pmiArg = "(CAST(c12 AS DOUBLE) * CAST(t AS DOUBLE)" +
+      " * CAST(t AS DOUBLE)) / (CAST(b AS DOUBLE) * CAST(u1.c AS DOUBLE)" +
+      " * CAST(u2.c AS DOUBLE))"
+    s"""WITH ws AS (
+       |  SELECT string_split(lower(text), ' ') AS ws FROM documents),
+       |uni AS (
+       |  SELECT tok, COUNT(*) AS c
+       |  FROM (SELECT unnest(ws) AS tok FROM ws) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+       |bi AS (
+       |  SELECT string_split(bigram, ' ')[1] AS w1,
+       |    string_split(bigram, ' ')[2] AS w2
+       |  FROM (
+       |    SELECT unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]))
+       |      AS bigram
+       |    FROM ws WHERE len(ws) >= 2)),
+       |bic AS (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $COLL_MIN_C),
+       |btot AS (SELECT COUNT(*) AS b FROM bi)
+       |SELECT bic.w1, bic.w2, bic.c12, ${sqlRnd6(s"ln($pmiArg)")} AS pmi
+       |FROM bic
+       |JOIN uni u1 ON bic.w1 = u1.tok
+       |JOIN uni u2 ON bic.w2 = u2.tok, tot, btot
+       |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+  }
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Exact, Tables}
+
+/** Time-series diagnostics over the daily order-revenue series — the
+  * statistical layer a forecasting/monitoring pipeline runs after
+  * aggregating raw facts to a regular time grid (the windowed smoother
+  * lives in [[WindowOps.tsEwma]]).
+  *
+  * Scale notes: both queries reduce the fact table to ONE row per day
+  * in a single partial-aggregated shuffle; everything after runs on
+  * the O(#days) series (bounded by calendar time, not data volume —
+  * the canonical "aggregate first, analyze the aggregate" shape that
+  * is immune to 100× fact growth). Neither uses a window function, so
+  * the fleet-wide unpartitioned-window guard stays trivially clean:
+  * the lag alignment is a self-equi-join on the shifted date, which
+  * Spark executes as a small shuffle (or broadcast) join rather than
+  * a single-partition sort.
+  */
+object TsOps {
+  import Exact._
+
+  /** Autocorrelation lags examined: one trading week. */
+  private val MAX_LAG = 7
+
+  /** Lag-k autocorrelation (k = 1..[[MAX_LAG]]) of daily revenue, as
+    * the Pearson correlation over the overlap pairs (x_t, x_{t−k}) —
+    * the estimator a seasonality detector feeds on. Exact-decimal
+    * moment sums make the reduction order-independent; the final
+    * correlation is one identical double expression tree in both
+    * engines, rnd6'd (the [[MlOps.mlLinreg]] discipline).
+    */
+  def tsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(xsum($"o_totalprice").as("v"))
+    val lagged = daily
+      .select(explode(sequence(lit(1), lit(MAX_LAG))).as("k"), $"d", $"v")
+    val pairs = lagged.as("a")
+      .join(daily.as("b"), $"b.d" === date_sub($"a.d", $"a.k"))
+      .select($"a.k".as("k"), $"a.v".as("x"), $"b.v".as("y"))
+    val m = pairs.groupBy($"k")
+      .agg(count(lit(1)).as("n"),
+        xsum($"x").as("sx"), xsum($"y").as("sy"),
+        xsum($"x" * $"y").as("sxy"),
+        xsum($"x" * $"x").as("sxx"), xsum($"y" * $"y").as("syy"))
+    val nd = $"n".cast("double")
+    val num = nd * $"sxy" - $"sx" * $"sy"
+    val den = sqrt((nd * $"sxx" - $"sx" * $"sx") *
+      (nd * $"syy" - $"sy" * $"sy"))
+    m.select($"k", $"n", rnd6(num / den).as("acf"))
+      .orderBy($"k")
+  }
+
+  val tsAutocorrSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val nd = "CAST(n AS DOUBLE)"
+    val num = s"($nd * sxy - sx * sy)"
+    val den = s"sqrt(($nd * sxx - sx * sx) * ($nd * syy - sy * sy))"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    ${sqlXsum("o_totalprice")} AS v
+       |  FROM orders GROUP BY 1),
+       |pairs AS (
+       |  SELECT CAST(r.k AS INTEGER) AS k, a.v AS x, b.v AS y
+       |  FROM daily a
+       |  CROSS JOIN range(1, ${MAX_LAG + 1}) AS r(k)
+       |  JOIN daily b ON b.d = a.d - CAST(r.k AS INTEGER)),
+       |m AS (
+       |  SELECT k, COUNT(*) AS n,
+       |    ${sqlXsum("x")} AS sx, ${sqlXsum("y")} AS sy,
+       |    ${sqlXsum("x * y")} AS sxy,
+       |    ${sqlXsum("x * x")} AS sxx, ${sqlXsum("y * y")} AS syy
+       |  FROM pairs GROUP BY 1)
+       |SELECT k, n, ${sqlRnd6(s"$num / $den")} AS acf
+       |FROM m ORDER BY k""".stripMargin
+  }
+
+  /** Day-of-week seasonal decomposition of daily revenue: per-ISO-dow
+    * mean and the multiplicative seasonal index (dow mean ÷ grand
+    * mean of the daily series) — 7 output rows whatever the corpus.
+    * The grand mean rides a broadcast 1-row aggregate (no second scan
+    * of the facts; both means re-reduce the SAME daily series with
+    * exact-decimal sums, so the ratio is engine-identical). Spark's
+    * `weekday` (0 = Monday) + 1 equals DuckDB's `isodow`.
+    */
+  def tsSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(xsum($"o_totalprice").as("v"))
+    val perDow = daily
+      .groupBy((weekday($"d") + 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"), xsum($"v").as("sv"))
+    val grand = daily
+      .agg(xsum($"v").as("gs"), count(lit(1)).as("gn"))
+    val dowAvg = $"sv" / $"n_days".cast("double")
+    val grandAvg = $"gs" / $"gn".cast("double")
+    perDow.crossJoin(broadcast(grand))
+      .select($"dow", $"n_days",
+        rnd6(dowAvg).as("avg_rev"),
+        rnd6(dowAvg / grandAvg).as("seasonal_idx"))
+      .orderBy($"dow")
+  }
+
+  val tsSeasonalSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val dowAvg = "(sv / CAST(n_days AS DOUBLE))"
+    val grandAvg = "(gs / CAST(gn AS DOUBLE))"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    ${sqlXsum("o_totalprice")} AS v
+       |  FROM orders GROUP BY 1),
+       |per_dow AS (
+       |  SELECT CAST(isodow(d) AS INTEGER) AS dow,
+       |    COUNT(*) AS n_days, ${sqlXsum("v")} AS sv
+       |  FROM daily GROUP BY 1),
+       |grand AS (
+       |  SELECT ${sqlXsum("v")} AS gs, COUNT(*) AS gn FROM daily)
+       |SELECT dow, n_days,
+       |  ${sqlRnd6(dowAvg)} AS avg_rev,
+       |  ${sqlRnd6(s"$dowAvg / $grandAvg")} AS seasonal_idx
+       |FROM per_dow, grand ORDER BY dow""".stripMargin
+  }
+}
