@@ -66,10 +66,14 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** On-disk schema: `ts` is parquet timestamp[ns], which Spark's
-    * vectorized reader will not coerce to (µs) TimestampType directly —
-    * we read it as a raw nanosecond long (legacy nanosAsLong) and
-    * truncate to µs in [[events]], matching DuckDB's ns→µs read. */
+  /** On-disk schema for the NANOSECOND generation of the fixture:
+    * parquet timestamp[ns], which Spark's vectorized reader will not
+    * coerce to (µs) TimestampType directly — we read it as a raw
+    * nanosecond long (legacy nanosAsLong) and truncate to µs in
+    * [[events]], matching DuckDB's ns→µs read. Later driver
+    * generations write timestamp[µs], which reads as TimestampType
+    * directly — [[eventsTsIsNanos]] sniffs the footer to pick the
+    * right path. */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -130,12 +134,30 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
-  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-  }
+  /** Whether this sfDir's events.parquet stores `ts` as timestamp[ns]
+    * (early fixture generations) rather than timestamp[µs] (current).
+    * Sniffed from the parquet footer ONCE per (application, sfDir):
+    * under nanosAsLong=true a ns column infers as LongType, a µs
+    * column as TimestampType. Wiring the unit to the FILE rather than
+    * the build means a driver-side fixture regeneration can never
+    * silently shift every event timestamp by 1000×. */
+  private val tsUnitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  def eventsTsIsNanos(s: SparkSession, d: String): Boolean =
+    tsUnitCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$d", {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$d/events.parquet").schema("ts").dataType ==
+          LongType
+      })
+
+  private def eventsRaw(s: SparkSession, d: String): DataFrame =
+    if (eventsTsIsNanos(s, d))
+      s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    else
+      s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -1374,4 +1374,189 @@ object MlOps {
        |JOIN $last v ON v.i = CAST(r.i AS INTEGER)
        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
   }
+
+  /** Cross-validation constants: fold count and the ridge λ grid.
+    * λ is on the scale of Var(x) (quantity variance ≈ 208 for the
+    * fixture's 1..50 uniform), so the grid spans "no shrinkage" to
+    * "slope crushed toward 0" at ANY scale factor — the mean-scaled
+    * loss (see [[mlRidgeCv]]) makes λ's effect independent of n. */
+  private val CV_FOLDS = 5
+  private val RIDGE_GRID: Seq[Double] = Seq(0.0, 50.0, 200.0, 1000.0)
+
+  /** Decimal-preserving sum: like [[Exact.xsum]] but WITHOUT the final
+    * cast back to double, so downstream decimal arithmetic (the
+    * leave-one-fold-out subtraction) stays exact. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+
+  /** Ridge regression with a λ-grid × k-fold cross-validation sweep in
+    * ONE plan — hyperparameter tuning as a query. y = extended price,
+    * x = quantity; folds are the deterministic `l_orderkey % K`; the
+    * loss is mean-scaled (Σ(y−ax−b)²/n + λa², intercept unpenalized),
+    * giving the closed form a = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²+λn²).
+    *
+    * The entire sweep reduces the corpus to K moment rows in a single
+    * partial-aggregated shuffle: train-fold moments are total − fold
+    * (exact DECIMAL subtraction — [[dsum]] keeps the fold moments
+    * decimal so leave-one-out is byte-exact), the held-out RMSE is
+    * assembled from the SAME row's test moments via
+    * SSE = Σy² − 2aΣxy − 2bΣy + a²Σx² + 2abΣx + nb², and the λ×K
+    * model grid is a broadcast fan-out over those K rows. At 100 TB
+    * this is still one scan + one exchange — model selection costs no
+    * more than one fit ([[mlLinreg]] discipline, CV for free).
+    *
+    * Determinism: a and b are rnd6'd before entering the SSE tree, the
+    * per-fold RMSE is rnd6'd before the cross-fold mean (6-dp doubles
+    * sum exactly under [[Exact.xsum]]), and the winner is the
+    * lexicographic (mean_rmse, λ) minimum — no float-boundary argmin. */
+  def mlRidgeCv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy(($"l_orderkey" % CV_FOLDS).cast("int").as("fold"))
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sx"),
+        dsum($"l_extendedprice").as("sy"),
+        dsum($"l_quantity" * $"l_extendedprice").as("sxy"),
+        dsum($"l_quantity" * $"l_quantity").as("sxx"),
+        dsum($"l_extendedprice" * $"l_extendedprice").as("syy"))
+    val tot = m.agg(sum($"n").as("tn"), sum($"sx").as("tsx"),
+      sum($"sy").as("tsy"), sum($"sxy").as("tsxy"),
+      sum($"sxx").as("tsxx"), sum($"syy").as("tsyy"))
+    val grid = m.crossJoin(broadcast(tot))
+      .select($"fold", $"n", $"sx", $"sy", $"sxy", $"sxx", $"syy",
+        ($"tn" - $"n").cast("double").as("nt"),
+        ($"tsx" - $"sx").cast("double").as("sxt"),
+        ($"tsy" - $"sy").cast("double").as("syt"),
+        ($"tsxy" - $"sxy").cast("double").as("sxyt"),
+        ($"tsxx" - $"sxx").cast("double").as("sxxt"))
+      .select(col("*"),
+        explode(array(RIDGE_GRID.map(lit(_)): _*)).as("lambda"))
+    val aCol = rnd6(($"nt" * $"sxyt" - $"sxt" * $"syt") /
+      ($"nt" * $"sxxt" - $"sxt" * $"sxt" + $"lambda" * $"nt" * $"nt"))
+    val withA = grid.withColumn("a", aCol)
+      .withColumn("b", rnd6(($"syt" - $"a" * $"sxt") / $"nt"))
+    val nd = $"n".cast("double")
+    val sse = $"syy".cast("double") - lit(2.0) * $"a" * $"sxy".cast("double") -
+      lit(2.0) * $"b" * $"sy".cast("double") +
+      $"a" * $"a" * $"sxx".cast("double") +
+      lit(2.0) * $"a" * $"b" * $"sx".cast("double") + nd * $"b" * $"b"
+    val perFold = withA.withColumn("rmse", rnd6(sqrt(sse / nd)))
+    val perLambda = perFold.groupBy($"lambda")
+      .agg(rnd6(xsum($"rmse") / CV_FOLDS).as("mean_rmse"))
+    val best = perLambda
+      .agg(min(struct($"mean_rmse", $"lambda")).as("bst"))
+      .select($"bst.lambda".as("bl"))
+    perLambda.crossJoin(broadcast(best))
+      .select($"lambda", $"mean_rmse",
+        ($"lambda" === $"bl").cast("int").as("is_best"))
+      .orderBy($"lambda")
+  }
+
+  val mlRidgeCvSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def dsumSql(e: String) = s"SUM(CAST(($e) AS DECIMAL(38,6)))"
+    val a = sqlRnd6("(nt * sxyt - sxt * syt)" +
+      " / (nt * sxxt - sxt * sxt + lambda * nt * nt)")
+    val sse = "CAST(syy AS DOUBLE) - 2.0 * a * CAST(sxy AS DOUBLE)" +
+      " - 2.0 * b * CAST(sy AS DOUBLE) + a * a * CAST(sxx AS DOUBLE)" +
+      " + 2.0 * a * b * CAST(sx AS DOUBLE)" +
+      " + CAST(n AS DOUBLE) * b * b"
+    s"""WITH m AS (
+       |  SELECT CAST(l_orderkey % $CV_FOLDS AS INTEGER) AS fold,
+       |    COUNT(*) AS n,
+       |    ${dsumSql("l_quantity")} AS sx,
+       |    ${dsumSql("l_extendedprice")} AS sy,
+       |    ${dsumSql("l_quantity * l_extendedprice")} AS sxy,
+       |    ${dsumSql("l_quantity * l_quantity")} AS sxx,
+       |    ${dsumSql("l_extendedprice * l_extendedprice")} AS syy
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (
+       |  SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+       |    SUM(sxy) AS tsxy, SUM(sxx) AS tsxx, SUM(syy) AS tsyy
+       |  FROM m),
+       |g AS (
+       |  SELECT m.fold, m.n, m.sx, m.sy, m.sxy, m.sxx, m.syy,
+       |    CAST(tn - n AS DOUBLE) AS nt,
+       |    CAST(tsx - sx AS DOUBLE) AS sxt,
+       |    CAST(tsy - sy AS DOUBLE) AS syt,
+       |    CAST(tsxy - sxy AS DOUBLE) AS sxyt,
+       |    CAST(tsxx - sxx AS DOUBLE) AS sxxt,
+       |    l.lambda
+       |  FROM m, tot,
+       |    (VALUES ${RIDGE_GRID.map(v => s"(CAST($v AS DOUBLE))")
+        .mkString(", ")}) AS l(lambda)),
+       |ab0 AS (SELECT *, $a AS a FROM g),
+       |ab AS (SELECT *, ${sqlRnd6("(syt - a * sxt) / nt")} AS b FROM ab0),
+       |perfold AS (
+       |  SELECT lambda, fold,
+       |    ${sqlRnd6(s"sqrt(($sse) / CAST(n AS DOUBLE))")} AS rmse
+       |  FROM ab),
+       |perlambda AS (
+       |  SELECT lambda,
+       |    ${sqlRnd6(s"${Exact.sqlXsum("rmse")} / $CV_FOLDS")} AS mean_rmse
+       |  FROM perfold GROUP BY 1),
+       |best AS (
+       |  SELECT lambda AS bl FROM perlambda
+       |  ORDER BY mean_rmse, lambda LIMIT 1)
+       |SELECT lambda, mean_rmse,
+       |  CAST(lambda = bl AS INTEGER) AS is_best
+       |FROM perlambda, best ORDER BY lambda""".stripMargin
+  }
+
+  /** Frozen serving-side model for [[mlCalibration]]: a deployed
+    * logistic model is a CONSTANT at scoring time, so calibration
+    * measurement hard-codes its coefficients (the IRLS fit that would
+    * produce them lives in [[mlLogreg]]). */
+  private val CAL_B0 = -2.0
+  private val CAL_B1 = 1.5
+
+  /** Calibration / reliability diagram for a frozen classifier on
+    * fresh data — the monitoring query behind "is the model's 0.7
+    * really a 70 %?": score every order map-side with the frozen
+    * sigmoid (same clamp + rnd6 discipline as [[mlLogreg]]), bucket
+    * into probability deciles, and emit per-bin count, mean predicted
+    * probability, observed positive rate, and Brier contribution.
+    * ONE partial-aggregated shuffle of ≤ 11 bins; nothing about the
+    * shape changes at 100 TB.
+    *
+    * Determinism: p is rnd6'd per row (libm exp dies at the 6th
+    * decimal), the decile id is floor(p·10) on identical IEEE doubles,
+    * and every per-bin statistic is an exact decimal sum divided by
+    * the bin count ([[Exact.xsum]]). */
+  def mlCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val z = greatest(least(lit(CAL_B0) +
+      lit(CAL_B1) * ($"o_totalprice" / lit(LR_XS)), lit(30.0)), lit(-30.0))
+    Tables.orders(spark, sfDir)
+      .select(($"o_orderstatus" === "F").cast("double").as("y"),
+        rnd6(lit(1.0) / (lit(1.0) + exp(-z))).as("p"))
+      .withColumn("bin", floor($"p" * 10).cast("int"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        rnd6(xsum($"p") / count(lit(1))).as("avg_p"),
+        rnd6(xsum($"y") / count(lit(1))).as("obs_rate"),
+        rnd6(xsum(($"p" - $"y") * ($"p" - $"y")) / count(lit(1)))
+          .as("brier"))
+      .orderBy($"bin")
+  }
+
+  val mlCalibrationSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val p = sqlRnd6("1.0 / (1.0 + exp(-(greatest(least(" +
+      s"$CAL_B0 + $CAL_B1 * (o_totalprice / CAST($LR_XS AS DOUBLE)), " +
+      "CAST(30.0 AS DOUBLE)), CAST(-30.0 AS DOUBLE)))))")
+    s"""WITH scored AS (
+       |  SELECT CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |    $p AS p
+       |  FROM orders)
+       |SELECT CAST(floor(p * 10) AS INTEGER) AS bin, COUNT(*) AS n,
+       |  ${sqlRnd6(s"${Exact.sqlXsum("p")} / COUNT(*)")} AS avg_p,
+       |  ${sqlRnd6(s"${Exact.sqlXsum("y")} / COUNT(*)")} AS obs_rate,
+       |  ${sqlRnd6(s"${Exact.sqlXsum("(p - y) * (p - y)")} / COUNT(*)")}
+       |    AS brier
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -101,4 +101,102 @@ object SampleOps {
        |FROM lineitem
        |WHERE $scatterSql < l_quantity * 15
        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+
+  /** Bootstrap replica count. 32 replicas give a usable SE estimate
+    * while the exploded shuffle stays B rows per map partition. */
+  private val BOOT_B = 32
+
+  /** Poisson(1) CDF × 10⁶ as integer thresholds: a uniform integer
+    * draw u ∈ [0, 10⁶) maps to the replica weight by comparing
+    * against these cut points — pure int comparisons, identical in
+    * any engine (no float CDF inversion). */
+  private val BOOT_CDF = Seq(367879, 735759, 919699, 981012, 996340, 999406)
+
+  /** Poisson bootstrap of the mean of `events.value` — uncertainty
+    * quantification for a 100 TB aggregate in ONE pass. The classic
+    * resample-n-rows bootstrap needs n draws per replica from a
+    * global index (impossible distributed); the Poisson bootstrap
+    * replaces each replica's multinomial with independent per-row
+    * Poisson(1) weights, so every replica is a weighted aggregate
+    * computed in the SAME scan: explode each row into (replica b,
+    * weight w_b) pairs, partial-aggregate map-side, shuffle B groups.
+    *
+    * Determinism: the per-(row, replica) weight derives from the
+    * [[scatterExpr]] Knuth scatter of (event_id, b) mapped through
+    * integer CDF thresholds ([[BOOT_CDF]]) — retry/repartition-stable
+    * and engine-reproducible, unlike any seeded RNG. Replica means
+    * are exact-decimal sums; the normal-approximation CI assembles
+    * from the B rnd6'd means via exact moments (same discipline as
+    * [[MlOps.mlLinreg]]).
+    *
+    * Output: one row per replica (b, n_eff, boot_mean) plus the
+    * broadcast 1-row summary columns (est, se, lo, hi) — the whole
+    * diagnostic a metrics pipeline materializes. */
+  def sampleBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact.xsum
+    import graft.functions.Udfs.rnd6
+    val wCase = BOOT_CDF.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${BOOT_CDF.size} END")
+    val exploded = Tables.events(spark, sfDir)
+      .select($"event_id", $"value",
+        explode(sequence(lit(1), lit(BOOT_B))).as("b"))
+      .withColumn("u",
+        expr("pmod(event_id * 2654435761 + b * 40503, 1000000)"))
+      .withColumn("w", expr(wCase))
+    val perReplica = exploded.groupBy($"b")
+      .agg(sum($"w").as("n_eff"),
+        xsum($"w" * $"value").as("wsum"))
+      .select($"b", $"n_eff",
+        rnd6($"wsum" / $"n_eff".cast("double")).as("boot_mean"))
+    val est = Tables.events(spark, sfDir)
+      .agg(rnd6(xsum($"value") / count(lit(1))).as("est"))
+    val bd = lit(BOOT_B.toDouble)
+    val seCol = sqrt((bd * $"smm" - $"sm" * $"sm") /
+      (bd * (bd - 1.0)))
+    val summary = perReplica
+      .agg(xsum($"boot_mean").as("sm"),
+        xsum($"boot_mean" * $"boot_mean").as("smm"))
+      .crossJoin(broadcast(est))
+      .select($"est", rnd6(seCol).as("se"),
+        rnd6($"est" - lit(1.96) * rnd6(seCol)).as("lo"),
+        rnd6($"est" + lit(1.96) * rnd6(seCol)).as("hi"))
+    perReplica.crossJoin(broadcast(summary))
+      .select($"b", $"n_eff", $"boot_mean", $"est", $"se", $"lo", $"hi")
+      .orderBy($"b")
+  }
+
+  val sampleBootstrapSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    import graft.engine.Exact.sqlXsum
+    val wCase = BOOT_CDF.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${BOOT_CDF.size} END")
+    val se = s"sqrt(($BOOT_B.0 * smm - sm * sm)" +
+      s" / ($BOOT_B.0 * ($BOOT_B.0 - 1.0)))"
+    s"""WITH exploded AS (
+       |  SELECT event_id, value, CAST(r.b AS INTEGER) AS b,
+       |    ((event_id * 2654435761 + CAST(r.b AS INTEGER) * 40503)
+       |      % 1000000 + 1000000) % 1000000 AS u
+       |  FROM events CROSS JOIN range(1, ${BOOT_B + 1}) AS r(b)),
+       |weighted AS (SELECT b, value, $wCase AS w FROM exploded),
+       |per_replica AS (
+       |  SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+       |    ${sqlRnd6(s"${sqlXsum("w * value")} / CAST(SUM(w) AS DOUBLE)")}
+       |      AS boot_mean
+       |  FROM weighted GROUP BY 1),
+       |est AS (
+       |  SELECT ${sqlRnd6(s"${sqlXsum("value")} / COUNT(*)")} AS est
+       |  FROM events),
+       |summary AS (
+       |  SELECT est, ${sqlRnd6(se)} AS se,
+       |    ${sqlRnd6(s"est - 1.96 * ${sqlRnd6(se)}")} AS lo,
+       |    ${sqlRnd6(s"est + 1.96 * ${sqlRnd6(se)}")} AS hi
+       |  FROM (SELECT ${sqlXsum("boot_mean")} AS sm,
+       |      ${sqlXsum("boot_mean * boot_mean")} AS smm
+       |    FROM per_replica), est)
+       |SELECT b, n_eff, boot_mean, est, se, lo, hi
+       |FROM per_replica, summary ORDER BY b""".stripMargin
+  }
 }

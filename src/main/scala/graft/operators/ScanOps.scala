@@ -143,9 +143,23 @@ object ScanOps {
       if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
       else f.lastModified()
     val src = new java.io.File(s"$sfDir/events.parquet")
-    if (!marker.exists() || newestUnder(src) > marker.lastModified())
+    // Layout fingerprint (the bucketed-join _SPEC discipline): the
+    // derived data is only valid for the READ SEMANTICS it was built
+    // under. The fixture's ts unit has flipped across driver
+    // generations (ns → µs); an mtime check alone cannot catch a
+    // regenerated source with a preserved timestamp, and caught-but-
+    // rebuilt-by-buggy-reader layouts poison every downstream read.
+    val spec = new java.io.File(path, "_GRAFT_SPEC")
+    val want =
+      s"v2|tsIsNanos=${Tables.eventsTsIsNanos(spark, sfDir)}"
+    val specOk = spec.exists() &&
+      java.nio.file.Files.readString(spec.toPath) == want
+    if (!marker.exists() || !specOk ||
+        newestUnder(src) > marker.lastModified()) {
       Tables.events(spark, sfDir)
         .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      java.nio.file.Files.writeString(spec.toPath, want)
+    }
     spark.read.parquet(path)
   }
 

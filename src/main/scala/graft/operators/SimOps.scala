@@ -513,4 +513,42 @@ object SimOps {
        |  FROM cand)
        |WHERE rk <= $TOP_K ORDER BY query_id, rk""".stripMargin
   }
+
+  /** Recall@k of the IVF index against the brute-force ground truth —
+    * the ANN quality gate: an approximate index is only shippable with
+    * a measured recall number next to it. Both sides are the EXISTING
+    * registered queries ([[simsearchTopk]], [[simsearchIvf]]), so this
+    * is a differential evaluation: left-join truth against candidates,
+    * count hits per query. At 100 TB the truth side runs on a sampled
+    * query set (here: the fixed N_QUERIES probes — exactly how
+    * production recall dashboards work) while the index side is the
+    * pruned search, so the eval costs one brute-force pass over the
+    * sample, not the corpus. Hits are exact integers; the only derived
+    * column is hits/k, rnd6'd. */
+  def simsearchRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val exact = simsearchTopk(spark, sfDir).select($"query_id", $"vec_id")
+    val approx = simsearchIvf(spark, sfDir)
+      .select($"query_id".as("a_qid"), $"vec_id".as("a_vid"))
+    exact.join(broadcast(approx),
+        $"query_id" === $"a_qid" && $"vec_id" === $"a_vid", "left")
+      .groupBy($"query_id")
+      .agg(count($"a_vid").as("hits"))
+      .select($"query_id", $"hits",
+        rnd6($"hits".cast("double") / TOP_K).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  val simsearchRecallSql: String =
+    s"""WITH exact_s AS (
+       |  SELECT query_id, vec_id FROM ($simsearchTopkSql) t),
+       |approx_s AS (
+       |  SELECT query_id, vec_id FROM ($simsearchIvfSql) t)
+       |SELECT e.query_id, COUNT(a.vec_id) AS hits,
+       |  ${Udfs.sqlRnd6(s"CAST(COUNT(a.vec_id) AS DOUBLE) / $TOP_K")}
+       |    AS recall
+       |FROM exact_s e LEFT JOIN approx_s a
+       |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 }

@@ -127,4 +127,96 @@ object TsOps {
        |  ${sqlRnd6(s"$dowAvg / $grandAvg")} AS seasonal_idx
        |FROM per_dow, grand ORDER BY dow""".stripMargin
   }
+
+  /** CUSUM parameters, in σ units: K = allowance (half the shift you
+    * want to detect), H = alarm threshold — the textbook (0.5, 4). */
+  private val CUSUM_K = 0.5
+  private val CUSUM_H = 4.0
+
+  /** Two-sided CUSUM changepoint detector over the standardized daily
+    * revenue series — the sequential drift alarm a monitoring pipeline
+    * keeps on every business metric. The textbook recursion
+    * S⁺_t = max(0, S⁺_{t−1} + z_t − K) is inherently sequential, so it
+    * is rewritten by the prefix identity S⁺_t = W_t − min(0, min_{j≤t}
+    * W_j) with W_t = Σ_{i≤t}(z_i − K): both the running sum and its
+    * prefix minimum come from triangular self-equi-joins on the
+    * O(#days) series — NO window function, NO single-partition sort,
+    * no driver recursion. The join is #days² pairs, bounded by
+    * CALENDAR time — corpus growth leaves it untouched (the
+    * [[tsAutocorr]] discipline squared).
+    *
+    * Determinism: z is rnd6'd per day (sqrt is the only libm call,
+    * correctly rounded IEEE), the prefix sums are exact decimal folds
+    * of 6-dp terms, the prefix min compares those exact values, and
+    * the alarm threshold compares a rnd6'd statistic with a constant. */
+  def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(xsum($"o_totalprice").as("v"))
+    val stats = daily.agg(count(lit(1)).as("n"),
+      xsum($"v").as("sv"), xsum($"v" * $"v").as("svv"))
+    val nd = $"n".cast("double")
+    val mean = $"sv" / nd
+    val std = sqrt((nd * $"svv" - $"sv" * $"sv") / (nd * nd))
+    val zt = daily.crossJoin(broadcast(stats))
+      .select($"d", rnd6(($"v" - mean) / std).as("z"))
+    val w = zt.as("a")
+      .join(zt.as("b"), $"b.d" <= $"a.d")
+      .groupBy($"a.d".as("d"), $"a.z".as("z"))
+      .agg(xsum($"b.z" - CUSUM_K).as("wp"),
+        xsum(-$"b.z" - CUSUM_K).as("wn"))
+    val cum = w.as("a")
+      .join(w.as("b"), $"b.d" <= $"a.d")
+      .groupBy($"a.d".as("d"), $"a.z".as("z"),
+        $"a.wp".as("wp"), $"a.wn".as("wn"))
+      .agg(min($"b.wp").as("minp"), min($"b.wn").as("minn"))
+    cum.select($"d", $"z",
+      rnd6($"wp" - least(lit(0.0), $"minp")).as("cusum_pos"),
+      rnd6($"wn" - least(lit(0.0), $"minn")).as("cusum_neg"))
+      .withColumn("alarm",
+        ($"cusum_pos" > CUSUM_H || $"cusum_neg" > CUSUM_H).cast("int"))
+      .orderBy($"d")
+  }
+
+  val tsCusumSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val mean = "sv / CAST(n AS DOUBLE)"
+    val std = "sqrt((CAST(n AS DOUBLE) * svv - sv * sv)" +
+      " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    ${sqlXsum("o_totalprice")} AS v
+       |  FROM orders GROUP BY 1),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, ${sqlXsum("v")} AS sv,
+       |    ${sqlXsum("v * v")} AS svv
+       |  FROM daily),
+       |zt AS (
+       |  SELECT d, ${sqlRnd6(s"(v - $mean) / $std")} AS z
+       |  FROM daily, stats),
+       |w AS (
+       |  SELECT a.d AS d, a.z AS z,
+       |    ${sqlXsum(s"b.z - $CUSUM_K")} AS wp,
+       |    ${sqlXsum(s"-b.z - $CUSUM_K")} AS wn
+       |  FROM zt a JOIN zt b ON b.d <= a.d
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT a.d AS d, a.z AS z, a.wp AS wp, a.wn AS wn,
+       |    MIN(b.wp) AS minp, MIN(b.wn) AS minn
+       |  FROM w a JOIN w b ON b.d <= a.d
+       |  GROUP BY 1, 2, 3, 4),
+       |out AS (
+       |  SELECT d, z,
+       |    ${sqlRnd6("wp - least(CAST(0.0 AS DOUBLE), minp)")}
+       |      AS cusum_pos,
+       |    ${sqlRnd6("wn - least(CAST(0.0 AS DOUBLE), minn)")}
+       |      AS cusum_neg
+       |  FROM cum)
+       |SELECT d, z, cusum_pos, cusum_neg,
+       |  CAST(cusum_pos > $CUSUM_H OR cusum_neg > $CUSUM_H AS INTEGER)
+       |    AS alarm
+       |FROM out ORDER BY d""".stripMargin
+  }
 }

@@ -681,18 +681,22 @@ object StreamOps {
     val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsNanos = Tables.eventsTsIsNanos(spark, sfDir)
     try {
       // file-stream paths must be directories: list the sfDir and
-      // glob-filter to the events table's file(s). The fixture stores
-      // ts as a raw nanosecond INT64 — same read discipline as
-      // Tables.eventsRaw.
-      val q = spark.readStream
-        .schema(Tables.eventsRawSchema)
+      // glob-filter to the events table's file(s). The ts unit follows
+      // the file's parquet footer — same read discipline as
+      // Tables.eventsRaw (ns fixture generations need the raw-long
+      // read + µs truncation; µs generations read directly).
+      val raw = spark.readStream
+        .schema(if (tsIsNanos) Tables.eventsRawSchema
+        else Tables.eventsSchema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q = (if (tsIsNanos)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw)
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
         .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")

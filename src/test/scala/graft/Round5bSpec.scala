@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.operators.{MlOps, SimOps, TsOps}
+
+/** Round-5 continuation: model-selection / evaluation operators
+  * (ridge CV, calibration, CUSUM, ANN recall) and the fixture
+  * timestamp-unit guard. */
+class Round5bSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  test("events ts reads in the fixture's calendar range (unit guard)") {
+    import spark.implicits._
+    // The driver has regenerated the fixture with a different parquet
+    // timestamp unit before (ns → µs). A unit misread shifts every
+    // event timestamp ~1000× (to 1970 or 55969) — pin the calendar.
+    val yrs = graft.engine.Tables.events(spark, sf)
+      .select(year($"ts").as("y")).agg(min($"y"), max($"y"))
+      .collect()(0)
+    assert(yrs.getInt(0) == 2024 && yrs.getInt(1) == 2024,
+      s"events.ts outside the fixture calendar: $yrs — timestamp unit misread?")
+  }
+
+  test("q_ml_ridge_cv: exactly one winner; λ grid actually moves the model") {
+    import spark.implicits._
+    val rows = MlOps.mlRidgeCv(spark, sf).collect()
+    assert(rows.length == 4, s"expected 4 grid rows, got ${rows.length}")
+    assert(rows.map(_.getInt(2)).sum == 1, "expected exactly one is_best=1")
+    val byLambda = rows.map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // each λ must yield a DISTINCT held-out RMSE (the grid is live —
+    // the fixture's price~quantity relation is weak enough that the
+    // direction of the shrinkage effect is data-dependent, so only
+    // distinctness is asserted, not ordering)
+    assert(byLambda.values.toSet.size == 4,
+      s"grid λs collapsed to identical RMSE: $byLambda")
+    assert(rows.forall(_.getDouble(1) > 0), "non-positive RMSE")
+    // the winner carries the minimum mean RMSE
+    val best = rows.find(_.getInt(2) == 1).get.getDouble(1)
+    assert(best == byLambda.values.min, "is_best row is not the minimum")
+  }
+
+  test("q_ml_calibration: bins partition all orders; probabilities in range") {
+    import spark.implicits._
+    val rows = MlOps.mlCalibration(spark, sf).collect()
+    val nOrders = graft.engine.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders,
+      "calibration bins do not partition the order population")
+    rows.foreach { r =>
+      val (bin, avgP, obs) = (r.getInt(0), r.getDouble(2), r.getDouble(3))
+      assert(bin >= 0 && bin <= 10, s"bin $bin out of range")
+      assert(avgP >= 0.0 && avgP <= 1.0, s"avg_p $avgP out of [0,1]")
+      assert(obs >= 0.0 && obs <= 1.0, s"obs_rate $obs out of [0,1]")
+      // decile consistency: the bin's mean prediction lies in its decile
+      assert(avgP * 10 >= bin - 1e-6 && avgP * 10 <= bin + 1 + 1e-6,
+        s"avg_p $avgP outside decile $bin")
+    }
+  }
+
+  test("q_ts_cusum: statistics nonnegative, alarm consistent, no window") {
+    import spark.implicits._
+    val df = TsOps.tsCusum(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pos, neg, alarm) = (r.getDouble(2), r.getDouble(3), r.getInt(4))
+      assert(pos >= 0.0 && neg >= 0.0, s"CUSUM statistic negative: $r")
+      assert(alarm == (if (pos > 4.0 || neg > 4.0) 1 else 0),
+        s"alarm inconsistent with threshold: $r")
+    }
+    // the prefix-identity rewrite must not reintroduce a window sort
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Window"),
+      "tsCusum should have no WindowExec (prefix-identity rewrite)")
+  }
+
+  test("q_sample_bootstrap: CI brackets the estimate; replicas resample ~n rows") {
+    import spark.implicits._
+    val rows = graft.operators.SampleOps.sampleBootstrap(spark, sf).collect()
+    assert(rows.length == 32, s"expected 32 replicas, got ${rows.length}")
+    val n = graft.engine.Tables.events(spark, sf).count()
+    val (est, se, lo, hi) = (rows(0).getDouble(3), rows(0).getDouble(4),
+      rows(0).getDouble(5), rows(0).getDouble(6))
+    assert(se > 0, "bootstrap SE must be positive")
+    assert(lo < est && est < hi, s"CI [$lo,$hi] must bracket est=$est")
+    rows.foreach { r =>
+      // Poisson(1) weights: each replica's effective n is ~Binomial-ish
+      // around n — a gross deviation means the CDF thresholds are wrong
+      val nEff = r.getLong(1).toDouble
+      assert(nEff > 0.7 * n && nEff < 1.3 * n,
+        s"replica n_eff=$nEff far from n=$n — weight CDF broken?")
+      val m = r.getDouble(2)
+      assert(m > lo - 20 * se && m < hi + 20 * se,
+        s"replica mean $m absurdly far from the estimate")
+    }
+  }
+
+  test("q_simsearch_recall: one row per query, recall = hits/k in [0,1]") {
+    import spark.implicits._
+    val rows = SimOps.simsearchRecall(spark, sf).collect()
+    assert(rows.length == 8, s"expected 8 query rows, got ${rows.length}")
+    rows.foreach { r =>
+      val (hits, recall) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0 && hits <= 5, s"hits $hits out of [0,5]")
+      assert(math.abs(recall - hits / 5.0) < 1e-9, s"recall != hits/k: $r")
+    }
+    // the IVF probe is a real prune: mean recall must still be useful
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean >= 0.2, s"IVF recall collapsed: $mean")
+  }
+}
