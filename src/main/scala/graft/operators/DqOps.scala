@@ -177,4 +177,76 @@ object DqOps {
       |  COUNT(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END)
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |ORDER BY rule""".stripMargin
+
+  /** Benford's-law leading-digit audit of order totals — the classic
+    * fabricated-or-truncated-data smell test (natural multi-scale
+    * amounts follow P(d) = log10(1 + 1/d); synthetic or clipped data
+    * doesn't, and a large χ² flags the batch for review). One map-side
+    * digit extraction + a ≤9-group shuffle at any corpus size.
+    *
+    * Determinism: NO log10-of-value digit extraction (log10 is not
+    * correctly-rounded in every libm, and a value like exactly 1000.0
+    * can land on either side of the boundary per engine) — the digit
+    * is the first character of the integer CENTS string, where cents =
+    * floor(v·100 + 0.5) is the same IEEE double op in both engines.
+    * Expected probabilities use rnd6'd ln ratios; χ² terms are rnd6'd
+    * before the exact-decimal sum. A 1..9 digit spine left-join keeps
+    * absent digits as explicit zero rows. */
+  def dqBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact.xsum
+    import graft.functions.Udfs.rnd6
+    val obs = Tables.orders(spark, sfDir)
+      .select(substring(
+        expr("cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) as string)"),
+        1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val n1 = obs.agg(sum($"n_obs").as("n"))
+    val spine = spark.range(1, 10).select($"id".cast("int").as("digit"))
+    val full = spine.join(obs, Seq("digit"), "left")
+      .select($"digit", coalesce($"n_obs", lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(n1))
+      .withColumn("p_exp",
+        rnd6(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0))))
+      .withColumn("p_obs",
+        rnd6($"n_obs".cast("double") / $"n".cast("double")))
+      .withColumn("chi2_term", rnd6(
+        ($"n_obs" - $"n" * $"p_exp") * ($"n_obs" - $"n" * $"p_exp") /
+          ($"n" * $"p_exp")))
+    val chi2 = full.agg(rnd6(xsum($"chi2_term")).as("chi2"))
+    full.crossJoin(broadcast(chi2))
+      .select($"digit", $"n_obs", $"p_obs", $"p_exp", $"chi2")
+      .orderBy($"digit")
+  }
+
+  val dqBenfordSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    // CAST to DOUBLE before dividing: a bare 1.0/digit is DECIMAL ÷
+    // INTEGER in DuckDB (decimal result), not the IEEE division Spark
+    // runs — the [[graft.functions.Udfs]] double-literal discipline.
+    val pExp = sqlRnd6("ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)" +
+      " / digit) / ln(CAST(10.0 AS DOUBLE))")
+    s"""WITH obs AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    COUNT(*) AS n_obs
+       |  FROM orders GROUP BY 1),
+       |n1 AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+       |full_t AS (
+       |  SELECT CAST(s.digit AS INTEGER) AS digit,
+       |    COALESCE(o.n_obs, 0) AS n_obs, n
+       |  FROM range(1, 10) AS s(digit)
+       |  LEFT JOIN obs o ON o.digit = CAST(s.digit AS INTEGER), n1),
+       |terms AS (
+       |  SELECT digit, n_obs, n, $pExp AS p_exp,
+       |    ${sqlRnd6("CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)")}
+       |      AS p_obs,
+       |    ${sqlRnd6("(n_obs - n * p_exp) * (n_obs - n * p_exp)" +
+      " / (n * p_exp)")} AS chi2_term
+       |  FROM full_t),
+       |chi AS (SELECT ${sqlRnd6(Exact.sqlXsum("chi2_term"))} AS chi2
+       |  FROM terms)
+       |SELECT digit, n_obs, p_obs, p_exp, chi2
+       |FROM terms, chi ORDER BY digit""".stripMargin
+  }
 }

@@ -1559,4 +1559,65 @@ object MlOps {
        |    AS brier
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Mutual information I(X; Y) between quantity and return flag — the
+    * model-free feature-relevance score a feature-selection pass ranks
+    * columns by (what "does this column predict the label at all?"
+    * means before any model is fit). The corpus collapses to the
+    * |X|×|Y| contingency table in ONE partial-aggregated shuffle
+    * (bounded by the value domains, not the data); marginals re-derive
+    * from that table and everything downstream is arithmetic on
+    * broadcast-sized rows — the [[mlAuc]] bounded-domain discipline.
+    *
+    * Determinism: each cell's ln argument is a ratio of exact BIGINT
+    * products cast to double once ((c·n)/(cx·cy) — no accumulated
+    * float marginals), ln is rnd6'd per cell before the exact-decimal
+    * sum, and H(Y) follows the same per-term discipline, so
+    * I and the uncertainty coefficient I/H(Y) are byte-stable. */
+  def mlMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val cells = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_quantity".cast("int").as("x"), $"l_returnflag".as("y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy($"x").agg(sum($"c").as("cx"))
+    val my = cells.groupBy($"y").agg(sum($"c").as("cy"))
+    val n1 = cells.agg(sum($"c").as("n"))
+    val mi = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(n1))
+      .select(rnd6(($"c".cast("double") / $"n".cast("double")) *
+        rnd6(log(($"c" * $"n").cast("double") /
+          ($"cx" * $"cy").cast("double")))).as("term"))
+      .agg(xsum($"term").as("mi"))
+    val hy = my.crossJoin(broadcast(n1))
+      .select(rnd6(-($"cy".cast("double") / $"n".cast("double")) *
+        rnd6(log($"cy".cast("double") / $"n".cast("double")))).as("term"))
+      .agg(xsum($"term").as("h_y"))
+    mi.crossJoin(broadcast(hy)).crossJoin(broadcast(n1))
+      .select($"n", rnd6($"mi").as("mi"), rnd6($"h_y").as("h_y"),
+        rnd6($"mi" / $"h_y").as("uncertainty_coef"))
+  }
+
+  val mlMutualInfoSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val miTerm = sqlRnd6("(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      sqlRnd6("ln(CAST(c * n AS DOUBLE) / CAST(cx * cy AS DOUBLE))"))
+    val hyTerm = sqlRnd6("-(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      sqlRnd6("ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))"))
+    s"""WITH cells AS (
+       |  SELECT CAST(l_quantity AS INTEGER) AS x, l_returnflag AS y,
+       |    COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+       |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+       |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+       |mi AS (
+       |  SELECT ${Exact.sqlXsum(miTerm)} AS mi
+       |  FROM cells JOIN mx USING (x) JOIN my USING (y), n1),
+       |hy AS (
+       |  SELECT ${Exact.sqlXsum(hyTerm)} AS h_y FROM my, n1)
+       |SELECT n, ${sqlRnd6("mi")} AS mi, ${sqlRnd6("h_y")} AS h_y,
+       |  ${sqlRnd6("mi / h_y")} AS uncertainty_coef
+       |FROM mi, hy, n1""".stripMargin
+  }
 }

@@ -372,4 +372,101 @@ object SnapshotOps {
        |  ${decAvg("monetary")} AS seg_avg_monetary
        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
   }
+
+  /** Kaplan-Meier survival estimator over time-to-first-purchase — the
+    * churn/conversion-latency curve every retention dashboard plots,
+    * with users who never purchase RIGHT-CENSORED at their last
+    * observed event (the estimator's whole point: dropping censored
+    * users biases the curve; KM keeps them at risk until they leave).
+    *
+    * Shape: per-user (duration, converted) in one user_id shuffle; the
+    * corpus then COLLAPSES to one row per distinct duration-day —
+    * bounded by calendar, not users — and the at-risk counts and the
+    * product-limit Π(1 − d/n) both come from triangular self-joins on
+    * that bounded table (the [[TsOps.tsCusum]] prefix discipline; the
+    * product is exp of a prefix sum of rnd6'd ln terms). No window, no
+    * driver loop, corpus-size-independent tail.
+    *
+    * Determinism: ln(1 − d/n) is rnd6'd per step before the exact-
+    * decimal prefix sum and exp is rnd6'd after ([[MlOps.mlLogreg]]'s
+    * libm discipline). The d = n boundary step (everyone at risk
+    * converts) is NOT sent through ln — Spark's log(0) is NULL while
+    * DuckDB's is -inf — it sets an explicit zero flag instead. */
+  def eventsSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact.xsum
+    import graft.functions.Udfs.rnd6
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"),
+        max($"ts").as("last_ts"),
+        min(when($"event_type" === "purchase", $"ts")).as("first_buy"))
+      .select(
+        datediff(coalesce($"first_buy", $"last_ts"), $"first_ts")
+          .cast("long").as("t"),
+        $"first_buy".isNotNull.cast("long").as("evt"))
+    val byT = perUser.groupBy($"t")
+      .agg(sum($"evt").as("d"), sum(lit(1) - $"evt").as("c"))
+    val n1 = byT.agg(sum($"d" + $"c").as("n_users"))
+    // pass 1: at-risk count = users minus everyone who left earlier
+    val atRisk = byT.as("a")
+      .join(byT.as("b"), $"b.t" <= $"a.t")
+      .groupBy($"a.t".as("t"), $"a.d".as("d"), $"a.c".as("c"))
+      .agg(sum(when($"b.t" < $"a.t", $"b.d" + $"b.c")
+        .otherwise(lit(0L))).as("gone"))
+      .crossJoin(broadcast(n1))
+      .select($"t", $"d", $"c", ($"n_users" - $"gone").as("n_risk"))
+    // pass 2: per-step ln term (d < n_risk) or the explicit zero flag
+    val stepped = atRisk
+      .withColumn("lnterm", when($"d" < $"n_risk",
+        rnd6(log(lit(1.0) - $"d".cast("double") / $"n_risk".cast("double"))))
+        .otherwise(lit(0.0)))
+      .withColumn("zero", ($"d" === $"n_risk").cast("int"))
+    // pass 3: prefix-accumulate the product in log space
+    stepped.as("a")
+      .join(stepped.as("b"), $"b.t" <= $"a.t")
+      .groupBy($"a.t".as("t"), $"a.n_risk".as("n_risk"),
+        $"a.d".as("d"), $"a.c".as("c"))
+      .agg(xsum($"b.lnterm").as("cumln"), max($"b.zero").as("anyzero"))
+      .select($"t", $"n_risk", $"d", $"c",
+        when($"anyzero" === 1, lit(0.0))
+          .otherwise(rnd6(exp($"cumln"))).as("survival"))
+      .orderBy($"t")
+  }
+
+  val eventsSurvivalSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    import graft.engine.Exact.sqlXsum
+    val lnterm = sqlRnd6("ln(CAST(1.0 AS DOUBLE)" +
+      " - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))")
+    s"""WITH per_user AS (
+       |  SELECT datediff('day', MIN(ts),
+       |      COALESCE(MIN(CASE WHEN event_type = 'purchase' THEN ts END),
+       |        MAX(ts))) AS t,
+       |    CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+       |      IS NOT NULL THEN 1 ELSE 0 END AS evt
+       |  FROM events GROUP BY user_id),
+       |by_t AS (
+       |  SELECT t, CAST(SUM(evt) AS BIGINT) AS d,
+       |    CAST(SUM(1 - evt) AS BIGINT) AS c
+       |  FROM per_user GROUP BY 1),
+       |n1 AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_users FROM by_t),
+       |at_risk AS (
+       |  SELECT a.t AS t, a.d AS d, a.c AS c,
+       |    n_users - CAST(SUM(CASE WHEN b.t < a.t THEN b.d + b.c
+       |      ELSE 0 END) AS BIGINT) AS n_risk
+       |  FROM by_t a JOIN by_t b ON b.t <= a.t, n1
+       |  GROUP BY 1, 2, 3, n_users),
+       |stepped AS (
+       |  SELECT t, d, c, n_risk,
+       |    CASE WHEN d < n_risk THEN $lnterm ELSE CAST(0.0 AS DOUBLE)
+       |      END AS lnterm,
+       |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zero
+       |  FROM at_risk)
+       |SELECT a.t AS t, a.n_risk AS n_risk, a.d AS d, a.c AS c,
+       |  CASE WHEN MAX(b.zero) = 1 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE ${sqlRnd6(s"exp(${sqlXsum("b.lnterm")})")} END AS survival
+       |FROM stepped a JOIN stepped b ON b.t <= a.t
+       |GROUP BY 1, 2, 3, 4 ORDER BY t""".stripMargin
+  }
 }

@@ -95,6 +95,51 @@ class Round5bSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q_ml_mutual_info: information inequalities hold") {
+    import spark.implicits._
+    val r = MlOps.mlMutualInfo(spark, sf).collect()(0)
+    val (mi, hy, uc) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // I(X;Y) >= 0 (within rnd6 noise of per-cell rounding) and
+    // I(X;Y) <= H(Y); the uncertainty coefficient is their ratio
+    assert(mi >= -1e-4, s"MI materially negative: $mi")
+    assert(mi <= hy + 1e-4, s"MI $mi exceeds H(Y) $hy")
+    assert(uc >= -1e-4 && uc <= 1.0 + 1e-4, s"U(Y|X) $uc out of [0,1]")
+    assert(hy > 0, "label entropy must be positive on 3 classes")
+  }
+
+  test("q_dq_benford: digit distribution is a probability vector; chi2 >= 0") {
+    import spark.implicits._
+    val rows = graft.operators.DqOps.dqBenford(spark, sf).collect()
+    assert(rows.length == 9, s"expected digits 1..9, got ${rows.length}")
+    val pObsSum = rows.map(_.getDouble(2)).sum
+    val pExpSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(pObsSum - 1.0) < 1e-4, s"observed p sums to $pObsSum")
+    assert(math.abs(pExpSum - 1.0) < 1e-4, s"Benford p sums to $pExpSum")
+    assert(rows.forall(_.getDouble(4) >= 0), "chi2 negative")
+    assert(rows.map(_.getDouble(4)).distinct.length == 1,
+      "chi2 must be the same broadcast total on every row")
+  }
+
+  test("q_events_survival: S(t) is a monotone step function from 1") {
+    import spark.implicits._
+    val rows = graft.operators.SnapshotOps.eventsSurvival(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getDouble(4))
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0), "S(t) out of [0,1]")
+    // KM is non-increasing in t (rows come back ordered by t)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"survival curve not monotone: ${surv.toSeq}")
+    // at-risk counts are non-increasing and start at the user total
+    val risk = rows.map(_.getLong(1))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b <= a },
+      "at-risk counts must be non-increasing")
+    val users = graft.engine.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(risk.head == users,
+      s"first at-risk ${risk.head} != user count $users")
+  }
+
   test("q_simsearch_recall: one row per query, recall = hits/k in [0,1]") {
     import spark.implicits._
     val rows = SimOps.simsearchRecall(spark, sf).collect()
