@@ -126,6 +126,61 @@ object ScanOps {
   val scanXmlRoundtripSql: String =
     "SELECT * FROM region ORDER BY r_regionkey"
 
+  /** PERMISSIVE dirty-CSV ingest — the "a single malformed row must
+    * not kill a 100 TB load" contract. A deterministic dirty file is
+    * staged from the fixture (every `o_orderkey % 10 < 3` order as a
+    * well-formed line; every `% 10 == 7` as a line whose key field
+    * cannot parse as BIGINT), read back under PERMISSIVE mode with an
+    * explicit `columnNameOfCorruptRecord` column, and reduced to
+    * good/corrupt counts plus the exact revenue over parsed rows —
+    * the accept/quarantine split of a production ingest gate.
+    *
+    * Oracle: the staging rules are pure arithmetic on `orders`, so
+    * the expected output is plain SQL over the fixture — no file I/O
+    * on the oracle side. Prices ride a DECIMAL(18,2) string image
+    * (mirrored in the oracle) because raw double formatting is not
+    * engine-portable; parsing the 2-dp image recovers the identical
+    * double. A type failure (not a short row) marks corruption — the
+    * CSV reader null-fills short rows rather than flagging them. */
+  def scanCsvDirty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact.xsum
+    val path = scratch(sfDir) + "/orders_dirty_csv"
+    val o = Tables.orders(spark, sfDir)
+    val good = o.filter($"o_orderkey" % 10 < 3)
+      .select(concat_ws(",", $"o_orderkey",
+        $"o_totalprice".cast("decimal(18,2)"), $"o_orderstatus").as("value"))
+    val bad = o.filter($"o_orderkey" % 10 === 7)
+      .select(concat(lit("X"), $"o_orderkey", lit(",garbage,Z")).as("value"))
+    good.unionAll(bad).write.mode("overwrite").text(path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .agg(count(when($"_corrupt".isNull, 1)).as("n_good"),
+        count($"_corrupt").as("n_corrupt"),
+        xsum(when($"_corrupt".isNull, $"price")).as("sum_price"))
+  }
+
+  val scanCsvDirtySql: String =
+    s"""SELECT
+       |  COUNT(CASE WHEN o_orderkey % 10 < 3 THEN 1 END) AS n_good,
+       |  COUNT(CASE WHEN o_orderkey % 10 = 7 THEN 1 END) AS n_corrupt,
+       |  ${graft.engine.Exact.sqlXsum(
+      "CASE WHEN o_orderkey % 10 < 3 THEN " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) END")}
+       |    AS sum_price
+       |FROM orders""".stripMargin
+
   /** Hive-style partition pruning: events re-laid-out partitioned by
     * event_type, then scanned with a partition predicate — the scan
     * reads ONLY the matching directory (PlanSpec asserts the partition
