@@ -140,6 +140,37 @@ class Round5bSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"first at-risk ${risk.head} != user count $users")
   }
 
+  test("new operators keep their scale plan shapes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def planOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect(); df.queryExecution.executedPlan
+    }
+    // survival: the product-limit rewrite must stay window-free
+    val surv = planOf(graft.operators.SnapshotOps.eventsSurvival(spark, sf))
+    assert(collectWithSubqueries(surv) { case w: WindowExec => w }.isEmpty,
+      "eventsSurvival must not use a window")
+    // mutual information: marginals join the contingency table via
+    // broadcast (bounded-domain), never a shuffled join
+    val mi = planOf(MlOps.mlMutualInfo(spark, sf))
+    assert(collectWithSubqueries(mi) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, "mlMutualInfo marginal joins should broadcast")
+    // bootstrap: the replica explode must collapse through partial
+    // aggregation — a bounded number of exchanges regardless of B
+    val boot = planOf(graft.operators.SampleOps.sampleBootstrap(spark, sf))
+    // observed: replica groupBy (×2 branches), two 1-row aggregates,
+    // final orderBy — only the replica exchange carries data, and the
+    // partial agg upstream means it moves B rows per map partition,
+    // never the exploded corpus
+    val bootShuffles = collectWithSubqueries(boot) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(bootShuffles.size <= 6,
+      s"sampleBootstrap grew ${bootShuffles.size} shuffles")
+  }
+
   test("q_simsearch_recall: one row per query, recall = hits/k in [0,1]") {
     import spark.implicits._
     val rows = SimOps.simsearchRecall(spark, sf).collect()
