@@ -627,26 +627,35 @@ object CfOps {
     * |sim|-normalized weighted rating sum. */
   def predictKnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val r = ratings(spark, sfDir)
-    // neighbor lists are k·n_items rows — broadcast-sized, but let AQE
-    // make that call: forcing broadcast() measured 2× slower (the
-    // explicit exchange job can't share the cached-neighbors scan).
-    val neigh = neighbors(spark, sfDir)
-      .select($"item_id".as("rated_item"), $"neighbor_id".as("cand_item"), $"sim")
-    val scored = r.join(neigh, $"item_id" === $"rated_item")
-      .groupBy($"user_id", $"cand_item")
-      .agg((xsumFast($"sim" * $"rating") / xsumFast(abs($"sim"))).as("score_raw"))
-    val unseen = scored.join(
-      r.select($"user_id".as("su"), $"item_id".as("si")),
-      $"user_id" === $"su" && $"cand_item" === $"si", "left_anti")
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"score".desc, $"cand_item".asc)
-    unseen.select($"user_id", $"cand_item", rnd6($"score_raw").as("score"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= TOP_N)
-      .select($"user_id", $"cand_item".as("item_id"), $"score", $"rk")
-      .orderBy($"user_id", $"rk")
+    // The finished rec lists are |users| × TOP_N rows — tiny — and are
+    // consumed by four registered queries (predict_knn itself plus the
+    // coverage / novelty / diversity evaluations), so the whole
+    // scoring chain persists once per (app, sfDir): the bench-all
+    // sweep measured each eval re-paying the scored-join otherwise.
+    cached(spark, sfDir, "recsTopN") {
+      import org.apache.spark.sql.expressions.Window
+      val r = ratings(spark, sfDir)
+      // neighbor lists are k·n_items rows — broadcast-sized, but let
+      // AQE make that call: forcing broadcast() measured 2× slower
+      // (the explicit exchange job can't share the cached-neighbors
+      // scan).
+      val neigh = neighbors(spark, sfDir)
+        .select($"item_id".as("rated_item"), $"neighbor_id".as("cand_item"),
+          $"sim")
+      val scored = r.join(neigh, $"item_id" === $"rated_item")
+        .groupBy($"user_id", $"cand_item")
+        .agg((xsumFast($"sim" * $"rating") / xsumFast(abs($"sim")))
+          .as("score_raw"))
+      val unseen = scored.join(
+        r.select($"user_id".as("su"), $"item_id".as("si")),
+        $"user_id" === $"su" && $"cand_item" === $"si", "left_anti")
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"score".desc, $"cand_item".asc)
+      unseen.select($"user_id", $"cand_item", rnd6($"score_raw").as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= TOP_N)
+        .select($"user_id", $"cand_item".as("item_id"), $"score", $"rk")
+    }.orderBy($"user_id", $"rk")
   }
 
   val predictKnnSql: String =

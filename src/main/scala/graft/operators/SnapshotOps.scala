@@ -405,8 +405,13 @@ object SnapshotOps {
         datediff(coalesce($"first_buy", $"last_ts"), $"first_ts")
           .cast("long").as("t"),
         $"first_buy".isNotNull.cast("long").as("evt"))
+    // localCheckpoint (eager): byT and stepped are O(#distinct
+    // durations) rows but feed both sides of triangular joins — the
+    // corpus-sized per-user aggregation would otherwise run once per
+    // join side (the TsOps.tsCusum discipline).
     val byT = perUser.groupBy($"t")
       .agg(sum($"evt").as("d"), sum(lit(1) - $"evt").as("c"))
+      .localCheckpoint(true)
     val n1 = byT.agg(sum($"d" + $"c").as("n_users"))
     // pass 1: at-risk count = users minus everyone who left earlier
     val atRisk = byT.as("a")
@@ -422,6 +427,7 @@ object SnapshotOps {
         rnd6(log(lit(1.0) - $"d".cast("double") / $"n_risk".cast("double"))))
         .otherwise(lit(0.0)))
       .withColumn("zero", ($"d" === $"n_risk").cast("int"))
+      .localCheckpoint(true)
     // pass 3: prefix-accumulate the product in log space
     stepped.as("a")
       .join(stepped.as("b"), $"b.t" <= $"a.t")

@@ -160,13 +160,19 @@ object TsOps {
     val nd = $"n".cast("double")
     val mean = $"sv" / nd
     val std = sqrt((nd * $"svv" - $"sv" * $"sv") / (nd * nd))
+    // localCheckpoint (eager): zt and w are O(#days) rows but feed
+    // BOTH sides of a triangular join — without materialization the
+    // upstream chain (daily agg at corpus size for zt) runs twice per
+    // join, once for the broadcast build and once streamed.
     val zt = daily.crossJoin(broadcast(stats))
       .select($"d", rnd6(($"v" - mean) / std).as("z"))
+      .localCheckpoint(true)
     val w = zt.as("a")
       .join(zt.as("b"), $"b.d" <= $"a.d")
       .groupBy($"a.d".as("d"), $"a.z".as("z"))
       .agg(xsum($"b.z" - CUSUM_K).as("wp"),
         xsum(-$"b.z" - CUSUM_K).as("wn"))
+      .localCheckpoint(true)
     val cum = w.as("a")
       .join(w.as("b"), $"b.d" <= $"a.d")
       .groupBy($"a.d".as("d"), $"a.z".as("z"),
