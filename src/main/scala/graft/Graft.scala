@@ -88,6 +88,16 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def mediaResize(): DataFrame = MultimodalOps.multimodalResize(spark, dataDir)
   def mediaFrames(): DataFrame = MultimodalOps.multimodalFrames(spark, dataDir)
 
+  // — statistics / model selection / monitoring —
+  def ridgeCrossValidation(): DataFrame = MlOps.mlRidgeCv(spark, dataDir)
+  def calibration(): DataFrame = MlOps.mlCalibration(spark, dataDir)
+  def mutualInformation(): DataFrame = MlOps.mlMutualInfo(spark, dataDir)
+  def changepoints(): DataFrame = TsOps.tsCusum(spark, dataDir)
+  def survivalCurve(): DataFrame = SnapshotOps.eventsSurvival(spark, dataDir)
+  def bootstrapCi(): DataFrame = SampleOps.sampleBootstrap(spark, dataDir)
+  def benfordAudit(): DataFrame = DqOps.dqBenford(spark, dataDir)
+  def annRecall(): DataFrame = SimOps.simsearchRecall(spark, dataDir)
+
   /** Run any named operator from the full surface. */
   def query(name: String): DataFrame = SparkEntry.queries(name)(spark, dataDir)
 }
