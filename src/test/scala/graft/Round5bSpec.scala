@@ -140,6 +140,16 @@ class Round5bSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"first at-risk ${risk.head} != user count $users")
   }
 
+  test("q_graph_kcore: peel reaches its fixpoint within the unrolled rounds") {
+    val atRounds = graft.operators.GraphOps.graphKcore(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val onePast = graft.operators.GraphOps.graphKcoreRounds(spark, sf, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(atRounds.nonEmpty, "empty k-core at fixture scale")
+    assert(atRounds == onePast,
+      "one extra peel round changed the core — ROUNDS too small for this graph")
+  }
+
   test("new operators keep their scale plan shapes") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
