@@ -858,6 +858,96 @@ object AggOps {
        |ORDER BY type_a, type_b""".stripMargin
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between every pair of
+    * event-type cohorts on `value` — the distribution-level companion
+    * to [[eventsAbtest]] (which only compares means): D = max over the
+    * value axis of |F̂_a − F̂_b|, sensitive to shape/scale shifts a
+    * t-test misses. Same scale shape as [[aggMode]]/ml_auc: the corpus
+    * collapses in ONE shuffle to (cohort, unit-bin, count) cells —
+    * binning at integer granularity bounds the support, the honest
+    * trade every streaming KS makes — then the empirical CDFs come
+    * from a broadcast triangular join over the bounded bin grid (no
+    * unpartitioned window), and D is EXACT integer arithmetic
+    * throughout: |n_b·cum_a − n_a·cum_b| compared cross-multiplied, so
+    * no float boundary can flip the argmax. The only float is the
+    * final single division (both operands < 2⁵³, correctly rounded
+    * identically in both engines). No p-value by design — the
+    * Kolmogorov distribution CDF isn't in DuckDB, and the decision
+    * statistic is (D, n_a, n_b) anyway. */
+  def eventsKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val cells = Tables.events(spark, sfDir)
+      .groupBy($"event_type", expr("cast(floor(value) as bigint)").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val nt = cells.groupBy($"event_type").agg(sum($"cnt").as("n"))
+    val bins = cells.select($"bin").distinct()
+    val grid = nt.select($"event_type").crossJoin(broadcast(bins))
+    val c2 = cells.select($"event_type".as("t2"), $"bin".as("b2"),
+      $"cnt".as("cnt2"))
+    val cum = grid.join(broadcast(c2),
+        $"t2" === $"event_type" && $"b2" <= $"bin", "left")
+      .groupBy($"event_type", $"bin")
+      .agg(coalesce(sum($"cnt2"), lit(0L)).as("cum"))
+    val sides = cum.join(broadcast(nt), "event_type")
+    val b = sides.select($"event_type".as("type_b"), $"bin".as("bin_b"),
+      $"cum".as("cum_b"), $"n".as("nb"))
+    val diffs = sides.join(broadcast(b),
+        $"bin" === $"bin_b" && $"event_type" < $"type_b")
+      .select($"event_type".as("type_a"), $"type_b", $"n".as("na"), $"nb",
+        $"bin", abs($"nb" * $"cum" - $"na" * $"cum_b").as("dnum"))
+    val dmax = diffs.groupBy($"type_a", $"type_b", $"na", $"nb")
+      .agg(max($"dnum").as("d_num"))
+    diffs.join(broadcast(dmax.withColumnRenamed("type_a", "ta")
+        .withColumnRenamed("type_b", "tb")
+        .select($"ta", $"tb", $"d_num")),
+        $"type_a" === $"ta" && $"type_b" === $"tb" && $"dnum" === $"d_num")
+      .groupBy($"type_a", $"type_b", $"na", $"nb", $"d_num")
+      .agg(min($"bin").as("at_bin"))
+      .select($"type_a", $"type_b", $"na", $"nb",
+        rnd6($"d_num".cast("double") /
+          ($"na".cast("double") * $"nb".cast("double"))).as("d"),
+        $"at_bin")
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val eventsKsTestSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH cells AS (
+       |  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bin,
+       |    COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |nt AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM cells GROUP BY 1),
+       |bins AS (SELECT DISTINCT bin FROM cells),
+       |grid AS (SELECT t.event_type, b.bin FROM nt t, bins b),
+       |cum AS (
+       |  SELECT g.event_type, g.bin,
+       |    COALESCE(CAST(SUM(c.cnt) AS BIGINT), 0) AS cum
+       |  FROM grid g LEFT JOIN cells c
+       |    ON c.event_type = g.event_type AND c.bin <= g.bin
+       |  GROUP BY 1, 2),
+       |sides AS (SELECT c.event_type, c.bin, c.cum, t.n
+       |  FROM cum c JOIN nt t USING (event_type)),
+       |diffs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.n AS na, b.n AS nb, a.bin,
+       |    ABS(b.n * a.cum - a.n * b.cum) AS dnum
+       |  FROM sides a JOIN sides b
+       |    ON a.bin = b.bin AND a.event_type < b.event_type),
+       |dmax AS (SELECT type_a, type_b, na, nb, MAX(dnum) AS d_num
+       |  FROM diffs GROUP BY 1, 2, 3, 4)
+       |SELECT d.type_a, d.type_b, d.na, d.nb,
+       |  ${sqlRnd6("CAST(d.d_num AS DOUBLE) / " +
+      "(CAST(d.na AS DOUBLE) * CAST(d.nb AS DOUBLE))")} AS d,
+       |  MIN(f.bin) AS at_bin
+       |FROM dmax d JOIN diffs f
+       |  ON f.type_a = d.type_a AND f.type_b = d.type_b
+       |  AND f.dnum = d.d_num
+       |GROUP BY 1, 2, 3, 4, 5
+       |ORDER BY d.type_a, d.type_b""".stripMargin
+  }
+
   /** Weighted median: per return flag, the smallest l_quantity whose
     * cumulative l_extendedprice weight reaches half the flag's total —
     * the inventory-value midpoint ("half the money sits at or below

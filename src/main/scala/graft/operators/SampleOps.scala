@@ -199,4 +199,108 @@ object SampleOps {
        |SELECT b, n_eff, boot_mean, est, se, lo, hi
        |FROM per_replica, summary ORDER BY b""".stripMargin
   }
+
+  /** Global token budget for [[mixSources]]: ~80 % of the sf0.01
+    * corpus, a true subsample at every larger SF. */
+  private val MIX_BUDGET = 20000L
+
+  /** Training-mix construction: apportion a global TOKEN budget across
+    * document sources with temperature-scaled weights (w_s ∝ √tokens_s,
+    * the α = 0.5 mixing rule that upweights small sources relative to
+    * proportional sampling), then fill each source's quota greedily in
+    * key-scatter order. The budget split is LARGEST-REMAINDER
+    * apportionment in exact integers: quota_s = ⌊T·u_s/U⌋ with the
+    * leftover T − Σ quotas handed out by descending remainder
+    * (source name as the tie-break) — the textbook way to make shares
+    * sum exactly to the budget with no float in sight. ⌊√n⌋ is exact
+    * cross-engine (IEEE sqrt is correctly rounded; the floor can only
+    * disagree at perfect squares, where sqrt is exact).
+    *
+    * Scale shape: token counting is map-side; per-source totals are one
+    * map-side-combined shuffle to a #sources-row table; ALL apportionment
+    * arithmetic (including the remainder rank, a broadcast triangular
+    * count — no unpartitioned window) runs on that constant-size table.
+    * Selection is one per-source window (rank + EXCLUSIVE running token
+    * total, so the doc that crosses the quota line is the last one in).
+    * With few huge sources the per-source sort is the 100 TB hot spot —
+    * the same two-level fix as [[graft.operators.TextOps text_pack]]
+    * applies verbatim: scatter each source into shards and apportion
+    * each source's quota over its shards with this SAME largest-remainder
+    * machinery (it nests losslessly because the shares are exact).
+    * Docs selected per source ≈ quota/mean-doc-length, so the output is
+    * budget-bounded regardless of corpus size. */
+  def mixSources(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("ntok"))
+    val srcTok = toks.groupBy($"source").agg(sum($"ntok").as("src_tok"))
+    val w = srcTok.select($"source",
+      expr("cast(floor(sqrt(cast(src_tok as double))) as bigint)").as("u"))
+    val tot = w.agg(sum($"u").as("uu"))
+    val q0 = w.crossJoin(broadcast(tot))
+      .select($"source", $"u",
+        expr(s"($MIX_BUDGET * u) div uu").as("q0"),
+        expr(s"$MIX_BUDGET * u - (($MIX_BUDGET * u) div uu) * uu").as("rem"))
+    val lft = q0.agg((lit(MIX_BUDGET) - sum($"q0")).as("l"))
+    val other = q0.select($"source".as("s2"), $"rem".as("rem2"))
+    val rkd = q0.join(broadcast(other),
+        $"rem2" > $"rem" || ($"rem2" === $"rem" && $"s2" < $"source"), "left")
+      .groupBy($"source", $"q0", $"rem")
+      .agg((count($"s2") + 1).as("rk"))
+    val quota = rkd.crossJoin(broadcast(lft))
+      .select($"source",
+        ($"q0" + when($"rk" <= $"l", 1L).otherwise(0L)).as("tok_quota"))
+    val ord = Window.partitionBy($"source")
+      .orderBy(expr("pmod(doc_id * 2654435761, 1000000007)").asc,
+        $"doc_id".asc)
+    val ranked = toks
+      .withColumn("pick", row_number().over(ord))
+      .withColumn("excl", coalesce(
+        sum($"ntok").over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    ranked.join(broadcast(quota), "source")
+      .filter($"excl" < $"tok_quota")
+      .select($"source", $"pick", $"doc_id", $"ntok", $"tok_quota")
+      .orderBy($"source", $"pick")
+  }
+
+  val mixSourcesSql: String = {
+    val h = "(doc_id * 2654435761) % 1000000007"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |srcw AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS src_tok
+       |  FROM toks GROUP BY 1),
+       |w AS (SELECT source,
+       |  CAST(FLOOR(SQRT(CAST(src_tok AS DOUBLE))) AS BIGINT) AS u
+       |  FROM srcw),
+       |tot AS (SELECT CAST(SUM(u) AS BIGINT) AS uu FROM w),
+       |q0 AS (SELECT source, u, ($MIX_BUDGET * u) // uu AS q0,
+       |  $MIX_BUDGET * u - (($MIX_BUDGET * u) // uu) * uu AS rem
+       |  FROM w, tot),
+       |lft AS (SELECT $MIX_BUDGET - CAST(SUM(q0) AS BIGINT) AS l FROM q0),
+       |rkd AS (SELECT a.source, a.q0,
+       |  1 + (SELECT COUNT(*) FROM q0 b
+       |    WHERE b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source))
+       |    AS rk
+       |  FROM q0 a),
+       |quota AS (SELECT source,
+       |  q0 + CASE WHEN rk <= (SELECT l FROM lft) THEN 1 ELSE 0 END
+       |    AS tok_quota
+       |  FROM rkd),
+       |ranked AS (SELECT source, doc_id, ntok,
+       |  row_number() OVER (PARTITION BY source ORDER BY $h, doc_id)
+       |    AS pick,
+       |  COALESCE(CAST(SUM(ntok) OVER (PARTITION BY source
+       |    ORDER BY $h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS excl
+       |  FROM toks)
+       |SELECT r.source, r.pick, r.doc_id, r.ntok, q.tok_quota
+       |FROM ranked r JOIN quota q USING (source)
+       |WHERE r.excl < q.tok_quota
+       |ORDER BY source, pick""".stripMargin
+  }
 }
