@@ -249,4 +249,52 @@ object DqOps {
        |SELECT digit, n_obs, p_obs, p_exp, chi2
        |FROM terms, chi ORDER BY digit""".stripMargin
   }
+
+  /** Ingestion-completeness gate: per event type, how many calendar
+    * HOURS inside the stream's own [min, max] envelope have zero rows
+    * — the "did a feed silently stop landing" check that runs before
+    * accepting any incremental snapshot (a gap is a pipeline outage or
+    * an upstream retention bug, not a data property).
+    *
+    * Scale shape: the corpus collapses FIRST to distinct
+    * (type, hour) — ONE map-side-combined shuffle, output bounded by
+    * types × calendar hours regardless of row count; the expected
+    * spine is a broadcast 1-row min/max aggregate exploded into the
+    * hour sequence × the distinct type list, so the gap join runs on
+    * two calendar-bounded sides. At 100 TB only the first distinct
+    * touches data. */
+  def dqGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_type", date_trunc("HOUR", $"ts").as("h"))
+    val hours = e.agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val types = e.select($"event_type").distinct()
+    val present = e.distinct().withColumn("hit", lit(1))
+    types.crossJoin(hours)
+      .join(present, Seq("event_type", "h"), "left")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_present"),
+        sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy($"event_type")
+  }
+
+  val dqGapsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+      |hrs AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |pres AS (SELECT DISTINCT event_type, h FROM e)
+      |SELECT ty.event_type, COUNT(*) AS n_hours,
+      |  CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_present,
+      |  CAST(SUM(CASE WHEN p.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing
+      |FROM ty CROSS JOIN hrs
+      |LEFT JOIN pres p ON p.event_type = ty.event_type AND p.h = hrs.h
+      |GROUP BY 1 ORDER BY ty.event_type""".stripMargin
 }

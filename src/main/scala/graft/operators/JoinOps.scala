@@ -371,6 +371,72 @@ object JoinOps {
       |    ON p.user_id = c.user_id AND c.ts > p.ts)
       |WHERE rn = 1 ORDER BY purchase_id""".stripMargin
 
+  /** Nearest as-of join — each purchase ↔ the click CLOSEST in time
+    * (either direction, same user; backward wins ties, equal-ts click
+    * counts as backward with Δ = 0). Completes the as-of family:
+    * [[joinAsof]] is backward, [[joinAsofForward]] forward, this is
+    * min |Δt| — the sensor-alignment join of time-series pipelines.
+    *
+    * Composition: the SAME single-shuffle union used by both
+    * directional forms, with the backward candidate from an ascending
+    * running-last and the forward candidate from a descending one —
+    * two window sorts over ONE user_id exchange, then a per-row pick.
+    * Candidates are exactly 2 per purchase, vs the naive per-user
+    * click×purchase join whose fan-out is unbounded history. Equal-ts
+    * click tiebreaks (backward: max click_id, the running-last of the
+    * ascending walk; forward: min click_id) are mirrored in the
+    * oracle's direction-dependent rank. */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"),
+        lit(null).cast("bigint").as("purchase_id"), lit(0).as("tag"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast("bigint").as("click_id"),
+        $"event_id".as("purchase_id"), lit(1).as("tag"))
+    val W = org.apache.spark.sql.expressions.Window
+    // ascending: equal-ts clicks precede the purchase (inclusive match)
+    val wB = W.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"tag".asc, $"click_id".asc_nulls_last)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // descending: the purchase precedes equal-ts clicks (strict match)
+    val wF = W.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"tag".desc, $"click_id".desc_nulls_last)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cand = when($"tag" === 0,
+      struct($"ts".as("cts"), $"click_id".as("cid")))
+    clicks.unionByName(purchases)
+      .withColumn("b", last(cand, ignoreNulls = true).over(wB))
+      .withColumn("f", last(cand, ignoreNulls = true).over(wF))
+      .filter($"tag" === 1 && ($"b".isNotNull || $"f".isNotNull))
+      .withColumn("db", unix_micros($"ts") - unix_micros($"b.cts"))
+      .withColumn("df", unix_micros($"f.cts") - unix_micros($"ts"))
+      .withColumn("use_b",
+        $"f".isNull || ($"b".isNotNull && $"db" <= $"df"))
+      .select($"purchase_id", $"user_id", $"ts",
+        when($"use_b", $"b.cid").otherwise($"f.cid").as("click_id"),
+        when($"use_b", $"db").otherwise($"df").as("delta_us"),
+        when($"use_b", lit(0)).otherwise(lit(1)).as("dir"))
+      .orderBy($"purchase_id")
+  }
+
+  val joinAsofNearestSql: String =
+    """SELECT purchase_id, user_id, ts, click_id, delta_us, dir FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+      |    c.event_id AS click_id,
+      |    CAST(abs(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS delta_us,
+      |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dir,
+      |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+      |      abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+      |      CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+      |      CASE WHEN c.ts <= p.ts THEN -c.event_id
+      |           ELSE c.event_id END ASC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id)
+      |WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   /** Interval join: clicks within the hour before each error, same
     * user. Equi on user_id + time-range residual — hash-joinable; at
     * 100 TB add coarse time-bucket keys to both sides to bound the

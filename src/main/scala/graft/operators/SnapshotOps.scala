@@ -475,4 +475,87 @@ object SnapshotOps {
        |FROM stepped a JOIN stepped b ON b.t <= a.t
        |GROUP BY 1, 2, 3, 4 ORDER BY t""".stripMargin
   }
+
+  /** Change rows with a final value below this act as DELETEs in
+    * [[upsertMerge]] (~p10 of purchase values — a meaningful but
+    * minority delete share). */
+  private val MERGE_DELETE_BELOW = 5.0
+
+  /** [[upsertMerge]] snapshot boundary — late in the fixture's
+    * single-month event window so a real share of keys sees no
+    * change after it (the `kept` branch) at every SF. */
+  private val MERGE_CUTOFF = "2024-01-28 00:00:00"
+
+  /** Full MERGE INTO semantics — the three-way CDC apply every
+    * lakehouse table maintenance job runs: a base snapshot (latest-wins
+    * state before [[MERGE_CUTOFF]]) merged with a compacted change feed
+    * (updates after the cutoff), where a change whose final value is
+    * below [[MERGE_DELETE_BELOW]] is a DELETE. Outcomes:
+    * WHEN MATCHED AND del → row removed; WHEN MATCHED → `updated`;
+    * WHEN NOT MATCHED AND NOT del → `inserted`; base rows never touched
+    * by the feed stay `kept`. The output is the post-merge table with
+    * each row's action — deletions are observable as absent keys.
+    *
+    * Scale shape: both snapshots are the one-shuffle latest-wins
+    * compaction ([[upsertLatest]]) over changelog prefixes, and the
+    * merge itself is a full-outer join on the SAME key — one logical
+    * repartition end to end, the bulk-merge plan that beats
+    * row-at-a-time MERGE at any scale. Compacting the feed BEFORE the
+    * join (not applying changes in arrival order) is what makes the
+    * apply idempotent under replay: re-delivering the feed yields the
+    * same post-merge table byte for byte. */
+  def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def latest(df: DataFrame): DataFrame =
+      df.select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)))
+        .filter($"rn" === 1)
+        .drop("rn", "event_id")
+    val purch = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val cut = lit(MERGE_CUTOFF).cast("timestamp")
+    val base = latest(purch.filter($"ts" < cut))
+      .select($"user_id", $"ts".as("b_ts"), $"value".as("b_value"))
+    val delta = latest(purch.filter($"ts" >= cut))
+      .select($"user_id", $"ts".as("c_ts"), $"value".as("c_value"),
+        ($"value" < MERGE_DELETE_BELOW).as("del"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .filter(!coalesce($"del", lit(false)))
+      .select($"user_id",
+        when($"c_ts".isNull, lit("kept"))
+          .when($"b_ts".isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("action"),
+        coalesce($"c_ts", $"b_ts").as("ts"),
+        coalesce($"c_value", $"b_value").as("value"))
+      .orderBy($"user_id")
+  }
+
+  val upsertMergeSql: String =
+    s"""WITH purch AS (
+       |  SELECT user_id, event_id, ts, value FROM events
+       |  WHERE event_type = 'purchase'),
+       |base AS (
+       |  SELECT user_id, ts AS b_ts, value AS b_value FROM (
+       |    SELECT user_id, ts, value, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM purch WHERE ts < TIMESTAMP '$MERGE_CUTOFF')
+       |  WHERE rn = 1),
+       |delta AS (
+       |  SELECT user_id, ts AS c_ts, value AS c_value,
+       |    value < $MERGE_DELETE_BELOW AS del FROM (
+       |    SELECT user_id, ts, value, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM purch WHERE ts >= TIMESTAMP '$MERGE_CUTOFF')
+       |  WHERE rn = 1)
+       |SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+       |  CASE WHEN d.c_ts IS NULL THEN 'kept'
+       |       WHEN b.b_ts IS NULL THEN 'inserted'
+       |       ELSE 'updated' END AS action,
+       |  COALESCE(d.c_ts, b.b_ts) AS ts,
+       |  COALESCE(d.c_value, b.b_value) AS value
+       |FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+       |WHERE NOT COALESCE(d.del, FALSE)
+       |ORDER BY user_id""".stripMargin
 }

@@ -769,4 +769,78 @@ object TextOps {
        |JOIN uni u2 ON bic.w2 = u2.tok, tot, btot
        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
   }
+
+  /** Chunk width for [[textChunkDedup]] (tokens per span). */
+  private val CHUNK_W = 5
+
+  /** Exact SUBSTRING-level dedup (the C4/RefinedWeb "remove repeated
+    * spans" pass, at chunk granularity): every document is cut into
+    * consecutive [[CHUNK_W]]-token chunks, a chunk's FIRST occurrence
+    * corpus-wide (min (doc_id, chunk_idx)) survives, and later
+    * occurrences anywhere — other documents or later in the same one —
+    * are dropped. Output: per-document token counts before/after and
+    * the retained fraction, i.e. how much of each doc is novel text.
+    * Doc-level exact/near dedup ([[graft.operators.DedupOps]]) misses
+    * boilerplate REGIONS shared by otherwise-distinct pages; this is
+    * the within-doc complement.
+    *
+    * Scale shape: chunking is map-side (one `transform` over the token
+    * array, no per-word explode); first-occurrence is ONE hash shuffle
+    * on the chunk text — at 100 TB, on a 16-byte chunk fingerprint
+    * ([[graft.functions.RollingHash]]) instead of the text itself —
+    * and the per-doc rollup shuffles on doc_id. Min-key survivorship
+    * is an aggregation, not a window: no per-chunk-text sort, and
+    * map-side partial mins collapse hot boilerplate chunks (the skew
+    * case: a chunk repeated millions of times arrives at the reducer
+    * as one row per map partition). */
+  def textChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ch = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(toks) / ${CHUNK_W}.0) as int) - 1),
+           |  i -> array_join(slice(toks, i * $CHUNK_W + 1, $CHUNK_W), ' '))"""
+          .stripMargin)))
+      .withColumnRenamed("pos", "cidx").withColumnRenamed("col", "ctext")
+      .withColumn("ctok", size(split($"ctext", " ")))
+      .withColumn("ckey", $"doc_id" * 100000L + $"cidx")
+    val first = ch.groupBy($"ctext").agg(min($"ckey").as("first_key"))
+    ch.join(first, "ctext")
+      .withColumn("is_first", $"ckey" === $"first_key")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"ctok").as("n_tok"),
+        sum(when($"is_first", 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when($"is_first", $"ctok").otherwise(0L)).as("kept_tok"))
+      .withColumn("retained",
+        rnd6($"kept_tok".cast("double") / $"n_tok".cast("double")))
+      .orderBy($"doc_id")
+  }
+
+  val textChunkDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, i AS cidx,
+       |    array_to_string(list_slice(toks,
+       |      i * $CHUNK_W + 1, i * $CHUNK_W + $CHUNK_W), ' ') AS ctext,
+       |    len(list_slice(toks,
+       |      i * $CHUNK_W + 1, i * $CHUNK_W + $CHUNK_W)) AS ctok,
+       |    doc_id * 100000 + i AS ckey
+       |  FROM t, UNNEST(range(CAST(ceil(len(toks) / ${CHUNK_W}.0) AS BIGINT)))
+       |    AS u(i)),
+       |fst AS (SELECT ctext, MIN(ckey) AS first_key FROM ch GROUP BY 1)
+       |SELECT ch.doc_id,
+       |  COUNT(*) AS n_chunks,
+       |  CAST(SUM(ctok) AS BIGINT) AS n_tok,
+       |  CAST(SUM(CASE WHEN ch.ckey = f.first_key THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS kept_chunks,
+       |  CAST(SUM(CASE WHEN ch.ckey = f.first_key THEN ctok ELSE 0 END)
+       |    AS BIGINT) AS kept_tok,
+       |  ${sqlRnd6("CAST(SUM(CASE WHEN ch.ckey = f.first_key THEN ctok " +
+         "ELSE 0 END) AS DOUBLE) / CAST(SUM(ctok) AS DOUBLE)")} AS retained
+       |FROM ch JOIN fst f USING (ctext)
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 }

@@ -225,4 +225,75 @@ object TsOps {
        |    AS alarm
        |FROM out ORDER BY d""".stripMargin
   }
+
+  /** Robust per-user anomaly detection: daily purchase spend flagged
+    * when its absolute deviation from the user's MEDIAN day exceeds
+    * 3× the user's median absolute deviation (MAD) — the
+    * outlier-resistant twin of [[SnapshotOps.eventsAnomaly]]'s 3σ
+    * z-score (mean and σ are themselves dragged by the outliers they
+    * should flag; median/MAD are not). "Median" is the LOWER median
+    * (element at rank ⌊(n+1)/2⌋): an integer SELECTION, not an
+    * interpolation — engines can disagree on interpolated quantiles in
+    * the last ulp, never on a selected element. All arithmetic runs in
+    * exact integer CENTS (the [[DqOps.dqBenford]] extraction), so the
+    * 3×MAD cut is a BIGINT comparison with no float boundary at all.
+    *
+    * Scale shape: the corpus collapses FIRST to (user, day) spend —
+    * one partial-aggregated shuffle; the two selection windows
+    * (median of spend, median of deviations) and both re-joins run
+    * per-user on calendar-bounded partitions (≤ days-per-user rows)
+    * sharing one user_id exchange. No unpartitioned window, no
+    * quantile sketch needed: per-key medians at 100 TB are exactly
+    * this shape. */
+  def tsMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("DAY", $"ts").cast("date").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("c"))
+      .groupBy($"user_id", $"day").agg(sum($"c").as("cents"))
+    val wAll = Window.partitionBy($"user_id")
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy(col(value).asc, $"day".asc)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter($"rn" === expr("(n + 1) div 2"))
+        .select($"user_id", col(value).as(out))
+    val med = lowerMedian(daily, "cents", "med")
+    val dev = daily.join(med, "user_id")
+      .withColumn("dev", abs($"cents" - $"med"))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, "user_id")
+      .filter($"dev" > lit(3L) * $"mad")
+      .select($"user_id", $"day", $"cents", $"med", $"mad")
+      .orderBy($"user_id", $"day")
+  }
+
+  val tsMadOutliersSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |st AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY cents ASC, day ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM daily),
+      |med AS (SELECT user_id, cents AS med FROM st WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT d.user_id, d.day, d.cents, m.med,
+      |    abs(d.cents - m.med) AS dev
+      |  FROM daily d JOIN med m USING (user_id)),
+      |sd AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY dev ASC, day ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM dev),
+      |mad AS (SELECT user_id, dev AS mad FROM sd WHERE rn = (n + 1) // 2)
+      |SELECT d.user_id, d.day, d.cents, d.med, md.mad
+      |FROM dev d JOIN mad md USING (user_id)
+      |WHERE d.dev > 3 * md.mad
+      |ORDER BY user_id, day""".stripMargin
 }

@@ -317,4 +317,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(df.collect().toSeq == WindowOps.rankTopN(spark, sf).collect().toSeq,
       "native top-k disagrees with the window top-k")
   }
+
+  test("z-order box query prunes to the covering tile directories") {
+    val df = ScanOps.scanZorder(spark, sf)
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    assert(scans.exists(_.partitionFilters.exists(_.toString.contains("zb"))),
+      s"expected a zb partition filter:\n${df.queryExecution.executedPlan}")
+    // the 40..80 × 70..120 box covers tiles (1..2, 2..3) → 4 of the
+    // 64 directories; one file per directory (repartition-by-tile
+    // write shaping), so the pruned scan reads exactly 4 files
+    val nFiles = scans.map(_.selectedPartitions.totalNumberOfFiles).max
+    assert(nFiles == 4, s"expected 4 pruned tile files, read $nFiles")
+  }
 }

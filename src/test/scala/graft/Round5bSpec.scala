@@ -194,4 +194,43 @@ class Round5bSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val mean = rows.map(_.getDouble(2)).sum / rows.length
     assert(mean >= 0.2, s"IVF recall collapsed: $mean")
   }
+
+  test("graft_zorder: interleave laws + codegen agrees with eval") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    // reference laws: bijective on the 256×256 grid, bit-local
+    // (tile id = interleave of the high bits), monotone within a tile
+    val seen = new Array[Boolean](65536)
+    for (x <- 0 until 256; y <- 0 until 256) {
+      val z = ZOrder.interleave8(x, y)
+      assert(z >= 0 && z < 65536 && !seen(z.toInt), s"collision at ($x,$y)")
+      seen(z.toInt) = true
+      assert(z >> 10 == ZOrder.interleave8(x >> 5, y >> 5),
+        s"tile id is not the high-bit interleave at ($x,$y)")
+    }
+    // codegen path (DataFrame eval) matches the reference on a grid
+    ZOrder.register(spark)
+    val rows = spark.range(0, 4096).toDF("i")
+      .selectExpr("i div 64 as x", "i % 64 as y",
+        "graft_zorder(i div 64, i % 64) as z")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == ZOrder.interleave8(r.getLong(0), r.getLong(1)),
+        s"codegen disagrees with reference at $r")
+    }
+  }
+
+  test("q_upsert_merge: replaying the change feed is idempotent; actions consistent with the diff") {
+    import graft.operators.SnapshotOps
+    val once = SnapshotOps.upsertMerge(spark, sf).collect().toSeq
+    val again = SnapshotOps.upsertMerge(spark, sf).collect().toSeq
+    assert(once == again, "merge apply is not replay-idempotent")
+    // a merged table never contains a deleted key, and every action
+    // tag is one of the three MERGE outcomes
+    val actions = once.map(_.getString(1)).toSet
+    assert(actions.subsetOf(Set("kept", "updated", "inserted")),
+      s"unexpected action tags: $actions")
+    assert(actions.contains("updated") && actions.contains("kept"),
+      "fixture should exercise both matched and unmatched branches")
+  }
 }
