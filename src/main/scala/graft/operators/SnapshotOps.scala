@@ -476,6 +476,86 @@ object SnapshotOps {
        |GROUP BY 1, 2, 3, 4 ORDER BY t""".stripMargin
   }
 
+  /** Growth accounting — the weekly user-lifecycle ledger every
+    * product-analytics stack reports: each active (user, week) is
+    * `new` (first-ever week), `retained` (also active the week
+    * before) or `resurrected` (active, but gap ≥ 2 weeks), and a user
+    * active in week w but not w+1 counts as `churned` in w+1. The four
+    * series reconcile: actives_w = new + retained + resurrected, and
+    * actives_w − retained_{w+1} = churned_{w+1}.
+    *
+    * Scale shape: the corpus collapses FIRST to distinct (user, week)
+    * — one map-side-combined shuffle, output bounded by users ×
+    * calendar weeks. Week-over-week presence is a SELF-EQUI-JOIN on
+    * (user, week − 7) — no per-user window sort — and churn is the
+    * anti-join of the shifted set against the actual set, capped at
+    * the stream's own max week (broadcast 1-row bound). Everything
+    * after the first distinct shuffles the same (user_id)-keyed rows. */
+  def eventsLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, sfDir)
+      .select($"user_id", date_trunc("WEEK", $"ts").cast("date").as("wk"))
+      .distinct()
+    val first = act.groupBy($"user_id").agg(min($"wk").as("fw"))
+    val shifted = act.select($"user_id", date_add($"wk", 7).as("wk"),
+      lit(1).as("prev_hit"))
+    val states = act.join(first, "user_id")
+      .join(shifted, Seq("user_id", "wk"), "left")
+      .withColumn("state",
+        when($"wk" === $"fw", lit("new"))
+          .when($"prev_hit".isNotNull, lit("retained"))
+          .otherwise(lit("resurrected")))
+    val core = states.groupBy($"wk").agg(
+      sum(when($"state" === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when($"state" === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when($"state" === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val bounds = act.agg(max($"wk").as("maxwk"))
+    val churn = shifted.select($"user_id", $"wk")
+      .join(act, Seq("user_id", "wk"), "left_anti")
+      .crossJoin(broadcast(bounds))
+      .filter($"wk" <= $"maxwk")
+      .groupBy($"wk").agg(count(lit(1)).as("n_churned"))
+    core.join(churn, Seq("wk"), "left")
+      .select($"wk", $"n_new", $"n_retained", $"n_resurrected",
+        coalesce($"n_churned", lit(0L)).as("n_churned"))
+      .orderBy($"wk")
+  }
+
+  val eventsLifecycleSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |fw AS (SELECT user_id, MIN(wk) AS fw FROM act GROUP BY 1),
+      |st AS (
+      |  SELECT a.user_id, a.wk,
+      |    CASE WHEN a.wk = f.fw THEN 'new'
+      |         WHEN p.user_id IS NOT NULL THEN 'retained'
+      |         ELSE 'resurrected' END AS state
+      |  FROM act a JOIN fw f USING (user_id)
+      |  LEFT JOIN act p ON p.user_id = a.user_id AND p.wk + 7 = a.wk),
+      |core AS (
+      |  SELECT wk,
+      |    CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_resurrected
+      |  FROM st GROUP BY 1),
+      |mx AS (SELECT MAX(wk) AS maxwk FROM act),
+      |ch AS (
+      |  SELECT s.wk + 7 AS wk, COUNT(*) AS n_churned
+      |  FROM act s LEFT JOIN act n
+      |    ON n.user_id = s.user_id AND n.wk = s.wk + 7, mx
+      |  WHERE n.user_id IS NULL AND s.wk + 7 <= mx.maxwk
+      |  GROUP BY 1)
+      |SELECT core.wk, n_new, n_retained, n_resurrected,
+      |  CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+      |FROM core LEFT JOIN ch ON ch.wk = core.wk
+      |ORDER BY core.wk""".stripMargin
+
   /** Change rows with a final value below this act as DELETEs in
     * [[upsertMerge]] (~p10 of purchase values — a meaningful but
     * minority delete share). */

@@ -49,7 +49,18 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
 
 /** Map-side pruning: each input partition keeps at most k rows per
   * key (size-k heap, worst row evicted), no distribution required —
-  * runs before the exchange like partial aggregation. */
+  * runs before the exchange like partial aggregation.
+  *
+  * Bounded state: the per-partition heap map is capped at
+  * [[TopKPerKey.MAX_PARTIAL_KEYS_CONF]] distinct keys (default 2^20).
+  * Once the cap is hit, rows of UNSEEN keys stream straight through to
+  * the exchange un-pruned — partial pruning is an optimization, the
+  * final exec re-prunes every key, so the fallback only costs shuffle
+  * volume on the pathological high-cardinality-per-partition case
+  * that would otherwise grow the heap map toward the whole partition
+  * (the OOM hazard of un-managed on-heap state; a spillable map from
+  * the TaskMemoryManager is the heavier alternative). Keys already
+  * heaped keep pruning after the cap. */
 case class PartialTopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: SparkPlan) extends UnaryExecNode {
   import scala.jdk.CollectionConverters._
@@ -59,9 +70,35 @@ case class PartialTopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     UnspecifiedDistribution :: Nil
   protected override def doExecute(): RDD[InternalRow] = {
     val (keysB, orderB, childOut, kk) = (keys, order, child.output, k)
+    val maxKeys = conf.getConfString(
+      TopKPerKey.MAX_PARTIAL_KEYS_CONF, (1 << 20).toString).toInt
     child.execute().mapPartitions({ iter =>
-      TopKPerKey.heaps(iter, keysB, orderB, kk, childOut)
-        .values().iterator().asScala.flatMap(_.iterator().asScala)
+      val keyProj = UnsafeProjection.create(keysB, childOut)
+      val ord = GenerateOrdering.generate(orderB, childOut)
+      val map = new java.util.LinkedHashMap[InternalRow,
+        java.util.PriorityQueue[InternalRow]]()
+      val passThrough = iter.flatMap { row =>
+        val key = keyProj(row)
+        var pq = map.get(key)
+        if (pq == null && map.size() >= maxKeys) {
+          // state cap reached: unseen key streams through un-pruned
+          Iterator.single(row)
+        } else {
+          if (pq == null) {
+            pq = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
+            map.put(key.copy(), pq)
+          }
+          if (pq.size() < kk) pq.add(row.copy())
+          else if (ord.compare(row, pq.peek()) < 0) {
+            pq.poll(); pq.add(row.copy())
+          }
+          Iterator.empty
+        }
+      }
+      // ++'s by-name operand: the heap flush iterator is built only
+      // after the streaming phase has consumed the input
+      passThrough ++
+        map.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerKeyExec =
@@ -115,21 +152,26 @@ object TopKPerKeyStrategy extends SparkStrategy {
 object TopKPerKey {
   import scala.jdk.CollectionConverters._
 
+  /** Cap on distinct keys held in one partition's partial heap map
+    * (see [[PartialTopKPerKeyExec]]); settable per session for tests
+    * and for memory-constrained deployments. */
+  val MAX_PARTIAL_KEYS_CONF = "spark.graft.topk.maxPartialKeys"
+
   /** Size-k heap per key over one partition. PQ comparator is the
     * REVERSED row order so poll() evicts the worst row; a row that
     * can't beat the current worst is rejected without copying.
     *
     * Memory caveat: the map holds O(distinct keys per partition × k)
     * copied rows ON HEAP, outside Spark's task memory manager — it
-    * cannot spill. That is the right trade when k·keys/partition is
-    * small relative to executor memory (the exchange-diet scenario
-    * this operator exists for); for extreme key cardinality per
-    * partition (keys × k approaching partition row count) the heap
-    * holds nearly the whole partition with per-key PQ overhead on
-    * top, and the spillable WindowExec formulation (or more input
-    * partitions, which shrink the per-partition key set) is the safer
-    * plan. A production hardening would back this with a spillable
-    * map acquired from the TaskMemoryManager. */
+    * cannot spill. The PARTIAL side bounds this with the
+    * [[TopKPerKey.MAX_PARTIAL_KEYS_CONF]] pass-through cap; this
+    * helper now serves the FINAL side, where clustering means the
+    * per-partition key set is total-keys/partitions (the same state
+    * bound as any hash aggregation) and the retained rows are ≤ k per
+    * key. For key sets that outgrow executor memory even so, the
+    * spillable WindowExec formulation or more shuffle partitions is
+    * the safer plan; a TaskMemoryManager-backed spillable map is the
+    * heavier alternative. */
   private[plans] def heaps(iter: Iterator[InternalRow], keys: Seq[Expression],
       order: Seq[SortOrder], k: Int, childOut: Seq[Attribute])
       : java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]] = {

@@ -220,6 +220,21 @@ class Round5bSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("TopKPerKey partial-state cap: pass-through fallback is result-identical") {
+    import graft.operators.WindowOps
+    import graft.plans.TopKPerKey
+    val dflt = WindowOps.rankTopNNative(spark, sf).collect().toSeq
+    // cap of 2 distinct keys per partition forces almost every row of
+    // every map partition through the un-pruned pass-through path —
+    // the final exec must still produce byte-identical top-k
+    spark.conf.set(TopKPerKey.MAX_PARTIAL_KEYS_CONF, "2")
+    try {
+      val capped = WindowOps.rankTopNNative(spark, sf).collect().toSeq
+      assert(capped == dflt,
+        "partial-heap cap changed the operator's results")
+    } finally spark.conf.unset(TopKPerKey.MAX_PARTIAL_KEYS_CONF)
+  }
+
   test("q_upsert_merge: replaying the change feed is idempotent; actions consistent with the diff") {
     import graft.operators.SnapshotOps
     val once = SnapshotOps.upsertMerge(spark, sf).collect().toSeq
