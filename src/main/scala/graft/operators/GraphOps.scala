@@ -513,4 +513,116 @@ object GraphOps {
        |FROM e JOIN $last x ON e.s = x.v JOIN $last y ON e.d2 = y.v
        |GROUP BY 1 ORDER BY user_id""".stripMargin
   }
+
+  /** Synchronous min-label rounds for [[graphModularity]]'s community
+    * assignment — bounded like the k-core peel, NOT run to the
+    * components fixpoint (that is [[graft.operators.DedupOps]]'s
+    * clustering); stopping early yields a non-trivial partition with
+    * cross-community edges, which is what a modularity score is FOR. */
+  private val LABEL_ROUNDS = 2
+
+  /** Community quality scoring: modularity Q = Σ_c (m_c/m −
+    * (d_c/2m)²) of the partition produced by [[LABEL_ROUNDS]]
+    * synchronous min-label-propagation rounds over the user–user
+    * graph — the metric that says whether a community assignment
+    * beats random wiring (Q > 0) before anything downstream consumes
+    * it. Deterministic by construction: min-label is order-free
+    * (textbook LPA's random tie-breaking is not), and the round count
+    * is fixed, so the partition and the score are bytes-stable.
+    *
+    * Scale shape: each round is ONE edges⋈labels join + min
+    * aggregation on the destination (labels = 1 row/node, lineage
+    * depth bounded by the round count — no checkpoint needed); the
+    * scoring pass is two bounded aggregations (per-community degree
+    * mass, intra-community edge count over the a<b pair list) and a
+    * broadcast 1-row edge total. Every contribution term is a ratio
+    * of exact BIGINTs through one identical double tree, rnd6'd, then
+    * exact-summed into Q. */
+  def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact.xsum
+    import graft.functions.Udfs.rnd6
+    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
+    val edges = pairs.select($"user_a".as("src"), $"user_b".as("dst"))
+      .union(pairs.select($"user_b".as("src"), $"user_a".as("dst")))
+    var lbl = edges.select($"src".as("user_id")).distinct()
+      .withColumn("lbl", $"user_id")
+    for (_ <- 1 to LABEL_ROUNDS) {
+      val nbrMin = edges
+        .join(lbl.withColumnRenamed("user_id", "src"), "src")
+        .groupBy($"dst".as("user_id")).agg(min($"lbl").as("nlbl"))
+      lbl = lbl.join(nbrMin, Seq("user_id"), "left")
+        .select($"user_id",
+          least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+    }
+    val m1 = pairs.agg(count(lit(1)).as("m"))
+    val deg = edges.groupBy($"src".as("user_id"))
+      .agg(count(lit(1)).as("degree"))
+    val comm = lbl.join(deg, "user_id")
+      .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"),
+        sum($"degree").as("d_c"))
+    val intra = pairs
+      .join(lbl.select($"user_id".as("user_a"), $"lbl".as("la")), "user_a")
+      .join(lbl.select($"user_id".as("user_b"), $"lbl".as("lb")), "user_b")
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("lbl")).agg(count(lit(1)).as("m_in0"))
+    val terms = comm.join(intra, Seq("lbl"), "left")
+      .crossJoin(broadcast(m1))
+      .select($"lbl".as("community"), $"n_nodes",
+        coalesce($"m_in0", lit(0L)).as("m_in"), $"d_c", $"m")
+      .withColumn("contrib", rnd6(
+        $"m_in".cast("double") / $"m" -
+          ($"d_c".cast("double") / (lit(2.0) * $"m")) *
+          ($"d_c".cast("double") / (lit(2.0) * $"m"))))
+    val q1 = terms.agg(rnd6(xsum($"contrib")).as("q"))
+    terms.crossJoin(broadcast(q1))
+      .select($"community", $"n_nodes", $"m_in", $"d_c", $"contrib", $"q")
+      .orderBy($"community")
+  }
+
+  val graphModularitySql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def round(r: Int, prev: String) =
+      s"""n$r AS MATERIALIZED (
+         |  SELECT e.dst AS user_id, MIN(l.lbl) AS nlbl FROM edges e
+         |  JOIN $prev l ON l.user_id = e.src GROUP BY 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT l.user_id, LEAST(l.lbl, COALESCE(n.nlbl, l.lbl)) AS lbl
+         |  FROM $prev l LEFT JOIN n$r n USING (user_id))""".stripMargin
+    val rounds = (1 to LABEL_ROUNDS)
+      .map(r => round(r, if (r == 1) "l0" else s"l${r - 1}"))
+      .mkString(",\n")
+    val last = s"l$LABEL_ROUNDS"
+    val contrib = sqlRnd6("CAST(m_in AS DOUBLE) / m - " +
+      "(CAST(d_c AS DOUBLE) / (2.0 * m)) * " +
+      "(CAST(d_c AS DOUBLE) / (2.0 * m))")
+    s"""WITH $pairsCte,
+       |edges AS MATERIALIZED (
+       |  SELECT user_a AS src, user_b AS dst FROM pairs
+       |  UNION ALL SELECT user_b, user_a FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS user_id, src AS lbl FROM edges),
+       |$rounds,
+       |m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+       |deg AS (SELECT src AS user_id, COUNT(*) AS degree
+       |  FROM edges GROUP BY 1),
+       |comm AS (
+       |  SELECT lbl, COUNT(*) AS n_nodes,
+       |    CAST(SUM(degree) AS BIGINT) AS d_c
+       |  FROM $last JOIN deg USING (user_id) GROUP BY 1),
+       |intra AS (
+       |  SELECT la.lbl, COUNT(*) AS m_in0
+       |  FROM pairs p
+       |  JOIN $last la ON la.user_id = p.user_a
+       |  JOIN $last lb ON lb.user_id = p.user_b
+       |  WHERE la.lbl = lb.lbl GROUP BY 1),
+       |terms AS (
+       |  SELECT c.lbl AS community, c.n_nodes,
+       |    CAST(COALESCE(i.m_in0, 0) AS BIGINT) AS m_in, c.d_c, m,
+       |    $contrib AS contrib
+       |  FROM comm c LEFT JOIN intra i USING (lbl), m1),
+       |q1 AS (SELECT ${sqlRnd6(sqlXsum("contrib"))} AS q FROM terms)
+       |SELECT community, n_nodes, m_in, d_c, contrib, q
+       |FROM terms, q1 ORDER BY community""".stripMargin
+  }
 }

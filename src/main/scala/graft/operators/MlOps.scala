@@ -990,6 +990,72 @@ object MlOps {
        |FROM roc, hits, tot ORDER BY thr""".stripMargin
   }
 
+  /** Precision-recall curve + average precision over the same
+    * score-bin table as [[mlAuc]] — the ranking metric that matters
+    * when positives are rare (ROC's FPR is diluted by a huge negative
+    * class; precision is not). Same scale shape: ONE shuffle to
+    * per-score-bin counts, cumulative (tp, fp) per threshold via the
+    * broadcast triangular join, never a global-rank window. AP is the
+    * step-wise sum Σ_s n_pos(s)·precision(thr=s)/N⁺ — the recall
+    * increment at threshold s is exactly n_pos(s)/N⁺, so AP needs no
+    * adjacent-row navigation: each term is a ratio of exact BIGINTs,
+    * rnd6'd, then exact-summed (fold-order-free). */
+  def mlPrCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val byScore = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_quantity".cast("int").as("s"))
+      .agg(count(when($"l_returnflag" === "R", 1)).as("n_pos"),
+        count(when($"l_returnflag" =!= "R", 1)).as("n_neg"))
+    val rhs = byScore.select($"s".as("s2"), $"n_pos".as("pos2"),
+      $"n_neg".as("neg2"))
+    val cum = byScore.select($"s".as("thr"), $"n_pos")
+      .join(broadcast(rhs), $"s2" >= $"thr")
+      .groupBy($"thr", $"n_pos")
+      .agg(sum($"pos2").as("tp"), sum($"neg2").as("fp"))
+    val npos = byScore.agg(sum($"n_pos").as("npos"))
+    val terms = cum.crossJoin(broadcast(npos))
+      .withColumn("precision",
+        rnd6($"tp".cast("double") / ($"tp" + $"fp").cast("double")))
+      .withColumn("recall", rnd6($"tp".cast("double") / $"npos"))
+      .withColumn("ap_term",
+        rnd6($"n_pos".cast("double") * $"precision" / $"npos"))
+    val ap = terms.agg(rnd6(xsum($"ap_term")).as("ap"))
+    terms.crossJoin(broadcast(ap))
+      .select($"thr", $"tp", $"fp", $"precision", $"recall", $"ap")
+      .orderBy($"thr")
+  }
+
+  val mlPrCurveSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH by_score AS (
+       |  SELECT CAST(l_quantity AS INTEGER) AS s,
+       |    COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_pos,
+       |    COUNT(CASE WHEN l_returnflag != 'R' THEN 1 END) AS n_neg
+       |  FROM lineitem GROUP BY 1),
+       |cum AS (
+       |  SELECT t.s AS thr, t.n_pos,
+       |    CAST(SUM(b.n_pos) AS BIGINT) AS tp,
+       |    CAST(SUM(b.n_neg) AS BIGINT) AS fp
+       |  FROM by_score t JOIN by_score b ON b.s >= t.s
+       |  GROUP BY 1, 2),
+       |np AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS npos FROM by_score),
+       |terms AS (
+       |  SELECT thr, n_pos, tp, fp,
+       |    ${sqlRnd6("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)")}
+       |      AS precision,
+       |    ${sqlRnd6("CAST(tp AS DOUBLE) / npos")} AS recall
+       |  FROM cum, np),
+       |ap_terms AS (
+       |  SELECT thr, tp, fp, precision, recall,
+       |    ${sqlRnd6("CAST(n_pos AS DOUBLE) * precision / npos")} AS ap_term
+       |  FROM terms, np),
+       |ap1 AS (SELECT ${sqlRnd6(Exact.sqlXsum("ap_term"))} AS ap
+       |  FROM ap_terms)
+       |SELECT thr, tp, fp, precision, recall, ap
+       |FROM ap_terms, ap1 ORDER BY thr""".stripMargin
+  }
+
   /** Feature scaling — the standard preprocessing trio (z-score,
     * min-max, winsorize-at-[p05, p95]) for account balance, grouped by
     * market segment. One shuffle reduces the corpus to per-segment
