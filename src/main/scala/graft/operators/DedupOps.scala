@@ -703,4 +703,75 @@ object DedupOps {
       .agg(count(lit(1)).as("n"), sum($"flagged".cast("long")).as("n_flagged"))
       .orderBy($"is_replayed")
   }
+
+  /** Quality cut for [[pipelineFunnel]] — the fixture's median
+    * composite quality, so the gate rejects a real share. Compared on
+    * the rnd6'd score (identical rounding both engines, no float
+    * boundary hazard). */
+  private val FUNNEL_QUALITY_MIN = 0.66
+
+  /** The cleaning pipeline END TO END as one query — the per-source
+    * funnel report a training-data run publishes: raw docs → near-dup
+    * SURVIVORS (the [[dedupSurvivors]] clustering) → composite quality
+    * gate ([[TextOps.textQuality]]'s exact formula, cut at the
+    * median) → final token budget per source. This is the composition
+    * story: every stage is an already-oracled operator, chained in
+    * one plan with one funnel aggregation at the end — what a user
+    * actually materializes before [[graft.operators.SampleOps
+    * .mixSources]] apportions the result.
+    *
+    * Scale shape: survivor labels ride the session-cached clustering
+    * (shingle index + bucketed joins — never all-pairs); the quality
+    * score is map-side arithmetic on each doc; the funnel is one
+    * #sources-row aggregation with conditional sums. Nothing beyond
+    * the (already-bounded) dedup chain touches more than one pass
+    * over the corpus. */
+  def pipelineFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val surv = clusterLabels(spark, sfDir)
+      .filter($"doc_id" === $"cluster_id").select($"doc_id", lit(1).as("sv"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text",
+        length($"text").as("nc"),
+        size(split($"text", " ")).cast("long").as("ntok"),
+        size(array_distinct(split(lower($"text"), " "))).as("nu"),
+        expr("length(regexp_replace(text, '[a-z0-9 ]', ''))").as("np"))
+      .withColumn("quality", rnd6(
+        ($"nu" / $"ntok") * 0.4
+          + least($"ntok" / 100.0, lit(1.0)) * 0.3
+          + (lit(1.0) - $"np" / $"nc") * 0.3))
+      .join(surv, Seq("doc_id"), "left")
+      .withColumn("keep_dedup", $"sv".isNotNull)
+      .withColumn("keep_final",
+        $"keep_dedup" && $"quality" >= FUNNEL_QUALITY_MIN)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when($"keep_dedup", 1L).otherwise(0L)).as("after_dedup"),
+        sum(when($"keep_final", 1L).otherwise(0L)).as("after_quality"),
+        sum(when($"keep_final", $"ntok").otherwise(0L)).as("tokens_final"))
+      .orderBy($"source")
+  }
+
+  val pipelineFunnelSql: String =
+    s"""$clusterCtesSql,
+       |surv AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok,
+       |    ${sqlRnd6(
+         "(len(list_distinct(string_split(lower(d.text), ' '))) " +
+           "/ len(string_split(d.text, ' '))) * 0.4 " +
+           "+ least(len(string_split(d.text, ' ')) / 100.0, 1.0) * 0.3 " +
+           "+ (1.0 - length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) " +
+           "/ length(d.text)) * 0.3")} AS quality,
+       |    s.doc_id IS NOT NULL AS keep_dedup
+       |  FROM documents d LEFT JOIN surv s USING (doc_id))
+       |SELECT source, COUNT(*) AS docs_in,
+       |  CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS after_dedup,
+       |  CAST(SUM(CASE WHEN keep_dedup AND quality >= $FUNNEL_QUALITY_MIN
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+       |  CAST(SUM(CASE WHEN keep_dedup AND quality >= $FUNNEL_QUALITY_MIN
+       |    THEN ntok ELSE 0 END) AS BIGINT) AS tokens_final
+       |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
 }
