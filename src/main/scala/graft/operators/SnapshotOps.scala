@@ -415,7 +415,7 @@ object SnapshotOps {
     val n1 = byT.agg(sum($"d" + $"c").as("n_users"))
     // pass 1: at-risk count = users minus everyone who left earlier
     val atRisk = byT.as("a")
-      .join(byT.as("b"), $"b.t" <= $"a.t")
+      .join(broadcast(byT.as("b")), $"b.t" <= $"a.t")
       .groupBy($"a.t".as("t"), $"a.d".as("d"), $"a.c".as("c"))
       .agg(sum(when($"b.t" < $"a.t", $"b.d" + $"b.c")
         .otherwise(lit(0L))).as("gone"))
@@ -430,7 +430,7 @@ object SnapshotOps {
       .localCheckpoint(true)
     // pass 3: prefix-accumulate the product in log space
     stepped.as("a")
-      .join(stepped.as("b"), $"b.t" <= $"a.t")
+      .join(broadcast(stepped.as("b")), $"b.t" <= $"a.t")
       .groupBy($"a.t".as("t"), $"a.n_risk".as("n_risk"),
         $"a.d".as("d"), $"a.c".as("c"))
       .agg(xsum($"b.lnterm").as("cumln"), max($"b.zero").as("anyzero"))

@@ -168,13 +168,13 @@ object TsOps {
       .select($"d", rnd6(($"v" - mean) / std).as("z"))
       .localCheckpoint(true)
     val w = zt.as("a")
-      .join(zt.as("b"), $"b.d" <= $"a.d")
+      .join(broadcast(zt.as("b")), $"b.d" <= $"a.d")
       .groupBy($"a.d".as("d"), $"a.z".as("z"))
       .agg(xsum($"b.z" - CUSUM_K).as("wp"),
         xsum(-$"b.z" - CUSUM_K).as("wn"))
       .localCheckpoint(true)
     val cum = w.as("a")
-      .join(w.as("b"), $"b.d" <= $"a.d")
+      .join(broadcast(w.as("b")), $"b.d" <= $"a.d")
       .groupBy($"a.d".as("d"), $"a.z".as("z"),
         $"a.wp".as("wp"), $"a.wn".as("wn"))
       .agg(min($"b.wp").as("minp"), min($"b.wn").as("minn"))
