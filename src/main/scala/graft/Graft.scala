@@ -97,6 +97,20 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def bootstrapCi(): DataFrame = SampleOps.sampleBootstrap(spark, dataDir)
   def benfordAudit(): DataFrame = DqOps.dqBenford(spark, dataDir)
   def annRecall(): DataFrame = SimOps.simsearchRecall(spark, dataDir)
+  def spendOutliers(): DataFrame = TsOps.tsMadOutliers(spark, dataDir)
+  def precisionRecall(): DataFrame = MlOps.mlPrCurve(spark, dataDir)
+  def communityModularity(): DataFrame = GraphOps.graphModularity(spark, dataDir)
+
+  // — lakehouse table maintenance —
+  def mergeChanges(): DataFrame = SnapshotOps.upsertMerge(spark, dataDir)
+  def zorderedBoxQuery(): DataFrame = ScanOps.scanZorder(spark, dataDir)
+
+  // — pipeline reporting —
+  def ingestionGaps(): DataFrame = DqOps.dqGaps(spark, dataDir)
+  def growthAccounting(): DataFrame = SnapshotOps.eventsLifecycle(spark, dataDir)
+  def cleaningFunnel(): DataFrame = DedupOps.pipelineFunnel(spark, dataDir)
+  def chunkDedup(): DataFrame = TextOps.textChunkDedup(spark, dataDir)
+  def nearestClick(): DataFrame = JoinOps.joinAsofNearest(spark, dataDir)
 
   /** Run any named operator from the full surface. */
   def query(name: String): DataFrame = SparkEntry.queries(name)(spark, dataDir)

@@ -8,6 +8,9 @@ class GraftSpec extends SparkSpec {
     assert(g.ratings().count() > 0)
     assert(g.dedupExact().count() > 0)
     assert(g.textQuality().count() > 0)
+    assert(g.mergeChanges().count() > 0)
+    assert(g.growthAccounting().count() > 0)
+    assert(g.cleaningFunnel().count() > 0)
   }
 
   test("query() dispatches every registered operator name") {
