@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.Udfs.{rnd6, sqlRnd6}
@@ -774,4 +775,190 @@ object DedupOps {
        |  CAST(SUM(CASE WHEN keep_dedup AND quality >= $FUNNEL_QUALITY_MIN
        |    THEN ntok ELSE 0 END) AS BIGINT) AS tokens_final
        |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** Quality-weighted survivorship: [[dedupSurvivors]] keeps the
+    * min-id doc per near-dup cluster; real cleaning pipelines keep the
+    * BEST copy (a crawl usually holds one clean rendering and N
+    * boilerplate-mangled ones of the same page). Survivor = the
+    * cluster member maximizing the composite quality score (exact
+    * [[TextOps.textQuality]] formula, rnd6'd so the ordering key is
+    * bit-identical cross-engine), doc_id ascending on ties. Selection
+    * is a per-cluster row_number window — partitioned by cluster_id,
+    * so no single-task window at any corpus size; the quality pass is
+    * map-side over the corpus scan. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val quality = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(array_distinct(split(lower($"text"), " "))).as("nu"),
+        size(split($"text", " ")).cast("long").as("ntok"),
+        expr("length(regexp_replace(text, '[a-z0-9 ]', ''))").as("np"),
+        length($"text").as("nc"))
+      .select($"doc_id", rnd6(
+        ($"nu" / $"ntok") * 0.4
+          + least($"ntok" / 100.0, lit(1.0)) * 0.3
+          + (lit(1.0) - $"np" / $"nc") * 0.3).as("quality"))
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality".desc, $"doc_id".asc)
+    clusterLabels(spark, sfDir).join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"doc_id", $"quality",
+        ($"cluster_size" - 1).as("n_dups_removed"))
+      .orderBy($"cluster_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""$clusterCtesSql,
+       |quality AS (
+       |  SELECT doc_id, ${sqlRnd6(
+      "(len(list_distinct(string_split(lower(text), ' '))) " +
+        "/ len(string_split(text, ' '))) * 0.4 " +
+        "+ least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.3 " +
+        "+ (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) " +
+        "/ length(text)) * 0.3")} AS quality
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, q.quality, s.cluster_size,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality DESC, c.doc_id ASC) AS rk
+       |  FROM comp c
+       |  JOIN sizes s USING (cluster_id)
+       |  JOIN quality q USING (doc_id))
+       |SELECT cluster_id, doc_id, quality,
+       |  cluster_size - 1 AS n_dups_removed
+       |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
+  /** Prefix-filtered exact similarity join (SSJoin/PPJoin family,
+    * Chaudhuri et al. ICDE'06; Xiao et al. WWW'08): raw-shingle
+    * Jaccard ≥ 0.5 where the candidate index holds only each doc's
+    * PREFIX — its |A| − ⌈t·|A|⌉ + 1 globally-rarest shingles (df asc,
+    * shingle asc — a total order both engines spell identically). Any
+    * pair with J ≥ t must collide inside both prefixes, so the join is
+    * lossless (the oracle below is the BRUTE-FORCE join — a
+    * differential proof), while hot shingles are indexed by almost no
+    * doc: this is the skew mitigation that, unlike the stop-shingle
+    * ceiling in [[informativeShingles]], changes NO semantics — the
+    * right tool when the threshold is high enough (t ≥ 0.5) for
+    * prefixes to be short. Verification re-joins only the candidate
+    * pairs to their two shingle sets — shuffle volume is bounded by
+    * candidates × set size, never df². */
+  def dedupPrefixFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = cached(spark, sfDir, "rawShingleUniverse") {
+      rawShingles(Tables.documents(spark, sfDir))
+    }
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+      .orderBy($"df".asc, $"shingle".asc)
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(wDoc))
+      .join(counts, "doc_id")
+      // ⌈0.5·n⌉ = (n+1) div 2 — integer-exact in both engines
+      .filter(expr("pos <= n_sh - (n_sh + 1) div 2 + 1"))
+      .select($"doc_id", $"shingle")
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        $"pa.shingle" === $"pb.shingle" && $"pa.doc_id" < $"pb.doc_id")
+      .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+      .join(sh.select($"doc_id".as("db"), $"shingle".as("sh_b")),
+        $"doc_b" === $"db" && $"shingle" === $"sh_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+      .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+      .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"shared",
+        rnd6($"shared" / ($"na" + $"nb" - $"shared")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: the brute-force raw-shingle inverted-index join with NO
+    * prefix pruning — identical results prove the prefix filter is
+    * lossless at t = 0.5. */
+  val dedupPrefixFilterSql: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+       |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+       |  FROM documents),
+       |shraw AS (
+       |  SELECT DISTINCT a.doc_id,
+       |    a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       |  FROM pt a
+       |  JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN pt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM shraw GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM shraw a JOIN shraw b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b, s.shared,
+       |  ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} AS jaccard
+       |FROM shared s
+       |JOIN counts ca ON s.doc_a = ca.doc_id
+       |JOIN counts cb ON s.doc_b = cb.doc_id
+       |WHERE ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} >= 0.5
+       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+
+  /** Cross-split contamination report — the leakage gate a training
+    * pipeline runs AFTER splitting: near-dup pairs (the
+    * [[dedupNear]] edge set) bucketed by which train/val/test split
+    * each endpoint landed in. A pair with `leaky = true` is test/val
+    * material the model effectively saw in training — the
+    * split-then-dedup ordering bug this query exists to catch. The
+    * split itself is the house key-scatter (Knuth multiplicative on
+    * doc_id — deterministic, repartition/retry-stable, mirrored
+    * exactly in the oracle): 80/10/10. Costs nothing beyond the
+    * already-cached near-pair stream plus two broadcast-sized joins
+    * of the (doc_id, split) map. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val splits = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        when(expr(s"pmod(doc_id * 2654435761, 1000)") < 800, "train")
+          .when(expr(s"pmod(doc_id * 2654435761, 1000)") < 900, "val")
+          .otherwise("test").as("split"))
+    nearPairs(spark, sfDir)
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"), max($"jaccard").as("max_jaccard"))
+      .withColumn("leaky", $"split_a" =!= $"split_b")
+      .select($"split_a", $"split_b", $"n_pairs", $"max_jaccard", $"leaky")
+      .orderBy($"split_a", $"split_b")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH $shinglesCte,
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT s.doc_a, s.doc_b,
+       |    ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} AS jaccard
+       |  FROM shared s
+       |  JOIN counts ca ON s.doc_a = ca.doc_id
+       |  JOIN counts cb ON s.doc_b = cb.doc_id
+       |  WHERE ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} >= 0.1),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ((doc_id * 2654435761) % 1000 + 1000) % 1000 < 800
+       |      THEN 'train'
+       |    WHEN ((doc_id * 2654435761) % 1000 + 1000) % 1000 < 900
+       |      THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT sa.split AS split_a, sb.split AS split_b,
+       |  count(*) AS n_pairs, max(n.jaccard) AS max_jaccard,
+       |  sa.split <> sb.split AS leaky
+       |FROM near n
+       |JOIN sp sa ON n.doc_a = sa.doc_id
+       |JOIN sp sb ON n.doc_b = sb.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY split_a, split_b""".stripMargin
 }

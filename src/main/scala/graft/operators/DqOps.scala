@@ -297,4 +297,80 @@ object DqOps {
       |FROM ty CROSS JOIN hrs
       |LEFT JOIN pres p ON p.event_type = ty.event_type AND p.h = hrs.h
       |GROUP BY 1 ORDER BY ty.event_type""".stripMargin
+
+  /** Join-key skew report — "which key needs salting/AQE before the
+    * big join": for each candidate join key, the per-key count
+    * distribution summarized as n_keys / n_rows / max / median / p99
+    * plus the hot-key traffic share and max÷median skew ratio. The
+    * quantiles are SELECTION (never interpolation — engines can differ
+    * in the last ulp on interpolation, never on selection) found by
+    * cumulative crossing over the COUNT HISTOGRAM: per key column, the
+    * corpus collapses to per-key counts in one partially-aggregated
+    * shuffle, the counts collapse again to a (cnt, n_keys) histogram
+    * whose size is bounded by the distinct multiplicities (≪ keys, ≪
+    * rows), and the crossing ranks are integer cross-multiplied
+    * comparisons (cum·2 ≥ n, cum·100 ≥ 99·n) over the broadcast-sized
+    * histogram — no window over the key population, nothing
+    * single-task at any key cardinality. */
+  def dqSkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+
+    def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+      val cnts = df.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val hist = cnts.groupBy($"cnt").agg(count(lit(1)).as("nk"))
+      val tot = cnts.agg(count(lit(1)).as("n_keys"),
+        sum($"cnt").as("n_rows"), max($"cnt").as("max_cnt"))
+      val cum = hist.as("a").join(broadcast(hist.as("b")),
+          $"b.cnt" <= $"a.cnt")
+        .groupBy($"a.cnt").agg(sum($"b.nk").as("cum"))
+      val med = cum.crossJoin(broadcast(tot))
+        .filter($"cum" * 2 >= $"n_keys")
+        .agg(min($"cnt").as("med_cnt"))
+      val p99 = cum.crossJoin(broadcast(tot))
+        .filter($"cum" * 100 >= $"n_keys" * 99)
+        .agg(min($"cnt").as("p99_cnt"))
+      tot.crossJoin(broadcast(med)).crossJoin(broadcast(p99))
+        .select(lit(keyCol).as("key_col"), $"n_keys", $"n_rows",
+          $"max_cnt", $"med_cnt", $"p99_cnt",
+          rnd6($"max_cnt" / $"n_rows").as("top1_share"),
+          rnd6($"max_cnt" / $"med_cnt").as("skew_ratio"))
+    }
+
+    val li = Tables.lineitem(spark, sfDir)
+    keySkew(li, "l_partkey")
+      .unionAll(keySkew(li, "l_suppkey"))
+      .unionAll(keySkew(Tables.orders(spark, sfDir), "o_custkey"))
+      .orderBy($"key_col")
+  }
+
+  val dqSkewReportSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def block(tbl: String, colName: String): String =
+      s"""SELECT '$colName' AS key_col, n_keys, n_rows, max_cnt,
+         |  med_cnt, p99_cnt,
+         |  ${sqlRnd6("max_cnt / n_rows")} AS top1_share,
+         |  ${sqlRnd6("max_cnt / med_cnt")} AS skew_ratio
+         |FROM (
+         |  WITH cnts AS (
+         |    SELECT $colName AS k, count(*) AS cnt FROM $tbl GROUP BY 1),
+         |  hist AS (SELECT cnt, count(*) AS nk FROM cnts GROUP BY cnt),
+         |  tot AS (SELECT count(*) AS n_keys,
+         |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |    max(cnt) AS max_cnt FROM cnts),
+         |  cum AS (SELECT a.cnt, CAST(sum(b.nk) AS BIGINT) AS cum
+         |    FROM hist a JOIN hist b ON b.cnt <= a.cnt GROUP BY a.cnt),
+         |  med AS (SELECT min(cnt) AS med_cnt FROM cum, tot
+         |    WHERE cum * 2 >= n_keys),
+         |  p99 AS (SELECT min(cnt) AS p99_cnt FROM cum, tot
+         |    WHERE cum * 100 >= n_keys * 99)
+         |  SELECT * FROM tot, med, p99)""".stripMargin
+    s"""${block("lineitem", "l_partkey")}
+       |UNION ALL
+       |${block("lineitem", "l_suppkey")}
+       |UNION ALL
+       |${block("orders", "o_custkey")}
+       |ORDER BY key_col""".stripMargin
+  }
 }

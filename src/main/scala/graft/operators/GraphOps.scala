@@ -269,12 +269,12 @@ object GraphOps {
          |  SELECT user_id, item_id, rating FROM (
          |    SELECT *, row_number() OVER (PARTITION BY item_id
          |      ORDER BY rating DESC, user_id ASC) AS irk
-         |    FROM ratings) WHERE irk <= 16),
+         |    FROM ratings) WHERE irk <= ${CfOps.ITEM_USER_CAP}),
          |pairs AS (
          |  SELECT r1.user_id AS user_a, r2.user_id AS user_b
          |  FROM capped r1 JOIN capped r2
          |    ON r1.item_id = r2.item_id AND r1.user_id < r2.user_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${CfOps.MIN_SUPPORT}),
          |edges AS (
          |  SELECT user_a AS src, user_b AS dst FROM pairs
          |  UNION ALL SELECT user_b, user_a FROM pairs),

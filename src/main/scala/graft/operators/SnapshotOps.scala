@@ -638,4 +638,61 @@ object SnapshotOps {
        |FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
        |WHERE NOT COALESCE(d.del, FALSE)
        |ORDER BY user_id""".stripMargin
+
+  /** Sequence-pattern matching over per-user event streams — the
+    * poor-man's MATCH_RECOGNIZE: each user's history collapses to a
+    * one-char-per-event string (total order (ts, event_id) — event_id
+    * is unique, so the encoding is deterministic under any partition
+    * count), and behavioral patterns become REGEXES over that string:
+    * direct conversion funnels `vc*p` (view → clicks → purchase with
+    * nothing between), the longest click burst `c+`, and
+    * error-then-purchase recovery `ep`. Per-user event counts are
+    * bounded (sessions, not the corpus), so the collect_list is a
+    * per-group bounded buffer, never a corpus-sized window; the regex
+    * pass is map-side over one row per user. Patterns stay inside the
+    * RE2 ∩ Java common subset (literal classes + greedy star — both
+    * engines match leftmost, non-overlapping, identically). */
+  def eventsPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id",
+        expr("""CASE event_type WHEN 'view' THEN 'v'
+                | WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                | WHEN 'signup' THEN 's' ELSE 'e' END""".stripMargin)
+          .as("code"))
+      .groupBy($"user_id")
+      .agg(expr("""array_join(transform(
+                  |  array_sort(collect_list(struct(ts, event_id, code))),
+                  |  x -> x.code), '')""".stripMargin).as("seq"))
+      .select($"user_id",
+        length($"seq").cast("long").as("n_events"),
+        expr("cast(size(regexp_extract_all(seq, 'vc*p', 0)) as bigint)")
+          .as("n_funnels"),
+        expr("""cast(coalesce(array_max(transform(
+                |  regexp_extract_all(seq, 'c+', 0), x -> length(x))), 0)
+                |  as bigint)""".stripMargin).as("max_click_run"),
+        expr("cast(size(regexp_extract_all(seq, 'ep', 0)) as bigint)")
+          .as("n_error_recovery"))
+      .orderBy($"user_id")
+  }
+
+  val eventsPatternSql: String =
+    """WITH coded AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE event_type WHEN 'view' THEN 'v'
+      |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+      |      WHEN 'signup' THEN 's' ELSE 'e' END AS code
+      |  FROM events),
+      |seqs AS (
+      |  SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq
+      |  FROM coded GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(length(seq) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels,
+      |  CAST(COALESCE(list_max(list_transform(
+      |    regexp_extract_all(seq, 'c+'), x -> length(x))), 0) AS BIGINT)
+      |    AS max_click_run,
+      |  CAST(len(regexp_extract_all(seq, 'ep')) AS BIGINT)
+      |    AS n_error_recovery
+      |FROM seqs ORDER BY user_id""".stripMargin
 }

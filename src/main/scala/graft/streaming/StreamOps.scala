@@ -594,6 +594,75 @@ object StreamOps {
       |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** LEFT OUTER stream–stream join — [[streamStreamJoin]] plus the
+    * rows that never matched: a null-extended purchase row is emitted
+    * only when the state store EVICTS the purchase (the watermark has
+    * passed every click timestamp it could still match), because
+    * until then a match may yet arrive — outer results are
+    * watermark-driven, not instant, which is the semantic difference
+    * this key exists to pin. The replay appends far-future sentinel
+    * rows to BOTH streams (the global watermark is the minimum across
+    * sources) in two staggered batches — one to advance the
+    * watermark past the data, one more trigger for the eviction scan
+    * that emits the flushed outer rows — so every unmatched purchase
+    * drains and the sink equals the batch LEFT JOIN exactly. At
+    * 100 TB this is the attribution table that keeps purchases with
+    * NO preceding click (the conversion-without-touchpoint rows the
+    * inner join silently drops). */
+  def streamStreamOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val maxTs = rows.iterator.map(_.ts.getTime).max
+    def sentinel(minutes: Long) = Ev(-1L,
+      new Timestamp(maxTs + minutes * 60L * 1000L), -1L, "wm_advance", 0.0)
+    val pSrc = MemoryStream[Ev](spark)
+    val cSrc = MemoryStream[Ev](spark)
+    pSrc.addData(rows.filter(_.event_type == "purchase"))
+    cSrc.addData(rows.filter(_.event_type == "click"))
+    val p = pSrc.toDS()
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = cSrc.toDS()
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = p.join(c,
+          $"p_user" === $"c_user" &&
+            $"c_ts" >= expr("p_ts - INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts",
+          "left_outer")
+        .select($"purchase_id", $"click_id", $"p_user".as("user_id"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        Seq(120L, 14L * 24L * 60L).foreach { m =>
+          pSrc.addData(sentinel(m)); cSrc.addData(sentinel(m))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sinkName).filter($"purchase_id" >= 0)
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  /** Batch twin: every purchase flushed (sentinel watermark is weeks
+    * past the data), so the emitted set is exactly the batch interval
+    * LEFT JOIN. Spark sorts ASC nulls-first; DuckDB defaults to
+    * nulls-last — spelled explicitly. */
+  val streamStreamOuterSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id AS user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin
+
   /** Chained stateful aggregations (Spark 4 multi-stateful-operator
     * support): 15-minute pane counts re-aggregated into hourly totals
     * INSIDE one streaming query — two windowed aggregations back to
