@@ -260,9 +260,14 @@ object DedupOps {
     * deterministic: 3-gram shingle → md5-hex-prefix → 31-bit int;
     * permutation j is (a_j·h + b_j) mod 2^31−1. Candidate pairs share
     * ≥1 band; verification is exact shingle Jaccard. */
-  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, band, bkey) LSH band keys for an arbitrary
+    * (doc_id, shingle) set — the 8-permutation MinHash signature
+    * banded 4×2, shared by the self-join ([[dedupMinhashLsh]]) and
+    * the asymmetric batch-vs-corpus join ([[dedupIncremental]]). */
+  private def lshBands(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
-    val toks = shingles(spark, sfDir)
+    val toks = sh
       .withColumn("h", expr(s"cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % $P31"))
     // 8 permutations as pivoted min-hash columns m0..m7
     val perms = (0 until 8).map { j =>
@@ -271,13 +276,18 @@ object DedupOps {
       min(expr(s"($a * h + $b) % $P31")).as(s"m$j")
     }
     val sig = toks.groupBy($"doc_id").agg(perms.head, perms.tail: _*)
-    val bands = sig.select($"doc_id", explode(expr(
+    sig.select($"doc_id", explode(expr(
       """array(
         |  named_struct('band', 0, 'key', concat(m0, '-', m1)),
         |  named_struct('band', 1, 'key', concat(m2, '-', m3)),
         |  named_struct('band', 2, 'key', concat(m4, '-', m5)),
         |  named_struct('band', 3, 'key', concat(m6, '-', m7)))""".stripMargin)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("bkey"))
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = lshBands(shingles(spark, sfDir))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
@@ -961,4 +971,135 @@ object DedupOps {
        |JOIN sp sb ON n.doc_b = sb.doc_id
        |GROUP BY 1, 2
        |ORDER BY split_a, split_b""".stripMargin
+
+  /** Incremental-ingest near-dup admission — the daily-crawl-vs-lake
+    * shape: every NEW doc (`source = 'src0'`, standing in for today's
+    * batch) is LSH-probed against the EXISTING corpus (every other
+    * source) and admitted only if no corpus doc verifies at Jaccard ≥
+    * 0.1. Unlike the self-join family this is the ASYMMETRIC join a
+    * production pipeline actually runs: corpus band keys are
+    * precomputed once (here the shared cached shingle universe; at
+    * 100 TB a bucket-partitioned table maintained across ingests) and
+    * the small batch side probes them — candidate volume is
+    * batch-bands × collisions, never corpus². The exact [[dedupBloom]]
+    * gate is this operator's probabilistic little sibling; this one
+    * pays one indexed join for zero false positives and a
+    * per-rejection best-match attribution. Best match is selection,
+    * not interpolation: max jaccard, then min corpus doc_id. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val shSrc = shingles(spark, sfDir).join(docs, "doc_id")
+    val batchSh = shSrc.filter($"source" === "src0")
+      .select($"doc_id", $"shingle")
+    val corpusSh = shSrc.filter($"source" =!= "src0")
+      .select($"doc_id", $"shingle")
+    val cand = lshBands(batchSh).as("x").join(lshBands(corpusSh).as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey")
+      .select($"x.doc_id".as("new_id"), $"y.doc_id".as("old_id"))
+      .distinct()
+    val nCand = cand.groupBy($"new_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val na = batchSh.groupBy($"doc_id").agg(count(lit(1)).as("na"))
+    val nb = corpusSh.groupBy($"doc_id").agg(count(lit(1)).as("nb"))
+    val shared = cand
+      .join(batchSh.select($"doc_id".as("new_id"), $"shingle"), "new_id")
+      .join(corpusSh.select($"doc_id".as("old_id"),
+        $"shingle".as("sh_b")), "old_id")
+      .filter($"shingle" === $"sh_b")
+      .groupBy($"new_id", $"old_id").agg(count(lit(1)).as("shared"))
+    val verified = shared
+      .join(na.select($"doc_id".as("new_id"), $"na"), "new_id")
+      .join(nb.select($"doc_id".as("old_id"), $"nb"), "old_id")
+      .select($"new_id", $"old_id",
+        rnd6($"shared" / ($"na" + $"nb" - $"shared")).as("jaccard"))
+      .filter($"jaccard" >= 0.1)
+    val bestJ = verified.groupBy($"new_id")
+      .agg(max($"jaccard").as("best_jaccard"))
+    val best = verified.as("v").join(bestJ.as("bj"),
+        col("v.new_id") === col("bj.new_id")
+          && col("v.jaccard") === col("bj.best_jaccard"))
+      .groupBy(col("v.new_id").as("bid"), col("bj.best_jaccard"))
+      .agg(min(col("v.old_id")).as("best_match"))
+    docs.filter($"source" === "src0").select($"doc_id")
+      .join(nCand.select($"new_id".as("doc_id"), $"n_candidates"),
+        Seq("doc_id"), "left")
+      .join(best.select($"bid".as("doc_id"), $"best_match",
+        $"best_jaccard"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        $"best_match", $"best_jaccard",
+        $"best_match".isNull.as("admitted"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupIncrementalSql: String = {
+    val perms = (0 until 8).map { j =>
+      val a = (1103515245L * (j + 1)) % P31
+      val b = (12345L * (j + 1)) % P31
+      s"min(($a * h + $b) % $P31) AS m$j"
+    }.mkString(", ")
+    s"""WITH $shinglesCte,
+       |shs AS (
+       |  SELECT s.doc_id, s.shingle, d.source
+       |  FROM sh s JOIN documents d USING (doc_id)),
+       |bsh AS (SELECT doc_id, shingle FROM shs WHERE source = 'src0'),
+       |csh AS (SELECT doc_id, shingle FROM shs WHERE source <> 'src0'),
+       |bth AS (SELECT doc_id,
+       |  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % $P31 AS h
+       |  FROM bsh),
+       |cth AS (SELECT doc_id,
+       |  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % $P31 AS h
+       |  FROM csh),
+       |bsig AS (SELECT doc_id, $perms FROM bth GROUP BY doc_id),
+       |csig AS (SELECT doc_id, $perms FROM cth GROUP BY doc_id),
+       |bbands AS (
+       |  SELECT doc_id, 0 AS band, m0 || '-' || m1 AS bkey FROM bsig UNION ALL
+       |  SELECT doc_id, 1, m2 || '-' || m3 FROM bsig UNION ALL
+       |  SELECT doc_id, 2, m4 || '-' || m5 FROM bsig UNION ALL
+       |  SELECT doc_id, 3, m6 || '-' || m7 FROM bsig),
+       |cbands AS (
+       |  SELECT doc_id, 0 AS band, m0 || '-' || m1 AS bkey FROM csig UNION ALL
+       |  SELECT doc_id, 1, m2 || '-' || m3 FROM csig UNION ALL
+       |  SELECT doc_id, 2, m4 || '-' || m5 FROM csig UNION ALL
+       |  SELECT doc_id, 3, m6 || '-' || m7 FROM csig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+       |  FROM bbands x JOIN cbands y
+       |    ON x.band = y.band AND x.bkey = y.bkey),
+       |ncand AS (
+       |  SELECT new_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+       |na AS (SELECT doc_id, count(*) AS na FROM bsh GROUP BY 1),
+       |nb AS (SELECT doc_id, count(*) AS nb FROM csh GROUP BY 1),
+       |shared AS (
+       |  SELECT c.new_id, c.old_id, count(*) AS shared
+       |  FROM cand c
+       |  JOIN bsh a ON a.doc_id = c.new_id
+       |  JOIN csh b ON b.doc_id = c.old_id AND a.shingle = b.shingle
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT s.new_id, s.old_id,
+       |    ${sqlRnd6("s.shared / (na.na + nb.nb - s.shared)")} AS jaccard
+       |  FROM shared s
+       |  JOIN na ON s.new_id = na.doc_id
+       |  JOIN nb ON s.old_id = nb.doc_id
+       |  WHERE ${sqlRnd6("s.shared / (na.na + nb.nb - s.shared)")} >= 0.1),
+       |bestj AS (
+       |  SELECT new_id, max(jaccard) AS best_jaccard
+       |  FROM verified GROUP BY 1),
+       |best AS (
+       |  SELECT v.new_id, b.best_jaccard, min(v.old_id) AS best_match
+       |  FROM verified v JOIN bestj b
+       |    ON v.new_id = b.new_id AND v.jaccard = b.best_jaccard
+       |  GROUP BY 1, 2)
+       |SELECT d.doc_id,
+       |  COALESCE(n.n_candidates, 0) AS n_candidates,
+       |  b.best_match, b.best_jaccard,
+       |  b.best_match IS NULL AS admitted
+       |FROM documents d
+       |LEFT JOIN ncand n ON n.new_id = d.doc_id
+       |LEFT JOIN best b ON b.new_id = d.doc_id
+       |WHERE d.source = 'src0'
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -535,6 +535,92 @@ object WindowOps {
        |ORDER BY g.user_id, g.h""".stripMargin
   }
 
+  /** Time-series densify + LINEAR interpolation — the two-sided twin
+    * of [[winFfill]]: missing grid hours get the straight line between
+    * the LAST observation strictly before and the FIRST strictly after
+    * (v = prev + (next − prev)·Δh_prev/Δh_span), observed hours pass
+    * through untouched, and edges (no prev or no next) stay NULL — no
+    * extrapolation, which is a modeling decision this operator refuses
+    * to make silently. Same grid/exchange shape as ffill: both
+    * navigation windows (preceding-frame last, following-frame first,
+    * both IGNORE NULLS) ride ONE per-user exchange. Determinism: the
+    * hour offsets are exact integers (timestampdiff), their ratio and
+    * the lerp are one identically-associated double expression rnd6'd
+    * once at the end — no interpolation ulp can cross the boundary
+    * twice. */
+  def tsInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact.xsum
+    val ev = Tables.events(spark, sfDir)
+      .filter($"user_id" < FFILL_USERS)
+      .select($"user_id", date_trunc("hour", $"ts").as("h"), $"value")
+    val hourly = ev.groupBy($"user_id", $"h")
+      .agg(xsum($"value").as("sum_v"))
+    val span = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val grid = ev.select($"user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select($"user_id",
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val wBase = Window.partitionBy($"user_id").orderBy($"h".asc)
+    val wPrev = wBase.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = wBase.rowsBetween(1, Window.unboundedFollowing)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("obs", $"sum_v".isNotNull)
+      .withColumn("pv",
+        last($"sum_v", ignoreNulls = true).over(wPrev).cast("double"))
+      .withColumn("ph",
+        last(when($"sum_v".isNotNull, $"h"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv",
+        first($"sum_v", ignoreNulls = true).over(wNext).cast("double"))
+      .withColumn("nh",
+        first(when($"sum_v".isNotNull, $"h"), ignoreNulls = true).over(wNext))
+      .select($"user_id", $"h", $"obs",
+        graft.functions.Udfs.rnd6(
+          when($"obs", $"sum_v".cast("double"))
+            .otherwise($"pv" + ($"nv" - $"pv") *
+              (expr("cast(timestampdiff(HOUR, ph, h) as double)") /
+                expr("cast(timestampdiff(HOUR, ph, nh) as double)"))))
+          .as("v_interp"))
+      .orderBy($"user_id", $"h")
+  }
+
+  val tsInterpSql: String = {
+    import graft.engine.Exact.sqlXsum
+    val lerp = "pv + (nv - pv) * (CAST(date_diff('hour', ph, h) AS DOUBLE)" +
+      " / CAST(date_diff('hour', ph, nh) AS DOUBLE))"
+    s"""WITH ev AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS h, value
+       |  FROM events WHERE user_id < $FFILL_USERS),
+       |hourly AS (
+       |  SELECT user_id, h, ${sqlXsum("value")} AS sum_v
+       |  FROM ev GROUP BY 1, 2),
+       |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+       |grid AS (
+       |  SELECT u.user_id,
+       |    unnest(generate_series(span.h0, span.h1, INTERVAL 1 HOUR)) AS h
+       |  FROM (SELECT DISTINCT user_id FROM ev) u, span),
+       |nav AS (
+       |  SELECT g.user_id, g.h, hh.sum_v IS NOT NULL AS obs,
+       |    CAST(hh.sum_v AS DOUBLE) AS v,
+       |    CAST(last_value(hh.sum_v IGNORE NULLS) OVER wp AS DOUBLE) AS pv,
+       |    last_value(CASE WHEN hh.sum_v IS NOT NULL THEN g.h END
+       |      IGNORE NULLS) OVER wp AS ph,
+       |    CAST(first_value(hh.sum_v IGNORE NULLS) OVER wn AS DOUBLE) AS nv,
+       |    first_value(CASE WHEN hh.sum_v IS NOT NULL THEN g.h END
+       |      IGNORE NULLS) OVER wn AS nh
+       |  FROM grid g LEFT JOIN hourly hh
+       |    ON g.user_id = hh.user_id AND g.h = hh.h
+       |  WINDOW
+       |    wp AS (PARTITION BY g.user_id ORDER BY g.h ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    wn AS (PARTITION BY g.user_id ORDER BY g.h ASC
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, h, obs,
+       |  ${graft.functions.Udfs.sqlRnd6(s"CASE WHEN obs THEN v ELSE $lerp END")}
+       |    AS v_interp
+       |FROM nav ORDER BY user_id, h""".stripMargin
+  }
+
   /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
     * activity-streak query) — the calendar-math sibling of
     * [[winSession]]'s time-gap sessionization. Distinct (user, day)
