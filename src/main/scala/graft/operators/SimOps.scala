@@ -416,6 +416,239 @@ object SimOps {
        |FROM scaled WHERE scale > 0 ORDER BY vec_id""".stripMargin
   }
 
+  /** PQ geometry: 64 dims → [[PQ_M]] subspaces × [[PQ_SUBD]] dims,
+    * [[PQ_K]] codewords per subspace, [[PQ_ITERS]] Lloyd rounds. */
+  private val PQ_M = 4
+  private val PQ_SUBD = 16
+  private val PQ_K = 8
+  private val PQ_ITERS = 2
+
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI'11) — the IVF-PQ compression
+    * stage: each vector splits into [[PQ_M]] subvectors, each subspace
+    * learns its own [[PQ_K]]-codeword k-means codebook, and the vector
+    * is stored as M small codes (here 64×float32 = 256 B → 4 codes =
+    * 4 B, a 64× cut vs [[embedQuantize]]'s 4×) plus the reconstruction
+    * error the index ships with. Runs as ONE distributed computation,
+    * not M jobs: the corpus explodes map-side to (vec, subspace,
+    * subvector) rows, all M codebooks train simultaneously —
+    * assignment is the broadcast codebook fold of [[MlOps.mlKmeans]]
+    * keyed by subspace (no corpus shuffle, no WindowExec), the update
+    * collapses to M×K×SUBD decimal-exact means round-tripped through
+    * float32 so per-round drift cannot compound. Distances are
+    * rnd6'd with (d, cid) tiebreaks — the ITERATIVE fit bit-matches
+    * the unrolled-CTE oracle like the kmeans/PageRank precedents. */
+  /** Persist-once cache for the PQ fit (same lifecycle as
+    * [[DedupOps.cache]]): codebooks + final assignment feed both
+    * [[embedPq]] and [[simsearchPq]]. */
+  private[graft] val pqCache = new graft.engine.DfCache
+
+  /** (vec_id, sub, sv) — every vector sliced into its [[PQ_M]]
+    * subvectors, map-side. */
+  private def pqSubOf(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select($"vec_id", explode(expr(
+        s"""transform(sequence(0, ${PQ_M - 1}), s -> named_struct(
+           |  'sub', CAST(s AS INT),
+           |  'sv', slice(v, CAST(s AS INT) * $PQ_SUBD + 1, $PQ_SUBD)))"""
+          .stripMargin)).as("x"))
+      .select($"vec_id", $"x.sub".as("sub"), $"x.sv".as("sv"))
+  }
+
+  private def pqSub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pqSubOf(Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+  }
+
+  /** Nearest-codeword fold over the cid-sorted broadcast codebook
+    * array — rnd6'd distance, strict `<`, so the result is exactly
+    * the (d asc, cid asc) ranking with no WindowExec and no corpus
+    * shuffle (the [[MlOps.mlKmeans]] assignment discipline). */
+  private val pqBestExpr =
+    """aggregate(
+      |  transform(cents, ct -> named_struct(
+      |    'cid', ct.cid,
+      |    'd', CAST(CAST(aggregate(zip_with(sv, ct.c, (x, y) -> (x - y) * (x - y)),
+      |           cast(0 as double), (acc, t) -> acc + t) + 1e-12 AS DECIMAL(38,6)) AS DOUBLE))),
+      |  named_struct('cid', cast(-1 as int), 'd', cast('Infinity' as double)),
+      |  (acc, s) -> if(s.d < acc.d, s, acc))""".stripMargin
+
+  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = sub.sparkSession
+    import spark.implicits._
+    val cents1 = cent.groupBy($"sub")
+      .agg(array_sort(collect_list(struct($"cid", $"c"))).as("cents"))
+    sub.join(broadcast(cents1), "sub")
+      .select($"vec_id", $"sub", $"sv", expr(pqBestExpr).as("best"))
+      .select($"vec_id", $"sub", $"sv",
+        $"best.cid".as("cid"), $"best.d".as("dist2"))
+  }
+
+  /** Trained codebooks (sub, cid, c) after [[PQ_ITERS]] Lloyd
+    * rounds, session-cached. */
+  private def pqCents(spark: SparkSession, sfDir: String): DataFrame =
+    pqCache(spark, sfDir, "pqCents") {
+      import spark.implicits._
+      val sub = pqSub(spark, sfDir)
+      var cent = sub.filter($"vec_id" < PQ_K)
+        .select($"sub", $"vec_id".cast("int").as("cid"), $"sv".as("c"))
+      for (_ <- 1 to PQ_ITERS) {
+        cent = pqAssign(sub, cent)
+          .select($"sub", $"cid", posexplode($"sv").as(Seq("dim", "x")))
+          .groupBy($"sub", $"cid", $"dim")
+          .agg((graft.engine.Exact.xsum($"x") / count(lit(1))).as("m"))
+          .groupBy($"sub", $"cid")
+          .agg(array_sort(collect_list(struct($"dim", $"m"))).as("ms"))
+          .select($"sub", $"cid",
+            expr("transform(ms, s -> CAST(CAST(s.m AS FLOAT) AS DOUBLE))").as("c"))
+      }
+      cent
+    }
+
+  /** Final assignment (vec_id, sub, cid, dist2), session-cached. */
+  private def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqCache(spark, sfDir, "pqCodes") {
+      pqAssign(pqSub(spark, sfDir), pqCents(spark, sfDir))
+    }
+
+  def embedPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pqCodes(spark, sfDir)
+      .groupBy($"vec_id")
+      .agg(
+        max(when($"sub" === 0, $"cid")).as("c0"),
+        max(when($"sub" === 1, $"cid")).as("c1"),
+        max(when($"sub" === 2, $"cid")).as("c2"),
+        max(when($"sub" === 3, $"cid")).as("c3"),
+        rnd6(graft.engine.Exact.xsum($"dist2")).as("recon_err"))
+      .orderBy($"vec_id")
+  }
+
+  /** Squared L2 between two lists, left-folded ascending — the SQL
+    * twin of the [[pqBestExpr]] inner fold. */
+  private def pqDistSql(v: String, c: String) =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(list_zip($v, $c), s -> (s[1] - s[2]) * (s[1] - s[2]))), " +
+      "(acc, t) -> acc + t)"
+
+  /** Shared oracle CTE chain: subvector slices → c0 init →
+    * [[PQ_ITERS]] unrolled assign/update rounds → `afinal`
+    * assignment and `c$PQ_ITERS` codebooks. */
+  private def pqCtesSql: String = {
+    def assignCte(name: String, centCte: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sub, sv, cid, dist2 FROM (
+         |    SELECT t.vec_id, t.sub, t.sv, c.cid,
+         |      ${sqlRnd6(pqDistSql("t.sv", "c.c"))} AS dist2,
+         |      row_number() OVER (PARTITION BY t.vec_id, t.sub
+         |        ORDER BY ${sqlRnd6(pqDistSql("t.sv", "c.c"))} ASC, c.cid ASC) AS rk
+         |    FROM sub t JOIN $centCte c ON t.sub = c.sub) WHERE rk = 1)"""
+    def updateCte(name: String, assignCteName: String) =
+      s"""$name AS (
+         |  SELECT sub, cid, list_transform(list(m ORDER BY dim),
+         |    x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c
+         |  FROM (
+         |    SELECT sub, cid, CAST(i.range AS INT) AS dim,
+         |      CAST(SUM(CAST(sv[CAST(i.range AS INT)] AS DECIMAL(38,6)))
+         |        AS DOUBLE) / COUNT(*) AS m
+         |    FROM $assignCteName, range(1, ${PQ_SUBD + 1}) i GROUP BY 1, 2, 3)
+         |  GROUP BY sub, cid)"""
+    val rounds = (1 to PQ_ITERS).map { k =>
+      assignCte(s"a$k", s"c${k - 1}") + ",\n" + updateCte(s"c$k", s"a$k")
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, CAST(s.range AS INT) AS sub,
+       |    v[CAST(s.range AS INT) * $PQ_SUBD + 1 :
+       |      CAST(s.range AS INT) * $PQ_SUBD + $PQ_SUBD] AS sv
+       |  FROM e, range(0, $PQ_M) s),
+       |c0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, sv AS c
+       |  FROM sub WHERE vec_id < $PQ_K),
+       |$rounds,
+       |${assignCte("afinal", s"c$PQ_ITERS")}""".stripMargin
+  }
+
+  val embedPqSql: String = {
+    import graft.engine.Exact.sqlXsum
+    s"""WITH $pqCtesSql
+       |SELECT vec_id,
+       |  max(CASE WHEN sub = 0 THEN cid END) AS c0,
+       |  max(CASE WHEN sub = 1 THEN cid END) AS c1,
+       |  max(CASE WHEN sub = 2 THEN cid END) AS c2,
+       |  max(CASE WHEN sub = 3 THEN cid END) AS c3,
+       |  ${sqlRnd6(sqlXsum("dist2"))} AS recon_err
+       |FROM afinal GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** PQ asymmetric-distance search (ADC — Jégou et al. §IV): each
+    * query keeps its EXACT subvectors; per (query, subspace,
+    * codeword) squared distances form a lookup table of
+    * N_QUERIES × M × K rows (here 256 — broadcast-sized at ANY corpus
+    * scale, it depends only on query count and codebook geometry),
+    * and scoring the corpus is M table lookups + an add per vector —
+    * the memory-bandwidth shape that makes billion-vector search
+    * feasible: the scan touches 4-byte codes, never the floats.
+    * Ranking rides the native [[graft.plans.TopKPerKey]] partial-heap
+    * operator, so the exchange carries ≤ k rows per query per map
+    * partition. Approximate by construction (codes quantize the
+    * corpus); [[simsearchRecall]]'s differential pattern applies
+    * unchanged if a quality gate is wanted. */
+  def simsearchPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qsub = pqSub(spark, sfDir).filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"sub".as("qsub"), $"sv".as("qsv"))
+    val lut = qsub.join(pqCents(spark, sfDir), $"qsub" === $"sub")
+      .select($"query_id", $"sub", $"cid",
+        rnd6(expr(
+          """aggregate(zip_with(qsv, c, (x, y) -> (x - y) * (x - y)),
+            |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin))
+          .as("d2"))
+    val scored = pqCodes(spark, sfDir)
+      .select($"vec_id", $"sub", $"cid")
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(rnd6(graft.engine.Exact.xsum($"d2")).as("adc_dist2"))
+    graft.plans.TopKPerKey.topK(scored,
+        keyCols = Seq("query_id"),
+        orderSpec = Seq("adc_dist2" -> true, "vec_id" -> true),
+        k = TOP_K, rankName = "rk")
+      .select($"query_id", $"vec_id", $"adc_dist2", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
+  val simsearchPqSql: String = {
+    import graft.engine.Exact.sqlXsum
+    s"""WITH $pqCtesSql,
+       |qsub AS (
+       |  SELECT vec_id AS query_id, sub, sv AS qsv
+       |  FROM sub WHERE vec_id < $N_QUERIES),
+       |lut AS (
+       |  SELECT q.query_id, c.sub, c.cid,
+       |    ${sqlRnd6(pqDistSql("q.qsv", "c.c"))} AS d2
+       |  FROM qsub q JOIN c$PQ_ITERS c ON q.sub = c.sub),
+       |scored AS (
+       |  SELECT l.query_id, a.vec_id,
+       |    ${sqlRnd6(sqlXsum("l.d2"))} AS adc_dist2
+       |  FROM afinal a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adc_dist2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist2 ASC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, adc_dist2, rk
+       |FROM ranked WHERE rk <= $TOP_K
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Candidate overfetch factor for [[simsearchQuantized]]: the int8
     * stage keeps TOP_K×4 per query before the exact re-rank. */
   private val OVERFETCH = 4
