@@ -695,4 +695,82 @@ object SnapshotOps {
       |  CAST(len(regexp_extract_all(seq, 'ep')) AS BIGINT)
       |    AS n_error_recovery
       |FROM seqs ORDER BY user_id""".stripMargin
+
+  /** Conversion-latency distribution — "how long from last click to
+    * purchase": each purchase pairs with the LATEST preceding click
+    * within 1 h by the same user (bounded interval join, ≤1 output
+    * row per purchase), the µs delta floors to whole seconds — a
+    * DOMAIN BOUNDED BY THE JOIN WINDOW (0..3600), which is what makes
+    * the percentiles scale: latencies collapse to a ≤3601-row
+    * histogram, and p50/p90/p99 are SELECTION by cumulative crossing
+    * over that broadcast-sized table with integer cross-multiplied
+    * ranks (cum·2 ≥ n, cum·10 ≥ 9n, cum·100 ≥ 99n) — no corpus
+    * window, no interpolation ulp, nothing single-task at any event
+    * volume. The mean is the one float, an exact-BIGINT ratio rnd6'd
+    * once. */
+  def eventsFunnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id",
+        expr("unix_micros(ts)").as("us"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("pid"), $"us".as("p_us"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"us".as("c_us"))
+    val lat = p.join(c,
+        $"user_id" === $"cu" && $"c_us" <= $"p_us" &&
+          $"c_us" >= $"p_us" - 3600000000L)
+      .groupBy($"pid", $"p_us").agg(max($"c_us").as("mc_us"))
+      .select(expr("(p_us - mc_us) div 1000000").as("lat_s"))
+    val hist = lat.groupBy($"lat_s").agg(count(lit(1)).as("nk"))
+    val tot = lat.agg(count(lit(1)).as("n_pairs"),
+      sum($"lat_s").as("sum_s"), max($"lat_s").as("max_s"))
+    val cum = hist.as("a").join(broadcast(hist.as("b")),
+        $"b.lat_s" <= $"a.lat_s")
+      .groupBy($"a.lat_s").agg(sum($"b.nk").as("cum"))
+    def sel(num: Int, den: Int, name: String) =
+      cum.crossJoin(broadcast(tot))
+        .filter($"cum" * den >= $"n_pairs" * num)
+        .agg(min($"lat_s").as(name))
+    tot.crossJoin(broadcast(sel(1, 2, "p50_s")))
+      .crossJoin(broadcast(sel(9, 10, "p90_s")))
+      .crossJoin(broadcast(sel(99, 100, "p99_s")))
+      .select($"n_pairs",
+        rnd6($"sum_s".cast("double") / $"n_pairs".cast("double"))
+          .as("mean_s"),
+        $"p50_s", $"p90_s", $"p99_s", $"max_s")
+  }
+
+  val eventsFunnelLatencySql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH p AS (
+       |  SELECT user_id, event_id AS pid, epoch_us(ts) AS p_us
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT user_id AS cu, epoch_us(ts) AS c_us
+       |  FROM events WHERE event_type = 'click'),
+       |lat AS (
+       |  SELECT (p_us - max(c_us)) // 1000000 AS lat_s
+       |  FROM p JOIN c ON user_id = cu
+       |    AND c_us <= p_us AND c_us >= p_us - 3600000000
+       |  GROUP BY pid, p_us),
+       |hist AS (SELECT lat_s, count(*) AS nk FROM lat GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_pairs,
+       |  CAST(sum(lat_s) AS BIGINT) AS sum_s, max(lat_s) AS max_s
+       |  FROM lat),
+       |cum AS (SELECT a.lat_s, CAST(sum(b.nk) AS BIGINT) AS cum
+       |  FROM hist a JOIN hist b ON b.lat_s <= a.lat_s GROUP BY a.lat_s),
+       |p50 AS (SELECT min(lat_s) AS p50_s FROM cum, tot
+       |  WHERE cum * 2 >= n_pairs * 1),
+       |p90 AS (SELECT min(lat_s) AS p90_s FROM cum, tot
+       |  WHERE cum * 10 >= n_pairs * 9),
+       |p99 AS (SELECT min(lat_s) AS p99_s FROM cum, tot
+       |  WHERE cum * 100 >= n_pairs * 99)
+       |SELECT n_pairs,
+       |  ${sqlRnd6("CAST(sum_s AS DOUBLE) / CAST(n_pairs AS DOUBLE)")}
+       |    AS mean_s,
+       |  p50_s, p90_s, p99_s, max_s
+       |FROM tot, p50, p90, p99""".stripMargin
+  }
 }

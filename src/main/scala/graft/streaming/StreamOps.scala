@@ -6,8 +6,9 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 import graft.engine.{Exact, Tables}
 
 /** Structured Streaming surface (SURVEY.md §2.9) over the `events`
@@ -457,6 +458,147 @@ object StreamOps {
       |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS UNBOUNDED PRECEDING) AS max_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Closed-session row emitted by [[TimerSessionProc]]. */
+  private case class SessOut(user_id: Long, start_us: Long,
+      n_events: Long, sum_value: Double, by_timer: Boolean)
+
+  /** Event-time TIMER sessionization on transformWithState — the API
+    * rung above [[RunningMaxProc]]'s ValueState: sessions that close
+    * because the gap elapsed INSIDE a batch emit immediately
+    * (`by_timer = false`); each key's still-open tail registers an
+    * EVENT-TIME TIMER at last-event + gap, and `handleExpiredTimer`
+    * emits it only when the WATERMARK passes that point
+    * (`by_timer = true`) — the mechanism that lets a 100 TB session
+    * store drain itself without a second pass or a TTL guess.
+    * Arithmetic is exact integer microseconds ([[
+    * graft.operators.WindowOps.winSession]]'s gap discipline — the
+    * fixture has sub-millisecond timestamps, so ms arithmetic would
+    * mis-split); sums accumulate as exact scale-6 decimals (the xsum
+    * contract) in (ts, event_id) order. */
+  private class TimerSessionProc(gapUs: Long)
+      extends StatefulProcessor[Long, Ev, SessOut] {
+    // (startUs, lastUs, n, sumMicros)
+    @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    private def us(t: Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    private def micros(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[SessOut] = {
+      val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      var cur: Option[(Long, Long, Long, Long)] =
+        if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        val t = us(e.ts); val m = micros(e.value)
+        cur = cur match {
+          case Some((s0, last, n, sm)) if t - last > gapUs =>
+            out += SessOut(key, s0, n, sm / 1e6, by_timer = false)
+            Some((t, t, 1L, m))
+          case Some((s0, last, n, sm)) =>
+            Some((s0, math.max(last, t), n + 1L, sm + m))
+          case None => Some((t, t, 1L, m))
+        }
+      }
+      cur.foreach { c =>
+        st.update(c)
+        getHandle.registerTimer(c._2 / 1000L + gapUs / 1000L + 1L)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessOut] = {
+      if (st.exists()) {
+        val (s0, last, n, sm) = st.get()
+        // a later batch may have extended the session past this timer
+        if (info.getExpiryTimeInMs() >= last / 1000L + gapUs / 1000L) {
+          st.clear()
+          Iterator.single(SessOut(key, s0, n, sm / 1e6, by_timer = true))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Timer-based session runner: real rows in one micro-batch, then a
+    * far-future sentinel batch advances the watermark so every open
+    * session's event-time timer fires ([[streamChainedAgg]]'s
+    * sentinel discipline). The batch twin is the gaps-and-islands
+    * sessionization; `by_timer` is true exactly for each user's LAST
+    * session — the differential proof that the timer path (not the
+    * in-batch gap path) emitted it. */
+  def streamTwsTimers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val maxTs = rows.iterator.map(_.ts.getTime).max
+    val source = MemoryStream[Ev](spark)
+    source.addData(rows)
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = source.toDS()
+        .withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new TimerSessionProc(3600L * 1000000L),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "start_us", "n_events", "sum_value", "by_timer")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        source.addData(Ev(-1L,
+          new Timestamp(maxTs + 14L * 24L * 3600L * 1000L), -1L,
+          "wm_advance", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    spark.table(sinkName).filter($"user_id" >= 0)
+      .orderBy($"user_id", $"start_us")
+  }
+
+  val streamTwsTimersSql: String =
+    s"""WITH gapped AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       |numbered AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+       |      ORDER BY ts ASC, event_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM gapped),
+       |agg AS (
+       |  SELECT user_id, sess, min(epoch_us(ts)) AS start_us,
+       |    COUNT(*) AS n_events, ${sqlXsum("value")} AS sum_value
+       |  FROM numbered GROUP BY 1, 2),
+       |mx AS (SELECT user_id, max(sess) AS mxs FROM agg GROUP BY 1)
+       |SELECT a.user_id, a.start_us, a.n_events, a.sum_value,
+       |  a.sess = m.mxs AS by_timer
+       |FROM agg a JOIN mx m USING (user_id)
+       |ORDER BY a.user_id, a.start_us""".stripMargin
 
   /** foreachBatch sink — the production escape hatch for sinks
     * Structured Streaming lacks natively (JDBC, multi-table writes,
