@@ -1686,4 +1686,181 @@ object MlOps {
        |  ${sqlRnd6("mi / h_y")} AS uncertainty_coef
        |FROM mi, hy, n1""".stripMargin
   }
+
+  /** Bagging geometry for [[mlBaggedStumps]]: B replicas, Poisson(1)
+    * weights from the integer CDF (same thresholds as the
+    * [[SampleOps]] bootstrap — ×10⁶ cut points, pure int compares). */
+  private val BAG_B = 8
+  private val BAG_CDF = Seq(367879, 735759, 919699, 981012, 996340, 999406)
+
+  /** Per-(row, replica) uniform draw — the house Knuth scatter of the
+    * composite line key plus a replica salt. */
+  private def bagU(b: String) =
+    s"pmod(l_orderkey * 2654435761 + l_linenumber * 40503 + $b * 97003, 1000000)"
+  private def bagUSql(b: String) =
+    s"((l_orderkey * 2654435761 + l_linenumber * 40503 + $b * 97003) % 1000000 + 1000000) % 1000000"
+
+  /** Bagged Gini stumps with OUT-OF-BAG ensemble evaluation (Breiman,
+    * "Bagging Predictors", 1996) — the variance-reduction ensemble as
+    * pure data engineering: [[BAG_B]] Poisson-bootstrap replicas each
+    * fit the [[mlGiniStump]] rule on WEIGHTED counts (all B fits share
+    * ONE corpus scan — the replica axis explodes map-side and
+    * collapses to B×|qty-domain| rows in the same shuffle), and the
+    * ensemble is scored on the rows each replica never saw (w = 0)
+    * WITHOUT a per-row vote state: a stump's prediction depends only
+    * on qty, and a row's out-of-bag set is a deterministic 8-bit mask
+    * of the key scatter, so voting collapses to the (qty, label,
+    * mask) contingency table — ≤ domain×2×2^B cells, broadcast-joined
+    * with the B stumps. One corpus pass, bounded state everywhere,
+    * exactly how a 100 TB ensemble eval has to be shaped. Ties vote
+    * negative; per-replica argmin is (gini asc, thr asc) — both
+    * deterministic, both mirrored in the oracle. */
+  def mlBaggedStumps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val wCase = BAG_CDF.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${BAG_CDF.size} END")
+    val base = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast("int").as("qty"),
+        ($"l_returnflag" === "R").as("flag"))
+    // ---- training: B weighted stump fits off one scan
+    val expl = base
+      .select($"l_orderkey", $"l_linenumber", $"qty", $"flag",
+        explode(sequence(lit(1), lit(BAG_B))).as("b"))
+      .withColumn("u", expr(bagU("b")))
+      .withColumn("w", expr(wCase))
+    val byQty = expl.groupBy($"b", $"qty")
+      .agg(sum($"w").as("n"),
+        sum(when($"flag", $"w").otherwise(0)).as("pos"))
+    val tot = byQty.groupBy($"b")
+      .agg(sum($"n").as("tot_n"), sum($"pos").as("tot_pos"))
+    val cum = byQty.select($"b".as("cb"), $"qty".as("thr"))
+      .join(broadcast(byQty), $"cb" === $"b" && $"qty" <= $"thr")
+      .groupBy($"b", $"thr")
+      .agg(sum($"n").as("nl"), sum($"pos").as("pl"))
+      .join(tot, "b")
+      .filter($"nl" < $"tot_n")
+    def gini(p: Column, n: Column): Column = {
+      val pd = p.cast("double") / n.cast("double")
+      val qd = (n - p).cast("double") / n.cast("double")
+      lit(1.0) - pd * pd - qd * qd
+    }
+    val nr = $"tot_n" - $"nl"
+    val pr = $"tot_pos" - $"pl"
+    val weighted =
+      ($"nl".cast("double") * gini($"pl", $"nl") +
+        nr.cast("double") * gini(pr, nr)) / $"tot_n".cast("double")
+    val wBest = Window.partitionBy($"b")
+      .orderBy($"gini_split".asc, $"thr".asc)
+    val stumps = cum
+      .select($"b", $"thr", $"nl", $"pl", nr.as("nr"), pr.as("pr"),
+        rnd6(weighted).as("gini_split"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter($"rk" === 1)
+      .select($"b", $"thr", $"gini_split",
+        ($"pl" * 2 > $"nl").as("left_pos"),
+        ($"pr" * 2 > $"nr").as("right_pos"))
+    // ---- OOB: (qty, label, oob-mask) contingency × broadcast stumps
+    val maskExpr = (1 to BAG_B)
+      .map(b => s"CASE WHEN ${bagU(b.toString)} < ${BAG_CDF.head} THEN ${1 << (b - 1)} ELSE 0 END")
+      .mkString(" + ")
+    val cells = base.withColumn("mask", expr(maskExpr))
+      .filter($"mask" =!= 0)
+      .groupBy($"qty", $"flag", $"mask").agg(count(lit(1)).as("cnt"))
+    val voted = cells.join(broadcast(stumps),
+        expr("(mask div shiftleft(1, b - 1)) % 2 = 1"))
+      .withColumn("pred_b",
+        when($"qty" <= $"thr", $"left_pos").otherwise($"right_pos"))
+      .groupBy($"qty", $"flag", $"mask", $"cnt")
+      .agg(count(lit(1)).as("n_oob"),
+        sum(when($"pred_b", 1L).otherwise(0L)).as("votes_pos"))
+      .withColumn("pred", $"votes_pos" * 2 > $"n_oob")
+    val acc = voted.agg(sum($"cnt").as("n_oob_rows"),
+        sum(when($"pred" === $"flag", $"cnt").otherwise(0L)).as("ok"))
+      .select($"n_oob_rows",
+        rnd6($"ok".cast("double") / $"n_oob_rows".cast("double"))
+          .as("oob_acc"))
+    stumps.crossJoin(broadcast(acc))
+      .select($"b", $"thr", $"gini_split", $"left_pos", $"right_pos",
+        $"n_oob_rows", $"oob_acc")
+      .orderBy($"b")
+  }
+
+  val mlBaggedStumpsSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val wCase = BAG_CDF.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${BAG_CDF.size} END")
+    def gini(p: String, n: String): String = {
+      val pd = s"(CAST($p AS DOUBLE) / CAST($n AS DOUBLE))"
+      val qd = s"(CAST(($n) - ($p) AS DOUBLE) / CAST($n AS DOUBLE))"
+      s"(1.0 - $pd * $pd - $qd * $qd)"
+    }
+    val nr = "(tot_n - nl)"
+    val pr = "(tot_pos - pl)"
+    val weighted = s"((CAST(nl AS DOUBLE) * ${gini("pl", "nl")} + " +
+      s"CAST($nr AS DOUBLE) * ${gini(pr, nr)}) / CAST(tot_n AS DOUBLE))"
+    val maskExpr = (1 to BAG_B)
+      .map(b => s"CASE WHEN ${bagUSql(b.toString)} < ${BAG_CDF.head} THEN ${1 << (b - 1)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(l_quantity AS INTEGER) AS qty,
+       |    l_returnflag = 'R' AS flag
+       |  FROM lineitem),
+       |expl AS (
+       |  SELECT qty, flag, CAST(b.range AS INTEGER) AS b,
+       |    ${bagUSql("b.range")} AS u
+       |  FROM base, range(1, ${BAG_B + 1}) b),
+       |weighted AS (SELECT qty, flag, b, $wCase AS w FROM expl),
+       |byqty AS (
+       |  SELECT b, qty, CAST(SUM(w) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN flag THEN w ELSE 0 END) AS BIGINT) AS pos
+       |  FROM weighted GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT b, CAST(SUM(n) AS BIGINT) AS tot_n,
+       |    CAST(SUM(pos) AS BIGINT) AS tot_pos
+       |  FROM byqty GROUP BY 1),
+       |cum AS (
+       |  SELECT q.b, t.thr, CAST(SUM(q.n) AS BIGINT) AS nl,
+       |    CAST(SUM(q.pos) AS BIGINT) AS pl
+       |  FROM (SELECT b AS cb, qty AS thr FROM byqty) t
+       |  JOIN byqty q ON t.cb = q.b AND q.qty <= t.thr
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.b, c.thr, c.nl, c.pl, $nr AS nrr, $pr AS prr,
+       |    ${sqlRnd6(weighted)} AS gini_split
+       |  FROM cum c JOIN tot USING (b)
+       |  WHERE c.nl < tot_n),
+       |stumps AS (
+       |  SELECT b, thr, gini_split,
+       |    pl * 2 > nl AS left_pos, prr * 2 > nrr AS right_pos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY b
+       |    ORDER BY gini_split ASC, thr ASC) AS rk FROM scored)
+       |  WHERE rk = 1),
+       |cells AS (
+       |  SELECT qty, flag, mask, COUNT(*) AS cnt FROM (
+       |    SELECT qty, flag, $maskExpr AS mask FROM base)
+       |  WHERE mask <> 0 GROUP BY 1, 2, 3),
+       |voted AS (
+       |  SELECT qty, flag, mask, cnt,
+       |    COUNT(*) AS n_oob,
+       |    CAST(SUM(CASE WHEN (CASE WHEN qty <= thr THEN left_pos
+       |      ELSE right_pos END) THEN 1 ELSE 0 END) AS BIGINT) AS votes_pos
+       |  FROM cells JOIN stumps
+       |    ON (mask // (1 << (b - 1))) % 2 = 1
+       |  GROUP BY 1, 2, 3, 4),
+       |acc AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_oob_rows,
+       |    ${sqlRnd6(
+        "CAST(SUM(CASE WHEN (votes_pos * 2 > n_oob) = flag THEN cnt ELSE 0 END) AS DOUBLE)" +
+          " / CAST(SUM(cnt) AS DOUBLE)")} AS oob_acc
+       |  FROM voted)
+       |SELECT s.b, s.thr, s.gini_split, s.left_pos, s.right_pos,
+       |  a.n_oob_rows, a.oob_acc
+       |FROM stumps s, acc a
+       |ORDER BY s.b""".stripMargin
+  }
 }
