@@ -843,4 +843,92 @@ object TextOps {
          "ELSE 0 END) AS DOUBLE) / CAST(SUM(ctok) AS DOUBLE)")} AS retained
        |FROM ch JOIN fst f USING (ctext)
        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+
+  /** Merge rounds learned by [[textBpeMerges]]. */
+  private val BPE_ROUNDS = 3
+
+  /** Byte-pair-encoding merge learning (Sennrich et al. ACL'16) — the
+    * tokenizer-training step itself, in-engine: the corpus collapses
+    * to its tf-weighted VOCABULARY (the only state the algorithm ever
+    * needs — all adjacent-pair counts are vocabulary-sized sums, the
+    * corpus is touched exactly once), each word becomes its
+    * character-symbol array + `</w>`, and each round counts adjacent
+    * symbol pairs, takes the global argmax (cnt desc, pair asc — a
+    * 1-row TakeOrderedAndProject, no window), and applies the merge
+    * as a pure per-position array map (match-left emits the merged
+    * symbol, match-right drops — exact greedy left-to-right because
+    * self-pairs l = r are excluded from candidacy, the determinism
+    * restriction that makes merge application order-free and
+    * retry-stable; with l ≠ r, overlapping matches are impossible).
+    * Output is the merge TABLE — the artifact a tokenizer ships. */
+  def textBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = tokens(spark, sfDir)
+      .groupBy($"tok").agg(count(lit(1)).as("tf"))
+    var v = vocab.select($"tok", $"tf",
+      expr("""concat(split(trim(regexp_replace(tok, '(.)', '$1 ')), ' '),
+             |  array('</w>'))""".stripMargin).as("arr"))
+    val mergeExpr =
+      """filter(transform(sequence(1, size(arr)), i ->
+        |  CASE WHEN element_at(arr, i) = l AND i < size(arr)
+        |           AND element_at(arr, i + 1) = r THEN concat(l, r)
+        |       WHEN element_at(arr, i) = r AND i > 1
+        |           AND element_at(arr, i - 1) = l THEN CAST(NULL AS STRING)
+        |       ELSE element_at(arr, i) END), x -> x IS NOT NULL)""".stripMargin
+    val rounds = (1 to BPE_ROUNDS).map { rd =>
+      val pairs = v.select($"tf", explode(expr(
+          """transform(sequence(1, size(arr) - 1), i ->
+            |  struct(element_at(arr, i) AS l,
+            |         element_at(arr, i + 1) AS r))""".stripMargin)).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"tf").as("cnt"))
+        .filter($"l" =!= $"r")
+      val top = pairs.orderBy($"cnt".desc, $"l".asc, $"r".asc).limit(1)
+      v = v.crossJoin(broadcast(top))
+        .select($"tok", $"tf", expr(mergeExpr).as("arr"))
+      top.select(lit(rd).as("round"), $"l", $"r",
+        concat($"l", $"r").as("merged"), $"cnt")
+    }
+    rounds.reduce(_ unionAll _).orderBy($"round")
+  }
+
+  val textBpeMergesSql: String = {
+    def pairCte(name: String, vCte: String) =
+      s"""$name AS (
+         |  SELECT l, r, cnt FROM (
+         |    SELECT arr[i] AS l, arr[i + 1] AS r,
+         |      CAST(SUM(tf) AS BIGINT) AS cnt
+         |    FROM (SELECT tf, arr,
+         |      unnest(generate_series(1, len(arr) - 1)) AS i FROM $vCte)
+         |    GROUP BY 1, 2)
+         |  WHERE l <> r
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+    def mergeCte(name: String, vCte: String, pCte: String) =
+      s"""$name AS (
+         |  SELECT tok, tf, list_filter(list_transform(
+         |    generate_series(1, len(arr)), i ->
+         |      CASE WHEN arr[i] = p.l AND i < len(arr)
+         |               AND arr[i + 1] = p.r THEN p.l || p.r
+         |           WHEN arr[i] = p.r AND i > 1
+         |               AND arr[i - 1] = p.l THEN NULL
+         |           ELSE arr[i] END), x -> x IS NOT NULL) AS arr
+         |  FROM $vCte, $pCte p)"""
+    val chain = (1 to BPE_ROUNDS).map { rd =>
+      pairCte(s"p$rd", s"v${rd - 1}") +
+        (if (rd < BPE_ROUNDS) ",\n" + mergeCte(s"v$rd", s"v${rd - 1}", s"p$rd")
+         else "")
+    }.mkString(",\n")
+    val out = (1 to BPE_ROUNDS).map { rd =>
+      s"SELECT $rd AS round, l, r, l || r AS merged, cnt FROM p$rd"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $tokensCte,
+       |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+       |v0 AS (
+       |  SELECT tok, tf, list_append(string_split(
+       |    trim(regexp_replace(tok, '(.)', '\\1 ', 'g')), ' '), '</w>') AS arr
+       |  FROM vocab),
+       |$chain
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 }
