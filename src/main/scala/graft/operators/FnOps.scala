@@ -77,6 +77,49 @@ object FnOps {
       |  epoch_us(o_orderdate) // 1000000 AS epoch_s
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Calendar-interval family beyond [[fnDate]]'s extraction basics:
+    * month-stepping with end-of-month clamping (`add_months` —
+    * 2024-01-31 + 1 month = 2024-02-29 in BOTH engines), ISO
+    * week/weekday alignment (Spark's `weekday+1` ≡ DuckDB `isodow`,
+    * the `q_ts_seasonal` identity), Monday-anchored week truncation,
+    * and `next_day` — which DuckDB LACKS, so the oracle derives it
+    * from the isodow arithmetic `d + ((7 − isodow) % 7) + 1` (strictly
+    * after, Monday→+7): the house pattern for functions only one
+    * engine ships. Whole-month distance is spelled as the exact
+    * integer `(Δyear·12 + Δmonth)` rather than `months_between`,
+    * whose fractional 31-day-month semantics no other engine
+    * reproduces. All map-side scalar arithmetic — one scan, one
+    * codegen stage. */
+  def fnInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", to_date($"o_orderdate").as("d"))
+      .select($"o_orderkey",
+        add_months($"d", 3).as("add3m"),
+        add_months($"d", -12).as("sub1y"),
+        quarter($"d").as("q"),
+        weekofyear($"d").as("iso_wk"),
+        (weekday($"d") + 1).as("iso_dow"),
+        date_trunc("week", $"d").cast("date").as("week_start"),
+        next_day($"d", "Monday").as("next_mon"),
+        ((year($"d") - 1995) * 12 + month($"d") - 1).as("months_since"))
+      .orderBy($"o_orderkey")
+  }
+
+  val fnIntervalSql: String =
+    """SELECT o_orderkey,
+      |  CAST(d + INTERVAL 3 MONTH AS DATE) AS add3m,
+      |  CAST(d - INTERVAL 12 MONTH AS DATE) AS sub1y,
+      |  CAST(quarter(d) AS INTEGER) AS q,
+      |  CAST(weekofyear(d) AS INTEGER) AS iso_wk,
+      |  CAST(isodow(d) AS INTEGER) AS iso_dow,
+      |  CAST(date_trunc('week', d) AS DATE) AS week_start,
+      |  d + CAST(((7 - isodow(d)) % 7) + 1 AS INTEGER) AS next_mon,
+      |  CAST((year(d) - 1995) * 12 + month(d) - 1 AS INTEGER)
+      |    AS months_since
+      |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Math family over supplier. floor/ceil cast to BIGINT for dialect
     * parity; transcendentals rnd6-wrapped (libm last-ulp drift). */
   def fnMath(spark: SparkSession, sfDir: String): DataFrame = {
