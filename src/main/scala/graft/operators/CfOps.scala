@@ -1353,4 +1353,104 @@ object CfOps {
        |    ORDER BY pop DESC, item_id ASC) AS rk,
        |  item_id, ${sqlRnd6("pop")} AS pop
        |FROM unseen ORDER BY user_id, rk""".stripMargin
+
+  /** Sequential-recommender training examples — the dataset builder
+    * for next-item prediction: each customer's purchase stream in
+    * (order date, order, line) order becomes sliding (3-item context,
+    * label) rows, exactly what an SASRec/GRU4Rec-style trainer
+    * ingests. One per-user window serves position, all three lags,
+    * and the label; the sort key is extended to l_partkey so the only
+    * remaining ties are rows whose item is equal — which produce
+    * byte-identical examples under either order, so `pos` assignment
+    * between them cannot change the output. */
+  def cfSeqExamples(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc,
+        $"l_linenumber".asc, $"item".asc)
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("user_id"), $"l_partkey".as("item"),
+        $"o_orderdate", $"o_orderkey", $"l_linenumber")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("c1", lag($"item", 3).over(w))
+      .withColumn("c2", lag($"item", 2).over(w))
+      .withColumn("c3", lag($"item", 1).over(w))
+      .filter($"c1".isNotNull)
+      .select($"user_id", $"pos", $"c1", $"c2", $"c3",
+        $"item".as("label"))
+      .orderBy($"user_id", $"pos")
+  }
+
+  val cfSeqExamplesSql: String =
+    """SELECT user_id, pos, c1, c2, c3, label FROM (
+      |  SELECT o_custkey AS user_id,
+      |    row_number() OVER w AS pos,
+      |    lag(l_partkey, 3) OVER w AS c1,
+      |    lag(l_partkey, 2) OVER w AS c2,
+      |    lag(l_partkey, 1) OVER w AS c3,
+      |    l_partkey AS label
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC,
+      |      l_linenumber ASC, l_partkey ASC))
+      |WHERE c1 IS NOT NULL
+      |ORDER BY user_id, pos""".stripMargin
+
+  /** Negatives per user for [[cfNegativeSamples]]. */
+  private val NEG_K = 4
+
+  /** Deterministic negative sampling — the implicit-feedback training
+    * counterpart of [[cfSeqExamples]]: K catalog items the user never
+    * touched, drawn WITHOUT RNG so retries/repartitions/re-runs build
+    * the identical training set. The candidate pool is a 5 % key-
+    * scatter sample of the catalog — broadcast-sized BY CONSTRUCTION
+    * at any catalog scale (the 100 TB discipline: never rank
+    * users × full-catalog; the pool is the thing you size to the
+    * broadcast budget). Per user: pool minus seen (anti-join), ranked
+    * by a user-salted scatter so different users draw different
+    * pseudo-random negatives, top-[[NEG_K]] kept through a
+    * pool-bounded per-user window. */
+  def cfNegativeSamples(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = ratings(spark, sfDir)
+    val pool = r.select($"item_id").distinct()
+      .filter(expr("pmod(item_id * 2654435761, 1000) < 50"))
+    val users = r.select($"user_id").distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+      .orderBy($"draw".asc, $"item_id".asc)
+    users.crossJoin(broadcast(pool))
+      .join(r.select($"user_id", $"item_id"),
+        Seq("user_id", "item_id"), "left_anti")
+      .withColumn("draw",
+        expr("pmod(user_id * 40503 + item_id * 2654435761, 1000000)"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= NEG_K)
+      .select($"user_id", $"item_id".as("neg_item"), $"rk")
+      .orderBy($"user_id", $"rk")
+  }
+
+  val cfNegativeSamplesSql: String =
+    s"""WITH r AS (
+       |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |pool AS (
+       |  SELECT DISTINCT item_id FROM r
+       |  WHERE ((item_id * 2654435761) % 1000 + 1000) % 1000 < 50),
+       |users AS (SELECT DISTINCT user_id FROM r),
+       |cand AS (
+       |  SELECT u.user_id, p.item_id,
+       |    ((u.user_id * 40503 + p.item_id * 2654435761) % 1000000
+       |      + 1000000) % 1000000 AS draw
+       |  FROM users u CROSS JOIN pool p
+       |  WHERE NOT EXISTS (SELECT 1 FROM r
+       |    WHERE r.user_id = u.user_id AND r.item_id = p.item_id))
+       |SELECT user_id, item_id AS neg_item, rk FROM (
+       |  SELECT user_id, item_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY draw ASC, item_id ASC) AS rk
+       |  FROM cand)
+       |WHERE rk <= $NEG_K
+       |ORDER BY user_id, rk""".stripMargin
 }
