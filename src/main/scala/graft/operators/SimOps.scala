@@ -784,4 +784,39 @@ object SimOps {
        |FROM exact_s e LEFT JOIN approx_s a
        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  /** Recall@k of the PQ-ADC index ([[simsearchPq]]) against the exact
+    * brute force — the lossy-COMPRESSION quality gate, completing the
+    * PQ family the way [[simsearchRecall]] gates IVF's lossy
+    * PARTITIONING: codes quantize the corpus, so ADC ranking can
+    * genuinely miss true neighbors, and this differential query over
+    * the two REGISTERED searches measures exactly how much. Same
+    * shape, same 100 TB note: ground truth runs on the sampled query
+    * set only. */
+  def simsearchPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val exact = simsearchTopk(spark, sfDir).select($"query_id", $"vec_id")
+    val approx = simsearchPq(spark, sfDir)
+      .select($"query_id".as("a_qid"), $"vec_id".as("a_vid"))
+    exact.join(broadcast(approx),
+        $"query_id" === $"a_qid" && $"vec_id" === $"a_vid", "left")
+      .groupBy($"query_id")
+      .agg(count($"a_vid").as("hits"))
+      .select($"query_id", $"hits",
+        rnd6($"hits".cast("double") / TOP_K).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  val simsearchPqRecallSql: String =
+    s"""WITH exact_s AS (
+       |  SELECT query_id, vec_id FROM ($simsearchTopkSql) t),
+       |approx_s AS (
+       |  SELECT query_id, vec_id FROM ($simsearchPqSql) t)
+       |SELECT e.query_id, COUNT(a.vec_id) AS hits,
+       |  ${Udfs.sqlRnd6(s"CAST(COUNT(a.vec_id) AS DOUBLE) / $TOP_K")}
+       |    AS recall
+       |FROM exact_s e LEFT JOIN approx_s a
+       |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 }
