@@ -459,6 +459,70 @@ object StreamOps {
       |    ROWS UNBOUNDED PRECEDING) AS max_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** transformWithState LIST-STATE context builder — the streaming
+    * twin of the batch next-item example builder
+    * ([[graft.operators.CfOps.cfSeqExamples]]): per user, every event
+    * emits the ids of its up-to-3 most recent predecessors
+    * (prev1 = newest, −1 padding), maintained as a capped
+    * `ListState` — the third state-type rung next to
+    * [[RunningMaxProc]]'s ValueState and [[TimerSessionProc]]'s
+    * timers. The cap means per-key state is O(context), not
+    * O(history): the shape that keeps an unbounded clickstream's
+    * feature state constant-size. Batch twin = three lag windows. */
+  private class SeqContextProc
+      extends StatefulProcessor[Long, Ev, (Long, Long, Long, Long, Long)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Long]("ctx",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    private def us(t: Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      var ctx: Seq[Long] = st.get().toSeq // oldest → newest
+      val out = sorted.map { e =>
+        val recent = ctx.reverse.padTo(3, -1L) // newest first
+        val r = (key, e.event_id, recent(0), recent(1), recent(2))
+        ctx = (ctx :+ e.event_id).takeRight(3)
+        r
+      }
+      st.put(ctx.toArray)
+      out.iterator
+    }
+  }
+
+  def streamSeqContext(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runStream(spark, sfDir, OutputMode.Append()) { ds =>
+        ds.groupByKey(_.user_id)
+          .transformWithState(new SeqContextProc, TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "event_id", "prev1", "prev2", "prev3")
+      }.orderBy($"user_id", $"event_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  val streamSeqContextSql: String =
+    """SELECT user_id, event_id,
+      |  COALESCE(lag(event_id, 1) OVER w, -1) AS prev1,
+      |  COALESCE(lag(event_id, 2) OVER w, -1) AS prev2,
+      |  COALESCE(lag(event_id, 3) OVER w, -1) AS prev3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Closed-session row emitted by [[TimerSessionProc]]. */
   private case class SessOut(user_id: Long, start_us: Long,
       n_events: Long, sum_value: Double, by_timer: Boolean)
