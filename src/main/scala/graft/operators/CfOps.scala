@@ -1453,4 +1453,93 @@ object CfOps {
        |  FROM cand)
        |WHERE rk <= $NEG_K
        |ORDER BY user_id, rk""".stripMargin
+
+  /** MMR geometry: candidate pool size, list length, λ = 0.5 (dyadic —
+    * exact in both engines). */
+  private val MMR_CAND = 10
+  private val MMR_K = 5
+
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    * SIGIR'98) — the SERVING-side diversifier that
+    * [[evalDiversity]] measures for: greedily build a 5-item list
+    * from the top-[[MMR_CAND]] popular candidates, each step taking
+    * argmax of λ·relevance − (1−λ)·max-similarity-to-already-chosen
+    * (similarity = the registered capped item-cosine pair stream;
+    * absent pair ⇒ 0). The DATA-SCALE work is candidate generation
+    * and the shared pair cache — both already-oracled chains; the
+    * greedy selection itself runs on list-sized state (≤10 rows a
+    * round, 5 unrolled rounds, eager checkpoints), which is why MMR
+    * belongs at serving time and not in a corpus-sized shuffle.
+    * Deterministic: rnd6'd scores, (score desc, item asc) argmax,
+    * mirrored round-for-round by the unrolled-CTE oracle. */
+  def cfMmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = ratings(spark, sfDir)
+    val cand = r.groupBy($"item_id").agg(xsumFast($"rating").as("pop"))
+      .orderBy($"pop".desc, $"item_id".asc).limit(MMR_CAND)
+    val mx = cand.agg(max($"pop").as("mp"))
+    val c2 = cand.crossJoin(broadcast(mx))
+      .select($"item_id", rnd6($"pop" / $"mp").as("rel"))
+      .localCheckpoint(true)
+    val sims = simPairs(spark, sfDir).select($"item_a", $"item_b", $"sim")
+    var sel = c2.orderBy($"rel".desc, $"item_id".asc).limit(1)
+      .select($"item_id", lit(1).as("rnk"), $"rel",
+        rnd6(lit(0.5) * $"rel").as("mmr"))
+      .localCheckpoint(true)
+    for (k <- 2 to MMR_K) {
+      val selIds = sel.select($"item_id".as("sid"))
+      val pick = c2.join(selIds, $"item_id" === $"sid", "left_anti")
+        .crossJoin(broadcast(selIds))
+        .join(sims,
+          least($"item_id", $"sid") === $"item_a" &&
+            greatest($"item_id", $"sid") === $"item_b", "left")
+        .groupBy($"item_id", $"rel")
+        .agg(max(coalesce($"sim", lit(0.0))).as("msim"))
+        .select($"item_id", $"rel",
+          rnd6(lit(0.5) * $"rel" - lit(0.5) * $"msim").as("mmr"))
+        .orderBy($"mmr".desc, $"item_id".asc).limit(1)
+        .select($"item_id", lit(k).as("rnk"), $"rel", $"mmr")
+      sel = sel.unionAll(pick).localCheckpoint(true)
+    }
+    sel.select($"rnk", $"item_id", $"rel", $"mmr").orderBy($"rnk")
+  }
+
+  val cfMmrRerankSql: String = {
+    def selU(k: Int) =
+      (1 until k).map(i => s"SELECT item_id FROM s$i").mkString(" UNION ALL ")
+    val rounds = (2 to MMR_K).map { k =>
+      s"""r$k AS (
+         |  SELECT c.item_id, c.rel,
+         |    max(coalesce(p.sim, 0.0)) AS msim
+         |  FROM c2 c
+         |  CROSS JOIN (${selU(k)}) sel
+         |  LEFT JOIN sims p
+         |    ON p.item_a = least(c.item_id, sel.item_id)
+         |    AND p.item_b = greatest(c.item_id, sel.item_id)
+         |  WHERE c.item_id NOT IN (${selU(k)})
+         |  GROUP BY 1, 2),
+         |s$k AS (
+         |  SELECT item_id, $k AS rnk, rel, mmr FROM (
+         |    SELECT item_id, rel,
+         |      ${sqlRnd6("0.5 * rel - 0.5 * msim")} AS mmr FROM r$k)
+         |  ORDER BY mmr DESC, item_id ASC LIMIT 1)"""
+    }.mkString(",\n")
+    val out = (1 to MMR_K).map(k =>
+      s"SELECT rnk, item_id, rel, mmr FROM s$k").mkString("\nUNION ALL ")
+    s"""WITH $cfPairsCte,
+       |sims AS (SELECT item_a, item_b, sim FROM cf_pairs),
+       |cand AS (
+       |  SELECT item_id, ${sqlXsum("rating")} AS pop
+       |  FROM ratings GROUP BY 1
+       |  ORDER BY pop DESC, item_id ASC LIMIT $MMR_CAND),
+       |mx AS (SELECT max(pop) AS mp FROM cand),
+       |c2 AS (SELECT item_id, ${sqlRnd6("pop / mp")} AS rel
+       |  FROM cand, mx),
+       |s1 AS (
+       |  SELECT item_id, 1 AS rnk, rel, ${sqlRnd6("0.5 * rel")} AS mmr
+       |  FROM c2 ORDER BY rel DESC, item_id ASC LIMIT 1),
+       |$rounds
+       |$out
+       |ORDER BY rnk""".stripMargin
+  }
 }
