@@ -506,6 +506,78 @@ object AggOps {
       |  COUNT(*) AS n_buckets
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact audience OVERLAP via bitmap set algebra — the companion of
+    * [[aggBitmapDistinct]]'s union path: per event-type cohort the
+    * user set collapses to 32-bit bucket bitmaps, and for every
+    * cohort pair |A|, |B|, |A∩B| (AND + popcount), |A∪B|
+    * (inclusion–exclusion) and the exact Jaccard all fall out of a
+    * FULL OUTER bucket join of the two bitmap sets — no re-touch of
+    * the raw events, no distinct-pair explosion. This is the
+    * re-aggregatable form of "how much do these audiences overlap":
+    * at 100 TB the per-cohort bitmaps are the stored sketch
+    * (lossless, mergeable by OR) and every pairwise overlap is
+    * bitmap-sized work. Per-cohort totals come straight from each
+    * cohort's own bitmaps; only the INTERSECTION rides the bucket
+    * join, where a one-sided bucket correctly contributes zero. */
+  def aggBitmapIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val bm = Tables.events(spark, sfDir)
+      .groupBy($"event_type", expr("user_id div 32").as("bucket"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 32 as int)))")
+        .as("bits"))
+    val totals = bm.groupBy($"event_type")
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n"))
+    val inter = bm.select($"event_type".as("type_a"), $"bucket", $"bits".as("ba"))
+      .join(bm.select($"event_type".as("type_b"), $"bucket".as("bb"),
+        $"bits".as("bbits")),
+        $"bucket" === $"bb" && $"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(sum(expr("bit_count(ba & bbits)")).cast("long").as("nb0"))
+    totals.select($"event_type".as("type_a"), $"n".as("n_a"))
+      .join(totals.select($"event_type".as("type_b"), $"n".as("n_b")),
+        $"type_a" < $"type_b")
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .select($"type_a", $"type_b", $"n_a", $"n_b",
+        coalesce($"nb0", lit(0L)).as("n_both"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+        ($"n_a" + $"n_b" - $"n_both").as("n_union"),
+        rnd6($"n_both".cast("double") /
+          ($"n_a" + $"n_b" - $"n_both").cast("double")).as("jaccard"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val aggBitmapIntersectSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH bm AS (
+       |  SELECT event_type, user_id // 32 AS bucket,
+       |    BIT_OR(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+       |  FROM events GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n
+       |  FROM bm GROUP BY 1),
+       |inter AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS nb0
+       |  FROM bm a JOIN bm b
+       |    ON a.bucket = b.bucket AND a.event_type < b.event_type
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+       |    ta.n AS n_a, tb.n AS n_b,
+       |    COALESCE(i.nb0, 0) AS n_both
+       |  FROM totals ta
+       |  JOIN totals tb ON ta.event_type < tb.event_type
+       |  LEFT JOIN inter i
+       |    ON i.type_a = ta.event_type AND i.type_b = tb.event_type)
+       |SELECT type_a, type_b, n_a, n_b, n_both,
+       |  n_a + n_b - n_both AS n_union,
+       |  ${sqlRnd6(
+        "CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)")}
+       |    AS jaccard
+       |FROM pairs ORDER BY type_a, type_b""".stripMargin
+  }
+
   /** Per-user z-score outliers over the event stream — the streaming-
     * adjacent data-quality primitive (fraud / sensor-glitch triage):
     * flag events more than 3 sample standard deviations from their
