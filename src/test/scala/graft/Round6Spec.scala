@@ -86,6 +86,59 @@ class Round6Spec extends SparkSpec {
     } finally { outer.unpersist(); () }
   }
 
+  test("q_embed_pq / q_simsearch_pq: codes in range, recall non-degenerate") {
+    import spark.implicits._
+    val pq = graft.operators.SimOps.embedPq(spark, sf).persist()
+    try {
+      val n = graft.engine.Tables.embeddings(spark, sf).count()
+      assert(pq.count() == n, "PQ must code every vector")
+      val bad = pq.filter(
+        $"c0" < 0 || $"c0" > 7 || $"c1" < 0 || $"c1" > 7 ||
+          $"c2" < 0 || $"c2" > 7 || $"c3" < 0 || $"c3" > 7 ||
+          $"recon_err" < 0).count()
+      assert(bad == 0, s"$bad vectors with out-of-range codes or negative error")
+      // ADC must beat random guessing by a wide margin: recall@5 vs
+      // 5/N chance. Mean recall over the 8 queries >= 0.2.
+      val rec = graft.operators.SimOps.simsearchPqRecall(spark, sf)
+        .agg(avg($"recall")).collect()(0).getDouble(0)
+      assert(rec >= 0.2, s"PQ-ADC mean recall@5 degenerate: $rec")
+    } finally { pq.unpersist(); () }
+  }
+
+  test("q_cf_mmr_rerank: 5 distinct items, head is the top-popular item") {
+    import spark.implicits._
+    val mmr = graft.operators.CfOps.cfMmrRerank(spark, sf).collect()
+    assert(mmr.length == 5, s"expected 5 rows, got ${mmr.length}")
+    assert(mmr.map(_.getLong(1)).distinct.length == 5,
+      "MMR selected a duplicate item")
+    // rank 1 must be the relevance argmax (rel = 1.0 after normalization)
+    val first = mmr.find(_.getInt(0) == 1).get
+    assert(math.abs(first.getDouble(2) - 1.0) < 1e-9,
+      s"rank-1 item is not the top-popular candidate: rel=${first.getDouble(2)}")
+    // mmr scores weakly decrease in rank (greedy argmax property)
+    val scores = mmr.sortBy(_.getInt(0)).map(_.getDouble(3))
+    // note: not strictly monotone in general MMR, but rank2..5 scores
+    // cannot exceed rank1's pure-relevance score
+    assert(scores.tail.forall(_ <= scores.head + 1e-9),
+      s"later MMR score exceeds the rank-1 score: ${scores.toSeq}")
+  }
+
+  test("q_agg_bitmap_intersect: matches exact distinct-set arithmetic") {
+    import spark.implicits._
+    val bm = graft.operators.AggOps.aggBitmapIntersect(spark, sf)
+      .filter($"type_a" === "click" && $"type_b" === "purchase")
+      .collect()(0)
+    val ev = graft.engine.Tables.events(spark, sf)
+    val aSet = ev.filter($"event_type" === "click")
+      .select($"user_id").distinct()
+    val bSet = ev.filter($"event_type" === "purchase")
+      .select($"user_id").distinct()
+    val nBoth = aSet.intersect(bSet).count()
+    assert(bm.getLong(2) == aSet.count(), "n_a mismatch vs exact distinct")
+    assert(bm.getLong(3) == bSet.count(), "n_b mismatch vs exact distinct")
+    assert(bm.getLong(4) == nBoth, "n_both mismatch vs exact intersection")
+  }
+
   test("q_split_leakage: pair counts reconcile with the near-dup stream") {
     import spark.implicits._
     val leak = DedupOps.splitLeakage(spark, sf).collect()
