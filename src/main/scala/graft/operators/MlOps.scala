@@ -98,37 +98,47 @@ object MlOps {
     * then ROUND-TRIPPED THROUGH FLOAT32 — the float grid is the same
     * in both engines, so per-round drift cannot compound. Oracle =
     * the identical computation unrolled CTE-by-CTE. */
-  def mlKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+  private def kmVecs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    // Assignment is 100 % map-side: the K centroids collapse to ONE
-    // row holding a cid-sorted array, broadcast to the corpus scan,
-    // and the nearest centroid falls out of a higher-order fold —
-    // rnd6'd distance with strict `<` over the cid-ascending array is
-    // exactly the (dist2 asc, cid asc) window ranking, without
-    // shuffling corpus×K rows through a vec_id exchange each round
-    // (the plan has NO WindowExec and no exchange on the corpus side;
-    // Round5Spec pins this).
-    val bestExpr =
-      """aggregate(
-        |  transform(cents, ct -> named_struct(
-        |    'cid', ct.cid,
-        |    'd', CAST(CAST(aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)),
-        |           cast(0 as double), (acc, t) -> acc + t) AS DECIMAL(38,6)) AS DOUBLE))),
-        |  named_struct('cid', cast(-1 as int), 'd', cast('Infinity' as double)),
-        |  (acc, s) -> if(s.d < acc.d, s, acc))""".stripMargin
-    def assign(cent: DataFrame): DataFrame = {
-      val cents1 = cent.agg(array_sort(collect_list(struct($"cid", $"c"))).as("cents"))
-      e.crossJoin(broadcast(cents1))
-        .select($"vec_id", $"v", expr(bestExpr).as("best"))
-        .select($"vec_id", $"v", $"best.cid".as("cid"), $"best.d".as("dist2"))
-    }
+  }
+
+  // Assignment is 100 % map-side: the K centroids collapse to ONE
+  // row holding a cid-sorted array, broadcast to the corpus scan,
+  // and the nearest centroid falls out of a higher-order fold —
+  // rnd6'd distance with strict `<` over the cid-ascending array is
+  // exactly the (dist2 asc, cid asc) window ranking, without
+  // shuffling corpus×K rows through a vec_id exchange each round
+  // (the plan has NO WindowExec and no exchange on the corpus side;
+  // Round5Spec pins this).
+  private val kmBestExpr =
+    """aggregate(
+      |  transform(cents, ct -> named_struct(
+      |    'cid', ct.cid,
+      |    'd', CAST(CAST(aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)),
+      |           cast(0 as double), (acc, t) -> acc + t) AS DECIMAL(38,6)) AS DOUBLE))),
+      |  named_struct('cid', cast(-1 as int), 'd', cast('Infinity' as double)),
+      |  (acc, s) -> if(s.d < acc.d, s, acc))""".stripMargin
+
+  private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cents1 = cent.agg(array_sort(collect_list(struct($"cid", $"c"))).as("cents"))
+    e.crossJoin(broadcast(cents1))
+      .select($"vec_id", $"v", expr(kmBestExpr).as("best"))
+      .select($"vec_id", $"v", $"best.cid".as("cid"), $"best.d".as("dist2"))
+  }
+
+  /** Final centroids after [[KM_ITERS]] Lloyd rounds. */
+  private def kmCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = kmVecs(spark, sfDir)
     var cent = e.filter($"vec_id" < KM_K)
       .select($"vec_id".cast("int").as("cid"), $"v".as("c"))
     for (_ <- 1 to KM_ITERS) {
-      cent = assign(cent)
+      cent = kmAssign(e, cent)
         .select($"cid", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cid", $"dim")
         .agg((Exact.xsum($"x") / count(lit(1))).as("m"))
@@ -137,12 +147,20 @@ object MlOps {
         .select($"cid",
           expr("transform(ms, s -> CAST(CAST(s.m AS FLOAT) AS DOUBLE))").as("c"))
     }
-    assign(cent)
+    cent
+  }
+
+  def mlKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    kmAssign(kmVecs(spark, sfDir), kmCentroids(spark, sfDir))
       .select($"vec_id", $"cid".as("cluster"), $"dist2")
       .orderBy($"vec_id")
   }
 
-  val mlKmeansSql: String = {
+  /** Shared oracle CTE chain for the k-means fit: e → c0 →
+    * [[KM_ITERS]] unrolled assign/update rounds → `afinal` (and the
+    * final codebook `c$KM_ITERS`). */
+  private val kmCtesSql: String = {
     import graft.functions.Udfs.sqlRnd6
     def dist(v: String, c: String) =
       "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -169,16 +187,80 @@ object MlOps {
     val rounds = (1 to KM_ITERS).map { k =>
       assignCte(s"a$k", s"c${k - 1}") + ",\n" + updateCte(s"c$k", s"a$k")
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c
        |  FROM e WHERE vec_id < $KM_K),
        |$rounds,
-       |${assignCte("afinal", s"c$KM_ITERS")}
+       |${assignCte("afinal", s"c$KM_ITERS")}"""
+  }
+
+  val mlKmeansSql: String =
+    s"""WITH $kmCtesSql
        |SELECT vec_id, cid AS cluster, dist2
        |FROM afinal ORDER BY vec_id""".stripMargin
+
+  /** Simplified (centroid) silhouette — the cluster-quality score the
+    * k-means fit ships with: per vector, a = distance² to its own
+    * centroid (the assignment's dist2, unchanged bits), b = min
+    * distance² to any OTHER centroid, s = (b − a) / max(a, b)
+    * (0 when both are 0), averaged per cluster. The b pass is the
+    * same broadcast-centroid shape as assignment — K−1 extra distance
+    * folds per vector, zero extra shuffles of the corpus; the oracle
+    * reuses the identical unrolled fit so fit and score can never
+    * desynchronize. Centroid silhouette (vs pairwise Rousseeuw) is
+    * the standard O(n·K) large-data form — the pairwise one is O(n²)
+    * and exists only below broadcast scale. */
+  def mlSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val cent = kmCentroids(spark, sfDir)
+    val af = kmAssign(kmVecs(spark, sfDir), cent)
+    val dOther =
+      """CAST(CAST(aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+        |  cast(0 as double), (acc, t) -> acc + t) + 1e-12
+        |  AS DECIMAL(38,6)) AS DOUBLE)""".stripMargin
+    af.join(broadcast(cent.select($"cid".as("ocid"), $"c")),
+        $"ocid" =!= $"cid")
+      .select($"vec_id", $"cid", $"dist2", expr(dOther).as("od"))
+      .groupBy($"vec_id", $"cid", $"dist2")
+      .agg(min($"od").as("bd"))
+      .select($"cid",
+        when(greatest($"dist2", $"bd") > 0,
+          rnd6(($"bd" - $"dist2") / greatest($"dist2", $"bd")))
+          .otherwise(lit(0.0)).as("s"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n"),
+        rnd6(Exact.xsum($"s") / count(lit(1))).as("mean_sil"))
+      .select($"cid".as("cluster"), $"n", $"mean_sil")
+      .orderBy($"cluster")
+  }
+
+  val mlSilhouetteSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def dist(v: String, c: String) =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(list_zip($v, $c), s -> (s[1] - s[2]) * (s[1] - s[2]))), " +
+        "(acc, t) -> acc + t)"
+    s"""WITH $kmCtesSql,
+       |bd AS (
+       |  SELECT a.vec_id, a.cid, a.dist2,
+       |    min(${sqlRnd6(dist("a.v", "c.c"))}) AS bd
+       |  FROM afinal a JOIN c$KM_ITERS c ON c.cid <> a.cid
+       |  GROUP BY 1, 2, 3),
+       |sil AS (
+       |  SELECT cid,
+       |    CASE WHEN greatest(dist2, bd) > 0
+       |      THEN ${sqlRnd6("(bd - dist2) / greatest(dist2, bd)")}
+       |      ELSE 0.0 END AS s
+       |  FROM bd)
+       |SELECT cid AS cluster, COUNT(*) AS n,
+       |  ${sqlRnd6(
+        "CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)")}
+       |    AS mean_sil
+       |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin
   }
 
   /** Hashed feature-space width for [[mlFeatureHash]]. */
