@@ -182,6 +182,62 @@ object GraphOps {
        |SELECT degree, COUNT(*) AS n_users
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Degree assortativity (Newman 2002) — does the graph wire hubs to
+    * hubs (r > 0) or hubs to leaves (r < 0)? Pearson correlation of
+    * endpoint degrees over the DIRECTED edge list (each undirected
+    * edge counted both ways — the standard symmetrization), assembled
+    * from six exact BIGINT moments in ONE aggregation over the
+    * edge⋈degree join; the only float work is the final ratio of
+    * exact integers, rnd6'd once. Beyond the degree histogram this is
+    * the one-number wiring diagnostic that predicts whether hub
+    * skew compounds (assortative) or disperses (disassortative)
+    * under the pair-join operators upstream. */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
+    val dirEdges = pairs.union(
+      pairs.select($"user_b".as("user_a"), $"user_a".as("user_b")))
+    val deg = degrees(spark, sfDir)
+    dirEdges
+      .join(deg.select($"user_id".as("user_a"), $"degree".as("dx")), "user_a")
+      .join(deg.select($"user_id".as("user_b"), $"degree".as("dy")), "user_b")
+      .agg(count(lit(1)).as("n"), sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"), sum($"dx" * $"dx").as("sxx"),
+        sum($"dy" * $"dy").as("syy"))
+      .select($"n".as("n_edges"),
+        rnd6(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("assortativity"))
+  }
+
+  val graphAssortativitySql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH $pairsCte,
+       |edges AS (
+       |  SELECT user_a AS src, user_b AS dst FROM pairs
+       |  UNION ALL SELECT user_b, user_a FROM pairs),
+       |deg AS (SELECT src AS user_id, COUNT(*) AS degree
+       |  FROM edges GROUP BY src),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(da.degree) AS BIGINT) AS sx,
+       |    CAST(SUM(db.degree) AS BIGINT) AS sy,
+       |    CAST(SUM(da.degree * db.degree) AS BIGINT) AS sxy,
+       |    CAST(SUM(da.degree * da.degree) AS BIGINT) AS sxx,
+       |    CAST(SUM(db.degree * db.degree) AS BIGINT) AS syy
+       |  FROM edges e
+       |  JOIN deg da ON e.src = da.user_id
+       |  JOIN deg db ON e.dst = db.user_id)
+       |SELECT n AS n_edges,
+       |  ${sqlRnd6(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")} AS assortativity
+       |FROM m""".stripMargin
+  }
+
   /** Per-node triangle participation count over the user–user graph.
     *
     * Edges are ORIENTED by (degree, id) before enumeration — each
