@@ -298,6 +298,65 @@ object DqOps {
       |LEFT JOIN pres p ON p.event_type = ty.event_type AND p.h = hrs.h
       |GROUP BY 1 ORDER BY ty.event_type""".stripMargin
 
+  /** Candidate-key discovery — "what can this table be keyed on":
+    * for each candidate column set, distinct-count vs row-count, the
+    * uniqueness ratio, and the worst duplication depth. Each
+    * candidate costs one partially-aggregated count-distinct pass;
+    * the verdicts are exact, not sampled — the profiling step that
+    * decides upsert keys and bucketing columns before a 100 TB table
+    * is laid out. The fixture's own quirk makes this non-trivial:
+    * (l_orderkey, l_linenumber) is NOT unique (SampleOps documents
+    * it), and this report states that as data instead of letting the
+    * assumption corrupt a MERGE downstream. */
+  def dqKeyDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+
+    def cand(name: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+      val grouped = df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+      grouped.agg(count(lit(1)).as("n_distinct"),
+          sum($"cnt").as("n_rows"), max($"cnt").as("max_dup"))
+        .select(lit(name).as("candidate"), $"n_rows", $"n_distinct",
+          rnd6($"n_distinct".cast("double") / $"n_rows".cast("double"))
+            .as("uniqueness"),
+          ($"max_dup" === 1).as("is_key"))
+    }
+
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    cand("orders:o_orderkey", o, Seq("o_orderkey"))
+      .unionAll(cand("lineitem:l_orderkey", li, Seq("l_orderkey")))
+      .unionAll(cand("lineitem:l_orderkey+l_linenumber", li,
+        Seq("l_orderkey", "l_linenumber")))
+      .unionAll(cand("lineitem:l_orderkey+l_linenumber+l_partkey", li,
+        Seq("l_orderkey", "l_linenumber", "l_partkey")))
+      .orderBy($"candidate")
+  }
+
+  val dqKeyDiscoverySql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    def block(name: String, tbl: String, cols: String) =
+      s"""SELECT '$name' AS candidate,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  ${sqlRnd6(
+          "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)")}
+         |    AS uniqueness,
+         |  MAX(cnt) = 1 AS is_key
+         |FROM (SELECT $cols, COUNT(*) AS cnt FROM $tbl GROUP BY $cols)"""
+    s"""${block("orders:o_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${block("lineitem:l_orderkey", "lineitem", "l_orderkey")}
+       |UNION ALL
+       |${block("lineitem:l_orderkey+l_linenumber", "lineitem",
+        "l_orderkey, l_linenumber")}
+       |UNION ALL
+       |${block("lineitem:l_orderkey+l_linenumber+l_partkey", "lineitem",
+        "l_orderkey, l_linenumber, l_partkey")}
+       |ORDER BY candidate""".stripMargin
+  }
+
   /** Join-key skew report — "which key needs salting/AQE before the
     * big join": for each candidate join key, the per-key count
     * distribution summarized as n_keys / n_rows / max / median / p99

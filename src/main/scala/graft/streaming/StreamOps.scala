@@ -459,6 +459,59 @@ object StreamOps {
       |    ROWS UNBOUNDED PRECEDING) AS max_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** CHECKPOINT-RESTART recovery — the streaming guarantee none of
+    * the other keys exercise: a file-sink query is fed HALF the
+    * events, STOPPED cold, and a brand-new query object restarted
+    * from the same checkpointLocation drains the rest — the sink must
+    * hold each purchase EXACTLY once. The offset log replays from the
+    * committed batch and the file-sink `_spark_metadata` commit log
+    * makes half-written files invisible to readers — the two
+    * mechanisms that let a 100 TB streaming job survive executor or
+    * driver loss without dropping or double-writing (the harness
+    * "failure" is a clean stop(), which exercises the same recovery
+    * path as a crash: an uncommitted batch is simply re-run).
+    * Oracle = the batch purchase selection. */
+  def streamRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val tag = (spark.sparkContext.applicationId + sfDir + "_restart")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_rs_$tag")
+    if (root.exists()) rmTree(root)
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val source = MemoryStream[Ev](spark)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    def start() = source.toDS()
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(half1)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // restart: NEW query object, SAME checkpoint + same source
+      source.addData(half2)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // read THROUGH the sink's commit log (metadata-aware path)
+    spark.read.parquet(sink)
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .orderBy($"event_id")
+  }
+
+  val streamRestartSql: String =
+    """SELECT event_id, user_id, ts, value
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   /** transformWithState LIST-STATE context builder — the streaming
     * twin of the batch next-item example builder
     * ([[graft.operators.CfOps.cfSeqExamples]]): per user, every event
