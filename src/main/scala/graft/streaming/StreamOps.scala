@@ -480,6 +480,11 @@ object StreamOps {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_rs_$tag")
     if (root.exists()) rmTree(root)
+    // ride the foreachBatch scratch registry's JVM shutdown hook
+    if (febCleanupRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        febScratchDirs.forEach(d => rmTree(new java.io.File(d)))))
+    febScratchDirs.add(root.getAbsolutePath)
     val sink = new java.io.File(root, "sink").getAbsolutePath
     val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
     val source = MemoryStream[Ev](spark)
