@@ -183,4 +183,38 @@ object MultimodalOps {
        |FROM documents, range(0, 1000) i
        |WHERE i.range < (octet_length(encode(text)) + $FRAME_BYTES - 1) // $FRAME_BYTES
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Content-addressed asset dedup — the CAS-storage step of a
+    * multimodal ingest: every payload keys on the md5 of its BYTES
+    * (the 16-byte group key, never the payload, enters the shuffle —
+    * the [[DedupOps.dedupExact]] 100 TB rule applied to media), one
+    * min-id survivor per content key, with the byte-savings
+    * accounting an asset store reports (dedup ratio is the metric
+    * that decides whether CAS is worth running). Spark hashes the
+    * binary column directly; the oracle hashes the text whose UTF-8
+    * bytes ARE the payload, with octet_length (not character length)
+    * for the byte math. */
+  def multimodalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, sfDir)
+      .select($"doc_id", md5($"payload").as("content_key"),
+        length($"payload").cast("long").as("n_bytes"))
+      .groupBy($"content_key", $"n_bytes")
+      .agg(min($"doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
+      .select($"content_key", $"survivor_id", $"n_copies", $"n_bytes",
+        (($"n_copies" - 1) * $"n_bytes").as("bytes_saved"))
+      .orderBy($"survivor_id")
+  }
+
+  val multimodalDedupSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, md5(text) AS content_key,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT content_key, min(doc_id) AS survivor_id,
+      |  count(*) AS n_copies, n_bytes,
+      |  CAST((count(*) - 1) * n_bytes AS BIGINT) AS bytes_saved
+      |FROM keyed
+      |GROUP BY content_key, n_bytes
+      |ORDER BY survivor_id""".stripMargin
 }
