@@ -858,13 +858,19 @@ object DedupOps {
     val sh = cached(spark, sfDir, "rawShingleUniverse") {
       rawShingles(Tables.documents(spark, sfDir))
     }
+    // df (one row per distinct shingle) and per-doc counts (one row
+    // per doc) are both orders of magnitude smaller than the shingle
+    // stream — broadcast them so the only data-sized shuffles left
+    // are the per-doc prefix window and the candidate equi-join. At
+    // 100 TB a df table can outgrow the broadcast budget; then these
+    // two degrade to ordinary shuffle joins with no semantic change.
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")
       .orderBy($"df".asc, $"shingle".asc)
-    val prefix = sh.join(dfreq, "shingle")
+    val prefix = sh.join(broadcast(dfreq), "shingle")
       .withColumn("pos", row_number().over(wDoc))
-      .join(counts, "doc_id")
+      .join(broadcast(counts), "doc_id")
       // ⌈0.5·n⌉ = (n+1) div 2 — integer-exact in both engines
       .filter(expr("pos <= n_sh - (n_sh + 1) div 2 + 1"))
       .select($"doc_id", $"shingle")
@@ -877,8 +883,8 @@ object DedupOps {
       .join(sh.select($"doc_id".as("db"), $"shingle".as("sh_b")),
         $"doc_b" === $"db" && $"shingle" === $"sh_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
-      .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
-      .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .join(broadcast(counts.select($"doc_id".as("doc_a"), $"n_sh".as("na"))), "doc_a")
+      .join(broadcast(counts.select($"doc_id".as("doc_b"), $"n_sh".as("nb"))), "doc_b")
       .select($"doc_a", $"doc_b", $"shared",
         rnd6($"shared" / ($"na" + $"nb" - $"shared")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
