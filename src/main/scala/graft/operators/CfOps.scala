@@ -1048,6 +1048,10 @@ object CfOps {
     val capped = r0.withColumn("urk", row_number().over(capW))
       .filter($"urk" <= USER_ITEM_CAP)
       .select($"user_id", $"item_id", $"rating")
+      // consumed three times (both pair sides + norms): materialize
+      // once — the train fold has no session cache to land on, so
+      // without this the capping window re-executes per consumer
+      .localCheckpoint(true)
     val a = capped.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
     val b = capped.select($"user_id".as("ub"), $"item_id".as("item_b"), $"rating".as("rb"))
     val mom = a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
@@ -1061,6 +1065,9 @@ object CfOps {
       .join(norms.select($"item_id".as("item_b"), $"norm_sq".as("nb")), "item_b")
       .select($"item_a", $"item_b",
         rnd6($"dot" / (sqrt($"na") * sqrt($"nb"))).as("sim"))
+      // the symmetrizing union reads this twice — one pair-moments
+      // pass, not two
+      .localCheckpoint(true)
     val sim2 = pairs.select($"item_a", $"item_b", $"sim")
       .union(pairs.select($"item_b".as("item_a"), $"item_a".as("item_b"), $"sim"))
     val nW = Window.partitionBy($"item_a").orderBy($"sim".desc, $"item_b".asc)

@@ -611,6 +611,10 @@ object GraphOps {
         .select($"user_id",
           least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
     }
+    // the final labels feed THREE consumers (degree join + both intra
+    // sides) — materialize once or the whole propagation re-executes
+    // per consumer (the hashMinLabels lineage discipline)
+    lbl = lbl.localCheckpoint(true)
     val m1 = pairs.agg(count(lit(1)).as("m"))
     val deg = edges.groupBy($"src".as("user_id"))
       .agg(count(lit(1)).as("degree"))
@@ -630,6 +634,8 @@ object GraphOps {
         $"m_in".cast("double") / $"m" -
           ($"d_c".cast("double") / (lit(2.0) * $"m")) *
           ($"d_c".cast("double") / (lit(2.0) * $"m"))))
+      // community-sized (bounded); read twice (Q total + output rows)
+      .localCheckpoint(true)
     val q1 = terms.agg(rnd6(xsum($"contrib")).as("q"))
     terms.crossJoin(broadcast(q1))
       .select($"community", $"n_nodes", $"m_in", $"d_c", $"contrib", $"q")
