@@ -112,6 +112,38 @@ final case class Graft(spark: SparkSession, dataDir: String) {
   def chunkDedup(): DataFrame = TextOps.textChunkDedup(spark, dataDir)
   def nearestClick(): DataFrame = JoinOps.joinAsofNearest(spark, dataDir)
 
+  // — dedup admission & survivorship policies —
+  def dedupedCorpusKeepBest(): DataFrame = DedupOps.dedupKeepBest(spark, dataDir)
+  def nearDuplicatesPrefixFiltered(): DataFrame = DedupOps.dedupPrefixFilter(spark, dataDir)
+  def ingestAdmission(): DataFrame = DedupOps.dedupIncremental(spark, dataDir)
+  def splitLeakage(): DataFrame = DedupOps.splitLeakage(spark, dataDir)
+  def assetDedup(): DataFrame = MultimodalOps.multimodalDedup(spark, dataDir)
+
+  // — training-set construction —
+  def nextItemExamples(): DataFrame = CfOps.cfSeqExamples(spark, dataDir)
+  def negativeSamples(): DataFrame = CfOps.cfNegativeSamples(spark, dataDir)
+  def bpeMerges(): DataFrame = TextOps.textBpeMerges(spark, dataDir)
+  def diversifiedList(): DataFrame = CfOps.cfMmrRerank(spark, dataDir)
+
+  // — compressed ANN (product quantization) —
+  def vectorCodes(): DataFrame = SimOps.embedPq(spark, dataDir)
+  def similarVectorsPq(): DataFrame = SimOps.simsearchPq(spark, dataDir)
+  def pqRecall(): DataFrame = SimOps.simsearchPqRecall(spark, dataDir)
+
+  // — diagnostics & profiling —
+  def joinKeySkew(): DataFrame = DqOps.dqSkewReport(spark, dataDir)
+  def candidateKeys(): DataFrame = DqOps.dqKeyDiscovery(spark, dataDir)
+  def conversionLatency(): DataFrame = SnapshotOps.eventsFunnelLatency(spark, dataDir)
+  def behaviorPatterns(): DataFrame = SnapshotOps.eventsPattern(spark, dataDir)
+  def audienceOverlap(): DataFrame = AggOps.aggBitmapIntersect(spark, dataDir)
+  def degreeAssortativity(): DataFrame = GraphOps.graphAssortativity(spark, dataDir)
+  def clusterSilhouette(): DataFrame = MlOps.mlSilhouette(spark, dataDir)
+  def baggedStumps(): DataFrame = MlOps.mlBaggedStumps(spark, dataDir)
+
+  // — time series & history maintenance —
+  def interpolatedSeries(): DataFrame = WindowOps.tsInterp(spark, dataDir)
+  def historyMerge(): DataFrame = SnapshotOps.scd2Merge(spark, dataDir)
+
   /** Run any named operator from the full surface. */
   def query(name: String): DataFrame = SparkEntry.queries(name)(spark, dataDir)
 }
