@@ -11,6 +11,13 @@ class GraftSpec extends SparkSpec {
     assert(g.mergeChanges().count() > 0)
     assert(g.growthAccounting().count() > 0)
     assert(g.cleaningFunnel().count() > 0)
+    // closing-session tier
+    assert(g.dedupedCorpusKeepBest().count() > 0)
+    assert(g.nextItemExamples().count() > 0)
+    assert(g.vectorCodes().count() > 0)
+    assert(g.candidateKeys().count() > 0)
+    assert(g.audienceOverlap().count() > 0)
+    assert(g.bpeMerges().count() > 0)
   }
 
   test("query() dispatches every registered operator name") {
