@@ -238,6 +238,49 @@ object GraphOps {
        |FROM m""".stripMargin
   }
 
+  /** Local clustering coefficient — triangles normalized by possible
+    * wedges: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 (0 when
+    * the node closes nothing). Pure composite of the two registered
+    * primitives — the oriented triangle count and the degree pass —
+    * so it inherits their O(√m) wedge bound and adds only a
+    * broadcast-sized left join of the per-node counts. The per-node
+    * "how cliquish is this user's neighborhood" score that community
+    * features feed on. */
+  def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val tri = graphTriangles(spark, sfDir)
+    degrees(spark, sfDir)
+      .join(tri, Seq("user_id"), "left")
+      .filter($"degree" >= 2)
+      .select($"user_id", $"degree",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        rnd6(lit(2.0) * $"n_triangles" /
+          ($"degree" * ($"degree" - lit(1.0)))))
+      .orderBy($"user_id")
+  }
+
+  // lazy: graphTrianglesSql is declared further down this object
+  lazy val graphClusteringCoeffSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH $pairsCte,
+       |edges AS (
+       |  SELECT user_a AS src, user_b AS dst FROM pairs
+       |  UNION ALL SELECT user_b, user_a FROM pairs),
+       |deg AS (SELECT src AS user_id, COUNT(*) AS degree
+       |  FROM edges GROUP BY src),
+       |tri AS (SELECT * FROM ($graphTrianglesSql) t)
+       |SELECT d.user_id, d.degree,
+       |  COALESCE(tri.n_triangles, 0) AS n_triangles,
+       |  ${sqlRnd6(
+        "2.0 * COALESCE(tri.n_triangles, 0) / (d.degree * (d.degree - 1.0))")}
+       |    AS clustering_coeff
+       |FROM deg d LEFT JOIN tri USING (user_id)
+       |WHERE d.degree >= 2
+       |ORDER BY d.user_id""".stripMargin
+  }
+
   /** Per-node triangle participation count over the user–user graph.
     *
     * Edges are ORIENTED by (degree, id) before enumeration — each

@@ -750,6 +750,65 @@ object SnapshotOps {
       |    AS n_error_recovery
       |FROM seqs ORDER BY user_id""".stripMargin
 
+  /** DAU / WAU / MAU active-user series with stickiness — the
+    * product-analytics staple beside retention and growth accounting:
+    * per calendar day, distinct actives that day, in the trailing 7
+    * days, and in the trailing 30, plus DAU/MAU stickiness. The
+    * corpus collapses FIRST to distinct (user, day) — the only pass
+    * that touches events — and every rolling count is a
+    * day-spine ⋈ user-days range join bounded by window × actives
+    * (NOT a distinct-over-window, which Spark would run as one state
+    * per (day, user) through a single sort): trailing windows over a
+    * CALENDAR spine grow with days, never with event volume.
+    * Stickiness is an exact-integer ratio rnd6'd once. */
+  def eventsActives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val ud = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val spine = ud.select($"d").distinct()
+    def rolling(days: Int, name: String): DataFrame =
+      spine.select($"d".as("sd"))
+        .join(ud, $"d" <= $"sd" && $"d" >= date_sub($"sd", days - 1))
+        .groupBy($"sd").agg(countDistinct($"user_id").as(name))
+        .withColumnRenamed("sd", s"d_$name")
+    val dau = ud.groupBy($"d").agg(countDistinct($"user_id").as("dau"))
+    dau
+      .join(rolling(7, "wau"), $"d" === $"d_wau")
+      .join(rolling(30, "mau"), $"d" === $"d_mau")
+      .select($"d", $"dau", $"wau", $"mau",
+        rnd6($"dau".cast("double") / $"mau".cast("double"))
+          .as("stickiness"))
+      .orderBy($"d")
+  }
+
+  val eventsActivesSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       |spine AS (SELECT DISTINCT d FROM ud),
+       |dau AS (
+       |  SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+       |wau AS (
+       |  SELECT s.d AS sd, COUNT(DISTINCT u.user_id) AS wau
+       |  FROM spine s JOIN ud u
+       |    ON u.d <= s.d AND u.d >= s.d - 6
+       |  GROUP BY s.d),
+       |mau AS (
+       |  SELECT s.d AS sd, COUNT(DISTINCT u.user_id) AS mau
+       |  FROM spine s JOIN ud u
+       |    ON u.d <= s.d AND u.d >= s.d - 29
+       |  GROUP BY s.d)
+       |SELECT dau.d, dau.dau, wau.wau, mau.mau,
+       |  ${sqlRnd6(
+        "CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE)")}
+       |    AS stickiness
+       |FROM dau
+       |JOIN wau ON dau.d = wau.sd
+       |JOIN mau ON dau.d = mau.sd
+       |ORDER BY dau.d""".stripMargin
+  }
+
   /** Conversion-latency distribution — "how long from last click to
     * purchase": each purchase pairs with the LATEST preceding click
     * within 1 h by the same user (bounded interval join, ≤1 output
