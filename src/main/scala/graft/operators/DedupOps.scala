@@ -1108,4 +1108,82 @@ object DedupOps {
        |WHERE d.source = 'src0'
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** FastSS deletion-neighborhood fuzzy join (Bocek et al. 2007): all
+    * distinct vocabulary token pairs at edit distance ≤ 2, found
+    * WITHOUT a triangular self-join. Each token (length ≥ 3 — shorter
+    * tokens make everything a neighbor of everything) emits its
+    * ≤ 2-deletion neighborhood (the token, every 1-deletion, every
+    * 2-deletion). If d(a, b) ≤ 2 then deleting the ≤ 2 aligned edit
+    * positions from each side yields a COMMON string in both
+    * neighborhoods, so candidates are an EQUI-join on the variant key
+    * and only candidates pay the O(len²) distance kernel; sharing a
+    * variant only bounds the distance at 4, so candidates are
+    * verified with true levenshtein ≤ 2.
+    *
+    * Scale notes (the 100 TB path [[graft.operators.FnOps.fnEditdist]]'s
+    * doc comment promises): the index is near-linear — O(vocab ×
+    * len²/2) rows, ~20 variants per 6-char token — and the per-key
+    * fan-in of the variant join is BOUNDED BY CONSTRUCTION: a variant
+    * v of length m is only producible by the ≤ 1 + (m+1)·|Σ| +
+    * ((m+1)(m+2)/2)·|Σ|² strings that delete to it, so no variant
+    * bucket can explode the way a hot shingle can. No broadcast
+    * anywhere: both sides shuffle on the short variant key, which is
+    * exactly what survives a vocabulary too large to broadcast.
+    * Differential twin: must equal
+    * [[graft.operators.FnOps.fnEditdist]]'s (tok_a, tok_b, dist)
+    * restricted to length ≥ 3 (asserted in Round7Spec). */
+  def dedupFastss(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .distinct()
+      .filter(length($"tok") >= 3)
+    def del(df: DataFrame, in: String, out: String): DataFrame =
+      df.select($"tok", explode(expr(s"sequence(0, length($in))")).as("i"),
+          col(in))
+        .select($"tok",
+          when($"i" === 0, col(in))
+            .otherwise(concat(
+              expr(s"substring($in, 1, i - 1)"),
+              expr(s"substring($in, i + 1, length($in))"))).as(out))
+        .distinct()
+    val d1 = del(vocab.select($"tok", $"tok".as("v0")), "v0", "v1")
+    val variants = del(d1, "v1", "v")
+    variants.as("a")
+      .join(variants.as("b"), $"a.v" === $"b.v" && $"a.tok" < $"b.tok")
+      .select($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
+      .distinct()
+      .withColumn("dist", levenshtein($"tok_a", $"tok_b"))
+      .filter($"dist" <= 2)
+      .orderBy($"tok_a", $"tok_b")
+  }
+
+  val dedupFastssSql: String =
+    """WITH vocab AS (
+      |  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |v3 AS (SELECT tok FROM vocab WHERE length(tok) >= 3),
+      |vars1 AS (
+      |  SELECT DISTINCT tok, v FROM (
+      |    SELECT tok, tok AS v FROM v3
+      |    UNION ALL
+      |    SELECT tok, substr(tok, 1, i - 1) || substr(tok, i + 1) AS v
+      |    FROM (SELECT tok,
+      |            unnest(generate_series(1, length(tok))) AS i
+      |          FROM v3))),
+      |vars AS (
+      |  SELECT DISTINCT tok, v FROM (
+      |    SELECT tok, v FROM vars1
+      |    UNION ALL
+      |    SELECT tok, substr(v, 1, j - 1) || substr(v, j + 1) AS v
+      |    FROM (SELECT tok, v,
+      |            unnest(generate_series(1, length(v))) AS j
+      |          FROM vars1))),
+      |cand AS (
+      |  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.tok < b.tok)
+      |SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INTEGER) AS dist
+      |FROM cand WHERE levenshtein(tok_a, tok_b) <= 2
+      |ORDER BY tok_a, tok_b""".stripMargin
 }
