@@ -1945,4 +1945,169 @@ object MlOps {
        |FROM stumps s, acc a
        |ORDER BY s.b""".stripMargin
   }
+
+  /** Pearson chi-square test of independence + Cramér's V between
+    * market segment and nation over the customer base — the
+    * categorical-association screen run before encoding a feature
+    * ("are these columns redundant?"). The corpus collapses to the
+    * 5×25 contingency table in one partial-aggregated shuffle;
+    * marginals re-derive from the table and each cell's (observed −
+    * expected)²/expected term is a ratio of exact BIGINT products
+    * cast to double once, rnd6'd before the exact-decimal sum (the
+    * [[mlMutualInfo]] discipline). Output is one row — n, dof, the
+    * statistic, and V = sqrt(χ²/(n·min(r−1, c−1))). */
+  def mlChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"c_nationkey" === $"n_nationkey")
+    val cells = cust.groupBy($"c_mktsegment".as("x"), $"n_name".as("y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy($"x").agg(sum($"c").as("cx"))
+    val my = cells.groupBy($"y").agg(sum($"c").as("cy"))
+    val n1 = cells.agg(sum($"c").as("n"),
+      countDistinct($"x").as("r"), countDistinct($"y").as("cc"))
+    // the table is dense here, but a sparse table would silently drop
+    // zero cells from the sum — reconstruct the full grid first
+    val grid = mx.crossJoin(my)
+    val chi = grid
+      .join(cells, Seq("x", "y"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(n1))
+      .select(rnd6(
+        (($"c" * $"n" - $"cx" * $"cy").cast("double") *
+          ($"c" * $"n" - $"cx" * $"cy").cast("double")) /
+          (($"cx" * $"cy").cast("double") * $"n".cast("double")))
+        .as("term"))
+      .agg(xsum($"term").as("chi2"))
+    chi.crossJoin(broadcast(n1))
+      .select($"n", (($"r" - 1) * ($"cc" - 1)).as("dof"),
+        rnd6($"chi2").as("chi2"),
+        rnd6(sqrt($"chi2" / ($"n" * least($"r" - 1, $"cc" - 1))
+          .cast("double"))).as("cramers_v"))
+  }
+
+  val mlChi2Sql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    // (c*n - cx*cy)^2 / (cx*cy*n) == n*(c/n - cx*cy/n^2)^2 ... the
+    // integer-product form sidesteps float marginals entirely
+    val term = sqlRnd6(
+      "(CAST(c * n - cx * cy AS DOUBLE) * CAST(c * n - cx * cy AS DOUBLE))" +
+        " / (CAST(cx * cy AS DOUBLE) * CAST(n AS DOUBLE))")
+    s"""WITH cust AS (
+       |  SELECT c_mktsegment AS x, n_name AS y
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+       |cells AS (SELECT x, y, COUNT(*) AS c FROM cust GROUP BY 1, 2),
+       |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+       |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+       |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |    COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS cc FROM cells),
+       |grid AS (
+       |  SELECT mx.x, my.y, cx, cy, COALESCE(c, 0) AS c
+       |  FROM mx CROSS JOIN my
+       |  LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y),
+       |chi AS (SELECT ${Exact.sqlXsum(term)} AS chi2 FROM grid, n1)
+       |SELECT n, (r - 1) * (cc - 1) AS dof, ${sqlRnd6("chi2")} AS chi2,
+       |  ${sqlRnd6("sqrt(chi2 / CAST(n * least(r - 1, cc - 1) AS DOUBLE))")}
+       |    AS cramers_v
+       |FROM chi, n1""".stripMargin
+  }
+
+  /** Weight-of-evidence / information-value table of market segment
+    * against urgent-priority orders — the credit-scoring-style
+    * encoding + feature-strength report (IV < 0.02 ⇒ the feature is
+    * useless; the table IS the encoder). Per-segment good/bad counts
+    * come from one shuffle over orders⋈customer; WoE_i =
+    * ln(g_i·B / (b_i·G)) is a ratio of exact BIGINT products cast to
+    * double once, rnd6'd, and each IV contribution rides the same
+    * per-term discipline, so the broadcast total IV is byte-stable.
+    * Segments where either count is zero would blow up the log —
+    * a LAPLACE +1 on both sides per segment (dense here, but the
+    * guard is the production rule, stated in the oracle too). */
+  def mlWoeIv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val scored = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        ($"o_orderpriority" === "1-URGENT").cast("long").as("y"))
+    val per = scored.groupBy($"seg")
+      .agg((sum($"y") + 1).as("g"), (count(lit(1)) - sum($"y") + 1).as("b"))
+    val tot = per.agg(sum($"g").as("gt"), sum($"b").as("bt"))
+    val woe = rnd6(log(($"g" * $"bt").cast("double") /
+      ($"b" * $"gt").cast("double")))
+    per.crossJoin(broadcast(tot))
+      .select($"seg", ($"g" - 1 + $"b" - 1).as("n"), $"g", $"b",
+        woe.as("woe"),
+        rnd6(($"g".cast("double") / $"gt" - $"b".cast("double") / $"bt") *
+          woe).as("iv_term"))
+      .orderBy($"seg")
+  }
+
+  val mlWoeIvSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val woe = sqlRnd6("ln(CAST(g * bt AS DOUBLE) / CAST(b * gt AS DOUBLE))")
+    s"""WITH scored AS (
+       |  SELECT c_mktsegment AS seg,
+       |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |per AS (
+       |  SELECT seg, CAST(SUM(y) + 1 AS BIGINT) AS g,
+       |    CAST(COUNT(*) - SUM(y) + 1 AS BIGINT) AS b
+       |  FROM scored GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt,
+       |    CAST(SUM(b) AS BIGINT) AS bt FROM per)
+       |SELECT seg, g - 1 + b - 1 AS n, g, b, $woe AS woe,
+       |  ${sqlRnd6(s"(CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt) * $woe")}
+       |    AS iv_term
+       |FROM per, tot ORDER BY seg""".stripMargin
+  }
+
+  /** Score-band lift table: order value as a ranking score for
+    * urgent-priority response — the campaign-targeting report ("how
+    * much denser are responders in the top band than in the base
+    * rate"). Bands are VALUE-based (fixed 50k-wide buckets, capped at
+    * band 9), not population deciles: a value bucket is a map-side
+    * expression at any scale, where a true decile would need a global
+    * rank — the same selection-over-window trade the house makes
+    * everywhere. The base rate rides a broadcast 1-row aggregate;
+    * every rate is integer-count division, rnd6'd once. */
+  def mlLiftBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val scored = Tables.orders(spark, sfDir)
+      .select(least(floor($"o_totalprice" / 50000), lit(9)).cast("int")
+        .as("band"),
+        ($"o_orderpriority" === "1-URGENT").cast("long").as("y"))
+    val per = scored.groupBy($"band")
+      .agg(count(lit(1)).as("n"), sum($"y").as("resp"))
+    val tot = per.agg(sum($"n").as("nt"), sum($"resp").as("rt"))
+    per.crossJoin(broadcast(tot))
+      .select($"band", $"n", $"resp",
+        rnd6($"resp".cast("double") / $"n".cast("double")).as("resp_rate"),
+        rnd6(($"resp" * $"nt").cast("double") /
+          ($"n" * $"rt").cast("double")).as("lift"))
+      .orderBy($"band".desc)
+  }
+
+  val mlLiftBandsSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH scored AS (
+       |  SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER)
+       |      AS band,
+       |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+       |  FROM orders),
+       |per AS (
+       |  SELECT band, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS resp
+       |  FROM scored GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+       |    CAST(SUM(resp) AS BIGINT) AS rt FROM per)
+       |SELECT band, n, resp,
+       |  ${sqlRnd6("CAST(resp AS DOUBLE) / CAST(n AS DOUBLE)")} AS resp_rate,
+       |  ${sqlRnd6("CAST(resp * nt AS DOUBLE) / CAST(n * rt AS DOUBLE)")}
+       |    AS lift
+       |FROM per, tot ORDER BY band DESC""".stripMargin
+  }
 }

@@ -296,4 +296,103 @@ object TsOps {
       |FROM dev d JOIN mad md USING (user_id)
       |WHERE d.dev > 3 * md.mad
       |ORDER BY user_id, day""".stripMargin
+
+  /** Weekly OHLC resampling of the daily revenue series — the
+    * downsample a charting/monitoring layer asks of any metric store
+    * (candlesticks: open = first day's value in the bucket, close =
+    * last, high/low = extrema, volume = day count). Open/close are
+    * ARG-extrema (`min_by`/`max_by` on the date), not positional —
+    * order-independent, so the shuffle layout cannot change them; the
+    * ISO week bucket (`date_trunc('week')` = Monday in both engines)
+    * is computed BEFORE the aggregate, so the whole query is one
+    * partial-aggregated shuffle over O(#days) rows. */
+  def tsOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(xsum($"o_totalprice").as("v"))
+    daily
+      .groupBy(date_trunc("week", $"d").cast("date").as("wk"))
+      .agg(count(lit(1)).as("n_days"),
+        rnd6(min_by($"v", $"d")).as("open"),
+        rnd6(max($"v")).as("high"),
+        rnd6(min($"v")).as("low"),
+        rnd6(max_by($"v", $"d")).as("close"),
+        rnd6(xsum($"v")).as("total"))
+      .orderBy($"wk")
+  }
+
+  val tsOhlcSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    ${sqlXsum("o_totalprice")} AS v
+       |  FROM orders GROUP BY 1)
+       |SELECT CAST(date_trunc('week', d) AS DATE) AS wk,
+       |  COUNT(*) AS n_days,
+       |  ${sqlRnd6("arg_min(v, d)")} AS open,
+       |  ${sqlRnd6("max(v)")} AS high,
+       |  ${sqlRnd6("min(v)")} AS low,
+       |  ${sqlRnd6("arg_max(v, d)")} AS close,
+       |  ${sqlRnd6(sqlXsum("v"))} AS total
+       |FROM daily GROUP BY 1 ORDER BY wk""".stripMargin
+  }
+
+  /** Rolling 14-day correlation between daily revenue and daily order
+    * count — the co-movement diagnostic behind "is average basket
+    * size drifting". No window function: the trailing frame is a
+    * RANGE SELF-JOIN on the O(#days) pre-aggregate (b.d within
+    * [a.d − 13, a.d]), so work is O(14 · #days) however large the
+    * fact table grows, and the fleet unpartitioned-window guard stays
+    * clean. Exact-decimal moment sums; one identical double
+    * correlation expression both sides, rnd6'd. Days with fewer than
+    * 10 trailing observations are suppressed (warm-up). */
+  def tsRollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(xsum($"o_totalprice").as("rev"),
+        count(lit(1)).cast("double").as("cnt"))
+    val m = daily.as("a")
+      .join(daily.as("b"),
+        $"b.d" >= date_sub($"a.d", 13) && $"b.d" <= $"a.d")
+      .groupBy($"a.d".as("d"))
+      .agg(count(lit(1)).as("n"),
+        xsum($"b.rev").as("sx"), xsum($"b.cnt").as("sy"),
+        xsum($"b.rev" * $"b.cnt").as("sxy"),
+        xsum($"b.rev" * $"b.rev").as("sxx"),
+        xsum($"b.cnt" * $"b.cnt").as("syy"))
+      .filter($"n" >= 10)
+    val nd = $"n".cast("double")
+    val num = nd * $"sxy" - $"sx" * $"sy"
+    val den = sqrt((nd * $"sxx" - $"sx" * $"sx") *
+      (nd * $"syy" - $"sy" * $"sy"))
+    m.select($"d", $"n", rnd6(num / den).as("roll_corr"))
+      .orderBy($"d")
+  }
+
+  val tsRollingCorrSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val nd = "CAST(n AS DOUBLE)"
+    val num = s"($nd * sxy - sx * sy)"
+    val den = s"sqrt(($nd * sxx - sx * sx) * ($nd * syy - sy * sy))"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    ${sqlXsum("o_totalprice")} AS rev,
+       |    CAST(COUNT(*) AS DOUBLE) AS cnt
+       |  FROM orders GROUP BY 1),
+       |m AS (
+       |  SELECT a.d AS d, COUNT(*) AS n,
+       |    ${sqlXsum("b.rev")} AS sx, ${sqlXsum("b.cnt")} AS sy,
+       |    ${sqlXsum("b.rev * b.cnt")} AS sxy,
+       |    ${sqlXsum("b.rev * b.rev")} AS sxx,
+       |    ${sqlXsum("b.cnt * b.cnt")} AS syy
+       |  FROM daily a JOIN daily b
+       |    ON b.d >= a.d - 13 AND b.d <= a.d
+       |  GROUP BY 1 HAVING COUNT(*) >= 10)
+       |SELECT d, n, ${sqlRnd6(s"$num / $den")} AS roll_corr
+       |FROM m ORDER BY d""".stripMargin
+  }
 }
