@@ -544,6 +544,30 @@ object DedupOps {
        |FROM comp c JOIN sizes s USING (cluster_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Near-dup family size distribution — the corpus-health histogram
+    * ("how much of the lake is boilerplate families vs singletons")
+    * an ingestion dashboard tracks release over release. Rides the
+    * SAME cached cluster labels as [[dedupCluster]]/[[dedupSurvivors]]
+    * (no extra fixpoint); the distribution itself is two bounded
+    * aggregations — per-cluster rows collapse to one row per DISTINCT
+    * family size, so output is O(max family size) whatever the corpus
+    * holds. */
+  def dedupFamilySizes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    clusterLabels(spark, sfDir)
+      .select($"cluster_id", $"cluster_size").distinct()
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
+  val dedupFamilySizesSql: String =
+    s"""$clusterCtesSql
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |  cluster_size * COUNT(*) AS n_docs
+       |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   /** Connected components via alternating large-star / small-star
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the deep-component upgrade to

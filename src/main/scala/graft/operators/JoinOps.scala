@@ -279,6 +279,61 @@ object JoinOps {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** The AQE-automatic twin of [[joinSalted]]: a DELIBERATELY skewed
+    * key (70 % of lineitem collapses onto key 0, the classic
+    * null-surrogate hot key) joined WITHOUT any manual salting —
+    * the demonstration that Spark's adaptive skew-join split handles
+    * what [[joinSalted]] mitigates by hand. Semantics are plain join
+    * + aggregate, so the result is AQE-invariant and the DuckDB twin
+    * oracles it; at fixture scale the dim side broadcasts (no skew
+    * hazard at all), and Round7Spec re-plans this exact query with
+    * broadcast disabled and the skew thresholds lowered to prove
+    * `OptimizeSkewedJoin` splits the hot partition (`isSkew=true` in
+    * the sort-merge join node) while returning identical bytes. At
+    * 100 TB the same two knobs — AQE on, advisory partition size —
+    * are the whole fix; no query rewrite. */
+  def joinSkewAqe(spark: SparkSession, sfDir: String): DataFrame =
+    skewJoinShape(skewFact(spark, sfDir), skewDim(spark, sfDir))
+
+  private[graft] def skewFact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select(when(pmod($"l_partkey", lit(10)) < 7, lit(0L))
+        .otherwise($"l_partkey").as("k"), $"l_quantity")
+  }
+
+  private[graft] def skewDim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select($"p_partkey".as("k"), $"p_brand")
+      .union(spark.range(1).select(lit(0L).as("k"),
+        lit("Brand#0").as("p_brand")))
+  }
+
+  /** The join+aggregate under [[joinSkewAqe]], factored so the spec
+    * can feed a fact with many map tasks (the fixture parquet is one
+    * row group ⇒ one real mapper, and AQE can only split a skewed
+    * partition at MAP-output boundaries). */
+  private[graft] def skewJoinShape(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(dim, "k")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  val joinSkewAqeSql: String =
+    s"""WITH fact AS (
+       |  SELECT CASE WHEN l_partkey % 10 < 7 THEN 0 ELSE l_partkey END AS k,
+       |    l_quantity
+       |  FROM lineitem),
+       |dim AS (
+       |  SELECT p_partkey AS k, p_brand FROM part
+       |  UNION ALL SELECT 0, 'Brand#0')
+       |SELECT p_brand, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("l_quantity")} AS sum_qty
+       |FROM fact JOIN dim USING (k)
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Explicit Cartesian product — small×small only, the one shape
     * where a cross join is legitimate (calendar × dimension scaffolds,
     * parameter grids). Spark requires the explicit `crossJoin` call,

@@ -931,4 +931,61 @@ object TextOps {
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  /** Flesch-style readability scoring rolled up per language — the
+    * quality-floor heuristic a curation pipeline cuts on ("too dense
+    * to be prose"). Syllables are the classic vowel-group estimate
+    * (runs of [aeiouy], floor 1 per word — "sql" still costs a
+    * syllable); the fixture's texts carry no sentence punctuation, so
+    * each doc is scored as ONE sentence (stated, not inferred —
+    * words/sentence ≡ words/doc). Per-doc integer (word, syllable)
+    * counts collapse map-side off one explode; the Flesch formula is
+    * a per-doc double rnd6'd BEFORE the exact-decimal language
+    * rollup, so corpus-order cannot move the average. Output is
+    * O(#languages). */
+  def textReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        explode(split(lower($"text"), " ")).as("tok"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("w"),
+        sum(greatest(lit(1), regexp_count($"tok", lit("[aeiouy]+"))))
+          .as("syl"))
+    val flesch = rnd6(lit(206.835) -
+      lit(1.015) * $"w".cast("double") -
+      lit(84.6) * ($"syl".cast("double") / $"w".cast("double")))
+    perDoc
+      .select($"lang", $"w", $"syl", flesch.as("flesch"),
+        rnd6($"syl".cast("double") / $"w".cast("double")).as("spw"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        rnd6(xavg($"w".cast("double"))).as("avg_words"),
+        rnd6(xavg($"spw")).as("avg_syl_per_word"),
+        rnd6(xavg($"flesch")).as("avg_flesch"))
+      .orderBy($"lang")
+  }
+
+  val textReadabilitySql: String = {
+    val flesch = sqlRnd6("206.835 - 1.015 * CAST(w AS DOUBLE) - " +
+      "84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))")
+    val spw = sqlRnd6("CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents),
+       |per_doc AS (
+       |  SELECT doc_id, lang, COUNT(*) AS w,
+       |    CAST(SUM(greatest(1,
+       |      len(regexp_extract_all(tok, '[aeiouy]+')))) AS BIGINT) AS syl
+       |  FROM toks GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT lang, w, $flesch AS flesch, $spw AS spw
+       |  FROM per_doc)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  ${sqlRnd6(sqlXavg("CAST(w AS DOUBLE)"))} AS avg_words,
+       |  ${sqlRnd6(sqlXavg("spw"))} AS avg_syl_per_word,
+       |  ${sqlRnd6(sqlXavg("flesch"))} AS avg_flesch
+       |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin
+  }
 }

@@ -58,9 +58,15 @@ object StreamOps {
   /** Run `build` on a MemoryStream replay of `events` (event-time
     * order, one micro-batch) and return the collected sink table. */
   private def runStream(spark: SparkSession, sfDir: String,
+      mode: OutputMode)(build: Dataset[Ev] => DataFrame): DataFrame =
+    runStreamRows(spark, replayRows(spark, sfDir), mode)(build)
+
+  /** [[runStream]] with an explicit replay sequence — for queries
+    * that inject transport artifacts (duplicate deliveries) into the
+    * stream. */
+  private def runStreamRows(spark: SparkSession, rows: Seq[Ev],
       mode: OutputMode)(build: Dataset[Ev] => DataFrame): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
     val source = MemoryStream[Ev](spark)
     source.addData(rows)
     val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
@@ -361,6 +367,33 @@ object StreamOps {
   val streamDedupSql: String =
     """SELECT DISTINCT user_id, event_type
       |FROM events ORDER BY user_id, event_type""".stripMargin
+
+  /** Exactly-once repair of an at-least-once transport:
+    * `dropDuplicatesWithinWatermark` on the delivery id, fed a replay
+    * where every third event arrives TWICE. The within-watermark
+    * variant is the production form for UNBOUNDED key domains —
+    * plain `dropDuplicates("event_id")` ([[streamDedup]]'s shape on a
+    * bounded key) retains one state row per key forever, which on a
+    * delivery-id stream is a guaranteed state-store leak; this one
+    * evicts each key at watermark + delay, bounding state by the
+    * dup-arrival horizon instead of the key cardinality. Duplicates
+    * arrive at the same event time, so they land inside any delay and
+    * the sink must equal the original events table byte-for-byte. */
+  def streamDedupWithin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val redelivered = (rows ++ rows.filter(_.event_id % 3 == 0))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    runStreamRows(spark, redelivered, OutputMode.Append()) { ds =>
+      ds.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    }.orderBy($"event_id")
+  }
+
+  val streamDedupWithinSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
 
   /** Custom per-key state: running per-user cumulative spend via
     * flatMapGroupsWithState (the arbitrary-stateful-processing path).

@@ -49,4 +49,56 @@ class Round7Spec extends SparkSpec {
       .head().getLong(0)
     assert(worst <= 0, s"variant fan-in exceeded the alphabet bound by $worst")
   }
+
+  test("q_join_skew_aqe: OptimizeSkewedJoin splits the hot partition") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    // sf0.01: the hot partition must clear the (lowered) byte threshold;
+    // at sf0.001 every partition is tiny and AQE coalesces instead.
+    // The fixture parquet is ONE row group ⇒ one real map task, and a
+    // skewed partition can only split at map-output boundaries — so
+    // spread the fact over 16 mappers first (any multi-file layout at
+    // scale does this for free).
+    val sf01 = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.col
+    val J = graft.operators.JoinOps
+    val fact = J.skewFact(spark, sf01).repartition(16, col("l_quantity"))
+    val dim = J.skewDim(spark, sf01)
+    val baseline = J.joinSkewAqe(spark, sf01).collect()
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = J.skewJoinShape(fact, dim)
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+      // query stages are LEAF nodes (their plan is an inner child) —
+      // recurse through q.plan or collect sees nothing below a stage
+      def allStages(p: SparkPlan): Seq[ShuffleQueryStageExec] = {
+        val qs = p.collect { case q: QueryStageExec => q }
+        qs.collect { case s: ShuffleQueryStageExec => s } ++
+          qs.flatMap(q => allStages(q.plan))
+      }
+      val sizes = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec =>
+          allStages(a.executedPlan).map { s =>
+            s"stage${s.id}(mappers=${s.shuffle.numMappers})=[" +
+              s.mapStats.map(_.bytesByPartitionId.mkString(",")).getOrElse("?") + "]"
+          }.mkString(" ")
+        case _ => "root is not adaptive"
+      }
+      assert(plan.contains("skew=true"),
+        s"no skew-split in the adaptive plan; shuffle sizes: $sizes\n$plan")
+      assert(rows.toSeq == baseline.toSeq,
+        "skew-split changed the result bytes")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
