@@ -179,6 +179,28 @@ object AggOps {
       |  COUNT(*) AS n_types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** SQL:2016 LISTAGG ... WITHIN GROUP — the ordered string aggregate
+    * as its own operator (Spark 4's native `listagg`, vs
+    * [[aggCollect]]'s collect_list+sort_array composition; the WITHIN
+    * GROUP order makes the result deterministic under any shuffle
+    * layout). Bounded: ≤ 5 nations per region. */
+  def aggListagg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(expr("listagg(n_name, ',') within group (order by n_name)")
+        .as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy($"r_name")
+  }
+
+  val aggListaggSql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   /** ROLLUP over the region→nation hierarchy. NULLS FIRST is pinned on
     * both sides (Spark defaults nulls-first ASC, DuckDB nulls-last). */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {

@@ -861,7 +861,10 @@ object TextOps {
     * restriction that makes merge application order-free and
     * retry-stable; with l ≠ r, overlapping matches are impossible).
     * Output is the merge TABLE — the artifact a tokenizer ships. */
-  def textBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The BPE learn loop shared by [[textBpeMerges]] (emits the merge
+    * table) and [[textBpeApply]] (emits the final segmentation):
+    * returns (per-round winning merges, vocabulary after all rounds). */
+  private def bpeRun(spark: SparkSession, sfDir: String): (Seq[DataFrame], DataFrame) = {
     import spark.implicits._
     val vocab = tokens(spark, sfDir)
       .groupBy($"tok").agg(count(lit(1)).as("tf"))
@@ -889,7 +892,29 @@ object TextOps {
       top.select(lit(rd).as("round"), $"l", $"r",
         concat($"l", $"r").as("merged"), $"cnt")
     }
-    rounds.reduce(_ unionAll _).orderBy($"round")
+    (rounds, v)
+  }
+
+  def textBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeRun(spark, sfDir)._1.reduce(_ unionAll _).orderBy($"round")
+  }
+
+  /** BPE ENCODE: the vocabulary re-segmented by the learned merges —
+    * what a tokenizer-export step ships after [[textBpeMerges]]
+    * learns the table (pieces per token and the piece string itself,
+    * so compression is inspectable per word). Runs the SAME
+    * rank-ordered merge chain (each round's winner is a broadcast
+    * 1-row frame applied map-side to every token's piece array — no
+    * extra shuffle beyond the learn loop's pair counts), so encode
+    * and learn cannot drift apart. */
+  def textBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeRun(spark, sfDir)._2
+      .select($"tok", $"tf",
+        array_join($"arr", " ").as("pieces"),
+        size($"arr").as("n_pieces"))
+      .orderBy($"tok")
   }
 
   val textBpeMergesSql: String = {
@@ -930,6 +955,43 @@ object TextOps {
        |$chain
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  val textBpeApplySql: String = {
+    def pairCte(name: String, vCte: String) =
+      s"""$name AS (
+         |  SELECT l, r, cnt FROM (
+         |    SELECT arr[i] AS l, arr[i + 1] AS r,
+         |      CAST(SUM(tf) AS BIGINT) AS cnt
+         |    FROM (SELECT tf, arr,
+         |      unnest(generate_series(1, len(arr) - 1)) AS i FROM $vCte)
+         |    GROUP BY 1, 2)
+         |  WHERE l <> r
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+    def mergeCte(name: String, vCte: String, pCte: String) =
+      s"""$name AS (
+         |  SELECT tok, tf, list_filter(list_transform(
+         |    generate_series(1, len(arr)), i ->
+         |      CASE WHEN arr[i] = p.l AND i < len(arr)
+         |               AND arr[i + 1] = p.r THEN p.l || p.r
+         |           WHEN arr[i] = p.r AND i > 1
+         |               AND arr[i - 1] = p.l THEN NULL
+         |           ELSE arr[i] END), x -> x IS NOT NULL) AS arr
+         |  FROM $vCte, $pCte p)"""
+    val chain = (1 to BPE_ROUNDS).map { rd =>
+      pairCte(s"p$rd", s"v${rd - 1}") + ",\n" +
+        mergeCte(s"v$rd", s"v${rd - 1}", s"p$rd")
+    }.mkString(",\n")
+    s"""WITH $tokensCte,
+       |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+       |v0 AS (
+       |  SELECT tok, tf, list_append(string_split(
+       |    trim(regexp_replace(tok, '(.)', '\\1 ', 'g')), ' '), '</w>') AS arr
+       |  FROM vocab),
+       |$chain
+       |SELECT tok, tf, array_to_string(arr, ' ') AS pieces,
+       |  CAST(len(arr) AS INTEGER) AS n_pieces
+       |FROM v$BPE_ROUNDS ORDER BY tok""".stripMargin
   }
 
   /** Flesch-style readability scoring rolled up per language — the
