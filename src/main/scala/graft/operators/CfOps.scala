@@ -422,16 +422,26 @@ object CfOps {
     * (user-based kNN). Same shape: one self-join on the capped rating
     * stream sharing a single shuffle, decimal-exact moment sums,
     * MIN_SUPPORT ≥ 2 common items. */
-  private[operators] def userSimPairs(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "userSimPairs") {
+  /** Per-item top-[[ITEM_USER_CAP]] raters — the bounded bipartite
+    * (user, item) edge set behind the whole user-graph family
+    * ([[userSimPairs]], [[GraphOps]]' pair graph and HITS). Cached:
+    * several consumers, one window pass. */
+  private[operators] def itemCappedRatings(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "itemCappedRatings") {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
       val capW = Window.partitionBy($"item_id")
         .orderBy($"rating".desc, $"user_id".asc)
-      val capped = ratings(spark, sfDir)
+      ratings(spark, sfDir)
         .withColumn("irk", row_number().over(capW))
         .filter($"irk" <= ITEM_USER_CAP)
         .select($"user_id", $"item_id", $"rating")
+    }
+
+  private[operators] def userSimPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "userSimPairs") {
+      import spark.implicits._
+      val capped = itemCappedRatings(spark, sfDir)
       val norms = capped.groupBy($"user_id")
         .agg(xsumFast($"rating" * $"rating").as("norm_sq"))
       val a = capped.select($"item_id", $"user_id".as("user_a"), $"rating".as("ra"))

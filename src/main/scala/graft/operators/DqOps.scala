@@ -20,6 +20,9 @@ import graft.engine.{Exact, Tables}
   */
 object DqOps {
 
+  /** Tail threshold x_min for the Hill fit ([[dqPowerlaw]]). */
+  private val POWERLAW_XMIN = 5
+
   /** (name, Spark string-image expr, DuckDB string-image expr).
     * Values are profiled through a CANONICAL STRING IMAGE so one melted
     * column can carry every type: integers/strings/timestamps cast
@@ -431,5 +434,55 @@ object DqOps {
        |UNION ALL
        |${block("orders", "o_custkey")}
        |ORDER BY key_col""".stripMargin
+  }
+
+  /** Power-law tail fit of the per-user activity distribution — the
+    * Hill/Clauset MLE for the exponent: α = 1 + n / Σ ln(cᵤ/x_min)
+    * over users with event count cᵤ ≥ x_min. The one-number answer to
+    * "how heavy-tailed is my key distribution", which is what decides
+    * salting/AQE-skew strategy before a big join ([[dqSkewReport]]
+    * reports the symptoms; this fits the law behind them). α ≈ 2–3 is
+    * the classic heavy-tail regime where a single hot key can carry a
+    * constant fraction of the corpus.
+    *
+    * Determinism: each ln term divides a BIGINT count by the integer
+    * x_min — identical doubles both engines — and is rnd6'd before the
+    * exact decimal sum, so libm's last-ulp freedom never reaches the
+    * hash (the [[AggOps.eventsEntropy]] discipline). One aggregation
+    * pass over (user, count) — at 100 TB the fit costs one
+    * partial-combined shuffle of the key histogram, nothing more. */
+  def dqPowerlaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val per = Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val tot = per.agg(count(lit(1)).as("n_users"))
+    val tail = per.filter($"cnt" >= POWERLAW_XMIN)
+      .select(rnd6(log($"cnt".cast("double") / POWERLAW_XMIN.toDouble))
+        .as("lterm"))
+    val t = tail.agg(count(lit(1)).as("n_tail"), Exact.xsum($"lterm").as("s"))
+    t.crossJoin(broadcast(tot))
+      .select($"n_users", $"n_tail",
+        rnd6(lit(1.0) + $"n_tail".cast("double") / $"s").as("alpha"),
+        rnd6($"n_tail".cast("double") / $"n_users".cast("double"))
+          .as("tail_share"))
+  }
+
+  val dqPowerlawSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH per AS (
+       |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_users FROM per),
+       |tail AS (
+       |  SELECT ${sqlRnd6(s"ln(CAST(cnt AS DOUBLE) / $POWERLAW_XMIN.0)")}
+       |    AS lterm
+       |  FROM per WHERE cnt >= $POWERLAW_XMIN),
+       |t AS (SELECT COUNT(*) AS n_tail, ${Exact.sqlXsum("lterm")} AS s
+       |  FROM tail)
+       |SELECT n_users, n_tail,
+       |  ${sqlRnd6("1.0 + CAST(n_tail AS DOUBLE) / s")} AS alpha,
+       |  ${sqlRnd6("CAST(n_tail AS DOUBLE) / CAST(n_users AS DOUBLE)")}
+       |    AS tail_share
+       |FROM t, tot""".stripMargin
   }
 }

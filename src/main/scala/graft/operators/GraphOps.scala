@@ -730,4 +730,113 @@ object GraphOps {
        |SELECT community, n_nodes, m_in, d_c, contrib, q
        |FROM terms, q1 ORDER BY community""".stripMargin
   }
+
+  /** HITS fixed-point scale: BIGINT units of 1e-6. Headroom: a
+    * normalized score is ≤ 1e6; raw authority sums ≤ in-degree·1e6
+    * (in-degree ≤ ITEM_USER_CAP), raw hub sums ≤ out-degree·1e6, and
+    * the re-scaling product raw·1e6 stays ≤ ~1e16 — two orders below
+    * Long.MaxValue even with catalog-sized out-degrees. */
+  private val HITS_SCALE = 1000000L
+
+  /** Kleinberg's HITS over the DIRECTED bipartite rating graph (users
+    * → items, per-item top raters): hub scores for users, authority
+    * scores for items, after the unrolled update chain a₁ h₁ a₂ h₂ a₃
+    * with max-normalization each step — the directed-graph complement
+    * to [[graphPagerank]]'s undirected power iteration (PageRank
+    * ranks by random-walk mass; HITS separates "rates the popular
+    * things" users from "rated by the influential" items).
+    *
+    * Same determinism contract as PageRank: all iterates are BIGINT
+    * fixed-point ([[HITS_SCALE]]); each normalization divides by the
+    * current max via integer division (bit-identical in both
+    * engines); the ONLY float op is the final units→double divide.
+    * The oracle unrolls the identical chain as chained CTEs with
+    * scalar-subquery maxima.
+    *
+    * Scale notes: each half-step is one equi-join of the edge list
+    * with the current score table plus one partial-combined sum on
+    * the other endpoint — PageRank's per-iteration shape on a
+    * bipartite edge set whose per-item side is capped. Generations
+    * are eagerly localCheckpointed: every iterate feeds the next join
+    * (and the last two also the output union), the documented
+    * lineage-doubling hazard of driver-looped plans. */
+  def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = CfOps.itemCappedRatings(spark, sfDir)
+      .select($"user_id", $"item_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def authStep(h: DataFrame): DataFrame = {
+      val raw = e.join(h, "user_id")
+        .groupBy($"item_id").agg(sum($"hs").as("raw"))
+      val mx = raw.agg(max($"raw").as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select($"item_id", expr(s"(raw * $HITS_SCALE) div mx").as("as_"))
+        .localCheckpoint(true)
+    }
+    def hubStep(a: DataFrame): DataFrame = {
+      val raw = e.join(a, "item_id")
+        .groupBy($"user_id").agg(sum($"as_").as("raw"))
+      val mx = raw.agg(max($"raw").as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select($"user_id", expr(s"(raw * $HITS_SCALE) div mx").as("hs"))
+        .localCheckpoint(true)
+    }
+
+    val h0 = e.select($"user_id").distinct()
+      .select($"user_id", lit(HITS_SCALE).as("hs"))
+    val a1 = authStep(h0)
+    val h1 = hubStep(a1)
+    val a2 = authStep(h1)
+    val h2 = hubStep(a2)
+    val a3 = authStep(h2)
+    val out = a3
+      .select(lit("auth").as("kind"), $"item_id".as("node_id"),
+        ($"as_".cast("double") / HITS_SCALE.toDouble).as("score"))
+      .unionByName(h2.select(lit("hub").as("kind"), $"user_id".as("node_id"),
+        ($"hs".cast("double") / HITS_SCALE.toDouble).as("score")))
+      .orderBy($"kind", $"node_id")
+    e.unpersist()
+    out
+  }
+
+  val graphHitsSql: String = {
+    val S = HITS_SCALE
+    def auth(i: Int, h: String) =
+      s"""a${i}r AS (SELECT item_id, SUM(hs) AS raw
+         |  FROM e JOIN $h USING (user_id) GROUP BY 1),
+         |a$i AS (SELECT item_id,
+         |  (raw * $S) // (SELECT MAX(raw) FROM a${i}r) AS as_
+         |  FROM a${i}r)""".stripMargin
+    def hub(i: Int, a: String) =
+      s"""h${i}r AS (SELECT user_id, SUM(as_) AS raw
+         |  FROM e JOIN $a USING (item_id) GROUP BY 1),
+         |h$i AS (SELECT user_id,
+         |  (raw * $S) // (SELECT MAX(raw) FROM h${i}r) AS hs
+         |  FROM h${i}r)""".stripMargin
+    s"""WITH ratings AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    ${sqlXsum("l_quantity")} AS rating
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT user_id, item_id FROM (
+       |    SELECT user_id, item_id, row_number() OVER (
+       |      PARTITION BY item_id ORDER BY rating DESC, user_id ASC)
+       |      AS irk
+       |    FROM ratings) WHERE irk <= ${CfOps.ITEM_USER_CAP}),
+       |h0 AS (SELECT DISTINCT user_id, $S AS hs FROM e),
+       |${auth(1, "h0")},
+       |${hub(1, "a1")},
+       |${auth(2, "h1")},
+       |${hub(2, "a2")},
+       |${auth(3, "h2")}
+       |SELECT kind, node_id, score FROM (
+       |  SELECT 'auth' AS kind, item_id AS node_id,
+       |    CAST(as_ AS DOUBLE) / $S.0 AS score FROM a3
+       |  UNION ALL
+       |  SELECT 'hub' AS kind, user_id AS node_id,
+       |    CAST(hs AS DOUBLE) / $S.0 AS score FROM h2)
+       |ORDER BY kind, node_id""".stripMargin
+  }
 }

@@ -395,4 +395,65 @@ object TsOps {
        |SELECT d, n, ${sqlRnd6(s"$num / $den")} AS roll_corr
        |FROM m ORDER BY d""".stripMargin
   }
+
+  /** Theil–Sen robust trend estimate per event type: the LOWER MEDIAN
+    * of all pairwise slopes (v_j − v_i)/(d_j − d_i) over the daily
+    * per-type value series — the breakdown-resistant alternative to
+    * the OLS slope in [[MlOps.mlLinreg]] (a single outlier day drags
+    * OLS arbitrarily; Theil–Sen tolerates ~29 % contamination).
+    * Median is a SELECTION (row_number over the slope order, element
+    * ⌊(n+1)/2⌋), never an interpolation — the [[tsMadOutliers]]
+    * discipline; tie-break descends to the pair's dates so the pick
+    * is total-ordered. Slopes divide two engine-identical exact
+    * values, so the sort keys are bit-equal doubles in both engines.
+    *
+    * Scale shape: the corpus collapses to O(#types · #days) rows
+    * first; the pair join is #days² per type — calendar-bounded, like
+    * every triangular join in this file. The median window partitions
+    * by event_type (never a single-partition sort). */
+  def tsTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Udfs.rnd6
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(xsum($"value").as("v"))
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.d" < $"b.d")
+      .select($"a.event_type".as("event_type"),
+        $"a.d".as("d0"), $"b.d".as("d1"),
+        (($"b.v" - $"a.v") /
+          datediff($"b.d", $"a.d").cast("double")).as("slope"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(Window.partitionBy($"event_type")
+        .orderBy($"slope".asc, $"d0".asc, $"d1".asc)))
+      .withColumn("np", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+    ranked.filter($"rn" === expr("(np + 1) div 2"))
+      .select($"event_type", $"np".as("n_pairs"),
+        rnd6($"slope").as("slope"))
+      .orderBy($"event_type")
+  }
+
+  val tsTheilSenSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |    ${sqlXsum("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |slopes AS (
+       |  SELECT a.event_type AS event_type, a.d AS d0, b.d AS d1,
+       |    (b.v - a.v) / CAST(b.d - a.d AS DOUBLE) AS slope
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type AND a.d < b.d),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY slope ASC, d0 ASC, d1 ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS np
+       |  FROM slopes)
+       |SELECT event_type, np AS n_pairs, ${sqlRnd6("slope")} AS slope
+       |FROM ranked WHERE rn = (np + 1) // 2
+       |ORDER BY event_type""".stripMargin
+  }
 }
