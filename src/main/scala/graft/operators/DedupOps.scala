@@ -1210,4 +1210,93 @@ object DedupOps {
       |SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INTEGER) AS dist
       |FROM cand WHERE levenshtein(tok_a, tok_b) <= 2
       |ORDER BY tok_a, tok_b""".stripMargin
+
+  /** Recall audit of the MinHash-LSH candidate generator against the
+    * exact-Jaccard ground truth — the ANN-style quality gate for the
+    * DEDUP family (the twin of `q_simsearch_recall`): every truth
+    * pair (exact shingle Jaccard ≥ 0.1, [[dedupNear]]'s output) is
+    * checked for presence in the LSH band-collision candidate set,
+    * bucketed by similarity band. The S-curve is the whole point of
+    * banding — P(candidate | j) = 1 − (1 − j²)⁴ for 4 bands × 2 rows
+    * — so recall MUST climb with j; a tuning pass reads this table to
+    * pick bands×rows for a target similarity cutoff, which at 100 TB
+    * is the difference between re-hashing the corpus twice and
+    * shipping a dedup run that silently missed half its near-dups.
+    *
+    * Scale notes: both inputs are the cached intermediates the
+    * registered dedup queries already compute (truth = the verified
+    * inverted-index pairs, candidates = the band self-join); the
+    * audit itself joins pair-key to pair-key and collapses to ≤ 4
+    * rows. At 100 TB the truth side would run on a sampled doc subset
+    * (exact all-pairs ground truth is what LSH exists to avoid) —
+    * here the fixture corpus is small enough to audit in full. */
+  def dedupRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val truth = nearPairs(spark, sfDir)
+    val bands = lshBands(shingles(spark, sfDir))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    truth
+      .join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .withColumn("jband", expr(
+        """CASE WHEN jaccard < 0.25 THEN 'j_010_025'
+          |  WHEN jaccard < 0.50 THEN 'j_025_050'
+          |  WHEN jaccard < 0.75 THEN 'j_050_075'
+          |  ELSE 'j_075_100' END""".stripMargin))
+      .groupBy($"jband")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce($"hit", lit(0))).as("n_caught"))
+      .select($"jband", $"n_truth", $"n_caught",
+        rnd6($"n_caught".cast("double") / $"n_truth".cast("double"))
+          .as("recall"))
+      .orderBy($"jband")
+  }
+
+  val dedupRecallSql: String = {
+    val perms = (0 until 8).map { j =>
+      val a = (1103515245L * (j + 1)) % P31
+      val b = (12345L * (j + 1)) % P31
+      s"min(($a * h + $b) % $P31) AS m$j"
+    }.mkString(", ")
+    s"""WITH $shinglesCte,
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT s.doc_a, s.doc_b,
+       |    ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} AS jaccard
+       |  FROM shared s
+       |  JOIN counts ca ON s.doc_a = ca.doc_id
+       |  JOIN counts cb ON s.doc_b = cb.doc_id
+       |  WHERE ${sqlRnd6("s.shared / (ca.n_sh + cb.n_sh - s.shared)")} >= 0.1),
+       |th AS (SELECT doc_id,
+       |  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % $P31 AS h FROM sh),
+       |sig AS (SELECT doc_id, $perms FROM th GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, m0 || '-' || m1 AS bkey FROM sig UNION ALL
+       |  SELECT doc_id, 1, m2 || '-' || m3 FROM sig UNION ALL
+       |  SELECT doc_id, 2, m4 || '-' || m5 FROM sig UNION ALL
+       |  SELECT doc_id, 3, m6 || '-' || m7 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT jband, COUNT(*) AS n_truth,
+       |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_caught,
+       |  ${sqlRnd6("CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS recall
+       |FROM (
+       |  SELECT t.*, CASE WHEN t.jaccard < 0.25 THEN 'j_010_025'
+       |    WHEN t.jaccard < 0.50 THEN 'j_025_050'
+       |    WHEN t.jaccard < 0.75 THEN 'j_050_075'
+       |    ELSE 'j_075_100' END AS jband
+       |  FROM truth t) t
+       |LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+       |GROUP BY jband ORDER BY jband""".stripMargin
+  }
 }
