@@ -217,4 +217,122 @@ object MultimodalOps {
       |FROM keyed
       |GROUP BY content_key, n_bytes
       |ORDER BY survivor_id""".stripMargin
+
+  /** Perceptual-hash near-dup over the asset payloads — the IMAGE
+    * twin of [[graft.operators.DedupOps]]' SimHash pair search, and
+    * the reason CAS dedup ([[multimodalDedup]]) is not enough: a
+    * re-encoded/re-cropped asset changes every byte but barely moves
+    * a perceptual signature. The pHash here is the block-mean
+    * construction (real pHash DCT needs a decoded raster — the
+    * stubbed-codec boundary): the payload byte stream splits into 64
+    * equal spans, bit_b = 1 iff span b's byte-sum exceeds the
+    * payload mean (scale-free, so assets of different length remain
+    * comparable), packed into 4×16-bit bands. Near-pair search is
+    * the same band-pigeonhole as SimHash: hamming ≤ 3 over 64 bits
+    * guarantees ≥ 1 of the 4 bands identical, so the band equi-join
+    * provably finds EVERY pair within the radius — never all-pairs.
+    *
+    * All arithmetic is integer (byte sums, `s·64 > total` instead of
+    * dividing, shift-packed bands), so Spark and the oracle agree
+    * bit-for-bit. Signature build is the partition-wise kernel
+    * ([[phashKernel]], same mapPartitions contract as [[decoded]] —
+    * no shuffle until the 4-row-per-doc band table); at 100 TB the
+    * bands table (doc_id + 5 longs) is what shuffles, never payload
+    * bytes. The oracle mirrors the kernel over text chars, which ARE
+    * the payload bytes for this ASCII fixture ([[assets]] encodes
+    * UTF-8). */
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("bv", ArrayType(LongType))))
+
+  /** pHash kernel: payload bytes → 4×16-bit band values. Plain Scala
+    * like [[decodeStub]] — per-asset imperative byte math is the
+    * kernel contract of this family, and chaining the same logic
+    * through nested SQL higher-order lambdas blows up the optimizer's
+    * expression tree (each stage re-inlines the 64-term block array
+    * into the next). */
+  private def phashKernel(payload: Array[Byte]): Array[Long] = {
+    val n = payload.length
+    val blocks = new Array[Long](64)
+    var total = 0L
+    var b = 0
+    while (b < 64) {
+      var p = b * n / 64 // exclusive-lo/inclusive-hi span in 0-based form
+      val hi = (b + 1) * n / 64
+      while (p < hi) { blocks(b) += payload(p) & 0xffL; p += 1 }
+      total += blocks(b)
+      b += 1
+    }
+    val bv = new Array[Long](4)
+    var i = 0
+    while (i < 64) {
+      if (blocks(i) * 64 > total) bv(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bv
+  }
+
+  def multimodalPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = RowEncoder.encoderFor(phashSchema)
+    val bands = assets(spark, sfDir)
+      .select($"doc_id", $"payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getAs[Long]("doc_id"),
+            phashKernel(r.getAs[Array[Byte]]("payload")).toSeq)
+        }
+      }(enc)
+      .select($"doc_id", posexplode($"bv").as(Seq("band", "bval")),
+        expr("element_at(bv, 1)").as("b0"), expr("element_at(bv, 2)").as("b1"),
+        expr("element_at(bv, 3)").as("b2"), expr("element_at(bv, 4)").as("b3"))
+    bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bval" === $"y.bval" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        (expr("bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1)") +
+          expr("bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3)"))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val multimodalPhashSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents),
+      |blk AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), b ->
+      |      CASE WHEN (b + 1) * n // 64 >= b * n // 64 + 1
+      |        THEN COALESCE(list_sum(list_transform(
+      |          range(b * n // 64 + 1, (b + 1) * n // 64 + 1),
+      |          p -> ord(substring(text, p, 1)))), 0)
+      |        ELSE 0 END) AS blocks
+      |  FROM docs),
+      |sig AS (
+      |  SELECT doc_id, blocks, list_sum(blocks) AS total,
+      |    list_transform(range(0, 64), b ->
+      |      CASE WHEN blocks[b + 1] * 64 > list_sum(blocks)
+      |        THEN 1 ELSE 0 END) AS bits
+      |  FROM blk),
+      |bandv AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 4), k ->
+      |      list_sum(list_transform(range(0, 16),
+      |        i -> bits[16 * k + i + 1] * (1::BIGINT << i)))) AS bv
+      |  FROM sig),
+      |bands AS (
+      |  SELECT doc_id, k AS band, bv[k + 1] AS bval,
+      |    bv[1] AS b0, bv[2] AS b1, bv[3] AS b2, bv[4] AS b3
+      |  FROM bandv, unnest(range(0, 4)) AS t(k)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+      |      AS INTEGER) AS hamming
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM cand
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 }
