@@ -817,14 +817,15 @@ object StreamOps {
     f.delete(); ()
   }
 
-  /** Scratch dir for [[streamForeachBatch]]'s parquet sink: a FIXED
-    * path per (applicationId, sfDir) under java.io.tmpdir, cleared on
+  /** Scratch dir for a foreachBatch parquet sink: a FIXED path per
+    * (prefix, applicationId, sfDir) under java.io.tmpdir, cleared on
     * entry (idempotent re-runs) and again by a JVM shutdown hook. */
-  private def febScratchDir(spark: SparkSession, sfDir: String): String = {
+  private def scratchDir(spark: SparkSession, sfDir: String,
+      prefix: String): String = {
     val tag = (spark.sparkContext.applicationId + sfDir)
       .replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_feb_$tag")
+      System.getProperty("java.io.tmpdir"), s"$prefix$tag")
     if (dir.exists()) rmTree(dir)
     if (febCleanupRegistered.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -832,6 +833,9 @@ object StreamOps {
     febScratchDirs.add(dir.getAbsolutePath)
     dir.getAbsolutePath
   }
+
+  private def febScratchDir(spark: SparkSession, sfDir: String): String =
+    scratchDir(spark, sfDir, "graft_feb_")
   private val febCleanupRegistered =
     new java.util.concurrent.atomic.AtomicBoolean(false)
   private val febScratchDirs =
@@ -841,6 +845,99 @@ object StreamOps {
     """SELECT event_id, user_id, ts, value
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
+
+  /** Streaming CDC apply — foreachBatch MERGE of a keyed changelog
+    * into a maintained snapshot table, the production pattern behind
+    * every "stream a Debezium/Kafka changelog into the lakehouse"
+    * pipeline (with Delta/Iceberg the write is `MERGE INTO`; on plain
+    * parquet the equivalent is the versioned-snapshot rewrite done
+    * here — same semantics, and the versioning IS the retry story).
+    *
+    * The events stream becomes a changelog: key = user_id, op =
+    * delete when event_type = 'error' else upsert, change order =
+    * (ts, event_id). Three real micro-batches; each batch (1)
+    * compacts ITS chunk latest-wins per key — the shuffle is sized by
+    * the batch, not the table, (2) full-outer merges that delta with
+    * the previous snapshot version (upsert replaces, delete removes,
+    * untouched keys carry over), (3) writes snapshot version
+    * `state_<batchId>`. Versioned commits make batch retry
+    * BYTE-idempotent: re-running batch id rebuilds `state_<id>` from
+    * `state_<id-1>` deterministically (the Delta transaction-log
+    * idea, one directory per version). The final snapshot must equal
+    * the batch latest-wins-with-deletes query — the oracle; since
+    * the replay chunks are time-ordered, per-key last-in-batch
+    * composed across batches ≡ global last.
+    *
+    * Scale notes: at 100 TB the snapshot rewrite is the one
+    * non-scalable step (full table per batch) — that is precisely
+    * what table formats' MERGE + file-level pruning replace; the
+    * changelog side (per-batch compaction, keyed merge) is already
+    * the bounded-shuffle shape they need. */
+  def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val root = scratchDir(spark, sfDir, "graft_cdc_")
+    val source = MemoryStream[Ev](spark)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // newest snapshot path, written on the stream-execution thread
+    val lastState = new java.util.concurrent.atomic.AtomicReference[String]("")
+    try {
+      val q = source.toDS()
+        .select($"user_id", $"ts", $"event_id",
+          when($"event_type" === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          $"value")
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val spark2 = batch.sparkSession
+          import spark2.implicits._
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id")
+            .orderBy($"ts".desc, $"event_id".desc)
+          val delta = batch
+            .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+            .select($"user_id", $"ts", $"event_id", $"op", $"value")
+          val prev =
+            if (id == 0) delta.limit(0)
+            else spark2.read.parquet(s"$root/state_${id - 1}")
+          val merged = prev.as("s")
+            .join(delta.as("d"), Seq("user_id"), "full_outer")
+            .filter(coalesce($"d.op", lit("upsert")) =!= "delete")
+            .select($"user_id",
+              coalesce($"d.ts", $"s.ts").as("ts"),
+              coalesce($"d.event_id", $"s.event_id").as("event_id"),
+              lit("upsert").as("op"),
+              coalesce($"d.value", $"s.value").as("value"))
+          merged.write.mode("overwrite").parquet(s"$root/state_$id")
+          lastState.set(s"$root/state_$id")
+        }
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunk = math.max(1, rows.size / 3 + 1)
+        rows.grouped(chunk).foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(lastState.get())
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  val streamCdcApplySql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+      |      AS op,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id, value AS last_value
+      |FROM ranked WHERE rn = 1 AND op = 'upsert'
+      |ORDER BY user_id""".stripMargin
 
   /** Stream–stream inner join: the purchase stream joins the click
     * stream on user within a 1-hour lookback — attribution, the
