@@ -436,6 +436,129 @@ object TsOps {
       .orderBy($"event_type")
   }
 
+  /** Trailing-window length for the Holt fit ([[tsHolt]]). */
+  private val HOLT_K = 14
+
+  /** Holt's recursion with α = β = ½ unrolled to exact lag weights:
+    * [l; b]ₜ = A·[l; b]ₜ₋₁ + c·yₜ with A = [[½, ½], [−¼, ¾]],
+    * c = [½, ¼], so stateₜ = Σ_{j<K} Aʲc·yₜ₋ⱼ + A^K·[yₜ₋K, 0].
+    * Every entry of Aʲc is a dyadic rational (denominator 4^{j+1} ≤
+    * 2³⁰) — EXACT in an IEEE double, so the weights interpolate into
+    * both engines as identical literals. Returns (per-lag (w_l, w_b)
+    * for lags 0..K−1, boundary-init weights at lag K). */
+  private lazy val holtWeights
+      : (IndexedSeq[(Double, Double)], (Double, Double)) = {
+    def mul(x: Array[Double], y: Array[Double]) = Array(
+      x(0) * y(0) + x(1) * y(2), x(0) * y(1) + x(1) * y(3),
+      x(2) * y(0) + x(3) * y(2), x(2) * y(1) + x(3) * y(3))
+    val a = Array(0.5, 0.5, -0.25, 0.75)
+    var m = Array(1.0, 0.0, 0.0, 1.0)
+    val ws = (0 until HOLT_K).map { _ =>
+      val w = (m(0) * 0.5 + m(1) * 0.25, m(2) * 0.5 + m(3) * 0.25)
+      m = mul(m, a)
+      w
+    }
+    (ws, (m(0), m(2)))
+  }
+
+  /** Fixed-point weight denominator: 2¹⁶. The recursion's exact
+    * dyadics have 2²⁸ denominators, but carrying 2²⁸ numerators
+    * through the 6-decimal sum pushed it past 2⁵³ integer units,
+    * where Spark's exact decimal→double expansion and DuckDB's
+    * conversion disagree in the last ulp (observed at both SFs).
+    * Rounding each weight to 16 fractional bits (still exact
+    * dyadics, estimator shift ≤ 2⁻¹⁷ per lag) keeps the decimal sum
+    * below ~2⁵² units at the gated SFs, where BOTH engines' casts
+    * are exact — no rounding site anywhere in the pipeline. */
+  private val HOLT_WBITS = 16
+
+  /** `CASE lag WHEN ...` weight lookup shared VERBATIM by the Spark
+    * expression and the DuckDB oracle — one source of truth, integer
+    * numerators over 2^[[HOLT_WBITS]] (a double-typed weight would
+    * put each product within an ulp of a 6-decimal half boundary
+    * where the two engines' cast conventions can disagree). */
+  private def holtCase(pick: ((Double, Double)) => Double,
+      init: Double): String = {
+    val scale = 1L << HOLT_WBITS
+    def num(w: Double): Long = math.round(w * scale)
+    "CASE lag " +
+      holtWeights._1.zipWithIndex
+        .map { case (w, j) => s"WHEN $j THEN ${num(pick(w))}" }
+        .mkString(" ") +
+      s" WHEN $HOLT_K THEN ${num(init)} ELSE 0 END"
+  }
+
+  /** Holt double exponential smoothing (level + trend, α = β = ½) of
+    * the daily per-type value series — the trend-aware upgrade of
+    * [[tsEwma]], same engineering discipline: the sequential
+    * recursion is K-truncated ([[HOLT_K]] = 14; the state matrix's
+    * spectral radius is √½, so truncation error < 1 %) into a FIXED
+    * set of dyadic-exact lag weights ([[holtWeights]]), making the
+    * estimator a trailing-window weighted sum — no driver recursion,
+    * no unpartitioned window. The whole sum is EXACT: 6-decimal
+    * daily values × integer weight numerators in decimal arithmetic,
+    * one cast to double, one division by 2¹⁶ (a pure exponent shift,
+    * lossless) — no per-term rounding site at all, so fold order and
+    * engine cast conventions cannot reach the hash. Emits level,
+    * trend, and the one-step-ahead forecast l + b.
+    *
+    * Scale shape: corpus → O(#types · #days) daily rows in one
+    * partial-agg shuffle; the trailing window is a calendar-bounded
+    * range self-join (≤ K+1 partners/row) on the tiny series, and
+    * rows with a gapped or short history (n < K+1) are suppressed
+    * rather than silently mis-weighted. */
+  def tsHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scale = (1L << HOLT_WBITS).toDouble // 2^16: division is exact
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .as("v"))
+    val (_, init) = holtWeights
+    val lagged = daily.as("a")
+      .join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" &&
+          $"b.d" >= date_sub($"a.d", HOLT_K) && $"b.d" <= $"a.d")
+      .select($"a.event_type".as("event_type"), $"a.d".as("d"),
+        datediff($"a.d", $"b.d").as("lag"), $"b.v".as("v"))
+    lagged
+      .groupBy($"event_type", $"d")
+      .agg(count(lit(1)).as("n"),
+        (sum(expr(holtCase(_._1, init._1)) * $"v").cast("double") / scale)
+          .as("level"),
+        (sum(expr(holtCase(_._2, init._2)) * $"v").cast("double") / scale)
+          .as("trend"))
+      .filter($"n" === HOLT_K + 1)
+      .select($"event_type", $"d", $"level", $"trend",
+        ($"level" + $"trend").as("forecast"))
+      .orderBy($"event_type", $"d")
+  }
+
+  val tsHoltSql: String = {
+    val scale = 1L << HOLT_WBITS
+    val (_, init) = holtWeights
+    val lc = holtCase(_._1, init._1)
+    val bc = holtCase(_._2, init._2)
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |    SUM(CAST(value AS DECIMAL(18,6))) AS v
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT a.event_type AS event_type, a.d AS d,
+       |    a.d - b.d AS lag, b.v AS v
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type
+       |    AND b.d >= a.d - $HOLT_K AND b.d <= a.d),
+       |agg AS (
+       |  SELECT event_type, d, COUNT(*) AS n,
+       |    CAST(SUM(($lc) * v) AS DOUBLE) / $scale.0 AS level,
+       |    CAST(SUM(($bc) * v) AS DOUBLE) / $scale.0 AS trend
+       |  FROM lagged GROUP BY 1, 2)
+       |SELECT event_type, d, level, trend, level + trend AS forecast
+       |FROM agg WHERE n = ${HOLT_K + 1}
+       |ORDER BY event_type, d""".stripMargin
+  }
+
   val tsTheilSenSql: String = {
     import graft.functions.Udfs.sqlRnd6
     s"""WITH daily AS (
