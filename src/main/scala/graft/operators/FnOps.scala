@@ -602,4 +602,56 @@ object FnOps {
        |FROM pairs WHERE dist <= 2
        |ORDER BY tok_a, tok_b""".stripMargin
   }
+
+  /** Spark 4 COLLATION support (`collate(col, 'UTF8_LCASE')`):
+    * case-insensitive GROUP BY, equality filter, and case-insensitive
+    * `contains` — all evaluated by the collation-aware comparators in
+    * the engine (one grouping pass; no per-row lower() copies of the
+    * data in the grouping key path, which at 100 TB is a real
+    * allocation saving on wide string columns). The fixture's segment
+    * strings are re-cased deterministically by key (lower / Initcap /
+    * UPPER by custkey mod 3) so the collation actually has work to do;
+    * the group key is emitted re-collated to binary + lowercased so
+    * the OUTPUT is a plain deterministic string. The oracle spells the
+    * same semantics the portable way (lower() everywhere) — identical
+    * result, different evaluation machinery, which is the point. */
+  def fnCollation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey",
+        expr("""CASE CAST(c_custkey % 3 AS INT)
+                |  WHEN 0 THEN lower(c_mktsegment)
+                |  WHEN 1 THEN initcap(lower(c_mktsegment))
+                |  ELSE upper(c_mktsegment) END""".stripMargin).as("seg_mixed"))
+      .groupBy(expr("collate(seg_mixed, 'UTF8_LCASE')").as("seg_ci"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct($"seg_mixed").as("n_casings"),
+        sum(when(expr(
+          "collate(seg_mixed, 'UTF8_LCASE') = collate('building', 'UTF8_LCASE')"),
+          1).otherwise(0)).as("is_building"),
+        sum(when(expr(
+          "contains(collate(seg_mixed, 'UTF8_LCASE'), collate('MACH', 'UTF8_LCASE'))"),
+          1).otherwise(0)).as("has_mach"))
+      .select(lower(expr("collate(seg_ci, 'UTF8_BINARY')")).as("seg"),
+        $"n_rows", $"n_casings", $"is_building", $"has_mach")
+      .orderBy($"seg")
+  }
+
+  val fnCollationSql: String =
+    """WITH cased AS (
+      |  SELECT c_custkey,
+      |    CASE CAST(c_custkey % 3 AS INTEGER)
+      |      WHEN 0 THEN lower(c_mktsegment)
+      |      WHEN 1 THEN upper(substring(lower(c_mktsegment), 1, 1))
+      |        || substring(lower(c_mktsegment), 2)
+      |      ELSE upper(c_mktsegment) END AS seg_mixed
+      |  FROM customer)
+      |SELECT lower(seg_mixed) AS seg, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT seg_mixed) AS n_casings,
+      |  CAST(SUM(CASE WHEN lower(seg_mixed) = 'building'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS is_building,
+      |  CAST(SUM(CASE WHEN contains(lower(seg_mixed), lower('MACH'))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS has_mach
+      |FROM cased GROUP BY lower(seg_mixed)
+      |ORDER BY seg""".stripMargin
 }
