@@ -750,6 +750,111 @@ object SnapshotOps {
       |    AS n_error_recovery
       |FROM seqs ORDER BY user_id""".stripMargin
 
+  /** Early-journey horizon for [[eventsSeqmine]]: patterns are mined
+    * over each user's first 5 events — the onboarding window, where
+    * paths actually differ (over a whole 30-day history every pattern
+    * trivially appears for every active user). */
+  private val SEQ_HORIZON = 5
+
+  /** Minimum user support for a reported pattern. */
+  private val SEQ_MIN_SUPPORT = 0.05
+
+  /** GSP-style sequential pattern mining (Srikant & Agrawal '96,
+    * length ≤ 3) over the early user journey: for every ordered
+    * type pair a→b and triple a→b→c, the share of users whose first-
+    * [[SEQ_HORIZON]]-event prefix CONTAINS it as a subsequence —
+    * the population-mining complement of [[eventsPattern]] (which
+    * MATCHES a given regex per user) and the sequence-rule sibling of
+    * the FPGrowth basket rules. Containment is the greedy criterion:
+    * a→b ⟺ first(a) < last(b); a→b→c ⟺ (first b after first a) <
+    * last(c) — evaluated on per-user ROW RANKS (row_number over
+    * (ts, event_id)), so every comparison is integer.
+    *
+    * Scale shape: events collapse to per-(user, type) first/last
+    * ranks in one user-partitioned window pass (the only pass over
+    * the corpus — the 100 TB cost is one shuffle of (user, type,
+    * rank)); all joins afterwards are per-user with fan-out bounded
+    * by |types| ≤ 5 (25 pair rows, 125 triple rows per user, the
+    * candidate lattice of the GSP paper pruned to the type alphabet),
+    * and supports partial-aggregate to ≤ 150 output rows. */
+  def eventsSeqmine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Udfs.rnd6
+    val seq = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type",
+        row_number().over(Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"event_id".asc)).as("rn"))
+      .filter($"rn" <= SEQ_HORIZON)
+      .localCheckpoint(true) // feeds firsts AND the b-after-a join
+    val firsts = seq.groupBy($"user_id", $"event_type")
+      .agg(min($"rn").as("mn"), max($"rn").as("mx"))
+      .localCheckpoint(true) // three consumers below
+    val nUsers = seq.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val pairHits = firsts.as("a").join(firsts.as("b"), "user_id")
+      .filter($"a.mn" < $"b.mx")
+      .select(concat($"a.event_type", lit(">"), $"b.event_type")
+        .as("pattern"), $"user_id")
+      .groupBy($"pattern").agg(count(lit(1)).as("n_users"))
+      .withColumn("plen", lit(2))
+    val t2 = seq.as("s").join(firsts.as("a"), "user_id")
+      .filter($"s.rn" > $"a.mn")
+      .groupBy($"user_id", $"a.event_type".as("ta"),
+        $"s.event_type".as("tb"))
+      .agg(min($"s.rn").as("t2"))
+    val tripleHits = t2.join(firsts.as("c"), "user_id")
+      .filter($"t2" < $"c.mx")
+      .select(concat($"ta", lit(">"), $"tb", lit(">"), $"c.event_type")
+        .as("pattern"), $"user_id")
+      .groupBy($"pattern").agg(count(lit(1)).as("n_users"))
+      .withColumn("plen", lit(3))
+    pairHits.unionByName(tripleHits)
+      .crossJoin(broadcast(nUsers))
+      .select($"pattern", $"plen", $"n_users",
+        rnd6($"n_users".cast("double") / $"n_total".cast("double"))
+          .as("support"))
+      .filter($"support" >= SEQ_MIN_SUPPORT)
+      .orderBy($"plen", $"pattern")
+  }
+
+  val eventsSeqmineSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type, rn FROM (
+       |    SELECT user_id, event_type, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+       |    FROM events) WHERE rn <= $SEQ_HORIZON),
+       |firsts AS (
+       |  SELECT user_id, event_type, min(rn) AS mn, max(rn) AS mx
+       |  FROM seq GROUP BY 1, 2),
+       |tot AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM seq),
+       |pair_hits AS (
+       |  SELECT a.event_type || '>' || b.event_type AS pattern,
+       |    COUNT(*) AS n_users, 2 AS plen
+       |  FROM firsts a JOIN firsts b USING (user_id)
+       |  WHERE a.mn < b.mx GROUP BY 1),
+       |t2 AS (
+       |  SELECT s.user_id, a.event_type AS ta, s.event_type AS tb,
+       |    min(s.rn) AS t2
+       |  FROM seq s JOIN firsts a USING (user_id)
+       |  WHERE s.rn > a.mn GROUP BY 1, 2, 3),
+       |triple_hits AS (
+       |  SELECT t2.ta || '>' || t2.tb || '>' || c.event_type AS pattern,
+       |    COUNT(*) AS n_users, 3 AS plen
+       |  FROM t2 JOIN firsts c USING (user_id)
+       |  WHERE t2.t2 < c.mx GROUP BY 1),
+       |unioned AS (
+       |  SELECT * FROM pair_hits UNION ALL SELECT * FROM triple_hits)
+       |SELECT pattern, CAST(plen AS INTEGER) AS plen, n_users,
+       |  ${sqlRnd6("CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE)")}
+       |    AS support
+       |FROM unioned, tot
+       |WHERE ${sqlRnd6("CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE)")}
+       |  >= $SEQ_MIN_SUPPORT
+       |ORDER BY plen, pattern""".stripMargin
+  }
+
   /** DAU / WAU / MAU active-user series with stickiness — the
     * product-analytics staple beside retention and growth accounting:
     * per calendar day, distinct actives that day, in the trailing 7
