@@ -186,4 +186,95 @@ object WorkloadOps {
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey ASC
        |LIMIT 100""".stripMargin
+
+  /** TPC-DS Q89 flavor, adapted to the fixture schema: monthly brand
+    * revenue vs the brand's own all-months average — "which
+    * brand-months deviate most from their norm", the
+    * compare-to-partition-average report shape TPC-DS runs per store.
+    * Implementation deliberately avoids a window: the per-brand
+    * average joins back from a brand-grain aggregate (broadcast-sized
+    * at any corpus — #brands rows), keeping both sums decimal-exact
+    * and the plan at ONE exchange over (brand, month) + a broadcast.
+    * Top-50 by absolute deviation via TakeOrderedAndProject. */
+  def tpcdsBrandDev(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val monthly = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", date_trunc("month", $"l_shipdate").cast("date")
+        .as("mon"))
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("rev"))
+    val brandAvg = monthly.groupBy($"p_brand")
+      .agg((xsum($"rev") / count(lit(1))).as("avg_rev"))
+    monthly.join(broadcast(brandAvg), "p_brand")
+      .select($"p_brand", $"mon", $"rev", rnd6($"avg_rev").as("avg_rev"),
+        rnd6(($"rev" - $"avg_rev") / $"avg_rev").as("dev"))
+      .orderBy(abs($"dev").desc, $"p_brand", $"mon")
+      .limit(50)
+  }
+
+  val tpcdsBrandDevSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH monthly AS (
+       |  SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS DATE)
+       |      AS mon,
+       |    ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |brand_avg AS (
+       |  SELECT p_brand, ${sqlXsum("rev")} / COUNT(*) AS avg_rev
+       |  FROM monthly GROUP BY 1)
+       |SELECT m.p_brand, m.mon, m.rev,
+       |  ${sqlRnd6("b.avg_rev")} AS avg_rev,
+       |  ${sqlRnd6("(m.rev - b.avg_rev) / b.avg_rev")} AS dev
+       |FROM monthly m JOIN brand_avg b USING (p_brand)
+       |ORDER BY abs(${sqlRnd6("(m.rev - b.avg_rev) / b.avg_rev")}) DESC,
+       |  m.p_brand, m.mon
+       |LIMIT 50""".stripMargin
+  }
+
+  /** TPC-DS Q75 flavor: year-over-year brand revenue — the growth
+    * accounting report (current vs prior year per brand, worst
+    * declines first). The yearly aggregate is tiny (#brands × #years),
+    * so the YoY alignment is a self-join on (brand, year−1) over the
+    * AGGREGATE, not the facts — corpus growth only widens the one
+    * partial-aggregated shuffle that builds it. Ratio is one double
+    * division of exact sums, rnd6'd; bottom-25 via
+    * TakeOrderedAndProject. */
+  def tpcdsYoy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val yearly = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", year($"l_shipdate").as("yr"))
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("rev"))
+    yearly.as("cur")
+      .join(yearly.as("prev"),
+        $"cur.p_brand" === $"prev.p_brand" &&
+          $"cur.yr" === $"prev.yr" + 1)
+      .select($"cur.p_brand".as("p_brand"), $"cur.yr".as("yr"),
+        $"prev.rev".as("rev_prev"), $"cur.rev".as("rev_cur"),
+        rnd6($"cur.rev" / $"prev.rev").as("yoy_ratio"))
+      .orderBy($"yoy_ratio".asc, $"p_brand", $"yr")
+      .limit(25)
+  }
+
+  val tpcdsYoySql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH yearly AS (
+       |  SELECT p_brand, CAST(year(l_shipdate) AS INTEGER) AS yr,
+       |    ${sqlXsum("l_extendedprice * (1.0 - l_discount)")} AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2)
+       |SELECT cur.p_brand, cur.yr, prev.rev AS rev_prev,
+       |  cur.rev AS rev_cur, ${sqlRnd6("cur.rev / prev.rev")} AS yoy_ratio
+       |FROM yearly cur JOIN yearly prev
+       |  ON cur.p_brand = prev.p_brand AND cur.yr = prev.yr + 1
+       |ORDER BY yoy_ratio ASC, cur.p_brand, cur.yr
+       |LIMIT 25""".stripMargin
+  }
 }
