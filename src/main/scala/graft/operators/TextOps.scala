@@ -1050,4 +1050,75 @@ object TextOps {
        |  ${sqlRnd6(sqlXavg("flesch"))} AS avg_flesch
        |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin
   }
+
+  /** Suffix-stripping stemmer (Porter steps 1a + a 1b subset) over the
+    * corpus vocabulary — the normalization pass that merges
+    * inflectional variants (cats/cat, running/run) before TF-IDF /
+    * dedup / retrieval, folding the index vocabulary without an
+    * external dictionary. Rules, applied in order on each DISTINCT
+    * token (so the corpus-sized token stream never re-runs the rule
+    * chain — the stem map is vocabulary-sized and joins back by
+    * broadcast at any corpus scale):
+    * 1a: -sses→-ss, -ies→-i, -ss kept, -s dropped;
+    * 1b: -ing / -ed dropped when a vowel precedes the suffix.
+    * Pure string CASE + one anchored regex per suffix (RE2 ∩ Java
+    * class, the [[textPiiScrub]] constraint), so both engines execute
+    * the identical decision tree. Output is the stem table a search
+    * pipeline materializes: per stem, variant count, document
+    * frequency, and total term frequency. */
+  def textStem(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = tokens(spark, sfDir)
+      .groupBy($"tok").agg(count(lit(1)).as("tf"),
+        countDistinct($"doc_id").as("df"))
+    tf
+      .withColumn("s1", expr(
+        """CASE
+          |  WHEN tok LIKE '%sses' THEN substr(tok, 1, length(tok) - 2)
+          |  WHEN tok LIKE '%ies' THEN substr(tok, 1, length(tok) - 2)
+          |  WHEN tok LIKE '%ss' THEN tok
+          |  WHEN tok LIKE '%s' AND length(tok) > 1
+          |    THEN substr(tok, 1, length(tok) - 1)
+          |  ELSE tok END""".stripMargin))
+      .withColumn("stem", expr(
+        """CASE
+          |  WHEN s1 rlike '[aeiou].*ing$' AND length(s1) >= 5
+          |    THEN substr(s1, 1, length(s1) - 3)
+          |  WHEN s1 rlike '[aeiou].*ed$' AND length(s1) >= 4
+          |    THEN substr(s1, 1, length(s1) - 2)
+          |  ELSE s1 END""".stripMargin))
+      .groupBy($"stem")
+      .agg(countDistinct($"tok").as("n_variants"),
+        min($"tok").as("sample_tok"),
+        sum($"tf").as("tf_total"), sum($"df").as("df_total"))
+      .orderBy($"stem")
+  }
+
+  val textStemSql: String =
+    s"""WITH $tokensCte,
+       |tf AS (
+       |  SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |  FROM toks GROUP BY 1),
+       |s1t AS (
+       |  SELECT *, CASE
+       |    WHEN tok LIKE '%sses' THEN substr(tok, 1, length(tok) - 2)
+       |    WHEN tok LIKE '%ies' THEN substr(tok, 1, length(tok) - 2)
+       |    WHEN tok LIKE '%ss' THEN tok
+       |    WHEN tok LIKE '%s' AND length(tok) > 1
+       |      THEN substr(tok, 1, length(tok) - 1)
+       |    ELSE tok END AS s1
+       |  FROM tf),
+       |stemmed AS (
+       |  SELECT *, CASE
+       |    WHEN regexp_matches(s1, '[aeiou].*ing$$') AND length(s1) >= 5
+       |      THEN substr(s1, 1, length(s1) - 3)
+       |    WHEN regexp_matches(s1, '[aeiou].*ed$$') AND length(s1) >= 4
+       |      THEN substr(s1, 1, length(s1) - 2)
+       |    ELSE s1 END AS stem
+       |  FROM s1t)
+       |SELECT stem, COUNT(DISTINCT tok) AS n_variants,
+       |  min(tok) AS sample_tok,
+       |  CAST(SUM(tf) AS BIGINT) AS tf_total,
+       |  CAST(SUM(df) AS BIGINT) AS df_total
+       |FROM stemmed GROUP BY 1 ORDER BY stem""".stripMargin
 }
