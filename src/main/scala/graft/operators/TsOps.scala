@@ -579,4 +579,67 @@ object TsOps {
        |FROM ranked WHERE rn = (np + 1) // 2
        |ORDER BY event_type""".stripMargin
   }
+
+  /** Classical multiplicative decomposition of the daily revenue
+    * series — y = trend × seasonal × residual, the STL-lite every
+    * forecasting pipeline starts from: trend is the CENTERED 7-day
+    * moving average (full windows only — edge days are suppressed,
+    * not padded), the day-of-week seasonal index is the mean
+    * detrended ratio per dow (a 7-row broadcast), and what remains
+    * is the residual a monitoring rule thresholds. Differs from
+    * [[tsSeasonal]] (raw dow means) by removing the trend FIRST, so
+    * a growing series does not leak growth into the weekly shape.
+    *
+    * Determinism: trend = exact-decimal 7-day sum / 7; each division
+    * is rnd6'd before the next exact sum (the chain discipline);
+    * moving windows are calendar-bounded range self-joins on the
+    * O(#days) aggregate, never a window over the corpus. */
+  def tsDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(xsum($"o_totalprice").as("v"))
+      .localCheckpoint(true) // both sides of the trend join + ratios
+    val trend = daily.as("a")
+      .join(daily.as("b"),
+        $"b.d" >= date_sub($"a.d", 3) && $"b.d" <= date_add($"a.d", 3))
+      .groupBy($"a.d".as("d"))
+      .agg(count(lit(1)).as("n"), (xsum($"b.v") / 7.0).as("trend"))
+      .filter($"n" === 7)
+    val ratio = daily.join(trend, "d")
+      .select($"d", $"v", $"trend", (weekday($"d") + 1).as("dow"),
+        rnd6($"v" / $"trend").as("ratio"))
+      .localCheckpoint(true) // feeds the index agg AND the output join
+    val sidx = ratio.groupBy($"dow")
+      .agg(rnd6(xsum($"ratio") / count(lit(1))).as("sidx"))
+    ratio.join(broadcast(sidx), "dow")
+      .select($"d", $"v", rnd6($"trend").as("trend"), $"dow", $"sidx",
+        rnd6($"ratio" / $"sidx").as("residual"))
+      .orderBy($"d")
+  }
+
+  val tsDecomposeSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    ${sqlXsum("o_totalprice")} AS v
+       |  FROM orders GROUP BY 1),
+       |trend AS (
+       |  SELECT a.d AS d, COUNT(*) AS n, ${sqlXsum("b.v")} / 7.0 AS trend
+       |  FROM daily a JOIN daily b
+       |    ON b.d >= a.d - 3 AND b.d <= a.d + 3
+       |  GROUP BY 1 HAVING COUNT(*) = 7),
+       |ratio AS (
+       |  SELECT daily.d, v, trend, CAST(isodow(daily.d) AS INTEGER) AS dow,
+       |    ${sqlRnd6("v / trend")} AS ratio
+       |  FROM daily JOIN trend ON daily.d = trend.d),
+       |sidx AS (
+       |  SELECT dow, ${sqlRnd6(s"${sqlXsum("ratio")} / COUNT(*)")} AS sidx
+       |  FROM ratio GROUP BY 1)
+       |SELECT d, v, ${sqlRnd6("trend")} AS trend, dow, sidx,
+       |  ${sqlRnd6("ratio / sidx")} AS residual
+       |FROM ratio JOIN sidx USING (dow)
+       |ORDER BY d""".stripMargin
+  }
 }
