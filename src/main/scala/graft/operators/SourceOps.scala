@@ -75,4 +75,39 @@ object SourceOps {
        |SELECT bucket, COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
        |FROM synth WHERE id < 30000
        |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** The custom DataSourceV2 SINK end-to-end
+    * ([[graft.sources.MemSink]]): the pricing-summary aggregate is
+    * written through the full V2 write protocol — WriteBuilder →
+    * truncate (mode "overwrite") → executor DataWriters →
+    * task-commit messages → driver job commit — then read back from
+    * the sink's storage and compared against the DuckDB oracle of
+    * the SAME aggregate. Overwrite + the two-phase commit make the
+    * query idempotent under both re-runs and task retries (a second
+    * invocation truncates; an aborted task's buffer never reaches
+    * commit). The write is partition-parallel: each of the
+    * aggregate's output partitions commits its own message. */
+  def sinkV2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Tables
+    val table = "graft_sink_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), xsum($"l_quantity").as("sum_qty"))
+      .write.format(classOf[graft.sources.MemSink].getName)
+      .option("table", table).mode("overwrite").save()
+    val (schema, rows) = graft.sources.MemSinkRegistry.read(table)
+      .getOrElse(throw new IllegalStateException(
+        s"MemSink commit did not publish table $table"))
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach(r => jrows.add(org.apache.spark.sql.Row.fromSeq(r)))
+    spark.createDataFrame(jrows, schema)
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val sinkV2Sql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
 }

@@ -81,4 +81,45 @@ class SourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(stats.sizeInBytes().getAsLong < 10L * 1024 * 1024,
       "pruned remainder should look broadcastable")
   }
+
+  test("memsink V2 write: overwrite truncates, append accumulates, result matches the query") {
+    import spark.implicits._
+    import graft.sources.{MemSink, MemSinkRegistry}
+    val table = "sourcespec_sink"
+    MemSinkRegistry.clear(table)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(3) // exercise multi-partition task commits
+
+    df.write.format(classOf[MemSink].getName)
+      .option("table", table).mode("overwrite").save()
+    val (schema1, rows1) = MemSinkRegistry.read(table).get
+    assert(schema1.fieldNames.toSeq == Seq("k", "v"))
+    assert(rows1.map(_.head).toSet == Set(1L, 2L, 3L))
+
+    // append mode accumulates on top of the committed snapshot
+    df.write.format(classOf[MemSink].getName)
+      .option("table", table).mode("append").save()
+    assert(MemSinkRegistry.read(table).get._2.size == 6,
+      "append must accumulate")
+
+    // overwrite truncates back to one snapshot — the idempotent re-run
+    df.write.format(classOf[MemSink].getName)
+      .option("table", table).mode("overwrite").save()
+    assert(MemSinkRegistry.read(table).get._2.size == 3,
+      "overwrite must truncate")
+    MemSinkRegistry.clear(table)
+  }
+
+  test("q_sink_v2 round-trips the aggregate through the V2 write protocol") {
+    import spark.implicits._
+    val out = SourceOps.sinkV2(spark, sf).collect()
+    val direct = graft.engine.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus").collect()
+    assert(out.toSeq == direct.toSeq,
+      "sink round-trip must equal the direct aggregate")
+  }
 }
