@@ -251,7 +251,7 @@ object MultimodalOps {
     * through nested SQL higher-order lambdas blows up the optimizer's
     * expression tree (each stage re-inlines the 64-term block array
     * into the next). */
-  private def phashKernel(payload: Array[Byte]): Array[Long] = {
+  private[graft] def phashKernel(payload: Array[Byte]): Array[Long] = {
     val n = payload.length
     val blocks = new Array[Long](64)
     var total = 0L

@@ -437,7 +437,7 @@ object TsOps {
   }
 
   /** Trailing-window length for the Holt fit ([[tsHolt]]). */
-  private val HOLT_K = 14
+  private[graft] val HOLT_K = 14
 
   /** Holt's recursion with α = β = ½ unrolled to exact lag weights:
     * [l; b]ₜ = A·[l; b]ₜ₋₁ + c·yₜ with A = [[½, ½], [−¼, ¾]],
@@ -446,7 +446,7 @@ object TsOps {
     * 2³⁰) — EXACT in an IEEE double, so the weights interpolate into
     * both engines as identical literals. Returns (per-lag (w_l, w_b)
     * for lags 0..K−1, boundary-init weights at lag K). */
-  private lazy val holtWeights
+  private[graft] lazy val holtWeights
       : (IndexedSeq[(Double, Double)], (Double, Double)) = {
     def mul(x: Array[Double], y: Array[Double]) = Array(
       x(0) * y(0) + x(1) * y(2), x(0) * y(1) + x(1) * y(3),
@@ -470,7 +470,7 @@ object TsOps {
     * dyadics, estimator shift ≤ 2⁻¹⁷ per lag) keeps the decimal sum
     * below ~2⁵² units at the gated SFs, where BOTH engines' casts
     * are exact — no rounding site anywhere in the pipeline. */
-  private val HOLT_WBITS = 16
+  private[graft] val HOLT_WBITS = 16
 
   /** `CASE lag WHEN ...` weight lookup shared VERBATIM by the Spark
     * expression and the DuckDB oracle — one source of truth, integer
