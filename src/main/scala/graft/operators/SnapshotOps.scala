@@ -88,9 +88,13 @@ object SnapshotOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
       |ORDER BY user_id, version""".stripMargin
 
-  /** Batch boundary for [[scd2Merge]] — mid-fixture-year, so both the
-    * base build and the change batch are non-trivial. */
-  private val SCD2_CUTOFF = "2024-07-01"
+  /** Batch boundary for [[scd2Merge]] — mid-January, the middle of
+    * the events fixture's actual span (2024-01-01 … 2024-01-30), so
+    * BOTH the standing dimension and the change batch are non-trivial
+    * and the close-open-versions path really fires. (An out-of-range
+    * cutoff would make the batch empty and the differential proof
+    * vacuous.) */
+  private val SCD2_CUTOFF = "2024-01-16"
 
   /** SCD2 INCREMENTAL apply — type-2 dimension maintenance without
     * rebuilding history: the pre-cutoff purchases form the standing

@@ -580,6 +580,77 @@ object TsOps {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Burst threshold in σ units for [[tsBursts]]. */
+  private val BURST_Z = 1.0
+
+  /** Burst detection on the daily revenue series: maximal runs of
+    * consecutive days with z-score > [[BURST_Z]] — the
+    * gaps-and-islands report ("which multi-day stretches ran hot")
+    * that capacity planning and incident review read, and the
+    * duration-aware companion of the pointwise [[tsCusum]] alarm.
+    * Island numbering WITHOUT a global window (the series is one
+    * global sequence, so a window here would be the unpartitioned
+    * single-task sort the fleet guard bans): rank of each burst day =
+    * COUNT of burst days ≤ it via a triangular self-equi-join on the
+    * O(#days) series (the [[tsCusum]] prefix trick), island key =
+    * d − rank — constant within a run, shifted between runs.
+    *
+    * Determinism: z from exact decimal moments with one correctly-
+    * rounded sqrt, rnd6'd per day; ranks and dates are integers. */
+  def tsBursts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(xsum($"o_totalprice").as("v"))
+    val stats = daily.agg(count(lit(1)).as("n"),
+      xsum($"v").as("sv"), xsum($"v" * $"v").as("svv"))
+    val nd = $"n".cast("double")
+    val mean = $"sv" / nd
+    val std = sqrt((nd * $"svv" - $"sv" * $"sv") / (nd * nd))
+    val burst = daily.crossJoin(broadcast(stats))
+      .select($"d", rnd6(($"v" - mean) / std).as("z"))
+      .filter($"z" > BURST_Z)
+      .localCheckpoint(true) // both sides of the triangular rank join
+    val ranked = burst.as("a")
+      .join(broadcast(burst.as("b")), $"b.d" <= $"a.d")
+      .groupBy($"a.d".as("d"), $"a.z".as("z"))
+      .agg(count(lit(1)).as("rk"))
+    ranked
+      .groupBy(date_sub($"d", $"rk".cast("int")).as("island"))
+      .agg(min($"d").as("start_d"), max($"d").as("end_d"),
+        count(lit(1)).as("len"), rnd6(max($"z")).as("max_z"))
+      .select($"start_d", $"end_d", $"len", $"max_z")
+      .orderBy($"start_d")
+  }
+
+  val tsBurstsSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val nd = "CAST(n AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    ${sqlXsum("o_totalprice")} AS v
+       |  FROM orders GROUP BY 1),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, ${sqlXsum("v")} AS sv,
+       |    ${sqlXsum("v * v")} AS svv
+       |  FROM daily),
+       |burst AS (
+       |  SELECT d, ${sqlRnd6(
+      s"(v - sv / $nd) / sqrt(($nd * svv - sv * sv) / ($nd * $nd))")} AS z
+       |  FROM daily, stats
+       |  WHERE ${sqlRnd6(
+      s"(v - sv / $nd) / sqrt(($nd * svv - sv * sv) / ($nd * $nd))")}
+       |    > $BURST_Z),
+       |ranked AS (
+       |  SELECT a.d AS d, a.z AS z, COUNT(*) AS rk
+       |  FROM burst a JOIN burst b ON b.d <= a.d GROUP BY 1, 2)
+       |SELECT min(d) AS start_d, max(d) AS end_d, COUNT(*) AS len,
+       |  ${sqlRnd6("max(z)")} AS max_z
+       |FROM ranked GROUP BY d - CAST(rk AS INTEGER)
+       |ORDER BY start_d""".stripMargin
+  }
+
   /** Classical multiplicative decomposition of the daily revenue
     * series — y = trend × seasonal × residual, the STL-lite every
     * forecasting pipeline starts from: trend is the CENTERED 7-day
