@@ -485,4 +485,64 @@ object DqOps {
        |    AS tail_share
        |FROM t, tot""".stripMargin
   }
+
+  /** PSI bin width over `value` (range ≈ 0–490 ⇒ 10 bins, capped). */
+  private val PSI_BIN_W = 50.0
+  private val PSI_BINS = 10
+
+  /** Population Stability Index between the month's two halves of the
+    * `value` distribution — the scorecard-industry drift metric beside
+    * the χ² ([[AggOps.eventsDrift]]) and KL ([[AggOps.eventsEntropy]])
+    * monitors: PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b). The conventional
+    * read (< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted) is what
+    * makes it the go/no-go gate before refreshing a model on a new
+    * snapshot. Bins are fixed-width integer buckets (value div 50,
+    * capped at the last bin — engine-identical arithmetic); +1 Laplace
+    * smoothing keeps empty bins finite, mirrored exactly in the
+    * shares' denominators. Per-term rnd6 before any comparison (the
+    * entropy discipline); one partial-aggregated shuffle of (bin,
+    * cohort counts) — ≤ 10 rows after it at any corpus size. */
+  def dqPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val binned = Tables.events(spark, sfDir)
+      .select(least(lit(PSI_BINS - 1),
+        floor($"value" / PSI_BIN_W).cast("int")).as("bin"),
+        (dayofmonth($"ts") <= 15).cast("long").as("in_a"))
+      .groupBy($"bin")
+      .agg(sum($"in_a").as("n_a"), sum(lit(1L) - $"in_a").as("n_b"))
+    val totals = binned.agg(
+      (sum($"n_a") + PSI_BINS).as("tot_a"),
+      (sum($"n_b") + PSI_BINS).as("tot_b"))
+    val pa = ($"n_a" + 1).cast("double") / $"tot_a".cast("double")
+    val pb = ($"n_b" + 1).cast("double") / $"tot_b".cast("double")
+    binned.crossJoin(broadcast(totals))
+      .select($"bin", $"n_a", $"n_b",
+        rnd6(pa).as("p_a"), rnd6(pb).as("p_b"),
+        rnd6((pa - pb) * log(pa / pb)).as("psi_term"))
+      .orderBy($"bin")
+  }
+
+  val dqPsiSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val pa = "(CAST(n_a + 1 AS DOUBLE) / CAST(tot_a AS DOUBLE))"
+    val pb = "(CAST(n_b + 1 AS DOUBLE) / CAST(tot_b AS DOUBLE))"
+    s"""WITH binned AS (
+       |  SELECT least(${PSI_BINS - 1},
+       |      CAST(floor(value / $PSI_BIN_W) AS INTEGER)) AS bin,
+       |    CAST(SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_b
+       |  FROM events GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(SUM(n_a) + $PSI_BINS AS BIGINT) AS tot_a,
+       |    CAST(SUM(n_b) + $PSI_BINS AS BIGINT) AS tot_b
+       |  FROM binned)
+       |SELECT bin, n_a, n_b,
+       |  ${sqlRnd6(pa)} AS p_a, ${sqlRnd6(pb)} AS p_b,
+       |  ${sqlRnd6(s"($pa - $pb) * ln($pa / $pb)")} AS psi_term
+       |FROM binned, totals
+       |ORDER BY bin""".stripMargin
+  }
 }
