@@ -332,4 +332,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val nFiles = scans.map(_.selectedPartitions.totalNumberOfFiles).max
     assert(nFiles == 4, s"expected 4 pruned tile files, read $nFiles")
   }
+
+  test("TPC-DS composites: partition-average broadcasts, both top-k bounded") {
+    val devPlan = executedPlan(WorkloadOps.tpcdsBrandDev(spark, sf))
+    // the brand-average join-back must broadcast (#brands rows), so
+    // the monthly aggregate is never re-shuffled for it
+    assert(collectWithSubqueries(devPlan) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, s"brand-average join-back did not broadcast:\n$devPlan")
+    assert(collectWithSubqueries(devPlan) {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"top-50 deviation must be TakeOrderedAndProject:\n$devPlan")
+    val yoyPlan = executedPlan(WorkloadOps.tpcdsYoy(spark, sf))
+    assert(collectWithSubqueries(yoyPlan) {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"bottom-25 YoY must be TakeOrderedAndProject:\n$yoyPlan")
+  }
+
+  test("seqmine reads the corpus exactly once (one window pass, bounded joins after)") {
+    val df = SnapshotOps.eventsSeqmine(spark, sf)
+    df.collect()
+    // the ONLY pass over events is the rank window; everything after
+    // runs on localCheckpointed per-user tables. The executed plan
+    // therefore contains no parquet scan of events at all (checkpoint
+    // RDDs replace them) — the corpus cannot be re-read per candidate
+    // family.
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"expected checkpointed inputs only:\n${df.queryExecution.executedPlan}")
+  }
 }
