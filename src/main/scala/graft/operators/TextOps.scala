@@ -1121,4 +1121,109 @@ object TextOps {
        |  CAST(SUM(tf) AS BIGINT) AS tf_total,
        |  CAST(SUM(df) AS BIGINT) AS df_total
        |FROM stemmed GROUP BY 1 ORDER BY stem""".stripMargin
+
+  /** Minimum token count for the [[pipelineCorpus]] quality gate. */
+  private val PIPE_MIN_TOKENS = 12
+
+  /** Near-dup absorption threshold for [[pipelineCorpus]]. */
+  private val PIPE_NEAR_J = 0.5
+
+  /** The corpus-curation FUNNEL end to end — the flagship deliverable
+    * of the LLM-data families: every document flows quality gate →
+    * exact dedup → near-dup removal, stages applied SEQUENTIALLY (a
+    * later stage only sees earlier survivors, so e.g. an exact-dup
+    * group whose min-id member failed quality keeps its next-smallest
+    * survivor — the ordering a real pipeline has and a flag-only
+    * formulation gets wrong), and the output is the per-language
+    * accounting table a data lead reviews before a training run:
+    * docs in, drops per stage, docs kept, tokens kept.
+    *
+    * Rules: quality = ≥ [[PIPE_MIN_TOKENS]] whitespace tokens; exact =
+    * min-doc_id survivor per md5(text) (16-byte key, never the body —
+    * the 100 TB shuffle rule); near = direct-pair absorption
+    * doc_b→doc_a for verified shingle Jaccard ≥ [[PIPE_NEAR_J]]
+    * between two survivors ([[graft.operators.DedupOps.dedupNear]]'s
+    * REGISTERED output is the pair source — the funnel composes
+    * audited operators, it does not re-derive them; transitive-chain
+    * absorption is the registered clustering family's job). Everything
+    * after the pair join is per-doc flags + ONE (lang) aggregation. */
+  def pipelineCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        size(split(lower($"text"), " ")).as("n_toks"),
+        md5($"text").as("ck"))
+      .localCheckpoint(true) // base of every stage below
+    val q = docs.filter($"n_toks" >= PIPE_MIN_TOKENS)
+    val keepIds = q.groupBy($"ck").agg(min($"doc_id").as("keep_id"))
+    val exactSurv = q.join(keepIds, "ck")
+      .filter($"doc_id" === $"keep_id")
+      .select($"doc_id").localCheckpoint(true) // both near-join sides
+    val absorbed = DedupOps.dedupNear(spark, sfDir)
+      .filter($"jaccard" >= PIPE_NEAR_J)
+      .join(exactSurv.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(exactSurv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .select($"doc_b".as("doc_id")).distinct()
+    val staged = docs
+      .join(keepIds, Seq("ck"), "left")
+      .join(absorbed.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select($"lang", $"n_toks",
+        when($"n_toks" < PIPE_MIN_TOKENS, "quality")
+          .when($"doc_id" =!= $"keep_id", "exact_dup")
+          .when($"is_near" === 1, "near_dup")
+          .otherwise("kept").as("stage"))
+    staged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when($"stage" === "quality", 1).otherwise(0))
+          .as("drop_quality"),
+        sum(when($"stage" === "exact_dup", 1).otherwise(0))
+          .as("drop_exact"),
+        sum(when($"stage" === "near_dup", 1).otherwise(0))
+          .as("drop_near"),
+        sum(when($"stage" === "kept", 1).otherwise(0)).as("n_kept"),
+        sum(when($"stage" === "kept", $"n_toks").otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy($"lang")
+  }
+
+  val pipelineCorpusSql: String = {
+    import graft.operators.DedupOps
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS n_toks,
+       |    md5(text) AS ck
+       |  FROM documents),
+       |q AS (SELECT * FROM docs WHERE n_toks >= $PIPE_MIN_TOKENS),
+       |keep_ids AS (SELECT ck, min(doc_id) AS keep_id FROM q GROUP BY 1),
+       |exact_surv AS (
+       |  SELECT doc_id FROM q JOIN keep_ids USING (ck)
+       |  WHERE doc_id = keep_id),
+       |near AS (SELECT * FROM (${DedupOps.dedupNearSql})
+       |  WHERE jaccard >= $PIPE_NEAR_J),
+       |absorbed AS (
+       |  SELECT DISTINCT n.doc_b AS doc_id
+       |  FROM near n
+       |  JOIN exact_surv a ON n.doc_a = a.doc_id
+       |  JOIN exact_surv b ON n.doc_b = b.doc_id),
+       |staged AS (
+       |  SELECT d.lang, d.n_toks,
+       |    CASE WHEN d.n_toks < $PIPE_MIN_TOKENS THEN 'quality'
+       |      WHEN d.doc_id <> k.keep_id THEN 'exact_dup'
+       |      WHEN ab.doc_id IS NOT NULL THEN 'near_dup'
+       |      ELSE 'kept' END AS stage
+       |  FROM docs d
+       |  LEFT JOIN keep_ids k USING (ck)
+       |  LEFT JOIN absorbed ab ON d.doc_id = ab.doc_id)
+       |SELECT lang, COUNT(*) AS n_in,
+       |  CAST(SUM(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS drop_quality,
+       |  CAST(SUM(CASE WHEN stage = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS drop_exact,
+       |  CAST(SUM(CASE WHEN stage = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS drop_near,
+       |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN stage = 'kept' THEN n_toks ELSE 0 END)
+       |    AS BIGINT) AS kept_tokens
+       |FROM staged GROUP BY 1 ORDER BY lang""".stripMargin
+  }
 }
