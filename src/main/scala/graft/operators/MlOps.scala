@@ -2110,4 +2110,54 @@ object MlOps {
        |    AS lift
        |FROM per, tot ORDER BY band DESC""".stripMargin
   }
+
+  /** Leave-one-out target encoding of a categorical feature — the
+    * high-cardinality-safe replacement for one-hot in tree/linear
+    * models: each
+    * row's category is replaced by the mean target of the OTHER rows
+    * in that category, (S_cat − own) / (n_cat − 1), which is the
+    * standard leakage guard (plain per-category means let each row
+    * see its own label — optimistic CV, the classic encoding bug).
+    * Category = order priority, target = order value.
+    *
+    * One shuffle builds the per-category exact sums; the encoded
+    * column is then a broadcast join-back + MAP-SIDE arithmetic —
+    * at 100 TB the corpus is touched once and never re-sorted.
+    * Exactness: S_cat and the per-row subtraction stay in
+    * DECIMAL(38,6) (the target is 2-dp money, so decimal carries it
+    * exactly); the single division is rnd6'd. Singleton categories
+    * encode NULL explicitly (x/0 NULL-guard discipline). */
+  def mlTargetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val D = org.apache.spark.sql.types.DecimalType(38, 6)
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority".as("cat"),
+        $"o_totalprice".cast(D).as("y"))
+    val stats = o.groupBy($"cat")
+      .agg(sum($"y").as("s"), count(lit(1)).as("n"))
+    o.join(broadcast(stats), "cat")
+      .select($"o_orderkey", $"cat",
+        $"y".cast("double").as("target"),
+        when($"n" === 1, lit(null).cast("double"))
+          .otherwise(rnd6(($"s" - $"y").cast("double") /
+            ($"n" - 1).cast("double"))).as("loo_enc"))
+      .orderBy($"o_orderkey")
+  }
+
+  val mlTargetEncodeSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderpriority AS cat,
+       |    CAST(o_totalprice AS DECIMAL(38,6)) AS y
+       |  FROM orders),
+       |stats AS (
+       |  SELECT cat, SUM(y) AS s, COUNT(*) AS n FROM o GROUP BY 1)
+       |SELECT o_orderkey, cat, CAST(y AS DOUBLE) AS target,
+       |  CASE WHEN n = 1 THEN NULL
+       |    ELSE ${sqlRnd6(
+      "CAST(s - y AS DOUBLE) / CAST(n - 1 AS DOUBLE)")} END AS loo_enc
+       |FROM o JOIN stats USING (cat)
+       |ORDER BY o_orderkey""".stripMargin
+  }
 }

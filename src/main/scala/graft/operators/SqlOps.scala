@@ -138,4 +138,64 @@ object SqlOps {
       |  WHERE c_nationkey = n.n_nationkey
       |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
+  /** Named-parameter binding for [[sqlParams]] — the values a caller
+    * would pass per invocation. */
+  private val PARAM_MINPRICE = 50000.0
+  private val PARAM_FROMDATE = "1996-01-01"
+
+  /** Parameterized SQL (Spark 3.4+/4 named markers): the query text
+    * carries `:minprice` / `:fromdate` and values bind at execution —
+    * the injection-safe, plan-cache-friendly way a serving layer
+    * templates queries (string-splicing user input into SQL is both
+    * the classic injection hole and a new plan per literal). The
+    * oracle is the same query with the bindings inlined — bind-time
+    * substitution is exactly the semantics under test. */
+  def sqlParams(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${sqlXsum("o_totalprice")} AS rev
+         |FROM orders
+         |WHERE o_totalprice > :minprice
+         |  AND o_orderdate >= CAST(:fromdate AS TIMESTAMP)
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+      Map("minprice" -> PARAM_MINPRICE, "fromdate" -> PARAM_FROMDATE))
+  }
+
+  val sqlParamsSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${sqlXsum("o_totalprice")} AS rev
+       |FROM orders
+       |WHERE o_totalprice > $PARAM_MINPRICE
+       |  AND o_orderdate >= CAST('$PARAM_FROMDATE' AS TIMESTAMP)
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** SQL pipe syntax (Spark 4.0 `|>`): the linear FROM → WHERE →
+    * AGGREGATE → WHERE → ORDER BY form of a classic
+    * filter-aggregate-having report — each stage reads top-down the
+    * way the plan executes (and the way a DataFrame chain composes),
+    * instead of the inside-out nesting of legacy SQL. Catalyst plans
+    * it identically to the nested form; DuckDB has no pipe syntax, so
+    * the oracle IS that nested form — equality is the semantics
+    * proof. */
+  def sqlPipe(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      s"""FROM orders
+         ||> WHERE o_totalprice > 1000.0
+         ||> AGGREGATE COUNT(*) AS n, ${sqlXsum("o_totalprice")} AS rev
+         |   GROUP BY o_orderpriority
+         ||> WHERE n > 5
+         ||> ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val sqlPipeSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${sqlXsum("o_totalprice")} AS rev
+       |FROM orders
+       |WHERE o_totalprice > 1000.0
+       |GROUP BY 1
+       |HAVING COUNT(*) > 5
+       |ORDER BY o_orderpriority""".stripMargin
 }
