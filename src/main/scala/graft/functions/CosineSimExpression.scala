@@ -122,6 +122,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(RollingHash.NAME),
         new ExpressionInfo(classOf[RollingHash].getName, RollingHash.NAME),
         (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+    ext.injectFunction(
+      (FunctionIdentifier(KmvAgg.NAME),
+        new ExpressionInfo(classOf[KmvAgg].getName, KmvAgg.NAME),
+        (exprs: Seq[Expression]) =>
+          KmvAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
     // whole-operator extension: partial/final per-key top-k, plus the
     // conf-gated rewrite that swaps it in for row_number()<=k windows
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

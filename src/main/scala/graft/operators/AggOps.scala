@@ -737,6 +737,65 @@ object AggOps {
       .orderBy($"l_partkey")
   }
 
+  /** KMV sketch size (estimator error ≈ 1/√k ≈ 12.5 % at 64). */
+  private val KMV_K = 64
+
+  /** Distinct-count estimation per group through the library's own
+    * KMV (k-minimum-values) sketch — [[graft.functions.KmvAgg]], a
+    * custom TypedImperativeAggregate with bounded mergeable state
+    * (≤ k longs/group at any corpus size, partials combine like
+    * partial sums). Estimator: D ≈ (k−1)·M / h₍ₖ₎ over hashes uniform
+    * on [0, M). Unlike the HLL/CMS keys, this sketch is FULLY
+    * oracle-checked: the hash column is the explicit md5-31-bit value
+    * both engines compute, so DuckDB reproduces the k minima
+    * (`row_number ... ORDER BY h`) and the estimate to the bit. The
+    * exact distinct count rides along to show the error the 1/√k
+    * theory promises. */
+  def aggKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    graft.functions.KmvAgg.register(spark)
+    val P31 = Int.MaxValue.toLong
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_partkey",
+        expr(s"CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT) % $P31")
+          .as("h"))
+    li.groupBy($"l_returnflag")
+      .agg(expr(s"graft_kmv(h, $KMV_K)").as("mins"),
+        countDistinct($"l_partkey").as("n_exact"))
+      .select($"l_returnflag", $"n_exact",
+        expr(s"element_at(mins, $KMV_K)").as("kth_hash"),
+        rnd6(lit((KMV_K - 1).toDouble * P31) /
+          expr(s"CAST(element_at(mins, $KMV_K) AS DOUBLE)"))
+          .as("est_distinct"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggKmvDistinctSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val P31 = Int.MaxValue.toLong
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % $P31 AS h
+       |  FROM lineitem),
+       |ranked AS (
+       |  SELECT l_returnflag, h, row_number() OVER (
+       |    PARTITION BY l_returnflag ORDER BY h ASC) AS rn
+       |  FROM hashed),
+       |kth AS (
+       |  SELECT l_returnflag, h AS kth_hash FROM ranked WHERE rn = $KMV_K),
+       |exact AS (
+       |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact
+       |  FROM lineitem GROUP BY 1)
+       |SELECT e.l_returnflag, e.n_exact, k.kth_hash,
+       |  ${sqlRnd6(
+      s"CAST(${(KMV_K - 1).toLong * Int.MaxValue.toLong} AS DOUBLE) / CAST(k.kth_hash AS DOUBLE)")}
+       |    AS est_distinct
+       |FROM exact e JOIN kth k USING (l_returnflag)
+       |ORDER BY e.l_returnflag""".stripMargin
+  }
+
   /** Heavy hitters: keys with at least 1.5× the mean per-key traffic,
     * with their share of total rows — the "which keys dominate the
     * workload" diagnostic that decides salting/broadcast strategy

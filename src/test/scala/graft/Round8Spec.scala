@@ -116,6 +116,26 @@ class Round8Spec extends SparkSpec {
     assert(tfTotal == corpus, s"tf mass $tfTotal != corpus tokens $corpus")
   }
 
+  test("kmv sketch: partition-layout-proof, bounded error, mergeable state") {
+    import spark.implicits._
+    graft.functions.KmvAgg.register(spark)
+    val base = graft.engine.Tables.lineitem(spark, sf)
+      .select($"l_partkey",
+        expr(s"CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT) % ${Int.MaxValue}")
+          .as("h"))
+    def minsOf(parts: Int): Seq[Long] =
+      base.repartition(parts).agg(expr("graft_kmv(h, 64)"))
+        .head.getSeq[Long](0)
+    val m1 = minsOf(1)
+    // different partitionings → different partial merges → same minima
+    assert(m1 == minsOf(7), "KMV state must be partition-layout-proof")
+    assert(m1 == m1.sorted && m1.size == 64)
+    val exact = base.select($"l_partkey").distinct().count().toDouble
+    val est = 63.0 * Int.MaxValue / m1.last.toDouble
+    assert(math.abs(est - exact) / exact < 3.0 / math.sqrt(64.0),
+      s"estimate $est vs exact $exact beyond 3/sqrt(k)")
+  }
+
   test("q_ts_decompose: seasonal indices are centered and residuals near 1") {
     val rows = TsOps.tsDecompose(spark, sf).collect()
     assert(rows.nonEmpty)
