@@ -198,4 +198,34 @@ object SqlOps {
        |GROUP BY 1
        |HAVING COUNT(*) > 5
        |ORDER BY o_orderpriority""".stripMargin
+
+  /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION … RETURN
+    * expr`): business logic (net revenue per line) declared ONCE in
+    * SQL and reused across queries — unlike a JVM/Python UDF the body
+    * is a Catalyst expression, so it INLINES into whole-stage codegen
+    * and pushes through the optimizer like any built-in (no
+    * serialization wall, no codegen break). The oracle inlines the
+    * same arithmetic — which is literally what Spark's analyzer does
+    * with the function body. */
+  def sqlUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net_line(
+        |  price DOUBLE, disc DOUBLE, tax DOUBLE)
+        |RETURNS DOUBLE
+        |RETURN price * (1.0 - disc) * (1.0 + tax)""".stripMargin)
+    spark.sql(
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlXsum("graft_net_line(l_extendedprice, l_discount, l_tax)")}
+         |    AS net_rev
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val sqlUdfSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sqlXsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
+       |    AS net_rev
+       |FROM lineitem
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 }

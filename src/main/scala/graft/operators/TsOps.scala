@@ -580,6 +580,61 @@ object TsOps {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Forecast accuracy of [[tsHolt]]'s one-step-ahead prediction —
+    * the backtest every forecasting pipeline closes the loop with:
+    * forecast(t) is compared to the ACTUAL value at t+1 per event
+    * type, scoring MAPE, MAE and bias over the evaluable days. Pure
+    * composition of the registered smoother with a shifted-date
+    * self-join (the [[tsAutocorr]] lag-alignment pattern — no window)
+    * and one exact-moment reduction; per-day absolute/percentage
+    * errors are rnd6'd before the exact sum, divisions once at the
+    * end. At 100 TB both inputs are already the O(#types · #days)
+    * aggregates. */
+  def tsForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val actual = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(xsum($"value").as("v"))
+    val fc = tsHolt(spark, sfDir)
+      .select($"event_type", $"d", $"forecast")
+    val joined = fc.join(actual.select($"event_type",
+        date_sub($"d", 1).as("d"), $"v".as("actual")),
+      Seq("event_type", "d"))
+    joined
+      .select($"event_type",
+        rnd6(abs($"forecast" - $"actual")).as("ae"),
+        rnd6(abs($"forecast" - $"actual") / $"actual").as("ape"),
+        rnd6($"forecast" - $"actual").as("err"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        rnd6(xsum($"ae") / count(lit(1))).as("mae"),
+        rnd6(xsum($"ape") / count(lit(1))).as("mape"),
+        rnd6(xsum($"err") / count(lit(1))).as("bias"))
+      .orderBy($"event_type")
+  }
+
+  val tsForecastEvalSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH fc AS (SELECT event_type, d, forecast FROM (${tsHoltSql.replace("ORDER BY event_type, d", "")})),
+       |actual AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |    ${sqlXsum("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |joined AS (
+       |  SELECT f.event_type,
+       |    ${sqlRnd6("abs(f.forecast - a.v)")} AS ae,
+       |    ${sqlRnd6("abs(f.forecast - a.v) / a.v")} AS ape,
+       |    ${sqlRnd6("f.forecast - a.v")} AS err
+       |  FROM fc f JOIN actual a
+       |    ON f.event_type = a.event_type AND a.d = f.d + 1)
+       |SELECT event_type, COUNT(*) AS n_days,
+       |  ${sqlRnd6(s"${sqlXsum("ae")} / COUNT(*)")} AS mae,
+       |  ${sqlRnd6(s"${sqlXsum("ape")} / COUNT(*)")} AS mape,
+       |  ${sqlRnd6(s"${sqlXsum("err")} / COUNT(*)")} AS bias
+       |FROM joined GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
   /** Burst threshold in σ units for [[tsBursts]]. */
   private val BURST_Z = 1.0
 
