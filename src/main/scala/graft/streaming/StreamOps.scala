@@ -99,6 +99,62 @@ object StreamOps {
     }.orderBy($"ws", $"event_type")
   }
 
+  /** KMV size for [[streamKmv]] (distinct users/type ≈ 150+, so the
+    * sketch is genuinely sub-population at every SF). */
+  private val STREAM_KMV_K = 32
+
+  /** The library's custom [[graft.functions.KmvAgg]] aggregate
+    * running INSIDE the incremental streaming engine: per event type,
+    * a complete-mode streaming aggregation maintains the k-minimum
+    * hash state in the state store across micro-batches and emits the
+    * distinct-user estimate. This is the streaming payoff of a
+    * mergeable sketch — streaming DISTINCT is unsupported (unbounded
+    * state), but the KMV buffer is ≤ k longs per key forever, and the
+    * same TypedImperativeAggregate serialize/merge path the batch
+    * shuffle uses is what the state store persists. Batch twin =
+    * identical expression over the full events table (the replay
+    * delivers everything, so stream ≡ batch — the section's standard
+    * oracle). */
+  def streamKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.KmvAgg.register(spark)
+    val P31 = Int.MaxValue.toLong
+    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+      ds.select($"event_type",
+          expr(s"CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % $P31")
+            .as("h"))
+        .groupBy($"event_type")
+        .agg(expr(s"graft_kmv(h, $STREAM_KMV_K)").as("mins"))
+        .select($"event_type",
+          expr(s"try_element_at(mins, $STREAM_KMV_K)").as("kth_hash"),
+          graft.functions.Udfs.rnd6(
+            lit((STREAM_KMV_K - 1).toDouble * P31) /
+              expr(s"CAST(try_element_at(mins, $STREAM_KMV_K) AS DOUBLE)"))
+            .as("est_users"))
+    }.orderBy($"event_type")
+  }
+
+  val streamKmvSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    val P31 = Int.MaxValue.toLong
+    val k = STREAM_KMV_K
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % $P31 AS h
+       |  FROM events),
+       |ranked AS (
+       |  SELECT event_type, h, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY h ASC) AS rn
+       |  FROM hashed)
+       |SELECT event_type, h AS kth_hash,
+       |  ${sqlRnd6(
+      s"CAST(${(k - 1).toLong * P31} AS DOUBLE) / CAST(h AS DOUBLE)")}
+       |    AS est_users
+       |FROM ranked WHERE rn = $k
+       |ORDER BY event_type""".stripMargin
+  }
+
   val streamTumblingSql: String =
     s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
        |  COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
