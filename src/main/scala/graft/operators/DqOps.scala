@@ -486,6 +486,61 @@ object DqOps {
        |FROM t, tot""".stripMargin
   }
 
+  /** Per-rule cap for the [[dqQuarantine]] report. */
+  private val QUAR_TOP = 100
+
+  /** Row-level quarantine report — the actionable companion of the
+    * [[dqConstraints]] aggregate audit: not "rule X has N violations"
+    * but WHICH rows, worst first, capped at [[QUAR_TOP]] per rule so
+    * the report stays human-sized however bad the batch is. Rules
+    * with row-level evidence in this fixture: duplicate
+    * (l_orderkey, l_linenumber) groups (severity = copy count) and
+    * ship-before-order lines (severity = days shipped early).
+    * Violations deduplicate to their key grain, then a PARTITIONED
+    * window ranks within each rule — Spark prunes it to per-key
+    * top-k state (WindowGroupLimit), so the quarantine never sorts
+    * the violation stream globally. */
+  def dqQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+    val dup = li.groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("c")).filter($"c" > 1)
+      .select(lit("pk_dup").as("rule"), $"l_orderkey".as("k1"),
+        $"l_linenumber".cast("long").as("k2"), $"c".as("severity"))
+    val ship = li.join(Tables.orders(spark, sfDir),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" < $"o_orderdate")
+      .select(lit("ship_before_order").as("rule"),
+        $"l_orderkey".as("k1"), $"l_linenumber".cast("long").as("k2"),
+        datediff($"o_orderdate", $"l_shipdate").cast("long").as("severity"))
+      .distinct()
+    dup.unionByName(ship)
+      .withColumn("rk", row_number().over(Window.partitionBy($"rule")
+        .orderBy($"severity".desc, $"k1".asc, $"k2".asc)))
+      .filter($"rk" <= QUAR_TOP)
+      .orderBy($"rule", $"rk")
+  }
+
+  val dqQuarantineSql: String =
+    s"""WITH dup AS (
+       |  SELECT 'pk_dup' AS rule, l_orderkey AS k1,
+       |    CAST(l_linenumber AS BIGINT) AS k2, COUNT(*) AS severity
+       |  FROM lineitem GROUP BY 2, 3 HAVING COUNT(*) > 1),
+       |ship AS (
+       |  SELECT DISTINCT 'ship_before_order' AS rule, l_orderkey AS k1,
+       |    CAST(l_linenumber AS BIGINT) AS k2,
+       |    CAST(CAST(o_orderdate AS DATE) - CAST(l_shipdate AS DATE)
+       |      AS BIGINT) AS severity
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_shipdate < o_orderdate),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY rule
+       |    ORDER BY severity DESC, k1 ASC, k2 ASC) AS rk
+       |  FROM (SELECT * FROM dup UNION ALL SELECT * FROM ship))
+       |SELECT rule, k1, k2, severity, rk FROM ranked
+       |WHERE rk <= $QUAR_TOP ORDER BY rule, rk""".stripMargin
+
   /** PSI bin width over `value` (range ≈ 0–490 ⇒ 10 bins, capped). */
   private val PSI_BIN_W = 50.0
   private val PSI_BINS = 10

@@ -2111,6 +2111,70 @@ object MlOps {
        |FROM per, tot ORDER BY band DESC""".stripMargin
   }
 
+  /** Point-in-time-correct feature assembly — the feature-store
+    * pattern that makes offline training match online serving: for
+    * every purchase event (the label row), every feature is computed
+    * from STRICTLY EARLIER events only (frame `ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING` over the (ts, event_id) order), so a
+    * row can never see its own or later activity — the leakage that
+    * silently inflates offline metrics. Features: events-so-far,
+    * purchases-so-far, exact-decimal spend-so-far, and seconds since
+    * the previous event. All four windows share ONE user_id exchange
+    * and sort; at 100 TB this is a single shuffle of the event
+    * stream, the same cost as any sessionization pass. */
+  def mlPitFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val D = org.apache.spark.sql.types.DecimalType(38, 6)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val strictPast = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .withColumn("n_prior", count(lit(1)).over(strictPast))
+      .withColumn("n_prior_purch",
+        coalesce(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .over(strictPast), lit(0L))) // empty frame sums to NULL, not 0
+      .withColumn("spend_prior",
+        coalesce(sum(when($"event_type" === "purchase", $"value")
+          .otherwise(0.0).cast(D)).over(strictPast),
+          lit(0).cast(D)).cast("double"))
+      .withColumn("secs_since_prev",
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)) / 1000000L)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id",
+        rnd6($"value").as("label_value"),
+        $"n_prior", $"n_prior_purch",
+        rnd6($"spend_prior").as("spend_prior"),
+        $"secs_since_prev".cast("long").as("secs_since_prev"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val mlPitFeaturesSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH feat AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    COUNT(*) OVER wp AS n_prior,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) OVER wp, 0) AS BIGINT) AS n_prior_purch,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(value AS DECIMAL(38,6))
+       |      ELSE CAST(0 AS DECIMAL(38,6)) END) OVER wp,
+       |      0) AS DOUBLE) AS spend_prior,
+       |    (epoch_us(ts) - lag(epoch_us(ts), 1) OVER w) // 1000000
+       |      AS secs_since_prev
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+       |    wp AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, ${sqlRnd6("value")} AS label_value,
+       |  n_prior, n_prior_purch,
+       |  ${sqlRnd6("spend_prior")} AS spend_prior,
+       |  CAST(secs_since_prev AS BIGINT) AS secs_since_prev
+       |FROM feat WHERE event_type = 'purchase'
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   /** Leave-one-out target encoding of a categorical feature — the
     * high-cardinality-safe replacement for one-hot in tree/linear
     * models: each
