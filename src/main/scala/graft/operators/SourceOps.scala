@@ -76,6 +76,28 @@ object SourceOps {
        |FROM synth WHERE id < 30000
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** TopN pushdown through the custom source
+    * ([[org.apache.spark.sql.connector.read.SupportsPushDownTopN]]):
+    * `ORDER BY id LIMIT 9` on a filtered bucket is served ENTIRELY by
+    * the source — one input partition walks the kept residues in id
+    * order and stops after 9 rows; Spark plans no Sort and no
+    * heap-limit on top (fully pushed). This is how an index-backed
+    * store serves order-by-key lookups without materializing the
+    * table. SourceSpec pins the pushed topN and the single planned
+    * partition. */
+  def sourceSynthTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    synth(spark)
+      .filter($"bucket" === 11)
+      .orderBy($"id")
+      .limit(9)
+  }
+
+  val sourceSynthTopnSql: String =
+    s"""WITH $synthCte
+       |SELECT id, bucket, value FROM synth
+       |WHERE bucket = 11 ORDER BY id LIMIT 9""".stripMargin
+
   /** The custom DataSourceV2 SINK end-to-end
     * ([[graft.sources.MemSink]]): the pricing-summary aggregate is
     * written through the full V2 write protocol — WriteBuilder →

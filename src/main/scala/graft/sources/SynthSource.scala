@@ -8,9 +8,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection,
+  SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+  SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
   GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
@@ -89,13 +91,37 @@ private[graft] class SynthTable(rows: Long, buckets: Int)
 
 private[graft] class SynthScanBuilder(rows: Long, buckets: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownTopN {
 
   private var requiredSchema: StructType = SynthSource.SCHEMA
   private var pushed: Array[Filter] = Array.empty
+  private var topN: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
+
+  /** TopN pushdown (`ORDER BY id ASC LIMIT n`): the generator emits
+    * ids ascending, so the scan can produce the global top-n itself —
+    * one partition walks the kept residue classes in id order and
+    * stops after n rows. FULLY pushed (`isPartiallyPushed = false`),
+    * so Spark plans no Sort/Limit on top at all — the DSv2 contract
+    * that lets an index-backed source serve ORDER-BY-key LIMIT
+    * queries without materializing the table. Only the natural id
+    * ascending order is accepted; anything else stays in Spark. */
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    val ok = orders.length == 1 && {
+      val o = orders(0)
+      o.expression().references().map(_.describe()).sameElements(
+        Array("id")) &&
+        o.direction() == SortDirection.ASCENDING &&
+        o.nullOrdering() == NullOrdering.NULLS_FIRST // id is non-null
+    }
+    if (ok) topN = limit
+    ok
+  }
+
+  override def isPartiallyPushed(): Boolean = false
 
   /** Consume what the generator can evaluate exactly; return the rest
     * for Spark to apply post-scan. IsNotNull is vacuous (all columns
@@ -119,11 +145,13 @@ private[graft] class SynthScanBuilder(rows: Long, buckets: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SynthScan(rows, buckets, requiredSchema, pushed)
+  override def build(): Scan =
+    new SynthScan(rows, buckets, requiredSchema, pushed, topN)
 }
 
 private[graft] class SynthScan(rows: Long, buckets: Int,
-    requiredSchema: StructType, pushed: Array[Filter])
+    requiredSchema: StructType, pushed: Array[Filter],
+    private[graft] val topN: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Generation range [lo, hi) after pushed id predicates. */
@@ -158,12 +186,18 @@ private[graft] class SynthScan(rows: Long, buckets: Int,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftSynth(rows=$rows, buckets=$buckets, range=[$lo,$hi), " +
-      s"partitions=${keptBuckets.length}, " +
+      s"partitions=${keptBuckets.length}, topN=$topN, " +
       s"pushed=[${pushed.mkString(", ")}], read=${requiredSchema.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    keptBuckets.map(b => SynthPartition(b, buckets, lo, hi,
-      requiredSchema.fieldNames)).toArray[InputPartition]
+    if (topN >= 0)
+      // fully-pushed ORDER BY id LIMIT n: ONE partition walks the kept
+      // residues in global id order and stops after n rows
+      Array(SynthTopNPartition(keptBuckets, buckets, lo, hi, topN,
+        requiredSchema.fieldNames))
+    else
+      keptBuckets.map(b => SynthPartition(b, buckets, lo, hi,
+        requiredSchema.fieldNames)).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = SynthReaderFactory
 
@@ -183,29 +217,59 @@ private[graft] class SynthScan(rows: Long, buckets: Int,
 private[graft] case class SynthPartition(bucket: Int, buckets: Int,
     lo: Long, hi: Long, fields: Array[String]) extends InputPartition
 
-private[graft] object SynthReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SynthPartition]
-    new PartitionReader[InternalRow] {
-      // first id >= lo with id ≡ bucket (mod buckets)
-      private var id: Long =
-        p.lo + ((p.bucket - p.lo % p.buckets + p.buckets) % p.buckets)
-      private var current: InternalRow = _
+/** Fully-pushed TopN: one partition walking ALL kept residues in
+  * global id order, stopping after n emitted rows. */
+private[graft] case class SynthTopNPartition(kept: Seq[Int], buckets: Int,
+    lo: Long, hi: Long, n: Int, fields: Array[String]) extends InputPartition
 
-      override def next(): Boolean = {
-        if (id >= p.hi) return false
-        val vals: Array[Any] = p.fields.map {
-          case "id" => id
-          case "bucket" => p.bucket
-          case "value" => SynthSource.valueOf(id)
+private[graft] object SynthReaderFactory extends PartitionReaderFactory {
+  private def row(fields: Array[String], id: Long, buckets: Int)
+      : InternalRow = {
+    val vals: Array[Any] = fields.map {
+      case "id" => id
+      case "bucket" => (id % buckets).toInt
+      case "value" => SynthSource.valueOf(id)
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: SynthPartition => new PartitionReader[InternalRow] {
+        // first id >= lo with id ≡ bucket (mod buckets)
+        private var id: Long =
+          p.lo + ((p.bucket - p.lo % p.buckets + p.buckets) % p.buckets)
+        private var current: InternalRow = _
+
+        override def next(): Boolean = {
+          if (id >= p.hi) return false
+          current = row(p.fields, id, p.buckets)
+          id += p.buckets
+          true
         }
-        current = new GenericInternalRow(vals)
-        id += p.buckets
-        true
+
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
       }
 
-      override def get(): InternalRow = current
-      override def close(): Unit = ()
+      case p: SynthTopNPartition => new PartitionReader[InternalRow] {
+        private val keptSet = p.kept.toSet
+        private var id: Long = p.lo
+        private var emitted = 0
+        private var current: InternalRow = _
+
+        override def next(): Boolean = {
+          if (emitted >= p.n) return false
+          while (id < p.hi && !keptSet((id % p.buckets).toInt)) id += 1
+          if (id >= p.hi) return false
+          current = row(p.fields, id, p.buckets)
+          id += 1
+          emitted += 1
+          true
+        }
+
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
     }
-  }
 }

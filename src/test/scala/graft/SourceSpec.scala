@@ -82,6 +82,24 @@ class SourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "pruned remainder should look broadcastable")
   }
 
+  test("orderBy(id).limit(n) pushes TopN fully into the source (1 partition, no Spark sort)") {
+    val df = SourceOps.sourceSynthTopn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scan = synthScan(plan)
+    assert(scan.topN == 9, s"topN not pushed: ${scan.description()}")
+    assert(scan.planInputPartitions().length == 1,
+      "fully-pushed TopN must plan exactly one ordered partition")
+    // fully pushed → no SortExec anywhere in the executed plan
+    val sorts = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty, s"expected no Spark-side sort:\n$plan")
+    // and the rows really are the 9 smallest ids of bucket 11
+    val ids = df.collect().map(_.getAs[Long]("id")).toSeq
+    assert(ids == (0 until 9).map(i => 11L + 32L * i))
+  }
+
   test("memsink V2 write: overwrite truncates, append accumulates, result matches the query") {
     import spark.implicits._
     import graft.sources.{MemSink, MemSinkRegistry}
