@@ -1122,6 +1122,88 @@ object TextOps {
        |  CAST(SUM(df) AS BIGINT) AS df_total
        |FROM stemmed GROUP BY 1 ORDER BY stem""".stripMargin
 
+  /** Per-language evaluation of the registered language-ID heuristic
+    * ([[textLangid]]) against the fixture's ground-truth labels — the
+    * accuracy gate that belongs next to every classifier the engine
+    * ships (the `q_simsearch_recall` / `q_dedup_recall` /
+    * `q_ts_forecast_eval` discipline applied to langid): per language,
+    * tp / fp / fn and precision / recall / F1, with docs the heuristic
+    * could not score (no profile token) counted as misses, never
+    * silently dropped. Composes the REGISTERED prediction query;
+    * x/0 rates are explicitly NULL (the `q_ml_confusion` guard —
+    * Spark's non-ANSI NULL vs DuckDB IEEE inf would diverge).
+    * Expectation-setting: the fixture's five "languages" draw from
+    * one shared synthetic vocabulary, so absolute scores are LOW by
+    * construction (~0.2 precision) — the operator's value is the
+    * measurement itself, exactly what it would report before anyone
+    * shipped this heuristic on real multilingual data. */
+  def textLangidEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val pred = textLangid(spark, sfDir)
+      .select($"doc_id", $"pred_lang")
+    val truth = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    val joined = truth.join(pred, Seq("doc_id"), "left")
+      .localCheckpoint(true) // three per-language reductions below
+    val tp = joined.filter($"pred_lang" === $"lang")
+      .groupBy($"lang").agg(count(lit(1)).as("tp"))
+    val fp = joined.filter($"pred_lang".isNotNull && $"pred_lang" =!= $"lang")
+      .groupBy($"pred_lang".as("lang")).agg(count(lit(1)).as("fp"))
+    val fn = joined.filter($"pred_lang".isNull || $"pred_lang" =!= $"lang")
+      .groupBy($"lang").agg(count(lit(1)).as("fn"))
+    truth.select($"lang").distinct()
+      .join(tp, Seq("lang"), "left").join(fp, Seq("lang"), "left")
+      .join(fn, Seq("lang"), "left")
+      .select($"lang",
+        coalesce($"tp", lit(0L)).as("tp"),
+        coalesce($"fp", lit(0L)).as("fp"),
+        coalesce($"fn", lit(0L)).as("fn"))
+      .select($"lang", $"tp", $"fp", $"fn",
+        when($"tp" + $"fp" === 0, lit(null).cast("double"))
+          .otherwise(rnd6($"tp".cast("double") /
+            ($"tp" + $"fp").cast("double"))).as("precision"),
+        when($"tp" + $"fn" === 0, lit(null).cast("double"))
+          .otherwise(rnd6($"tp".cast("double") /
+            ($"tp" + $"fn").cast("double"))).as("recall"),
+        when(lit(2L) * $"tp" + $"fp" + $"fn" === 0,
+          lit(null).cast("double"))
+          .otherwise(rnd6((lit(2.0) * $"tp".cast("double")) /
+            (lit(2L) * $"tp" + $"fp" + $"fn").cast("double"))).as("f1"))
+      .orderBy($"lang")
+  }
+
+  val textLangidEvalSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH pred0 AS (${textLangidSql}),
+       |joined AS (
+       |  SELECT d.doc_id, d.lang, p.pred_lang
+       |  FROM documents d LEFT JOIN pred0 p ON d.doc_id = p.doc_id),
+       |tp AS (SELECT lang, COUNT(*) AS tp FROM joined
+       |  WHERE pred_lang = lang GROUP BY 1),
+       |fp AS (SELECT pred_lang AS lang, COUNT(*) AS fp FROM joined
+       |  WHERE pred_lang IS NOT NULL AND pred_lang <> lang GROUP BY 1),
+       |fn AS (SELECT lang, COUNT(*) AS fn FROM joined
+       |  WHERE pred_lang IS NULL OR pred_lang <> lang GROUP BY 1),
+       |base AS (
+       |  SELECT l.lang, COALESCE(tp.tp, 0) AS tp, COALESCE(fp.fp, 0) AS fp,
+       |    COALESCE(fn.fn, 0) AS fn
+       |  FROM (SELECT DISTINCT lang FROM documents) l
+       |  LEFT JOIN tp USING (lang) LEFT JOIN fp USING (lang)
+       |  LEFT JOIN fn USING (lang))
+       |SELECT lang, tp, fp, fn,
+       |  CASE WHEN tp + fp = 0 THEN NULL ELSE
+       |    ${sqlRnd6("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)")} END
+       |    AS precision,
+       |  CASE WHEN tp + fn = 0 THEN NULL ELSE
+       |    ${sqlRnd6("CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)")} END
+       |    AS recall,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+       |    ${sqlRnd6(
+      "2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)")} END
+       |    AS f1
+       |FROM base ORDER BY lang""".stripMargin
+  }
+
   /** Minimum token count for the [[pipelineCorpus]] quality gate. */
   private val PIPE_MIN_TOKENS = 12
 
