@@ -754,6 +754,73 @@ object SnapshotOps {
       |    AS n_error_recovery
       |FROM seqs ORDER BY user_id""".stripMargin
 
+  /** Interval length each event projects: 30 minutes, in µs. */
+  private val IV_DUR_US = 30L * 60 * 1000000
+
+  /** Overlapping-interval coalescing (the classic "merge intervals"
+    * operator): every event projects a [ts, ts+30 min) activity
+    * interval; per user, overlapping/touching intervals merge into
+    * maximal spans. The union is computed with the running-max-of-
+    * previous-ends trick — an interval starts a NEW span iff its
+    * start exceeds max(end) over ALL previous intervals (not just the
+    * immediate predecessor: a long interval can swallow several later
+    * ones, the bug in naive lag-based merging) — two window passes
+    * sharing ONE user_id exchange, all arithmetic integer µs. Output
+    * is the per-user coverage summary (raw intervals, merged spans,
+    * covered seconds, largest merged span) — the utilization shape
+    * billing/capacity pipelines compute over lease/session/booking
+    * intervals. */
+  def eventsIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    val strictPast = w.rowsBetween(Window.unboundedPreceding, -1)
+    val iv = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev_max_end",
+        max($"us" + IV_DUR_US).over(strictPast))
+      .withColumn("new_span",
+        when($"prev_max_end".isNull || $"us" > $"prev_max_end", 1L)
+          .otherwise(0L))
+      .withColumn("span", sum($"new_span").over(w))
+    val spans = iv.groupBy($"user_id", $"span")
+      .agg(count(lit(1)).as("n_events"), min($"us").as("s"),
+        max($"us" + IV_DUR_US).as("e"))
+    spans.groupBy($"user_id")
+      .agg(sum($"n_events").as("n_raw"),
+        count(lit(1)).as("n_merged"),
+        (sum($"e" - $"s") / lit(1000000L)).cast("long")
+          .as("covered_secs"),
+        max($"n_events").as("max_span_events"))
+      .orderBy($"user_id")
+  }
+
+  val eventsIntervalsSql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    max(epoch_us(ts) + $IV_DUR_US) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_max_end
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_max_end IS NULL OR us > prev_max_end
+       |    THEN 1 ELSE 0 END AS new_span
+       |  FROM iv),
+       |numbered AS (
+       |  SELECT *, SUM(new_span) OVER (
+       |    PARTITION BY user_id ORDER BY us ASC, event_id ASC
+       |    ROWS UNBOUNDED PRECEDING) AS span
+       |  FROM flagged),
+       |spans AS (
+       |  SELECT user_id, span, COUNT(*) AS n_events,
+       |    min(us) AS s, max(us + $IV_DUR_US) AS e
+       |  FROM numbered GROUP BY 1, 2)
+       |SELECT user_id, CAST(SUM(n_events) AS BIGINT) AS n_raw,
+       |  COUNT(*) AS n_merged,
+       |  CAST(SUM(e - s) // 1000000 AS BIGINT) AS covered_secs,
+       |  CAST(MAX(n_events) AS BIGINT) AS max_span_events
+       |FROM spans GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** Early-journey horizon for [[eventsSeqmine]]: patterns are mined
     * over each user's first 5 events — the onboarding window, where
     * paths actually differ (over a whole 30-day history every pattern
