@@ -731,6 +731,89 @@ object GraphOps {
        |FROM terms, q1 ORDER BY community""".stripMargin
   }
 
+  /** Seed-set size for [[graphCloseness]]. */
+  private val CLOSENESS_SEEDS = 4
+
+  /** Closeness + harmonic centrality for a fixed seed set, by
+    * MULTI-SOURCE level-synchronous BFS: one frontier-join loop
+    * carries ALL seeds at once ((seed, node) visited keys), so k
+    * seeds cost the same O(diameter) rounds as one — the standard
+    * way centrality-over-samples scales (exact all-pairs BFS is
+    * O(V·E); production estimates centrality from a seed sample,
+    * which is literally this query with a bigger seed list).
+    * Closeness = (reached−1)/Σhops; harmonic = Σ 1/hops handles
+    * disconnected remainders gracefully (rnd6 per term, exact-decimal
+    * sum). Per-generation localCheckpoints (the [[graphPagerank]]
+    * lineage discipline); oracle = the same BFS as a seed-joined
+    * recursive CTE with MIN(hops) semantics. */
+  def graphCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
+    val e = edges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = pairs.select($"user_a").distinct()
+      .orderBy($"user_a").limit(CLOSENESS_SEEDS)
+      .collect().map(_.getLong(0)).toSeq // metadata-sized seed list
+    var visited = seeds.map(s => (s, s, 0L))
+      .toDF("seed", "user_id", "hops").localCheckpoint(true)
+    var frontier = visited
+    var hop = 0L
+    var frontierSize = seeds.size.toLong
+    while (frontierSize > 0 && hop < MAX_HOPS) {
+      hop += 1
+      val next = frontier.join(e, frontier("user_id") === e("src"))
+        .select($"seed", $"dst".as("user_id")).distinct()
+        .join(visited, Seq("seed", "user_id"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    e.unpersist()
+    visited.filter($"hops" > 0)
+      .groupBy($"seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum($"hops").as("sum_hops"),
+        graft.engine.Exact.xsum(rnd6(lit(1.0) / $"hops".cast("double")))
+          .as("harmonic"))
+      .select($"seed", $"n_reached", $"sum_hops",
+        rnd6($"n_reached".cast("double") / $"sum_hops".cast("double"))
+          .as("closeness"),
+        rnd6($"harmonic").as("harmonic"))
+      .orderBy($"seed")
+  }
+
+  val graphClosenessSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH RECURSIVE $pairsCte,
+       |edges AS (
+       |  SELECT user_a AS src, user_b AS dst FROM pairs
+       |  UNION ALL SELECT user_b, user_a FROM pairs),
+       |seeds AS (
+       |  SELECT user_a AS seed FROM (
+       |    SELECT DISTINCT user_a FROM pairs ORDER BY user_a
+       |    LIMIT $CLOSENESS_SEEDS)),
+       |bfs AS (
+       |  SELECT seed, seed AS user_id, 0 AS hops FROM seeds
+       |  UNION
+       |  SELECT b.seed, e.dst, b.hops + 1
+       |  FROM bfs b JOIN edges e ON e.src = b.user_id
+       |  WHERE b.hops < $MAX_HOPS),
+       |firsts AS (
+       |  SELECT seed, user_id, MIN(hops) AS hops FROM bfs
+       |  GROUP BY 1, 2)
+       |SELECT seed, COUNT(*) AS n_reached,
+       |  CAST(SUM(hops) AS BIGINT) AS sum_hops,
+       |  ${sqlRnd6(
+      "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(hops) AS DOUBLE)")} AS closeness,
+       |  ${sqlRnd6(graft.engine.Exact.sqlXsum(
+      sqlRnd6("1.0 / CAST(hops AS DOUBLE)")))} AS harmonic
+       |FROM firsts WHERE hops > 0
+       |GROUP BY seed ORDER BY seed""".stripMargin
+  }
+
   /** HITS fixed-point scale: BIGINT units of 1e-6. Headroom: a
     * normalized score is ≤ 1e6; raw authority sums ≤ in-degree·1e6
     * (in-degree ≤ ITEM_USER_CAP), raw hub sums ≤ out-degree·1e6, and
