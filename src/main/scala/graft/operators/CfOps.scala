@@ -668,6 +668,77 @@ object CfOps {
     }.orderBy($"user_id", $"rk")
   }
 
+  /** Recommendation EXPLANATIONS — "because you rated X": for every
+    * (user, recommended item) in the registered top-N lists, the
+    * rated item whose sim·rating term contributed most to the kNN
+    * score. The artifact a serving UI actually renders next to each
+    * card, and the per-prediction audit a debugging session starts
+    * from; it costs nothing new — the rec lists and neighbor pairs
+    * are the session-cached intermediates, and the contribution join
+    * fans out ≤ K_NEIGHBORS rows per rec (rec-list-sized at any
+    * corpus). Deterministic argmax: contributions rnd6'd, ties to the
+    * smaller rated item id — mirrored in the oracle's rank. */
+  def cfExplain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val recs = predictKnn(spark, sfDir).select($"user_id", $"item_id", $"rk")
+    val neigh = neighbors(spark, sfDir)
+      .filter($"rk" <= K_NEIGHBORS)
+      .select($"item_id".as("because_item"), $"neighbor_id".as("cand"),
+        $"sim")
+    val contrib = recs
+      .join(neigh, $"item_id" === $"cand")
+      .join(ratings(spark, sfDir)
+          .select($"user_id".as("ru"), $"item_id".as("ri"), $"rating"),
+        $"user_id" === $"ru" && $"because_item" === $"ri")
+      .select($"user_id", $"item_id", $"rk", $"because_item",
+        rnd6($"sim" * $"rating").as("contribution"))
+    val w = Window.partitionBy($"user_id", $"item_id")
+      .orderBy($"contribution".desc, $"because_item".asc)
+    contrib.withColumn("brk", row_number().over(w)).filter($"brk" === 1)
+      .select($"user_id", $"item_id", $"rk", $"because_item",
+        $"contribution")
+      .orderBy($"user_id", $"rk")
+  }
+
+  val cfExplainSql: String =
+    s"""$pairsCtePrefix,
+       |scored AS (
+       |  SELECT r.user_id, n.neighbor_id AS cand_item,
+       |    ${sqlRnd6(s"${sqlXsum("n.sim * r.rating")} / ${sqlXsum("abs(n.sim)")}")} AS score
+       |  FROM ratings r
+       |  JOIN (SELECT item_id, neighbor_id, sim FROM neighbors
+       |        WHERE rk <= $K_NEIGHBORS) n
+       |    ON r.item_id = n.item_id
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  ANTI JOIN ratings r
+       |    ON s.user_id = r.user_id AND s.cand_item = r.item_id),
+       |recs AS (
+       |  SELECT user_id, cand_item AS item_id, rk FROM (
+       |    SELECT user_id, cand_item,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY score DESC, cand_item ASC) AS rk
+       |    FROM unseen) WHERE rk <= $TOP_N),
+       |contrib AS (
+       |  SELECT rec.user_id, rec.item_id, rec.rk,
+       |    n.item_id AS because_item,
+       |    ${sqlRnd6("n.sim * r.rating")} AS contribution
+       |  FROM recs rec
+       |  JOIN (SELECT item_id, neighbor_id, sim FROM neighbors
+       |        WHERE rk <= $K_NEIGHBORS) n
+       |    ON n.neighbor_id = rec.item_id
+       |  JOIN ratings r
+       |    ON r.user_id = rec.user_id AND r.item_id = n.item_id),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, item_id
+       |    ORDER BY contribution DESC, because_item ASC) AS brk
+       |  FROM contrib)
+       |SELECT user_id, item_id, rk, because_item, contribution
+       |FROM best WHERE brk = 1
+       |ORDER BY user_id, rk""".stripMargin
+
   val predictKnnSql: String =
     s"""$pairsCtePrefix,
        |scored AS (
