@@ -486,6 +486,69 @@ object DqOps {
        |FROM t, tot""".stripMargin
   }
 
+  /** Order-independent CONTENT FINGERPRINT per table — the
+    * cross-environment reconciliation primitive ("is the replica
+    * byte-identical to prod?") that compares two 100 TB tables by
+    * exchanging three numbers instead of rows: n_rows, an exact SUM
+    * and an XOR of a per-row content hash. Both reductions are
+    * commutative/associative, so partitioning, task retries and row
+    * order cannot change the fingerprint — and any single-row
+    * difference almost surely changes both. The row hash is the
+    * md5-prefix integer of a CANONICAL STRING IMAGE ([[dqProfile]]'s
+    * discipline: doubles through DECIMAL(18,6)), because engine-native
+    * hash functions (xxhash64 vs duckdb hash) share no
+    * implementation; md5 bytes do. */
+  def dqChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P61 = (1L << 61) - 1 // Mersenne prime keeps the sum in range
+    val tables = Seq(
+      ("orders",
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS STRING), " +
+          "CAST(o_orderdate AS STRING), o_orderpriority)",
+        Tables.orders(spark, sfDir)),
+      ("lineitem",
+        "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+          "CAST(CAST(l_quantity AS DECIMAL(18,6)) AS STRING), " +
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS STRING), " +
+          "l_returnflag, l_linestatus)",
+        Tables.lineitem(spark, sfDir)))
+    tables.map { case (name, img, df) =>
+      df.select(expr(
+          s"CAST(conv(substring(md5($img), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          // h < 2^60, so a LONG sum overflows past ~8 rows: sum in
+          // DECIMAL(38,0) exactly, fold back mod P61 at the end
+          expr(s"CAST(SUM(CAST(h AS DECIMAL(38,0))) % $P61 AS BIGINT)")
+            .as("content_sum"),
+          expr("bit_xor(h)").as("content_xor"))
+        .select(lit(name).as("table_name"), $"n_rows", $"content_sum",
+          $"content_xor")
+    }.reduce(_.unionAll(_)).orderBy($"table_name")
+  }
+
+  val dqChecksumSql: String = {
+    val P61 = (1L << 61) - 1
+    def block(name: String, img: String, table: String): String =
+      s"""SELECT '$name' AS table_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(h) % $P61 AS BIGINT) AS content_sum,
+         |  CAST(bit_xor(h) AS BIGINT) AS content_xor
+         |FROM (SELECT CAST('0x' || substring(md5($img), 1, 15) AS BIGINT)
+         |        AS h FROM $table)""".stripMargin
+    block("orders",
+      "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR), " +
+        "CAST(o_orderdate AS VARCHAR), o_orderpriority)", "orders") +
+      "\nUNION ALL\n" +
+      block("lineitem",
+        "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+          "CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), " +
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), " +
+          "l_returnflag, l_linestatus)", "lineitem") +
+      "\nORDER BY table_name"
+  }
+
   /** Per-rule cap for the [[dqQuarantine]] report. */
   private val QUAR_TOP = 100
 
