@@ -385,6 +385,58 @@ object JoinOps {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Tolerance for [[joinAsofTolerance]], µs (1 hour). */
+  private val ASOF_TOL_US = 3600L * 1000000
+
+  /** As-of join WITH TOLERANCE (pandas `merge_asof(tolerance=…)`
+    * semantics, completing the backward/forward/nearest family):
+    * every purchase keeps its row (left semantics), matched to the
+    * latest preceding click ONLY if that click is within 1 hour —
+    * a stale match is worse than none for attribution. Same
+    * single-shuffle union + running-last composition as [[joinAsof]],
+    * carrying the matched click's timestamp so the tolerance test is
+    * one map-side integer comparison; since backward as-of picks the
+    * LATEST preceding click, "nearest then bound" ≡ "any within
+    * bound". Oracle = DuckDB ASOF LEFT JOIN + the same CASE. */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"),
+        lit(null).cast("bigint").as("purchase_id"), lit(0).as("tag"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast("bigint").as("click_id"),
+        $"event_id".as("purchase_id"), lit(1).as("tag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts".asc, $"tag".asc, $"click_id".asc_nulls_last)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("mc", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("mc_us", last(when($"tag" === 0, unix_micros($"ts")),
+        ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .withColumn("gap_us", unix_micros($"ts") - $"mc_us")
+      .select($"purchase_id", $"user_id", $"ts",
+        when($"gap_us" <= ASOF_TOL_US, $"mc").as("click_id"),
+        when($"gap_us" <= ASOF_TOL_US,
+          ($"gap_us" / lit(1000000L)).cast("long")).as("gap_secs"))
+      .orderBy($"purchase_id")
+  }
+
+  val joinAsofToleranceSql: String =
+    s"""SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS ts,
+       |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= $ASOF_TOL_US
+       |    THEN c.event_id END AS click_id,
+       |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= $ASOF_TOL_US
+       |    THEN CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000
+       |      AS BIGINT) END AS gap_secs
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id AND p.ts >= c.ts
+       |ORDER BY purchase_id""".stripMargin
+
   /** Forward as-of join: each purchase ↔ EARLIEST click strictly
     * after it, per user ("what did the user do next"). Same
     * single-shuffle union + running-last composition as [[joinAsof]],
