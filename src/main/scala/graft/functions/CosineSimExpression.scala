@@ -94,8 +94,8 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
   val NAME = "graft_cosine_sim"
 
-  private val info = new ExpressionInfo(classOf[CosineSim].getName, NAME)
-  private val builder: Seq[Expression] => Expression = {
+  private[graft] val info = new ExpressionInfo(classOf[CosineSim].getName, NAME)
+  private[graft] val builder: Seq[Expression] => Expression = {
     case Seq(a, b) => CosineSim(a, b)
     case exprs => throw new IllegalArgumentException(
       s"$NAME expects 2 arguments, got ${exprs.size}")
@@ -114,19 +114,15 @@ object CosineSim {
   * native functions at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // reuse the arity/foldability-checked builders so the extension path
+    // and per-session register() path reject malformed calls identically
     ext.injectFunction(
-      (FunctionIdentifier(CosineSim.NAME),
-        new ExpressionInfo(classOf[CosineSim].getName, CosineSim.NAME),
-        (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+      (FunctionIdentifier(CosineSim.NAME), CosineSim.info, CosineSim.builder))
     ext.injectFunction(
-      (FunctionIdentifier(RollingHash.NAME),
-        new ExpressionInfo(classOf[RollingHash].getName, RollingHash.NAME),
-        (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+      (FunctionIdentifier(RollingHash.NAME), RollingHash.info,
+        RollingHash.builder))
     ext.injectFunction(
-      (FunctionIdentifier(KmvAgg.NAME),
-        new ExpressionInfo(classOf[KmvAgg].getName, KmvAgg.NAME),
-        (exprs: Seq[Expression]) =>
-          KmvAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+      (FunctionIdentifier(KmvAgg.NAME), KmvAgg.info, KmvAgg.builder))
     // whole-operator extension: partial/final per-key top-k, plus the
     // conf-gated rewrite that swaps it in for row_number()<=k windows
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -116,8 +116,8 @@ case class KmvAgg(child: Expression, k: Int,
 object KmvAgg {
   val NAME = "graft_kmv"
 
-  private val info = new ExpressionInfo(classOf[KmvAgg].getName, NAME)
-  private val builder: Seq[Expression] => Expression = {
+  private[graft] val info = new ExpressionInfo(classOf[KmvAgg].getName, NAME)
+  private[graft] val builder: Seq[Expression] => Expression = {
     case Seq(child, kExpr) if kExpr.foldable =>
       KmvAgg(child, kExpr.eval().asInstanceOf[Number].intValue())
     case exprs => throw new IllegalArgumentException(

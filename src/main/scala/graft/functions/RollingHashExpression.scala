@@ -68,8 +68,8 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object RollingHash {
   val NAME = "graft_rolling_hash"
 
-  private val info = new ExpressionInfo(classOf[RollingHash].getName, NAME)
-  private val builder: Seq[Expression] => Expression = {
+  private[graft] val info = new ExpressionInfo(classOf[RollingHash].getName, NAME)
+  private[graft] val builder: Seq[Expression] => Expression = {
     case Seq(c) => RollingHash(c)
     case exprs => throw new IllegalArgumentException(
       s"$NAME expects 1 argument, got ${exprs.size}")

@@ -763,6 +763,10 @@ object AggOps {
     li.groupBy($"l_returnflag")
       .agg(expr(s"graft_kmv(h, $KMV_K)").as("mins"),
         countDistinct($"l_partkey").as("n_exact"))
+      // a group with < k distinct hashes has no kth minimum: drop it,
+      // mirroring the oracle's `rn = k` inner join (otherwise Spark
+      // would emit a NULL kth_hash row the oracle never produces)
+      .where(size($"mins") === KMV_K)
       .select($"l_returnflag", $"n_exact",
         expr(s"element_at(mins, $KMV_K)").as("kth_hash"),
         rnd6(lit((KMV_K - 1).toDouble * P31) /

@@ -617,18 +617,30 @@ object DqOps {
     * snapshot. Bins are fixed-width integer buckets (value div 50,
     * capped at the last bin — engine-identical arithmetic); +1 Laplace
     * smoothing keeps empty bins finite, mirrored exactly in the
-    * shares' denominators. Per-term rnd6 before any comparison (the
-    * entropy discipline); one partial-aggregated shuffle of (bin,
-    * cohort counts) — ≤ 10 rows after it at any corpus size. */
+    * shares' denominators. The bin axis is DENSIFIED over the full
+    * 0..bins−1 spine before totals are taken, so every unit of
+    * smoothing mass in a denominator belongs to a bin that also emits
+    * a psi_term and the smoothed shares sum to exactly 1 per cohort
+    * (without the spine, a bin empty in both cohorts would inflate
+    * the denominators while contributing no term, understating PSI).
+    * Per-term rnd6 before any comparison (the entropy discipline);
+    * one partial-aggregated shuffle of (bin, cohort counts) — ≤ 10
+    * rows after it at any corpus size. */
   def dqPsi(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
-    val binned = Tables.events(spark, sfDir)
-      .select(least(lit(PSI_BINS - 1),
-        floor($"value" / PSI_BIN_W).cast("int")).as("bin"),
-        (dayofmonth($"ts") <= 15).cast("long").as("in_a"))
-      .groupBy($"bin")
-      .agg(sum($"in_a").as("n_a"), sum(lit(1L) - $"in_a").as("n_b"))
+    val spine = spark.range(0, PSI_BINS.toLong)
+      .select($"id".cast("int").as("bin"))
+    val binned = spine.join(
+        Tables.events(spark, sfDir)
+          .select(least(lit(PSI_BINS - 1),
+            floor($"value" / PSI_BIN_W).cast("int")).as("bin"),
+            (dayofmonth($"ts") <= 15).cast("long").as("in_a"))
+          .groupBy($"bin")
+          .agg(sum($"in_a").as("n_a"), sum(lit(1L) - $"in_a").as("n_b")),
+        Seq("bin"), "left")
+      .select($"bin", coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"))
     val totals = binned.agg(
       (sum($"n_a") + PSI_BINS).as("tot_a"),
       (sum($"n_b") + PSI_BINS).as("tot_b"))
@@ -645,7 +657,7 @@ object DqOps {
     import graft.functions.Udfs.sqlRnd6
     val pa = "(CAST(n_a + 1 AS DOUBLE) / CAST(tot_a AS DOUBLE))"
     val pb = "(CAST(n_b + 1 AS DOUBLE) / CAST(tot_b AS DOUBLE))"
-    s"""WITH binned AS (
+    s"""WITH raw AS (
        |  SELECT least(${PSI_BINS - 1},
        |      CAST(floor(value / $PSI_BIN_W) AS INTEGER)) AS bin,
        |    CAST(SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT)
@@ -653,6 +665,10 @@ object DqOps {
        |    CAST(SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS BIGINT)
        |      AS n_b
        |  FROM events GROUP BY 1),
+       |binned AS (
+       |  SELECT CAST(s.bin AS INTEGER) AS bin,
+       |    COALESCE(r.n_a, 0) AS n_a, COALESCE(r.n_b, 0) AS n_b
+       |  FROM range(0, $PSI_BINS) s(bin) LEFT JOIN raw r ON s.bin = r.bin),
        |totals AS (
        |  SELECT CAST(SUM(n_a) + $PSI_BINS AS BIGINT) AS tot_a,
        |    CAST(SUM(n_b) + $PSI_BINS AS BIGINT) AS tot_b

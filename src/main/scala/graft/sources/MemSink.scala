@@ -102,17 +102,30 @@ private[graft] class MemSinkBatchWrite(table: String, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory =
     MemSinkWriterFactory(schema)
 
-  /** Job commit — atomic publish of every committed task's rows. */
+  /** Job commit — atomic publish of every committed task's rows.
+    * Truncate mode is a plain put (last writer wins, like an
+    * INSERT OVERWRITE); append mode uses a CAS loop over the TrieMap
+    * so two jobs committing into the same table key concurrently both
+    * land (a get-then-put would let one overwrite the other's rows). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.toSeq.flatMap {
       case MemSinkRows(r) => r
       case _ => Seq.empty
     }
-    val prev =
-      if (truncate) Seq.empty
-      else MemSinkRegistry.tables.get(table).map(_._2).getOrElse(Seq.empty)
-    MemSinkRegistry.tables.put(table, (schema, prev ++ rows))
-    ()
+    if (truncate) { MemSinkRegistry.tables.put(table, (schema, rows)); () }
+    else {
+      @annotation.tailrec
+      def appendCas(): Unit =
+        MemSinkRegistry.tables.get(table) match {
+          case None =>
+            if (MemSinkRegistry.tables.putIfAbsent(
+                table, (schema, rows)).isDefined) appendCas()
+          case Some(prev) =>
+            if (!MemSinkRegistry.tables.replace(
+                table, prev, (schema, prev._2 ++ rows))) appendCas()
+        }
+      appendCas()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

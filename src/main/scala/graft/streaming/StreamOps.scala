@@ -125,6 +125,9 @@ object StreamOps {
             .as("h"))
         .groupBy($"event_type")
         .agg(expr(s"graft_kmv(h, $STREAM_KMV_K)").as("mins"))
+        // mirror the oracle's `rn = k` inner join: groups that never
+        // accumulated k distinct hashes have no kth minimum
+        .where(size($"mins") === STREAM_KMV_K)
         .select($"event_type",
           expr(s"try_element_at(mins, $STREAM_KMV_K)").as("kth_hash"),
           graft.functions.Udfs.rnd6(

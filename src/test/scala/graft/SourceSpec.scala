@@ -128,6 +128,50 @@ class SourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     MemSinkRegistry.clear(table)
   }
 
+  test("memsink append commit is lost-update-free under concurrent jobs") {
+    import spark.implicits._
+    import graft.sources.{MemSink, MemSinkRegistry}
+    val table = "sourcespec_sink_cc"
+    MemSinkRegistry.clear(table)
+    // 8 concurrent append jobs of 10 rows each: a get-then-put commit
+    // races and drops batches; the CAS publish must land all 80
+    val jobs = (0 until 8).map { j =>
+      scala.concurrent.Future {
+        (0 until 10).map(i => (j * 100L + i, s"w$j")).toDF("k", "v")
+          .write.format(classOf[MemSink].getName)
+          .option("table", table).mode("append").save()
+      }(scala.concurrent.ExecutionContext.global)
+    }
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(jobs), 120.seconds)
+    val rows = MemSinkRegistry.read(table).get._2
+    assert(rows.size == 80, s"lost update: ${rows.size} of 80 rows landed")
+    assert(rows.map(_.head).toSet.size == 80)
+    MemSinkRegistry.clear(table)
+  }
+
+  test("graft extension-path function builders validate arity and foldability") {
+    // the SparkSessionExtensions injectFunction registrations share the
+    // companions' checked builders: malformed calls fail with the
+    // descriptive IllegalArgumentException, not an index/cast error
+    intercept[IllegalArgumentException] {
+      graft.functions.KmvAgg.builder(Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.CosineSim.builder(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(1)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.KmvAgg.builder(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions
+          .AttributeReference("k", org.apache.spark.sql.types.IntegerType)()))
+    }
+  }
+
   test("q_sink_v2 round-trips the aggregate through the V2 write protocol") {
     import spark.implicits._
     val out = SourceOps.sinkV2(spark, sf).collect()
