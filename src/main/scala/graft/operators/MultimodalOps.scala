@@ -4,21 +4,26 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.engine.Tables
+import graft.engine.{BmpCodec, Tables}
 
 /** Multimodal-column plumbing (north-star surface): media assets as
   * opaque `binary` payloads + typed metadata, with decode /
   * feature-extract / frame-sample as partition-wise batch transforms.
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * DETERMINISTIC FAKE (byte-histogram "features", marked STUB below);
-  * everything around it — the asset schema, the mapPartitions batch
-  * shape, the typed metadata, the explode of per-frame rows, and the
-  * oracle-checked bookkeeping columns — is the real Spark plumbing a
-  * production decoder would drop into.
+  * The image keys run a REAL codec: [[graft.engine.BmpCodec]] — a
+  * pure-JVM 24-bit BMP encoder/decoder (header parse, bottom-up row
+  * flip, 4-byte row padding). Fixture images are synthesized
+  * deterministically from doc_id — dims from doc_id arithmetic,
+  * pixels from an md5-derived 31-bit seed (the same hash
+  * construction the KMV oracle uses, so DuckDB reproduces every
+  * pixel value in closed form) — then ENCODED TO REAL BMP BYTES,
+  * and every downstream stat is computed by genuinely parsing those
+  * bytes back. A decoder bug (missed padding, BGR order, forgotten
+  * bottom-up flip) breaks the oracle match: the flip in particular
+  * is pinned by a row-0-only checksum no flipped decode can fake.
   *
   * Scale notes (100 TB): payloads never enter a shuffle — decode is
-  * map-side (mapPartitions), features (64 B) and metadata are the
+  * map-side (mapPartitions), per-image stats and metadata are the
   * only columns that move. Real pipelines would store payloads in
   * parquet binary columns with a small row-group size (or object-
   * store pointers) and let column pruning keep metadata-only queries
@@ -28,8 +33,87 @@ import graft.engine.Tables
   */
 object MultimodalOps {
 
-  private val FEAT_DIM = 16
   private val FRAME_BYTES = 64
+
+  /** 31-bit md5-derived pixel seed — Spark expression twin of the
+    * oracle's `CAST('0x' || substring(md5(...), 1, 15) AS BIGINT)`. */
+  private val SEED_EXPR =
+    s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % ${Int.MaxValue.toLong}"
+
+  /** Image dims from doc_id: width 16..76, height 16..60 (step 4). */
+  private[graft] def imgWidth(d: Long): Int = (16 + (d % 16) * 4).toInt
+  private[graft] def imgHeight(d: Long): Int = (16 + (d % 12) * 4).toInt
+
+  /** Deterministic BGR pixels (top-down, row-major): three integer
+    * channel formulas over (x, y, seed) that DuckDB evaluates
+    * verbatim. R's x·y term gives 2-D structure (an x/y swap or row
+    * flip changes it). */
+  private[graft] def synthPixels(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        px(i) = ((x + y + seed) % 256).toByte
+        px(i + 1) = ((2L * x + 3L * y + 5L * seed) % 256).toByte
+        px(i + 2) = ((x.toLong * y + seed) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private val imageSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
+  /** Image asset table: one real 24-bit BMP per document row,
+    * synthesized map-side (no shuffle) from doc_id. The payload is a
+    * genuine BMP file — `decode(encode(...))` round-trips and any
+    * header-respecting external tool would open it. */
+  def images(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = RowEncoder.encoderFor(imageSchema)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", expr(SEED_EXPR).as("seed"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val w = imgWidth(d)
+          val h = imgHeight(d)
+          Row(d, BmpCodec.encode(w, h, synthPixels(r.getLong(1), w, h)))
+        }
+      }(enc)
+  }
+
+  /** Shared DuckDB CTE: closed-form dims + pixel seed per doc —
+    * the oracle twin of [[images]]' generation parameters. */
+  private val oracleDims =
+    s"""dims AS (
+       |  SELECT doc_id,
+       |    CAST(16 + (doc_id % 16) * 4 AS INTEGER) AS width,
+       |    CAST(16 + (doc_id % 12) * 4 AS INTEGER) AS height,
+       |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % ${Int.MaxValue.toLong} AS seed
+       |  FROM documents)""".stripMargin
+
+  /** Shared DuckDB CTE (requires dims): one row per pixel with the
+    * three closed-form channel values. */
+  private val oraclePixels =
+    """px AS (
+      |  SELECT doc_id, width, height, seed,
+      |    CAST(i.range % width AS BIGINT) AS x,
+      |    CAST(i.range // width AS BIGINT) AS y
+      |  FROM dims, range(0, 4560) i
+      |  WHERE i.range < width * height),
+      |chan AS (
+      |  SELECT doc_id, width, height, x, y,
+      |    (x + y + seed) % 256 AS b,
+      |    (2 * x + 3 * y + 5 * seed) % 256 AS g,
+      |    (x * y + seed) % 256 AS r
+      |  FROM px)""".stripMargin
 
   /** Synthesized asset table: UTF-8 payload bytes standing in for
     * media, deterministic typed metadata derived from doc_id. */
@@ -51,119 +135,148 @@ object MultimodalOps {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_bytes", IntegerType),
-    StructField("feat_dim", IntegerType),
-    StructField("features", ArrayType(FloatType)),
-    StructField("feat_sum", DoubleType)))
-
-  /** STUB decode kernel: a 16-bin byte-value histogram stands in for
-    * the real media decoder (deterministic fake — no codec in this
-    * container). Signature and batch shape are the real contract:
-    * bytes in, fixed-dim float features out. */
-  private def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](FEAT_DIM)
-    var i = 0
-    while (i < payload.length) {
-      hist((payload(i) & 0xff) / FEAT_DIM) += 1f
-      i += 1
-    }
-    hist
-  }
+    StructField("n_pixels", LongType),
+    StructField("sum_b", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_r", LongType),
+    StructField("row0_sum_b", LongType)))
 
   /** Partition-wise batch decode (the mapInPandas analog): iterate
-    * the partition's rows once, run the kernel per asset, emit typed
-    * feature rows. No shuffle; payloads die map-side. */
+    * the partition's rows once, REALLY parse each BMP payload
+    * ([[BmpCodec.decode]]: magic/bpp validation, data-offset honor,
+    * bottom-up flip, row padding), and emit per-image pixel stats.
+    * `row0_sum_b` sums the B channel of the TOP row only — the file
+    * stores that row last (bottom-up), so a decoder that skipped the
+    * flip reports row h−1's sum and the oracle match breaks. No
+    * shuffle; payloads die map-side. */
   def decoded(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val enc = RowEncoder.encoderFor(decodedSchema)
-    assets(spark, sfDir)
-      .select($"doc_id", $"payload", $"meta.fmt", $"meta.width", $"meta.height")
+    images(spark, sfDir)
       .mapPartitions { rows =>
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val feats = decodeStub(payload)
-          Row(r.getAs[Long]("doc_id"), r.getAs[String]("fmt"),
-            r.getAs[Int]("width"), r.getAs[Int]("height"),
-            payload.length, FEAT_DIM, feats.toSeq,
-            feats.map(_.toDouble).sum)
+          val payload = r.getAs[Array[Byte]](1)
+          val fmt =
+            if (payload.length >= 2 && payload(0) == 'B'.toByte &&
+              payload(1) == 'M'.toByte) "bmp" else "unknown"
+          val img = BmpCodec.decode(payload)
+          var sb = 0L; var sg = 0L; var sr = 0L; var row0 = 0L
+          var i = 0
+          val n = img.width * img.height
+          while (i < n) {
+            val o = i * 3
+            sb += img.pixels(o) & 0xffL
+            sg += img.pixels(o + 1) & 0xffL
+            sr += img.pixels(o + 2) & 0xffL
+            if (i < img.width) row0 += img.pixels(o) & 0xffL
+            i += 1
+          }
+          Row(r.getLong(0), fmt, img.width, img.height,
+            payload.length, n.toLong, sb, sg, sr, row0)
+        }
+      }(enc)
+  }
+
+  /** Harness-facing decode query: real pixel statistics from really
+    * parsed BMP bytes, checked against the oracle's closed-form sums
+    * over the generation formulas — encode and decode must BOTH be
+    * byte-correct (dims from the header, padding skipped, rows
+    * unflipped) for every column to match. */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decoded(spark, sfDir)
+      .orderBy($"doc_id")
+  }
+
+  val multimodalDecodeSql: String =
+    s"""WITH $oracleDims,
+       |$oraclePixels
+       |SELECT doc_id, 'bmp' AS fmt, width, height,
+       |  CAST(54 + ((3 * width + 3) // 4 * 4) * height AS INTEGER)
+       |    AS n_bytes,
+       |  CAST(width AS BIGINT) * height AS n_pixels,
+       |  CAST(SUM(b) AS BIGINT) AS sum_b,
+       |  CAST(SUM(g) AS BIGINT) AS sum_g,
+       |  CAST(SUM(r) AS BIGINT) AS sum_r,
+       |  CAST(SUM(CASE WHEN y = 0 THEN b ELSE 0 END) AS BIGINT)
+       |    AS row0_sum_b
+       |FROM chan GROUP BY doc_id, width, height
+       |ORDER BY doc_id""".stripMargin
+
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("out_bytes", IntegerType),
+    StructField("out_sum_b", LongType)))
+
+  /** Real resize: decode each BMP, plan the aspect-preserving fit
+    * into a 64×64 box (integer arithmetic), then RUN the
+    * nearest-neighbor kernel ([[BmpCodec.resizeNearest]]) and report
+    * the resized image's B-channel sum. The oracle brute-forces the
+    * same NN sampling (src index = out·src ÷ out-dim, floored) over
+    * the closed-form pixels, so a kernel that samples the wrong
+    * source pixel — or a decode that fed it a shifted raster —
+    * mismatches. Map-side only; the resized raster dies in the
+    * kernel, stats move. Images already inside the box pass through
+    * (out = in, kernel is identity there by construction). */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val box = 64
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    images(spark, sfDir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = BmpCodec.decode(r.getAs[Array[Byte]](1))
+          val long = math.max(img.width, img.height)
+          val (ow, oh) =
+            if (long <= box) (img.width, img.height)
+            else (img.width * box / long, img.height * box / long)
+          val out = BmpCodec.resizeNearest(img, ow, oh)
+          var sb = 0L
+          var i = 0
+          while (i < ow * oh) { sb += out.pixels(i * 3) & 0xffL; i += 1 }
+          Row(r.getLong(0), img.width, img.height, ow, oh,
+            3 * ow * oh, sb)
         }
       }(enc)
       .orderBy($"doc_id")
   }
 
-  /** Harness-facing decode query: [[decoded]] minus the raw feature
-    * vector (the oracle checks the bookkeeping columns — feat_sum ≡
-    * n_bytes because the histogram partitions the bytes; histogram
-    * VALUES are asserted in MultimodalSpec against hand-computed
-    * fixtures). */
-  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    decoded(spark, sfDir)
-      .select($"doc_id", $"fmt", $"width", $"height", $"n_bytes",
-        $"feat_dim", $"feat_sum")
-      .orderBy($"doc_id")
-  }
-
-  val multimodalDecodeSql: String =
-    s"""SELECT doc_id,
-       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
-       |  CAST(16 + (doc_id % 32) * 4 AS INTEGER) AS width,
-       |  CAST(16 + (doc_id % 24) * 4 AS INTEGER) AS height,
-       |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       |  $FEAT_DIM AS feat_dim,
-       |  CAST(octet_length(encode(text)) AS DOUBLE) AS feat_sum
-       |FROM documents ORDER BY doc_id""".stripMargin
-
-  /** Resize planning: aspect-preserving fit into a 64×64 box with
-    * pure integer arithmetic (engine-portable; the pixel kernel
-    * itself is the stubbed codec, like decode). The plan — target
-    * dims + byte budget — is what the Spark side of a real resize
-    * pipeline owns: a map-side projection over typed metadata, zero
-    * shuffle; the per-image kernel then runs embarrassingly parallel
-    * per partition. Images already inside the box pass through. */
-  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val box = 64
-    assets(spark, sfDir)
-      .select($"doc_id", $"meta.fmt".as("fmt"),
-        $"meta.width".as("width"), $"meta.height".as("height"))
-      .withColumn("long_side", greatest($"width", $"height"))
-      .select($"doc_id", $"fmt", $"width", $"height",
-        when($"long_side" <= box, $"width")
-          .otherwise(expr(s"(width * $box) div long_side"))
-          .cast("integer").as("out_w"),
-        when($"long_side" <= box, $"height")
-          .otherwise(expr(s"(height * $box) div long_side"))
-          .cast("integer").as("out_h"))
-      .withColumn("out_bytes", ($"out_w" * $"out_h" * 3).cast("integer"))
-      .orderBy($"doc_id")
-  }
-
   val multimodalResizeSql: String =
-    """WITH dims AS (
-      |  SELECT doc_id,
-      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
-      |    CAST(16 + (doc_id % 32) * 4 AS INTEGER) AS width,
-      |    CAST(16 + (doc_id % 24) * 4 AS INTEGER) AS height
-      |  FROM documents),
+    s"""WITH $oracleDims,
       |sized AS (
-      |  SELECT *, greatest(width, height) AS long_side FROM dims)
-      |SELECT doc_id, fmt, width, height,
-      |  CAST(CASE WHEN long_side <= 64 THEN width
-      |    ELSE (width * 64) // long_side END AS INTEGER) AS out_w,
-      |  CAST(CASE WHEN long_side <= 64 THEN height
-      |    ELSE (height * 64) // long_side END AS INTEGER) AS out_h,
-      |  CAST((CASE WHEN long_side <= 64 THEN width
-      |    ELSE (width * 64) // long_side END)
-      |    * (CASE WHEN long_side <= 64 THEN height
-      |    ELSE (height * 64) // long_side END) * 3 AS INTEGER) AS out_bytes
-      |FROM sized ORDER BY doc_id""".stripMargin
+      |  SELECT doc_id, width, height, seed,
+      |    CAST(CASE WHEN greatest(width, height) <= 64 THEN width
+      |      ELSE (width * 64) // greatest(width, height) END AS INTEGER)
+      |      AS out_w,
+      |    CAST(CASE WHEN greatest(width, height) <= 64 THEN height
+      |      ELSE (height * 64) // greatest(width, height) END AS INTEGER)
+      |      AS out_h
+      |  FROM dims),
+      |samples AS (
+      |  SELECT doc_id, width, height, out_w, out_h,
+      |    ((i.range % out_w) * width // out_w
+      |      + (i.range // out_w) * height // out_h + seed) % 256 AS b
+      |  FROM sized, range(0, 4096) i
+      |  WHERE i.range < out_w * out_h)
+      |SELECT doc_id, width, height, out_w, out_h,
+      |  CAST(out_w * out_h * 3 AS INTEGER) AS out_bytes,
+      |  CAST(SUM(b) AS BIGINT) AS out_sum_b
+      |FROM samples
+      |GROUP BY doc_id, width, height, out_w, out_h
+      |ORDER BY doc_id""".stripMargin
 
-  /** Frame sampling: one row per FRAME_BYTES-sized slice of the
-    * payload (video frame-sample analog) — generated map-side from
-    * the payload length, no shuffle. */
+  /** Frame sampling: one row per FRAME_BYTES-sized slice of the real
+    * BMP payload (video frame-sample analog) — generated map-side
+    * from the payload length, no shuffle. The oracle computes the
+    * encoded file size in closed form (54-byte header + padded
+    * rows), so the encoder's size arithmetic is what's checked. */
   def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    assets(spark, sfDir)
+    images(spark, sfDir)
       .select($"doc_id", length($"payload").as("n_bytes"))
       .select($"doc_id", $"n_bytes",
         explode(sequence(lit(0),
@@ -175,14 +288,126 @@ object MultimodalOps {
   }
 
   val multimodalFramesSql: String =
-    s"""SELECT doc_id, CAST(i.range AS INTEGER) AS frame_idx,
+    s"""WITH $oracleDims,
+       |sized AS (
+       |  SELECT doc_id,
+       |    54 + ((3 * width + 3) // 4 * 4) * height AS n_bytes
+       |  FROM dims)
+       |SELECT doc_id, CAST(i.range AS INTEGER) AS frame_idx,
        |  CAST(i.range AS INTEGER) * $FRAME_BYTES AS frame_offset,
        |  least($FRAME_BYTES,
-       |    CAST(octet_length(encode(text)) AS INTEGER)
+       |    CAST(n_bytes AS INTEGER)
        |      - CAST(i.range AS INTEGER) * $FRAME_BYTES) AS frame_len
-       |FROM documents, range(0, 1000) i
-       |WHERE i.range < (octet_length(encode(text)) + $FRAME_BYTES - 1) // $FRAME_BYTES
+       |FROM sized, range(0, 1000) i
+       |WHERE i.range < (n_bytes + $FRAME_BYTES - 1) // $FRAME_BYTES
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  private val imagePhashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("b0", LongType),
+    StructField("b1", LongType),
+    StructField("b2", LongType),
+    StructField("b3", LongType),
+    StructField("n_set", IntegerType)))
+
+  /** True 2-D block-mean perceptual hash over DECODED pixels: the
+    * image splits into an 8×8 spatial grid (pixel (x,y) belongs to
+    * block (8x÷w, 8y÷h) — the inverse map, so kernel and oracle
+    * share one per-pixel formula and no span-boundary convention),
+    * bit_(8·by+bx) = 1 iff the block's mean luminance exceeds the
+    * image mean, compared by integer cross-multiplication
+    * (blockSum·nTotal > totalSum·nBlock — no float boundary). Luma
+    * is the integer B+G+R sum (scale cancels in the comparison).
+    * Unlike [[multimodalPhash]]'s 1-D byte-stream signature, this is
+    * the raster construction: a row flip, x/y swap, or padding leak
+    * in decode moves bits. Emits the 4×16-bit band signature per
+    * image (the band layout [[DedupOps]]-style pigeonhole joins
+    * consume; MultimodalSpec proves hamming-robustness to pixel
+    * perturbation on crafted near-dups). Kernel is map-side; only
+    * (doc_id, 4 longs) would ever shuffle at 100 TB. */
+  private[graft] def imagePhashKernel(img: BmpCodec.Bmp): Array[Long] = {
+    val bSum = new Array[Long](64)
+    val bN = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < img.height) {
+      val by = 8 * y / img.height
+      var x = 0
+      while (x < img.width) {
+        val bx = 8 * x / img.width
+        val o = (y * img.width + x) * 3
+        val luma = (img.pixels(o) & 0xffL) + (img.pixels(o + 1) & 0xffL) +
+          (img.pixels(o + 2) & 0xffL)
+        val blk = by * 8 + bx
+        bSum(blk) += luma
+        bN(blk) += 1
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.width.toLong * img.height
+    val bv = new Array[Long](4)
+    var i = 0
+    while (i < 64) {
+      if (bSum(i) * n > total * bN(i)) bv(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bv
+  }
+
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = RowEncoder.encoderFor(imagePhashSchema)
+    images(spark, sfDir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bv = imagePhashKernel(
+            BmpCodec.decode(r.getAs[Array[Byte]](1)))
+          Row(r.getLong(0), bv(0), bv(1), bv(2), bv(3),
+            java.lang.Long.bitCount(bv(0)) + java.lang.Long.bitCount(bv(1)) +
+              java.lang.Long.bitCount(bv(2)) + java.lang.Long.bitCount(bv(3)))
+        }
+      }(enc)
+      .orderBy($"doc_id")
+  }
+
+  val imagePhashSql: String =
+    s"""WITH $oracleDims,
+       |$oraclePixels,
+       |pxb AS (
+       |  SELECT doc_id,
+       |    (8 * y // height) * 8 + (8 * x // width) AS blk,
+       |    b + g + r AS luma
+       |  FROM chan),
+       |blks AS (
+       |  SELECT doc_id, blk, CAST(SUM(luma) AS BIGINT) AS bsum,
+       |    COUNT(*) AS bn
+       |  FROM pxb GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT doc_id, CAST(SUM(bsum) AS BIGINT) AS tsum,
+       |    CAST(SUM(bn) AS BIGINT) AS tn
+       |  FROM blks GROUP BY 1),
+       |bits AS (
+       |  SELECT b.doc_id, b.blk,
+       |    CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
+       |  FROM blks b JOIN tot t USING (doc_id))
+       |SELECT doc_id,
+       |  CAST(COALESCE(SUM(CASE WHEN blk // 16 = 0
+       |    THEN bit * (1::BIGINT << CAST(blk % 16 AS INTEGER)) END), 0)
+       |    AS BIGINT) AS b0,
+       |  CAST(COALESCE(SUM(CASE WHEN blk // 16 = 1
+       |    THEN bit * (1::BIGINT << CAST(blk % 16 AS INTEGER)) END), 0)
+       |    AS BIGINT) AS b1,
+       |  CAST(COALESCE(SUM(CASE WHEN blk // 16 = 2
+       |    THEN bit * (1::BIGINT << CAST(blk % 16 AS INTEGER)) END), 0)
+       |    AS BIGINT) AS b2,
+       |  CAST(COALESCE(SUM(CASE WHEN blk // 16 = 3
+       |    THEN bit * (1::BIGINT << CAST(blk % 16 AS INTEGER)) END), 0)
+       |    AS BIGINT) AS b3,
+       |  CAST(SUM(bit) AS INTEGER) AS n_set
+       |FROM bits GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Content-addressed asset dedup — the CAS-storage step of a
     * multimodal ingest: every payload keys on the md5 of its BYTES
