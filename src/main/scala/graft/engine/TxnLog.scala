@@ -1,0 +1,214 @@
+package graft.engine
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mini transaction log: optimistic-concurrency multi-writer commits
+  * and time-travel reads over plain-parquet versioned snapshots —
+  * the Delta-lake idea reduced to its two load-bearing mechanisms,
+  * built on nothing but the filesystem's atomic create:
+  *
+  *  1. **Version claim**: commit N+1 is claimed by atomically
+  *     creating `_txn_log/vN+1.claim` (`File.createNewFile` —
+  *     exactly one concurrent writer can win). A writer that loses
+  *     the claim did its work against a stale snapshot.
+  *  2. **Read-set validation (OCC)**: every commit records the key
+  *     set it WROTE in its meta record. A losing writer compares its
+  *     READ set against the written keys of every intervening
+  *     commit: disjoint → its delta is still serializable, re-claim
+  *     with the same delta (rebase without recompute); overlapping →
+  *     the classic lost-update hazard, the transaction is REJECTED
+  *     and must re-run against the new snapshot.
+  *
+  * Each version directory holds the commit's DELTA (keyed upserts /
+  * deletes) and the materialized post-commit SNAPSHOT; a version is
+  * visible to readers only once its `vN.commit` marker exists, so a
+  * crashed writer's half-written claim is invisible (and its claim
+  * file blocks nobody: `latestCommitted` skips unmarked claims while
+  * a fresh writer claims the next free slot).
+  *
+  * Scale notes (100 TB): the per-version materialized snapshot is
+  * the fixture-scale stand-in for file-level copy-on-write — a real
+  * table format rewrites only the files a delta touches and stores
+  * per-file min/max+bloom stats; the written-keys meta here plays
+  * that stats role for conflict checks, and the claim/marker pair is
+  * byte-for-byte the atomic-rename commit protocol those formats use
+  * on object stores. Deltas stay keyed and bounded by the
+  * transaction (shuffle sized by the change, not the table).
+  */
+object TxnLog {
+
+  /** Per-commit metadata: the version, the snapshot version the
+    * writer read, and the keys the commit wrote (upserts + deletes). */
+  final case class CommitMeta(version: Long, readVersion: Long,
+      writtenKeys: Set[Long])
+
+  /** Transaction outcome statistics for one `commit` call. */
+  final case class TxnStats(version: Long, attempts: Int, conflicts: Int)
+
+  final class Conflict(msg: String) extends RuntimeException(msg)
+
+  private def logDir(root: String): File = new File(root, "_txn_log")
+
+  private def metaFile(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.meta")
+  private def claimFile(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.claim")
+  private def commitMarker(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.commit")
+
+  def init(root: String): Unit = { logDir(root).mkdirs(); () }
+
+  /** Largest version whose commit marker exists; -1 for an empty
+    * table. Claims without markers (in-flight or crashed writers)
+    * are invisible. */
+  def latestCommitted(root: String): Long = {
+    val files = Option(logDir(root).listFiles()).getOrElse(Array.empty)
+    val committed = files.filter(_.getName.endsWith(".commit"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".commit").toLong)
+    if (committed.isEmpty) -1L else committed.max
+  }
+
+  /** Time travel: the materialized snapshot as of `version`.
+    * Columns: key LONG, value LONG. */
+  def read(spark: SparkSession, root: String, version: Long): DataFrame = {
+    require(version >= 0 && commitMarker(root, version).exists(),
+      s"version $version does not exist or is uncommitted")
+    spark.read.parquet(s"$root/snapshot_v$version")
+  }
+
+  def readMeta(root: String, version: Long): CommitMeta = {
+    val lines = new String(
+      Files.readAllBytes(metaFile(root, version).toPath),
+      StandardCharsets.UTF_8).linesIterator.toSeq
+    CommitMeta(lines.head.toLong, lines(1).toLong,
+      lines.drop(2).map(_.toLong).toSet)
+  }
+
+  private def writeMeta(root: String, meta: CommitMeta): Unit = {
+    val body = (Seq(meta.version.toString, meta.readVersion.toString) ++
+      meta.writtenKeys.toSeq.sorted.map(_.toString)).mkString("\n")
+    Files.write(metaFile(root, meta.version).toPath,
+      body.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Apply a keyed delta (key, value, op ∈ upsert|delete) to a
+    * snapshot (key, value): upserts replace, deletes remove,
+    * untouched keys carry over. */
+  def applyDelta(snapshot: DataFrame, delta: DataFrame): DataFrame = {
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    snapshot.as("s").join(delta.as("d"), Seq("key"), "full_outer")
+      .filter(coalesce($"d.op", lit("upsert")) =!= "delete")
+      .select($"key",
+        coalesce($"d.value", $"s.value").as("value"))
+  }
+
+  /** One optimistic transaction. `txn` maps the base snapshot to
+    * (delta, readKeys): the delta to commit and the keys the
+    * transaction's result DEPENDS on (its read set). Loops:
+    * read latest → build → claim; on a lost claim, validates the
+    * read set against every intervening commit's written keys —
+    * rebase (reuse the delta) when disjoint, full re-run when
+    * overlapping (the lost update that blind last-writer-wins would
+    * silently absorb). `barrier`, when set, is awaited between
+    * snapshot read and claim — the test hook that forces two writers
+    * into a genuine race deterministically. */
+  def commit(spark: SparkSession, root: String,
+      txn: DataFrame => (DataFrame, Set[Long]),
+      barrier: Option[java.util.concurrent.CyclicBarrier] = None,
+      maxAttempts: Int = 10): TxnStats = {
+    var attempts = 0
+    var conflicts = 0
+    var pending: Option[(DataFrame, Set[Long], Long)] = None // delta, readKeys, builtAt
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val base = latestCommitted(root)
+      val pair: (DataFrame, Set[Long]) = pending match {
+        case Some((d, rk, builtAt)) =>
+          // rebase path: the delta was built at `builtAt`; valid iff
+          // no commit in (builtAt, base] wrote into our read set
+          val clash = ((builtAt + 1) to base).exists(v =>
+            readMeta(root, v).writtenKeys.exists(rk.contains))
+          if (clash) {
+            conflicts += 1
+            pending = None
+            val snap =
+              if (base < 0) emptySnapshot(spark)
+              else read(spark, root, base)
+            val built = txn(snap)
+            pending = Some((built._1, built._2, base))
+            built
+          } else (d, rk)
+        case None =>
+          val snap =
+            if (base < 0) emptySnapshot(spark)
+            else read(spark, root, base)
+          val built = txn(snap)
+          pending = Some((built._1, built._2, base))
+          built
+      }
+      val delta = pair._1
+      val readKeys = pair._2
+      // the race-pinning hook trips once, on the writers' FIRST
+      // attempts — a retrying loser must not wait on a partner that
+      // already committed and left
+      if (attempts == 1) barrier.foreach(_.await())
+      val v = latestCommitted(root) + 1
+      if (claimFile(root, v).createNewFile()) {
+        // we own version v; validate the read set against commits we
+        // did not see when the delta was built
+        val builtAt = pending.get._3
+        val clash = ((builtAt + 1) until v).exists(u =>
+          readMeta(root, u).writtenKeys.exists(readKeys.contains))
+        if (clash) {
+          // release the claim and re-run against the newer snapshot
+          claimFile(root, v).delete()
+          conflicts += 1
+          pending = None
+        } else {
+          val prevSnap =
+            if (v == 0) emptySnapshot(spark)
+            else read(spark, root, v - 1)
+          val keyed = delta.localCheckpoint(true)
+          applyDelta(prevSnap, keyed).write.mode("overwrite")
+            .parquet(s"$root/snapshot_v$v")
+          keyed.write.mode("overwrite").parquet(s"$root/delta_v$v")
+          writeMeta(root, CommitMeta(v, builtAt, pending.get._2))
+          commitMarker(root, v).createNewFile()
+          return TxnStats(v, attempts, conflicts)
+        }
+      }
+      else {
+        // lost the claim: wait for its owner to finish (marker) or
+        // release (claim gone) rather than burning attempts spinning
+        val t0 = System.nanoTime()
+        while (claimFile(root, v).exists() &&
+            !commitMarker(root, v).exists() &&
+            (System.nanoTime() - t0) < 30e9.toLong)
+          Thread.sleep(20)
+      }
+      // loop re-validates against the new latest and retries
+    }
+    throw new Conflict(s"gave up after $maxAttempts attempts")
+  }
+
+  def emptySnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("key", "value")
+  }
+
+  /** Remove a table root recursively (test/operator scratch). */
+  def destroy(root: String): Unit = {
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new File(root))
+  }
+}

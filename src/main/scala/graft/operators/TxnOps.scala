@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.util.concurrent.CyclicBarrier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Tables, TxnLog}
+
+/** Transactional-table operators over [[graft.engine.TxnLog]] — the
+  * lakehouse capabilities plain versioned parquet lacks: optimistic
+  * multi-writer commits with lost-update rejection, and time-travel
+  * reads of any committed version.
+  *
+  * Both keys are DETERMINISTIC under true concurrency: the racing
+  * writers' updates are per-key COUNT increments (commutative,
+  * integer), so whichever writer wins the claim race, the committed
+  * end state is the same — which is exactly what lets a DuckDB
+  * oracle check a genuinely multi-threaded commit race. A
+  * CyclicBarrier forces both writers to build against the same base
+  * version, so the conflict path (one writer rejected and re-run) is
+  * exercised on every execution, not just under lucky scheduling. */
+object TxnOps {
+
+  private def scratch(spark: SparkSession, sfDir: String,
+      tag: String): String = {
+    val id = (spark.sparkContext.applicationId + sfDir + tag)
+      .replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_txn_$id").getAbsolutePath
+  }
+
+  /** Per-user event-type counts — the commit payloads. */
+  private def typeCounts(spark: SparkSession, sfDir: String,
+      eventType: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === eventType)
+      .groupBy($"user_id".as("key"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** An additive transaction: reads the base snapshot, adds this
+    * event type's per-user counts to the stored balances (insert
+    * where absent). Read set = the keys it is about to write (the
+    * read-modify-write set). */
+  private def addCounts(spark: SparkSession, sfDir: String,
+      eventType: String)(base: DataFrame): (DataFrame, Set[Long]) = {
+    import spark.implicits._
+    val inc = typeCounts(spark, sfDir, eventType)
+    val delta = base.as("s").join(inc.as("d"), Seq("key"), "right")
+      .select($"key",
+        (coalesce($"s.value", lit(0L)) + $"d.cnt").as("value"),
+        lit("upsert").as("op"))
+    val keys = inc.select($"key").collect().map(_.getLong(0)).toSet
+    (delta, keys)
+  }
+
+  /** Two concurrent writers race one table: both read version 0 (a
+    * barrier pins the interleaving), writer A adds per-user 'view'
+    * counts, writer B adds 'purchase' counts — overlapping key sets,
+    * so the claim loser's read-set validation REJECTS its stale
+    * delta and re-runs against the winner's snapshot. Final state ≡
+    * serial application (commutative increments); the oracle is that
+    * serial query. Emitted per row: the converged balances plus the
+    * log's version count (base + 2 commits) and the total conflict
+    * re-runs (exactly 1 — the loser), proving the OCC path ran. */
+  def txnCommit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "commit")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    // version 0: per-user 'click' counts as the base balances
+    val s0 = TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    require(s0.version == 0L, s"base commit landed at ${s0.version}")
+    val barrier = new CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String,
+      TxnLog.TxnStats]()
+    val threads = Seq("view" -> "A", "purchase" -> "B").map {
+      case (et, name) =>
+        new Thread(() => {
+          results.put(name,
+            TxnLog.commit(spark, root, addCounts(spark, sfDir, et),
+              barrier = Some(barrier)))
+        }, s"txn-writer-$name")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val stats = results.values()
+    require(stats.size == 2, "a writer failed to commit")
+    val it = stats.iterator()
+    var conflicts = 0
+    while (it.hasNext) conflicts += it.next().conflicts
+    val latest = TxnLog.latestCommitted(root)
+    TxnLog.read(spark, root, latest)
+      .select($"key".as("user_id"), $"value".as("balance"),
+        lit(latest + 1).cast("long").as("n_versions"),
+        lit(conflicts).cast("long").as("n_conflicts"))
+      .orderBy($"user_id")
+  }
+
+  val txnCommitSql: String =
+    """WITH counts AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |      + CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+      |      + CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |      AS balance
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view', 'purchase')
+      |  GROUP BY user_id)
+      |SELECT user_id, balance, CAST(3 AS BIGINT) AS n_versions,
+      |  CAST(1 AS BIGINT) AS n_conflicts
+      |FROM counts ORDER BY user_id""".stripMargin
+
+  /** Four serial commits, then a read pinned at version 2: v0 adds
+    * 'click' counts, v1 'view', v2 'purchase', v3 DELETES every user
+    * who ever hit an 'error' — and the time-travel read of v2 must
+    * not see v3's deletes (nor miss v0–v2's adds). The oracle is the
+    * three-type serial aggregate with no delete filter; latest-​version
+    * bookkeeping rides along so the query also pins that v3 exists. */
+  def txnTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "tt")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    Seq("click", "view", "purchase").foreach { et =>
+      TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
+    }
+    // v3: delete error-tainted users
+    TxnLog.commit(spark, root, { base =>
+      val errs = Tables.events(spark, sfDir)
+        .filter($"event_type" === "error")
+        .select($"user_id".as("key")).distinct()
+      val delta = errs
+        .select($"key", lit(0L).as("value"), lit("delete").as("op"))
+      (delta, errs.collect().map(_.getLong(0)).toSet)
+    })
+    val latest = TxnLog.latestCommitted(root)
+    TxnLog.read(spark, root, 2L)
+      .select($"key".as("user_id"), $"value".as("balance"),
+        lit(2L).as("read_version"), lit(latest).cast("long").as("latest_version"))
+      .orderBy($"user_id")
+  }
+
+  val txnTimeTravelSql: String =
+    """WITH counts AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view', 'purchase')
+      |  GROUP BY user_id)
+      |SELECT user_id, balance, CAST(2 AS BIGINT) AS read_version,
+      |  CAST(3 AS BIGINT) AS latest_version
+      |FROM counts ORDER BY user_id""".stripMargin
+}
