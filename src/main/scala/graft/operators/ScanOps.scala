@@ -32,6 +32,40 @@ object ScanOps {
   val scanParquetSql: String =
     "SELECT * FROM lineitem ORDER BY ALL"
 
+  /** The same pruned-and-filtered aggregate, resolved through the
+    * [[graft.sources.GraftCatalog]] SQL identifier instead of a
+    * path — the catalog rung of the extension ladder. The catalog
+    * returns Spark's standard parquet table, so the scan KEEPS
+    * filter pushdown and column pruning (CatalogSpec pins pushed
+    * filters + a 3-column read schema and proves the result is
+    * byte-identical to the path-based twin below); the oracle is the
+    * same relational query. */
+  def catalogScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.register(spark)
+    catalogAgg(
+      spark.table(graft.sources.GraftCatalog.ident(sfDir, "lineitem")))
+  }
+
+  /** Path-based twin of [[catalogScan]] — the differential partner. */
+  def catalogScanPathTwin(spark: SparkSession, sfDir: String): DataFrame =
+    catalogAgg(Tables.lineitem(spark, sfDir))
+
+  private def catalogAgg(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    import graft.engine.Exact._
+    li.filter($"l_returnflag" === "R")
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n"), xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_linestatus")
+  }
+
+  val catalogScanSql: String =
+    s"""SELECT l_linestatus, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE l_returnflag = 'R'
+       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** Column-pruned scan — Catalyst pushes the 3-column projection into
     * the parquet reader (ReadSchema shows only these columns). */
   def scanProjection(spark: SparkSession, sfDir: String): DataFrame = {
