@@ -95,6 +95,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     resolved.keys.filter(k =>
       k.startsWith(f.getAbsolutePath + "|") && k != key)
       .foreach(resolved.remove)
+    // hard cap: re-resolving is one footer read, so on overflow the
+    // whole map resets rather than growing with every directory a
+    // long session ever touched
+    if (resolved.size > 256) resolved.clear()
     resolved.getOrElseUpdate(key,
       ParquetTable(
         s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",

@@ -44,7 +44,10 @@ object StreamOps {
   private val replayCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Ev]]
 
-  private def replayRows(spark: SparkSession, sfDir: String): Seq[Ev] = {
+  /** Test hook: live replay-cache scopes. */
+  private[graft] def replayCacheScopes: Seq[String] = replayCache.keys.toSeq
+
+  private[graft] def replayRows(spark: SparkSession, sfDir: String): Seq[Ev] = {
     val scope = s"${spark.sparkContext.applicationId}|$sfDir"
     replayCache.keys.filter(_ != scope).foreach(replayCache.remove)
     replayCache.getOrElseUpdate(scope, {
