@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-curve harness (test scope, not shipped): measures the two
+  * headline custom operators against SYNTHETIC row counts the V2
+  * source generates closed-form, so the 100 TB design claims become
+  * measured exponents using only in-sandbox machinery.
+  *
+  *  - native TopKPerKey (partial/final heap exec) over K keys
+  *  - the banded-LSH candidate join core: equi-join on (band, bucket)
+  *    with occupancy held CONSTANT as rows grow (buckets ∝ rows) —
+  *    the invariant that makes banded dedup linear instead of
+  *    quadratic
+  *
+  * Run: sbt "Test/runMain graft.ProfileScaleCurve"
+  * Prints one line per (operator, rows): seconds (min of 2 reps) and
+  * the log-log slope vs the previous point. Numbers land in
+  * BASELINE.md §scale-curves.
+  */
+object ProfileScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def synth(rows: Long, buckets: Int) =
+      spark.read.format(classOf[graft.sources.SynthSource].getName)
+        .option("rows", rows.toString)
+        .option("buckets", buckets.toString).load()
+
+    spark.range(2000000).selectExpr("sum(id)").count() // JVM warm-up
+
+    def minTime(reps: Int)(f: => Long): (Double, Long) = {
+      var best = Double.MaxValue; var n = 0L
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        n = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, n)
+    }
+
+    val scales = Seq(1000000L, 10000000L, 100000000L)
+
+    println("== native TopKPerKey: top-10 per key by value desc, 1024 keys ==")
+    var prev: Option[(Long, Double)] = None
+    scales.foreach { rows =>
+      val (sec, n) = minTime(2) {
+        graft.plans.TopKPerKey.topK(
+          synth(rows, 1024), Seq("bucket"),
+          Seq(("value", false), ("id", true)), 10).count()
+      }
+      val slope = prev.map { case (r0, s0) =>
+        math.log(sec / s0) / math.log(rows.toDouble / r0)
+      }
+      println(f"topk rows=$rows%11d  sec=$sec%8.3f  out=$n%7d" +
+        slope.map(s => f"  slope=$s%5.2f").getOrElse(""))
+      prev = Some((rows, sec))
+    }
+
+    println("== banded-LSH candidate join: 4 bands, occupancy ~8/bucket ==")
+    prev = None
+    scales.foreach { rows =>
+      // buckets ∝ rows keeps expected occupancy constant (the LSH
+      // invariant); bval from the source's uniform value column
+      val nBuckets = math.max(1L, rows / 8)
+      val (sec, n) = minTime(2) {
+        val bands = synth(rows, 32)
+          .select($"id", ($"id" % 4).cast("int").as("band"),
+            floor($"value" * nBuckets).cast("long").as("bval"))
+        bands.as("x").join(bands.as("y"),
+            $"x.band" === $"y.band" && $"x.bval" === $"y.bval" &&
+              $"x.id" < $"y.id")
+          .count()
+      }
+      val slope = prev.map { case (r0, s0) =>
+        math.log(sec / s0) / math.log(rows.toDouble / r0)
+      }
+      println(f"lshjoin rows=$rows%11d  sec=$sec%8.3f  pairs=$n%9d" +
+        slope.map(s => f"  slope=$s%5.2f").getOrElse(""))
+      prev = Some((rows, sec))
+    }
+    spark.stop()
+  }
+}
