@@ -754,6 +754,64 @@ object SnapshotOps {
       |    AS n_error_recovery
       |FROM seqs ORDER BY user_id""".stripMargin
 
+  /** [[eventsPattern]] promoted to the reusable MATCH_RECOGNIZE
+    * operator ([[graft.plans.MatchRecognize]]): the view→clicks→
+    * purchase funnel as DEFINE variables + PATTERN `V C* P` with
+    * AFTER MATCH SKIP PAST LAST ROW, emitting ONE ROW PER MATCH with
+    * positional and per-variable measures — match number, 1-based
+    * first/last row positions in the user's (ts, event_id) order,
+    * matched-row count, and CLASSIFIER() counts per variable. The
+    * oracle reconstructs every match position in SQL from the
+    * regexp-split/extract pair (separator-length prefix sums), so
+    * the operator's leftmost-greedy, non-overlapping walk is checked
+    * match-by-match, position-by-position. Overlap mode (SKIP TO
+    * NEXT ROW) is spec-pinned on crafted sequences. */
+  def matchRecognize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.MatchRecognize(
+      Tables.events(spark, sfDir),
+      partitionBy = "user_id",
+      orderBy = Seq("ts", "event_id"),
+      define = Seq(
+        "V" -> ($"event_type" === "view"),
+        "C" -> ($"event_type" === "click"),
+        "P" -> ($"event_type" === "purchase")),
+      pattern = "V C* P")
+      .orderBy($"user_id", $"match_no")
+  }
+
+  val matchRecognizeSql: String =
+    """WITH coded AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE event_type WHEN 'view' THEN 'a' WHEN 'click' THEN 'b'
+      |      WHEN 'purchase' THEN 'c' ELSE '0' END AS code
+      |  FROM events),
+      |seqs AS (
+      |  SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq
+      |  FROM coded GROUP BY user_id),
+      |split AS (
+      |  SELECT user_id,
+      |    regexp_extract_all(seq, 'ab*c') AS ms,
+      |    regexp_split_to_array(seq, 'ab*c') AS seps
+      |  FROM seqs),
+      |idx AS (
+      |  SELECT user_id, ms, seps, CAST(i.range AS INTEGER) AS match_no
+      |  FROM split, range(1, 1001) i WHERE i.range <= len(ms)),
+      |pos AS (
+      |  SELECT user_id, match_no, ms[match_no] AS mt,
+      |    CAST(COALESCE(list_sum(list_transform(seps[1:match_no],
+      |        x -> length(x))), 0)
+      |      + COALESCE(list_sum(list_transform(ms[1:match_no - 1],
+      |        x -> length(x))), 0) + 1 AS INTEGER) AS first_row
+      |  FROM idx)
+      |SELECT user_id, match_no, first_row,
+      |  CAST(first_row + length(mt) - 1 AS INTEGER) AS last_row,
+      |  CAST(length(mt) AS INTEGER) AS n_rows,
+      |  CAST(length(mt) - length(replace(mt, 'a', '')) AS INTEGER) AS n_v,
+      |  CAST(length(mt) - length(replace(mt, 'b', '')) AS INTEGER) AS n_c,
+      |  CAST(length(mt) - length(replace(mt, 'c', '')) AS INTEGER) AS n_p
+      |FROM pos ORDER BY user_id, match_no""".stripMargin
+
   /** Interval length each event projects: 30 minutes, in µs. */
   private val IV_DUR_US = 30L * 60 * 1000000
 

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.MatchRecognize
+
+/** Row-pattern semantics on crafted sequences: skip modes, greedy
+  * leftmost matching, undefined-row breaks, measures, errors. */
+class MatchRecognizeSpec extends SparkSpec {
+
+  private def seqDf(s: String) = {
+    import spark.implicits._
+    s.zipWithIndex.map { case (c, i) => (1L, i.toLong, c.toString) }
+      .toDF("u", "i", "t")
+  }
+
+  private def run(s: String, pattern: String,
+      skip: MatchRecognize.AfterMatchSkip = MatchRecognize.SkipPastLastRow) = {
+    import spark.implicits._
+    MatchRecognize(seqDf(s), "u", Seq("i"),
+      Seq("V" -> ($"t" === "v"), "C" -> ($"t" === "c"),
+        "P" -> ($"t" === "p")),
+      pattern, skip)
+      .orderBy($"match_no")
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))) // (no, first, last)
+      .toSeq
+  }
+
+  test("leftmost-greedy non-overlapping matches with exact positions") {
+    // vccp | vp | (x breaks) | vp
+    assert(run("vccpvpxvp", "V C* P") ==
+      Seq((1, 1, 4), (2, 5, 6), (3, 8, 9)))
+  }
+
+  test("greediness: C* consumes the whole click run") {
+    assert(run("vcccccp", "V C* P") == Seq((1, 1, 7)))
+  }
+
+  test("SKIP TO NEXT ROW yields overlapping matches") {
+    assert(run("cccc", "C C") == Seq((1, 1, 2), (2, 3, 4)))
+    assert(run("cccc", "C C", MatchRecognize.SkipToNextRow) ==
+      Seq((1, 1, 2), (2, 2, 3), (3, 3, 4)))
+  }
+
+  test("rows defined by no variable hard-break patterns") {
+    assert(run("vxp", "V P") == Seq.empty, "filler row must break V P")
+    assert(run("vp", "V P") == Seq((1, 1, 2)))
+  }
+
+  test("alternation and quantified groups work as regex composition") {
+    assert(run("vpcp", "(V | C) P") == Seq((1, 1, 2), (2, 3, 4)))
+    assert(run("vcvcp", "(V C){2} P") == Seq((1, 1, 5)))
+  }
+
+  test("per-variable CLASSIFIER counts are exact") {
+    import spark.implicits._
+    val row = MatchRecognize(seqDf("vccp"), "u", Seq("i"),
+      Seq("V" -> ($"t" === "v"), "C" -> ($"t" === "c"),
+        "P" -> ($"t" === "p")), "V C* P").collect()(0)
+    assert(row.getAs[Int]("n_rows") == 4)
+    assert(row.getAs[Int]("n_v") == 1)
+    assert(row.getAs[Int]("n_c") == 2)
+    assert(row.getAs[Int]("n_p") == 1)
+  }
+
+  test("an undefined pattern variable fails loudly") {
+    intercept[IllegalArgumentException](run("vp", "V Q"))
+  }
+
+  test("multiple partitions match independently") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, "v"), (1L, 1L, "p"), (2L, 0L, "v"),
+      (2L, 1L, "c"), (2L, 2L, "p")).toDF("u", "i", "t")
+    val out = MatchRecognize(df, "u", Seq("i"),
+      Seq("V" -> ($"t" === "v"), "C" -> ($"t" === "c"),
+        "P" -> ($"t" === "p")), "V C* P")
+      .orderBy($"u").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(4))).toSeq ==
+      Seq((1L, 2), (2L, 3))) // (user, n_rows)
+  }
+}
