@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.engine.{BmpCodec, Tables}
+import graft.engine.{BmpCodec, Tables, WavCodec}
 
 /** Multimodal-column plumbing (north-star surface): media assets as
   * opaque `binary` payloads + typed metadata, with decode /
@@ -407,6 +407,179 @@ object MultimodalOps {
        |    AS BIGINT) AS b3,
        |  CAST(SUM(bit) AS INTEGER) AS n_set
        |FROM bits GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ───────────────────────── audio (WAV PCM) ─────────────────────────
+
+  /** Audio dims from doc_id: 800..1584 frames, mono/stereo, 8 kHz. */
+  private[graft] def audFrames(d: Long): Int = (800 + (d % 50) * 16).toInt
+  private[graft] def audChannels(d: Long): Int = (1 + d % 2).toInt
+  private val AUD_RATE = 8000
+
+  /** Deterministic PCM16 samples: frame f, channel c ↦
+    * ((f·(c+2) + seed) mod 4001) − 2000 — integer, ±2000, and
+    * evaluated verbatim by DuckDB. */
+  private[graft] def synthSamples(seed: Long, frames: Int,
+      channels: Int): Array[Short] = {
+    val out = new Array[Short](frames * channels)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        out(f * channels + c) =
+          (((f.toLong * (c + 2) + seed) % 4001) - 2000).toShort
+        c += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Audio asset table: one real 16-bit PCM WAV per document row —
+    * the [[images]] pattern for the audio modality ([[WavCodec]]
+    * writes a genuine RIFF/WAVE file). */
+  def audio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = RowEncoder.encoderFor(imageSchema) // (doc_id, payload)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", expr(SEED_EXPR).as("seed"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          Row(d, WavCodec.encode(AUD_RATE, audChannels(d),
+            synthSamples(r.getLong(1), audFrames(d), audChannels(d))))
+        }
+      }(enc)
+  }
+
+  private val audioDecodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("sum_ch0", LongType),
+    StructField("sum_abs_ch0", LongType),
+    StructField("n_zero_cross_ch0", LongType),
+    StructField("first_sample", IntegerType)))
+
+  /** Real WAV parse + per-clip signal stats: channel-0 sum, absolute
+    * sum (energy proxy), zero-crossing count (the classic
+    * voiced/unvoiced feature), and the clip's first sample (an
+    * interleave/offset detector — a parser that misreads the chunk
+    * walk or channel stride reports a different short). The oracle
+    * recomputes all of it from the closed-form sample formula, so
+    * the encoder's RIFF layout and the decoder's chunk walk are both
+    * byte-checked. Map-side; payloads never shuffle. */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = RowEncoder.encoderFor(audioDecodedSchema)
+    audio(spark, sfDir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val wav = WavCodec.decode(r.getAs[Array[Byte]](1))
+          val frames = wav.samples.length / wav.channels
+          var sum = 0L; var sabs = 0L; var zc = 0L
+          var prevNeg = false
+          var f = 0
+          while (f < frames) {
+            val s = wav.samples(f * wav.channels).toLong
+            sum += s
+            sabs += math.abs(s)
+            val neg = s < 0
+            if (f > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            f += 1
+          }
+          Row(r.getLong(0), wav.sampleRate, wav.channels, frames.toLong,
+            WavCodec.fileSize(wav.samples.length), sum, sabs, zc,
+            wav.samples(0).toInt)
+        }
+      }(enc)
+      .orderBy($"doc_id")
+  }
+
+  val audioDecodeSql: String =
+    s"""WITH $oracleDims,
+       |aud AS (
+       |  SELECT doc_id, seed,
+       |    CAST(800 + (doc_id % 50) * 16 AS BIGINT) AS n_frames,
+       |    CAST(1 + doc_id % 2 AS INTEGER) AS channels
+       |  FROM dims),
+       |smp AS (
+       |  SELECT doc_id, n_frames, channels,
+       |    CAST(i.range AS BIGINT) AS f,
+       |    (i.range * 2 + seed) % 4001 - 2000 AS s0
+       |  FROM aud, range(0, 1584) i WHERE i.range < n_frames),
+       |lagged AS (
+       |  SELECT doc_id, f, s0,
+       |    lag(s0) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+       |  FROM smp),
+       |zc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN f > 0 AND (s0 < 0) <> (prev < 0)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross_ch0,
+       |    CAST(SUM(s0) AS BIGINT) AS sum_ch0,
+       |    CAST(SUM(abs(s0)) AS BIGINT) AS sum_abs_ch0
+       |  FROM lagged GROUP BY doc_id)
+       |SELECT a.doc_id, CAST($AUD_RATE AS INTEGER) AS sample_rate, a.channels,
+       |  a.n_frames,
+       |  CAST(44 + 2 * a.n_frames * a.channels AS INTEGER) AS n_bytes,
+       |  z.sum_ch0, z.sum_abs_ch0, z.n_zero_cross_ch0,
+       |  CAST(seed % 4001 - 2000 AS INTEGER) AS first_sample
+       |FROM aud a JOIN zc z ON a.doc_id = z.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
+  private val audioResampleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("in_frames", LongType),
+    StructField("out_frames", LongType),
+    StructField("out_rate", IntegerType),
+    StructField("out_sum_ch0", LongType)))
+
+  /** Decimation resample (keep every 3rd frame) RUN FOR REAL on the
+    * decoded samples; the oracle sums the closed-form samples at the
+    * kept frame indices, so wrong stride / off-by-one frame selection
+    * mismatches. */
+  def audioResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = RowEncoder.encoderFor(audioResampleSchema)
+    audio(spark, sfDir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val wav = WavCodec.decode(r.getAs[Array[Byte]](1))
+          val inFrames = wav.samples.length / wav.channels
+          val out = WavCodec.decimate(wav, 3)
+          val outFrames = out.samples.length / out.channels
+          var sum = 0L
+          var f = 0
+          while (f < outFrames) {
+            sum += out.samples(f * out.channels).toLong
+            f += 1
+          }
+          Row(r.getLong(0), inFrames.toLong, outFrames.toLong,
+            out.sampleRate, sum)
+        }
+      }(enc)
+      .orderBy($"doc_id")
+  }
+
+  val audioResampleSql: String =
+    s"""WITH $oracleDims,
+       |aud AS (
+       |  SELECT doc_id, seed,
+       |    CAST(800 + (doc_id % 50) * 16 AS BIGINT) AS n_frames
+       |  FROM dims),
+       |kept AS (
+       |  SELECT doc_id, n_frames,
+       |    (i.range * 3 * 2 + seed) % 4001 - 2000 AS s0
+       |  FROM aud, range(0, 528) i
+       |  WHERE i.range * 3 < n_frames)
+       |SELECT doc_id, n_frames AS in_frames,
+       |  CAST((n_frames + 2) // 3 AS BIGINT) AS out_frames,
+       |  CAST(${AUD_RATE / 3} AS INTEGER) AS out_rate,
+       |  CAST(SUM(s0) AS BIGINT) AS out_sum_ch0
+       |FROM kept GROUP BY doc_id, n_frames
        |ORDER BY doc_id""".stripMargin
 
   /** Content-addressed asset dedup — the CAS-storage step of a

@@ -119,23 +119,40 @@ object TxnOps {
     * not see v3's deletes (nor miss v0–v2's adds). The oracle is the
     * three-type serial aggregate with no delete filter; latest-​version
     * bookkeeping rides along so the query also pins that v3 exists. */
+  /** Build (once per application+sfDir) the 4-version demo table:
+    * v0 'click' adds, v1 'view', v2 'purchase', v3 deletes of
+    * error-tainted users. Shared by the time-travel key and the
+    * catalog `VERSION AS OF` key. */
+  private val ttBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ttTable(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val scope = s"${spark.sparkContext.applicationId}|$sfDir"
+    ttBuilt.keys.filter(_ != scope).foreach(ttBuilt.remove)
+    ttBuilt.getOrElseUpdate(scope, {
+      val root = scratch(spark, sfDir, "tt")
+      TxnLog.destroy(root)
+      TxnLog.init(root)
+      Seq("click", "view", "purchase").foreach { et =>
+        TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
+      }
+      // v3: delete error-tainted users
+      TxnLog.commit(spark, root, { base =>
+        val errs = Tables.events(spark, sfDir)
+          .filter($"event_type" === "error")
+          .select($"user_id".as("key")).distinct()
+        val delta = errs
+          .select($"key", lit(0L).as("value"), lit("delete").as("op"))
+        (delta, errs.collect().map(_.getLong(0)).toSet)
+      })
+      root
+    })
+  }
+
   def txnTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val root = scratch(spark, sfDir, "tt")
-    TxnLog.destroy(root)
-    TxnLog.init(root)
-    Seq("click", "view", "purchase").foreach { et =>
-      TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
-    }
-    // v3: delete error-tainted users
-    TxnLog.commit(spark, root, { base =>
-      val errs = Tables.events(spark, sfDir)
-        .filter($"event_type" === "error")
-        .select($"user_id".as("key")).distinct()
-      val delta = errs
-        .select($"key", lit(0L).as("value"), lit("delete").as("op"))
-      (delta, errs.collect().map(_.getLong(0)).toSet)
-    })
+    val root = ttTable(spark, sfDir)
     val latest = TxnLog.latestCommitted(root)
     TxnLog.read(spark, root, 2L)
       .select($"key".as("user_id"), $"value".as("balance"),
@@ -152,4 +169,43 @@ object TxnOps {
       |SELECT user_id, balance, CAST(2 AS BIGINT) AS read_version,
       |  CAST(3 AS BIGINT) AS latest_version
       |FROM counts ORDER BY user_id""".stripMargin
+
+  /** The same pinned-version read issued through SQL: the
+    * transaction-log table resolves via [[graft.sources.GraftCatalog]]
+    * (a `_txn_log` directory is a catalog table whose unversioned
+    * read is the latest committed snapshot) and `VERSION AS OF 2`
+    * routes to `loadTable(ident, version)` — Spark's native time-
+    * travel syntax backed by the engine's own log. The default read
+    * rides along (`latest_balance`, NULL for users v3 deleted),
+    * proving the two resolutions hit different snapshots of one
+    * table in one query. */
+  def txnCatalogRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = ttTable(spark, sfDir)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty)
+    val ident = (graft.sources.GraftCatalog.NAME +: parts.toSeq)
+      .map(p => s"`$p`").mkString(".")
+    spark.sql(
+      s"""SELECT v2.key AS user_id, v2.value AS balance,
+         |  latest.value AS latest_balance
+         |FROM $ident VERSION AS OF 2 v2
+         |LEFT JOIN $ident latest ON v2.key = latest.key
+         |ORDER BY user_id""".stripMargin)
+  }
+
+  val txnCatalogReadSql: String =
+    """WITH counts AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) FILTER (WHERE event_type IN
+      |      ('click', 'view', 'purchase')) AS BIGINT) AS balance,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+      |      AS n_err
+      |  FROM events
+      |  GROUP BY user_id)
+      |SELECT user_id, balance,
+      |  CASE WHEN n_err > 0 THEN NULL ELSE balance END AS latest_balance
+      |FROM counts
+      |WHERE balance > 0
+      |ORDER BY user_id""".stripMargin
 }

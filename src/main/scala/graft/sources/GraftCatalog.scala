@@ -87,27 +87,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private val resolved = TrieMap.empty[String, Table]
 
-  override def loadTable(ident: Identifier): Table = {
-    val f = fileOf(ident)
-    if (!f.exists()) throw new NoSuchTableException(ident.namespace() :+ ident.name())
-    val key = s"${f.getAbsolutePath}|${fingerprint(dirOf(ident.namespace()), f)}"
-    // drop resolutions of the same path under older fingerprints
-    resolved.keys.filter(k =>
-      k.startsWith(f.getAbsolutePath + "|") && k != key)
-      .foreach(resolved.remove)
-    // hard cap: re-resolving is one footer read, so on overflow the
-    // whole map resets rather than growing with every directory a
-    // long session ever touched
-    if (resolved.size > 256) resolved.clear()
-    resolved.getOrElseUpdate(key,
-      ParquetTable(
-        s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-        SparkSession.active,
-        CaseInsensitiveStringMap.empty(),
-        Seq(f.getAbsolutePath),
-        None,
-        classOf[ParquetFileFormat]))
+  private def parquetTable(ident: Identifier, path: String): Table =
+    ParquetTable(
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      SparkSession.active,
+      CaseInsensitiveStringMap.empty(),
+      Seq(path),
+      None,
+      classOf[ParquetFileFormat])
+
+  /** A name resolving to a [[graft.engine.TxnLog]] table root (a
+    * directory with a `_txn_log`) instead of a plain parquet file. */
+  private def txnRoot(ident: Identifier): Option[File] = {
+    val dir = new File(dirOf(ident.namespace()), ident.name())
+    if (new File(dir, "_txn_log").isDirectory) Some(dir) else None
   }
+
+  override def loadTable(ident: Identifier): Table =
+    txnRoot(ident) match {
+      case Some(root) =>
+        // transactional table: resolve the LATEST committed snapshot
+        // (never cached — the whole point of the log is that latest
+        // moves; snapshot dirs themselves are immutable)
+        val v = graft.engine.TxnLog.latestCommitted(root.getAbsolutePath)
+        if (v < 0)
+          throw new NoSuchTableException(ident.namespace() :+ ident.name())
+        parquetTable(ident, s"$root/snapshot_v$v")
+      case None =>
+        val f = fileOf(ident)
+        if (!f.exists())
+          throw new NoSuchTableException(ident.namespace() :+ ident.name())
+        val key = s"${f.getAbsolutePath}|${fingerprint(dirOf(ident.namespace()), f)}"
+        // drop resolutions of the same path under older fingerprints
+        resolved.keys.filter(k =>
+          k.startsWith(f.getAbsolutePath + "|") && k != key)
+          .foreach(resolved.remove)
+        // hard cap: re-resolving is one footer read, so on overflow
+        // the whole map resets rather than growing with every
+        // directory a long session ever touched
+        if (resolved.size > 256) resolved.clear()
+        resolved.getOrElseUpdate(key, parquetTable(ident, f.getAbsolutePath))
+    }
+
+  /** SQL time travel (`VERSION AS OF n`) for transactional tables:
+    * Spark routes the version literal here; a version is readable
+    * iff its commit marker exists (TxnLog's visibility rule). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    txnRoot(ident) match {
+      case Some(root) =>
+        val v = version.toLong
+        val snap = new File(root, s"snapshot_v$v")
+        val marker = new File(root, s"_txn_log/v$v.commit")
+        if (!marker.exists() || !snap.isDirectory)
+          throw new NoSuchTableException(ident.namespace() :+ ident.name())
+        parquetTable(ident, snap.getAbsolutePath)
+      case None =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: VERSION AS OF is only defined for " +
+            "transactional (_txn_log) tables")
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = dirOf(namespace)
