@@ -78,15 +78,77 @@ object TxnLog {
   def read(spark: SparkSession, root: String, version: Long): DataFrame = {
     require(version >= 0 && commitMarker(root, version).exists(),
       s"version $version does not exist or is uncommitted")
+    require(new File(root, s"snapshot_v$version").isDirectory,
+      s"version $version was vacuumed — its snapshot data is gone " +
+        "(markers/metas remain for audit)")
     spark.read.parquet(s"$root/snapshot_v$version")
   }
 
   def readMeta(root: String, version: Long): CommitMeta = {
-    val lines = new String(
-      Files.readAllBytes(metaFile(root, version).toPath),
-      StandardCharsets.UTF_8).linesIterator.toSeq
-    CommitMeta(lines.head.toLong, lines(1).toLong,
-      lines.drop(2).map(_.toLong).toSet)
+    val f = metaFile(root, version)
+    if (f.exists()) {
+      val lines = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).linesIterator.toSeq
+      CommitMeta(lines.head.toLong, lines(1).toLong,
+        lines.drop(2).map(_.toLong).toSet)
+    } else {
+      // compacted away: serve from the newest checkpoint covering it
+      val ckpt = Option(logDir(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".ckpt"))
+        .map(c => c.getName.stripPrefix("checkpoint_")
+          .stripSuffix(".ckpt").toLong -> c)
+        .filter(_._1 >= version)
+        .sortBy(_._1).headOption
+        .getOrElse(throw new IllegalStateException(
+          s"no meta or checkpoint for version $version"))._2
+      new String(Files.readAllBytes(ckpt.toPath), StandardCharsets.UTF_8)
+        .linesIterator
+        .map(_.split("\\|", -1))
+        .find(_.head.toLong == version)
+        .map(p => CommitMeta(p(0).toLong, p(1).toLong,
+          if (p(2).isEmpty) Set.empty
+          else p(2).split(",").map(_.toLong).toSet))
+        .getOrElse(throw new IllegalStateException(
+          s"version $version missing from checkpoint ${ckpt.getName}"))
+    }
+  }
+
+  /** Log compaction (the Delta checkpoint idea): squash every commit
+    * meta ≤ the latest committed version into ONE checkpoint file and
+    * delete the per-version metas, bounding log-directory file count
+    * for long-lived tables. Read-set validation is unaffected —
+    * [[readMeta]] transparently serves compacted versions from the
+    * checkpoint. Commit markers stay (they are the visibility
+    * source of truth and one byte each). Returns the checkpointed
+    * version. */
+  def checkpoint(root: String): Long = {
+    val v = latestCommitted(root)
+    require(v >= 0, "nothing to checkpoint")
+    val body = (0L to v).map { u =>
+      val m = readMeta(root, u)
+      s"${m.version}|${m.readVersion}|${m.writtenKeys.toSeq.sorted.mkString(",")}"
+    }.mkString("\n")
+    val f = new File(logDir(root), s"checkpoint_$v.ckpt")
+    Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8))
+    // only delete after the checkpoint is durably in place
+    (0L to v).foreach(u => metaFile(root, u).delete())
+    v
+  }
+
+  /** Retention vacuum: delete snapshot + delta data for all versions
+    * older than the last `keepLast` committed ones. Markers and metas
+    * stay (history remains auditable; the data is what storage pays
+    * for) — a time-travel read of a vacuumed version fails with the
+    * descriptive error in [[read]]. Returns the evicted versions. */
+  def vacuum(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val latest = latestCommitted(root)
+    val evict = 0L to (latest - keepLast)
+    evict.foreach { v =>
+      destroyDir(new File(root, s"snapshot_v$v"))
+      destroyDir(new File(root, s"delta_v$v"))
+    }
+    evict
   }
 
   private def writeMeta(root: String, meta: CommitMeta): Unit = {
@@ -204,11 +266,10 @@ object TxnLog {
   }
 
   /** Remove a table root recursively (test/operator scratch). */
-  def destroy(root: String): Unit = {
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new File(root))
+  def destroy(root: String): Unit = destroyDir(new File(root))
+
+  private def destroyDir(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(destroyDir)
+    f.delete(); ()
   }
 }

@@ -170,6 +170,74 @@ object TxnOps {
       |  CAST(3 AS BIGINT) AS latest_version
       |FROM counts ORDER BY user_id""".stripMargin
 
+  /** Incremental view maintenance over the transaction log: a
+    * materialized aggregate view (key count + value sum) maintained
+    * across all versions by applying each commit's DELTA — the full
+    * snapshot is NEVER rescanned. The one table-shaped touch per
+    * version is a key-join of the previous snapshot against the
+    * delta's keys (retraction values for replaced/deleted keys),
+    * which is DELTA-BOUNDED work: at 100 TB with file-level pruning
+    * this reads only the files holding touched keys, the whole point
+    * of IVM. Emits the maintained aggregates per version; the oracle
+    * recomputes each version's view independently from the base
+    * events, so maintained ≡ recomputed is the gate itself. */
+  def txnIvm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = ttTable(spark, sfDir)
+    val latest = TxnLog.latestCommitted(root)
+    var nKeys = 0L
+    var sumValue = 0L
+    val rows = (0L to latest).map { v =>
+      val delta = spark.read.parquet(s"$root/delta_v$v")
+      val prev =
+        if (v == 0) TxnLog.emptySnapshot(spark)
+        else TxnLog.read(spark, root, v - 1)
+      // retractions: old contributions of exactly the touched keys
+      val old = prev.as("s")
+        .join(delta.select($"key").as("d"), Seq("key"))
+        .agg(coalesce(sum($"value"), lit(0L)).as("s"),
+          count(lit(1)).as("n")).collect()(0)
+      val add = delta.filter($"op" === "upsert")
+        .agg(coalesce(sum($"value"), lit(0L)).as("s"),
+          count(lit(1)).as("n")).collect()(0)
+      nKeys = nKeys - old.getLong(1) + add.getLong(1)
+      sumValue = sumValue - old.getLong(0) + add.getLong(0)
+      (v, nKeys, sumValue)
+    }
+    rows.toDF("version", "n_keys", "sum_value").orderBy($"version")
+  }
+
+  val txnIvmSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_c,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_v,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_p,
+      |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_e
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(0 AS BIGINT) AS version,
+      |  CAST(COUNT(*) FILTER (WHERE n_c > 0) AS BIGINT) AS n_keys,
+      |  CAST(COALESCE(SUM(n_c) FILTER (WHERE n_c > 0), 0) AS BIGINT)
+      |    AS sum_value
+      |FROM per_user
+      |UNION ALL SELECT CAST(1 AS BIGINT),
+      |  CAST(COUNT(*) FILTER (WHERE n_c + n_v > 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(n_c + n_v) FILTER (WHERE n_c + n_v > 0), 0)
+      |    AS BIGINT)
+      |FROM per_user
+      |UNION ALL SELECT CAST(2 AS BIGINT),
+      |  CAST(COUNT(*) FILTER (WHERE n_c + n_v + n_p > 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(n_c + n_v + n_p)
+      |    FILTER (WHERE n_c + n_v + n_p > 0), 0) AS BIGINT)
+      |FROM per_user
+      |UNION ALL SELECT CAST(3 AS BIGINT),
+      |  CAST(COUNT(*) FILTER (WHERE n_c + n_v + n_p > 0 AND n_e = 0)
+      |    AS BIGINT),
+      |  CAST(COALESCE(SUM(n_c + n_v + n_p)
+      |    FILTER (WHERE n_c + n_v + n_p > 0 AND n_e = 0), 0) AS BIGINT)
+      |FROM per_user
+      |ORDER BY version""".stripMargin
+
   /** The same pinned-version read issued through SQL: the
     * transaction-log table resolves via [[graft.sources.GraftCatalog]]
     * (a `_txn_log` directory is a catalog table whose unversioned

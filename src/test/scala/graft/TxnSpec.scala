@@ -114,6 +114,55 @@ class TxnSpec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("checkpoint compacts metas; validation still sees old commits") {
+    val root = freshRoot("ckpt")
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Set(1L)))
+    TxnLog.commit(spark, root, incTxn(Seq(1L, 2L), 5L))
+    TxnLog.commit(spark, root, incTxn(Seq(3L), 2L))
+    val before = (0L to 2L).map(TxnLog.readMeta(root, _))
+    assert(TxnLog.checkpoint(root) == 2)
+    val logFiles = new java.io.File(root, "_txn_log").listFiles()
+      .map(_.getName).toSet
+    assert(!logFiles.exists(_.endsWith(".meta")),
+      s"per-version metas must be compacted away: $logFiles")
+    assert(logFiles.count(_.endsWith(".ckpt")) == 1)
+    // compacted metas read back byte-equal
+    assert((0L to 2L).map(TxnLog.readMeta(root, _)) == before)
+    // a commit after the checkpoint still validates against history:
+    // build against v1 (stale) and prove the overlapping v2 commit is
+    // detected through the checkpointed meta
+    val barrier = new CyclicBarrier(2)
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[TxnLog.TxnStats]()
+    val ts = Seq(Seq(3L) -> 1L, Seq(3L) -> 10L).map { case (ks, by) =>
+      new Thread(() => {
+        stats.add(TxnLog.commit(spark, root, incTxn(ks, by),
+          barrier = Some(barrier)))
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(stats.toArray(Array.empty[TxnLog.TxnStats])
+      .map(_.conflicts).sum == 1)
+    assert(state(root)(3L) == 13L)
+    TxnLog.destroy(root)
+  }
+
+  test("vacuum drops old snapshot data but keeps history auditable") {
+    val root = freshRoot("vac")
+    (1 to 4).foreach(i =>
+      TxnLog.commit(spark, root, incTxn(Seq(i.toLong), i.toLong)))
+    assert(TxnLog.vacuum(root, keepLast = 2) == Seq(0L, 1L))
+    // recent versions still read
+    assert(TxnLog.read(spark, root, 3).count() == 4)
+    assert(TxnLog.read(spark, root, 2).count() == 3)
+    // vacuumed versions fail descriptively, metas/markers survive
+    val e = intercept[IllegalArgumentException](
+      TxnLog.read(spark, root, 0))
+    assert(e.getMessage.contains("vacuumed"))
+    assert(TxnLog.readMeta(root, 0).writtenKeys == Set(1L))
+    assert(TxnLog.latestCommitted(root) == 3)
+    TxnLog.destroy(root)
+  }
+
   test("a crashed writer's claim is invisible and does not block progress") {
     val root = freshRoot("crash")
     TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Set(1L)))
