@@ -776,7 +776,8 @@ object SnapshotOps {
         "V" -> ($"event_type" === "view"),
         "C" -> ($"event_type" === "click"),
         "P" -> ($"event_type" === "purchase")),
-      pattern = "V C* P")
+      pattern = "V C* P",
+      measuresFor = Seq("event_id"))
       .orderBy($"user_id", $"match_no")
   }
 
@@ -787,18 +788,19 @@ object SnapshotOps {
       |      WHEN 'purchase' THEN 'c' ELSE '0' END AS code
       |  FROM events),
       |seqs AS (
-      |  SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq
+      |  SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq,
+      |    list(event_id ORDER BY ts, event_id) AS ids
       |  FROM coded GROUP BY user_id),
       |split AS (
-      |  SELECT user_id,
+      |  SELECT user_id, ids,
       |    regexp_extract_all(seq, 'ab*c') AS ms,
       |    regexp_split_to_array(seq, 'ab*c') AS seps
       |  FROM seqs),
       |idx AS (
-      |  SELECT user_id, ms, seps, CAST(i.range AS INTEGER) AS match_no
+      |  SELECT user_id, ids, ms, seps, CAST(i.range AS INTEGER) AS match_no
       |  FROM split, range(1, 1001) i WHERE i.range <= len(ms)),
       |pos AS (
-      |  SELECT user_id, match_no, ms[match_no] AS mt,
+      |  SELECT user_id, ids, match_no, ms[match_no] AS mt,
       |    CAST(COALESCE(list_sum(list_transform(seps[1:match_no],
       |        x -> length(x))), 0)
       |      + COALESCE(list_sum(list_transform(ms[1:match_no - 1],
@@ -809,7 +811,9 @@ object SnapshotOps {
       |  CAST(length(mt) AS INTEGER) AS n_rows,
       |  CAST(length(mt) - length(replace(mt, 'a', '')) AS INTEGER) AS n_v,
       |  CAST(length(mt) - length(replace(mt, 'b', '')) AS INTEGER) AS n_c,
-      |  CAST(length(mt) - length(replace(mt, 'c', '')) AS INTEGER) AS n_p
+      |  CAST(length(mt) - length(replace(mt, 'c', '')) AS INTEGER) AS n_p,
+      |  ids[first_row] AS first_event_id,
+      |  ids[first_row + length(mt) - 1] AS last_event_id
       |FROM pos ORDER BY user_id, match_no""".stripMargin
 
   /** Interval length each event projects: 30 minutes, in µs. */

@@ -54,9 +54,13 @@ object MatchRecognize {
     * variable get [[FILLER]], which no pattern can reference. */
   private val FILLER = '0'
 
+  /** `measuresFor`: columns whose FIRST()/LAST() per-match values are
+    * emitted as `first_<col>` / `last_<col>` (typed from the input
+    * schema) — the SQL:2016 navigation measures. */
   def apply(df: DataFrame, partitionBy: String, orderBy: Seq[String],
       define: Seq[(String, Column)], pattern: String,
-      afterMatch: AfterMatchSkip = SkipPastLastRow): DataFrame = {
+      afterMatch: AfterMatchSkip = SkipPastLastRow,
+      measuresFor: Seq[String] = Nil): DataFrame = {
     require(define.nonEmpty && define.size <= 26, "1..26 variables")
     val spark = df.sparkSession
     import spark.implicits._
@@ -91,24 +95,36 @@ object MatchRecognize {
           StructField("n_rows", IntegerType)) ++:
         define.map { case (n, _) =>
           StructField(s"n_${n.toLowerCase}", IntegerType)
+        } ++:
+        measuresFor.flatMap { c =>
+          val dt = df.schema(c).dataType
+          Seq(StructField(s"first_$c", dt), StructField(s"last_$c", dt))
         })
     val enc = RowEncoder.encoderFor(outSchema)
 
+    // the sorted per-key row array keeps the measure columns so the
+    // kernel can navigate FIRST()/LAST() by match position; struct
+    // field order = orderBy ++ measures ++ code, sorted by the
+    // leading orderBy fields (total order ⇒ measure fields never
+    // influence the sort)
+    val measureOffset = orderBy.size
     val ordered = df
-      .select(col(partitionBy) +: orderBy.map(col) :+
-        codeCol.as("__mr_code"): _*)
+      .select(col(partitionBy) +: orderBy.map(col) ++:
+        measuresFor.map(col) :+ codeCol.as("__mr_code"): _*)
       .groupBy(col(partitionBy))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(
-            orderBy.map(col) :+ col("__mr_code"): _*))),
-          x => x.getField("__mr_code")), "").as("__mr_seq"))
+      .agg(array_sort(collect_list(struct(
+        orderBy.map(col) ++: measuresFor.map(col) :+
+          col("__mr_code"): _*))).as("__mr_rows"))
 
     val chars = define.map { case (n, _) => varChar(n) }
     val overlap = afterMatch == SkipToNextRow
+    val nMeasures = measuresFor.size
     ordered.flatMap { r =>
-      val seq = r.getString(1) // (partition, __mr_seq) — positional:
-      val part = r.get(0)      // post-agg rows may lack name schema
+      val part = r.get(0) // (partition, __mr_rows) — positional
+      val rows = r.getSeq[Row](1)
+      val sb = new java.lang.StringBuilder(rows.size)
+      rows.foreach(x => sb.append(x.getString(measureOffset + nMeasures)))
+      val seq = sb.toString
       val m = javaPattern.matcher(seq)
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       var from = 0
@@ -121,9 +137,13 @@ object MatchRecognize {
           while (i < e) { if (seq.charAt(i) == c) n += 1; i += 1 }
           Int.box(n)
         }
+        val nav = (0 until nMeasures).flatMap { i =>
+          Seq(rows(s).get(measureOffset + i),
+            rows(e - 1).get(measureOffset + i))
+        }
         out += Row.fromSeq(
           part +: Seq(Int.box(matchNo), Int.box(s + 1), Int.box(e),
-            Int.box(e - s)) ++: counts)
+            Int.box(e - s)) ++: counts ++: nav)
         // empty-capable patterns: always advance at least one char
         from = if (overlap) s + 1 else math.max(e, s + 1)
       }

@@ -493,6 +493,102 @@ object StreamOps {
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** STREAMING MATCH_RECOGNIZE (the CEP shape): the batch
+    * [[graft.plans.MatchRecognize]] funnel (`V C* P`, AFTER MATCH
+    * SKIP PAST LAST ROW) evaluated incrementally over the event
+    * stream with flatMapGroupsWithState. Per-user state is the
+    * UNCONSUMED code-char tail plus the cumulative match count;
+    * each batch appends its (event-time-sorted) chunk, emits every
+    * completed match immediately, then trims state twice —
+    * (1) through the last match's end (SKIP PAST LAST ROW consumed
+    * it) and (2) through the last pattern-breaking filler char (a
+    * row no DEFINE accepts can never join a future match) — so
+    * state is bounded by the longest filler-free UNMATCHED run, not
+    * the user's history.
+    *
+    * Immediate emission is exact for ANCHORED-TERMINATOR patterns
+    * (the last pattern token is a bare single-row variable, here P):
+    * once the terminator row arrives the greedy match can never be
+    * extended by later rows, so incremental ≡ global matching and
+    * the batch twin is the oracle. A trailing-quantifier pattern
+    * (`V C*` alone) would need watermark-delayed emission instead —
+    * rejected by construction here, not silently mis-matched. */
+  def streamMatchRecognize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pat = java.util.regex.Pattern.compile("ab*c")
+    runStream(spark, sfDir, OutputMode.Append()) { ds =>
+      ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState[(String, Array[Long], Long),
+          (Long, Long, Long, Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (userId: Long, events: Iterator[Ev],
+              state: GroupState[(String, Array[Long], Long)]) =>
+            var (buf, ids, matchNo) =
+              if (state.exists) state.get else ("", Array.empty[Long], 0L)
+            val chunk = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            buf += chunk.map(e => e.event_type match {
+              case "view" => 'a'
+              case "click" => 'b'
+              case "purchase" => 'c'
+              case _ => '0'
+            }).mkString
+            ids = ids ++ chunk.map(_.event_id)
+            val m = pat.matcher(buf)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long, Long, Long)]
+            var consumed = 0
+            while (m.find()) {
+              matchNo += 1
+              val s = m.start(); val e = m.end()
+              out += ((userId, matchNo, (e - s).toLong,
+                (e - s - 2).toLong, ids(s), ids(e - 1)))
+              consumed = e
+            }
+            // trim: past the last match, then past the last filler
+            var cut = consumed
+            val lastFiller = buf.lastIndexOf('0')
+            if (lastFiller >= cut) cut = lastFiller + 1
+            state.update((buf.substring(cut), ids.drop(cut), matchNo))
+            out.iterator
+        }
+        .toDF("user_id", "match_no", "n_rows", "n_clicks",
+          "first_event_id", "last_event_id")
+    }.orderBy($"user_id", $"match_no")
+  }
+
+  val streamMatchRecognizeSql: String =
+    """WITH coded AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE event_type WHEN 'view' THEN 'a' WHEN 'click' THEN 'b'
+      |      WHEN 'purchase' THEN 'c' ELSE '0' END AS code
+      |  FROM events),
+      |seqs AS (
+      |  SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq,
+      |    list(event_id ORDER BY ts, event_id) AS ids
+      |  FROM coded GROUP BY user_id),
+      |split AS (
+      |  SELECT user_id, ids,
+      |    regexp_extract_all(seq, 'ab*c') AS ms,
+      |    regexp_split_to_array(seq, 'ab*c') AS seps
+      |  FROM seqs),
+      |idx AS (
+      |  SELECT user_id, ids, ms, seps, CAST(i.range AS BIGINT) AS match_no
+      |  FROM split, range(1, 1001) i WHERE i.range <= len(ms)),
+      |pos AS (
+      |  SELECT user_id, ids, match_no, ms[match_no] AS mt,
+      |    COALESCE(list_sum(list_transform(seps[1:CAST(match_no AS INTEGER)],
+      |        x -> length(x))), 0)
+      |      + COALESCE(list_sum(list_transform(
+      |        ms[1:CAST(match_no AS INTEGER) - 1], x -> length(x))), 0)
+      |      + 1 AS first_row
+      |  FROM idx)
+      |SELECT user_id, match_no,
+      |  CAST(length(mt) AS BIGINT) AS n_rows,
+      |  CAST(length(mt) - 2 AS BIGINT) AS n_clicks,
+      |  ids[CAST(first_row AS INTEGER)] AS first_event_id,
+      |  ids[CAST(first_row AS INTEGER) + length(mt) - 1] AS last_event_id
+      |FROM pos ORDER BY user_id, match_no""".stripMargin
+
   /** Per-user (event count, running max) via the Spark 4
     * transformWithState API — typed ValueState on the RocksDB state
     * store provider (transformWithState requires RocksDB; this is also
