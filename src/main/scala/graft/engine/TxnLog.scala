@@ -63,6 +63,20 @@ object TxnLog {
 
   def init(root: String): Unit = { logDir(root).mkdirs(); () }
 
+  private def txnIdFile(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.txn")
+
+  /** The version a given application-level transaction id already
+    * committed as, if any — the Delta `txn` (appId, version) dedup
+    * that makes a re-driven streaming micro-batch a no-op instead of
+    * a double-apply. */
+  def committedTxn(root: String, txnId: String): Option[Long] =
+    Option(logDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".txn"))
+      .find(f => new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8) == txnId)
+      .map(_.getName.stripPrefix("v").stripSuffix(".txn").toLong)
+
   /** Largest version whose commit marker exists; -1 for an empty
     * table. Claims without markers (in-flight or crashed writers)
     * are invisible. */
@@ -184,7 +198,15 @@ object TxnLog {
   def commit(spark: SparkSession, root: String,
       txn: DataFrame => (DataFrame, Set[Long]),
       barrier: Option[java.util.concurrent.CyclicBarrier] = None,
-      maxAttempts: Int = 10): TxnStats = {
+      maxAttempts: Int = 10,
+      txnId: Option[String] = None): TxnStats = {
+    // idempotent retry: an application txn id that already committed
+    // returns its version without touching the log (attempts = 0 is
+    // the caller-visible proof nothing re-applied)
+    txnId.flatMap(committedTxn(root, _)) match {
+      case Some(v) => return TxnStats(v, 0, 0)
+      case None =>
+    }
     var attempts = 0
     var conflicts = 0
     var pending: Option[(DataFrame, Set[Long], Long)] = None // delta, readKeys, builtAt
@@ -242,6 +264,8 @@ object TxnLog {
             .parquet(s"$root/snapshot_v$v")
           keyed.write.mode("overwrite").parquet(s"$root/delta_v$v")
           writeMeta(root, CommitMeta(v, builtAt, pending.get._2))
+          txnId.foreach(id => Files.write(txnIdFile(root, v).toPath,
+            id.getBytes(StandardCharsets.UTF_8)))
           commitMarker(root, v).createNewFile()
           return TxnStats(v, attempts, conflicts)
         }

@@ -582,6 +582,76 @@ object MultimodalOps {
        |FROM kept GROUP BY doc_id, n_frames
        |ORDER BY doc_id""".stripMargin
 
+  /** Training-manifest assembly — the step that turns per-modality
+    * tables into one example row per document for a multimodal
+    * training run: text metadata ⋈ decoded image stats ⋈ decoded
+    * audio stats ⋈ embedding geometry, with the per-example byte
+    * budget a data loader schedules by. All three payload-derived
+    * sides come from the REAL codecs (the stats are what decode
+    * produced, not metadata claims), and the embedding norm follows
+    * the SimOps float discipline (double-fold + rnd6). Joins are all
+    * equi-joins on doc_id — at 100 TB each side is a skinny stats
+    * table (payloads long dead map-side), so the manifest build is
+    * three cheap shuffles over stats, never media bytes. */
+  def multimodalManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udfs.rnd6
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        length(encode($"text", "UTF-8")).cast("long").as("text_bytes"))
+    val img = decoded(spark, sfDir)
+      .select($"doc_id", $"width", $"height",
+        $"n_bytes".cast("long").as("img_bytes"))
+    val aud = audioDecode(spark, sfDir)
+      .select($"doc_id", $"n_frames", $"channels",
+        $"n_bytes".cast("long").as("aud_bytes"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id".as("doc_id"),
+        size($"embedding").as("emb_dim"),
+        rnd6(sqrt(expr(
+          "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)")))
+          .as("emb_norm"))
+    docs.join(img, "doc_id").join(aud, "doc_id").join(emb, "doc_id")
+      .withColumn("total_bytes",
+        $"text_bytes" + $"img_bytes" + $"aud_bytes" + $"emb_dim" * 4L)
+      .orderBy($"doc_id")
+  }
+
+  val multimodalManifestSql: String = {
+    import graft.functions.Udfs.sqlRnd6
+    s"""WITH $oracleDims,
+       |img AS (
+       |  SELECT doc_id, width, height,
+       |    CAST(54 + ((3 * width + 3) // 4 * 4) * height AS BIGINT)
+       |      AS img_bytes
+       |  FROM dims),
+       |aud AS (
+       |  SELECT doc_id,
+       |    CAST(800 + (doc_id % 50) * 16 AS BIGINT) AS n_frames,
+       |    CAST(1 + doc_id % 2 AS INTEGER) AS channels
+       |  FROM dims),
+       |emb AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(len(embedding) AS INTEGER) AS emb_dim,
+       |    ${sqlRnd6("sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")}
+       |      AS emb_norm
+       |  FROM embeddings)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(octet_length(encode(d.text)) AS BIGINT) AS text_bytes,
+       |  i.width, i.height, i.img_bytes,
+       |  a.n_frames, a.channels,
+       |  CAST(44 + 2 * a.n_frames * a.channels AS BIGINT) AS aud_bytes,
+       |  e.emb_dim, e.emb_norm,
+       |  CAST(octet_length(encode(d.text)) + i.img_bytes
+       |    + 44 + 2 * a.n_frames * a.channels
+       |    + e.emb_dim * 4 AS BIGINT) AS total_bytes
+       |FROM documents d
+       |JOIN img i ON d.doc_id = i.doc_id
+       |JOIN aud a ON d.doc_id = a.doc_id
+       |JOIN emb e ON d.doc_id = e.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Content-addressed asset dedup — the CAS-storage step of a
     * multimodal ingest: every payload keys on the md5 of its BYTES
     * (the 16-byte group key, never the payload, enters the shuffle —

@@ -1004,6 +1004,74 @@ object StreamOps {
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** Exactly-once streaming sink through the TRANSACTION LOG: each
+    * micro-batch commits its per-user event-count delta as one
+    * [[graft.engine.TxnLog]] transaction carrying the batch id as
+    * its application txn id — and every batch's commit is issued
+    * TWICE (the second call simulating a re-driven batch after a
+    * sink failure). The idempotent txn-id dedup returns the already-
+    * committed version with zero attempts instead of double-applying
+    * — the Delta `txn` appId/version mechanism, which is what turns
+    * foreachBatch's at-least-once delivery into an exactly-once
+    * table. Final snapshot ≡ the batch per-user counts and the
+    * version count ≡ the number of DISTINCT batches: both would
+    * break if any retry re-applied. */
+  def streamTxnSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.TxnLog
+    val rows = replayRows(spark, sfDir)
+    val root = scratchDir(spark, sfDir, "graft_txnsink_")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    val source = MemoryStream[Ev](spark)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = source.toDS()
+        .select($"user_id", $"event_id")
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val spark2 = batch.sparkSession
+          import spark2.implicits._
+          val counts = batch.groupBy($"user_id".as("key"))
+            .agg(count(lit(1)).as("cnt"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          def tx(base: org.apache.spark.sql.DataFrame)
+              : (org.apache.spark.sql.DataFrame, Set[Long]) = {
+            val inc = counts.toSeq.toDF("key", "cnt")
+            val delta = base.as("s").join(inc.as("d"), Seq("key"), "right")
+              .select($"key",
+                (coalesce($"s.value", lit(0L)) + $"d.cnt").as("value"),
+                lit("upsert").as("op"))
+            (delta, counts.keySet)
+          }
+          val first = TxnLog.commit(spark2, root, tx, txnId = Some(s"b$id"))
+          // the simulated re-drive: same batch id, same payload
+          val retry = TxnLog.commit(spark2, root, tx, txnId = Some(s"b$id"))
+          require(retry.version == first.version && retry.attempts == 0,
+            s"retry of batch $id must dedup, got $retry vs $first")
+        }
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunk = math.max(1, rows.size / 3 + 1)
+        rows.grouped(chunk).foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val latest = TxnLog.latestCommitted(root)
+    TxnLog.read(spark, root, latest)
+      .select($"key".as("user_id"), $"value".as("n_events"),
+        lit(latest + 1).cast("long").as("n_versions"))
+      .orderBy($"user_id")
+  }
+
+  val streamTxnSinkSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(3 AS BIGINT) AS n_versions
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Streaming CDC apply — foreachBatch MERGE of a keyed changelog
     * into a maintained snapshot table, the production pattern behind
     * every "stream a Debezium/Kafka changelog into the lakehouse"
