@@ -65,6 +65,25 @@ object ProfileScaleCurve {
       prev = Some((rows, sec))
     }
 
+    println("== MatchRecognize: V C* P over 1024 keys, value-class DEFINEs ==")
+    prev = None
+    scales.foreach { rows =>
+      val (sec, n) = minTime(2) {
+        val df = synth(rows, 1024)
+        graft.plans.MatchRecognize(df, "bucket", Seq("id"),
+          Seq("V" -> (col("value") < 0.2),
+            "C" -> (col("value") >= 0.2 && col("value") < 0.8),
+            "P" -> (col("value") >= 0.8)),
+          "V C* P").count()
+      }
+      val slope = prev.map { case (r0, s0) =>
+        math.log(sec / s0) / math.log(rows.toDouble / r0)
+      }
+      println(f"matchrec rows=$rows%11d  sec=$sec%8.3f  matches=$n%9d" +
+        slope.map(s => f"  slope=$s%5.2f").getOrElse(""))
+      prev = Some((rows, sec))
+    }
+
     println("== banded-LSH candidate join: 4 bands, occupancy ~8/bucket ==")
     prev = None
     scales.foreach { rows =>

@@ -163,6 +163,25 @@ class TxnSpec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("application txn ids make retries idempotent") {
+    val root = freshRoot("txnid")
+    val s1 = TxnLog.commit(spark, root, incTxn(Seq(1L), 5L),
+      txnId = Some("batch-0"))
+    assert(s1.version == 0 && s1.attempts == 1)
+    // re-driven batch: same id → same version, nothing applied
+    val s2 = TxnLog.commit(spark, root, incTxn(Seq(1L), 5L),
+      txnId = Some("batch-0"))
+    assert(s2.version == 0 && s2.attempts == 0)
+    assert(state(root) == Map(1L -> 5L), "retry must not double-apply")
+    assert(TxnLog.committedTxn(root, "batch-0").contains(0L))
+    assert(TxnLog.committedTxn(root, "batch-1").isEmpty)
+    // a NEW id commits normally on top
+    val s3 = TxnLog.commit(spark, root, incTxn(Seq(1L), 2L),
+      txnId = Some("batch-1"))
+    assert(s3.version == 1 && state(root) == Map(1L -> 7L))
+    TxnLog.destroy(root)
+  }
+
   test("a crashed writer's claim is invisible and does not block progress") {
     val root = freshRoot("crash")
     TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Set(1L)))
