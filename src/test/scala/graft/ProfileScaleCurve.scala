@@ -65,9 +65,14 @@ object ProfileScaleCurve {
       prev = Some((rows, sec))
     }
 
+    // capped at 30 M rows on this single 4.6 GB JVM: the operator's
+    // documented state contract is "per-key history in memory", and
+    // ~100 M collected structs exceed one JVM's heap — on a cluster
+    // the same total spreads across executors (1024 keys hash across
+    // the fleet), which is exactly the contract's scale story
     println("== MatchRecognize: V C* P over 1024 keys, value-class DEFINEs ==")
     prev = None
-    scales.foreach { rows =>
+    Seq(1000000L, 10000000L, 30000000L).foreach { rows =>
       val (sec, n) = minTime(2) {
         val df = synth(rows, 1024)
         graft.plans.MatchRecognize(df, "bucket", Seq("id"),
