@@ -913,6 +913,134 @@ object StreamOps {
        |FROM agg a JOIN mx m USING (user_id)
        |ORDER BY a.user_id, a.start_us""".stripMargin
 
+  /** Absence-detection CEP gap: 30 minutes, in exact microseconds. */
+  private val ABSENCE_GAP_US = 30L * 60L * 1000000L
+
+  /** Absence/timeout pattern matcher — the OTHER half of CEP that
+    * [[streamMatchRecognize]] cannot express: "a VIEW followed by NO
+    * PURCHASE within the gap" has no terminator row to anchor on, so
+    * completion must come from TIME, not data. Pending views wait in
+    * state; any later same-user event past a view's deadline proves
+    * abandonment immediately (events arrive per user in event-time
+    * order, so nothing earlier can still come — `by_timer = false`),
+    * a purchase inside the window silently satisfies, and views
+    * whose users simply go quiet are flushed by an EVENT-TIME TIMER
+    * when the watermark passes their deadline (`by_timer = true`) —
+    * the only correct way to emit negatives at 100 TB without a
+    * second pass. State is the pending-view list, bounded by one
+    * gap's worth of views per user. */
+  private class TimeoutPatternProc(gapUs: Long)
+      extends StatefulProcessor[Long, Ev, (Long, Long, Boolean)] {
+    // pending views: "id:deadlineUs" comma-joined (bounded, tiny)
+    @transient private var st: ValueState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[String]("pending",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+    private def us(t: Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    private def load(): Vector[(Long, Long)] =
+      if (st.exists() && st.get().nonEmpty)
+        st.get().split(",").toVector.map { p =>
+          val c = p.split(":"); (c(0).toLong, c(1).toLong)
+        }
+      else Vector.empty
+    private def store(v: Vector[(Long, Long)]): Unit =
+      if (v.isEmpty) st.clear()
+      else st.update(v.map(p => s"${p._1}:${p._2}").mkString(","))
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[(Long, Long, Boolean)] = {
+      var pending = load()
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Boolean)]
+      rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+        val t = us(e.ts)
+        // any event past a deadline proves no purchase made it
+        val (dead, alive) = pending.partition(_._2 < t)
+        dead.foreach(d => out += ((key, d._1, false)))
+        pending = alive
+        if (e.event_type == "purchase")
+          // satisfies every still-open view strictly before it
+          pending = pending.filterNot(p => p._2 >= t && p._2 - gapUs < t)
+        if (e.event_type == "view") pending :+= ((e.event_id, t + gapUs))
+      }
+      store(pending)
+      pending.foreach(p => getHandle.registerTimer(p._2 / 1000L + 1L))
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Boolean)] = {
+      val (dead, alive) = load()
+        .partition(_._2 / 1000L + 1L <= info.getExpiryTimeInMs())
+      store(alive)
+      dead.iterator.map(d => (key, d._1, true))
+    }
+  }
+
+  /** Runner for the absence pattern: three real chunks (pending
+    * views genuinely cross batch boundaries), then the far-future
+    * sentinel advances the watermark so quiet users' timers fire.
+    * Oracle: a view is abandoned iff NO same-user purchase lands in
+    * (view_ts, view_ts + gap]. The emission PATH (in-batch evidence
+    * vs timer) depends on how the replay slices batches — a timer
+    * may legitimately fire before the user's next chunk arrives —
+    * so the oracled columns are the slicing-independent abandonment
+    * set; StreamSpec pins that timer-only emissions (users whose
+    * stream ENDS with an open view) are present, which no in-batch
+    * path could produce. */
+  def streamMatchTimeout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = replayRows(spark, sfDir)
+    val maxTs = rows.iterator.map(_.ts.getTime).max
+    val source = MemoryStream[Ev](spark)
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = source.toDS()
+        .withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new TimeoutPatternProc(ABSENCE_GAP_US),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "view_event_id", "by_timer")
+        .drop("by_timer")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunk = math.max(1, rows.size / 3 + 1)
+        rows.grouped(chunk).foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+        source.addData(Ev(-1L,
+          new Timestamp(maxTs + 14L * 24L * 3600L * 1000L), -1L,
+          "wm_advance", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    spark.table(sinkName).filter($"user_id" >= 0)
+      .orderBy($"user_id", $"view_event_id")
+  }
+
+  val streamMatchTimeoutSql: String =
+    s"""SELECT v.user_id, v.event_id AS view_event_id
+       |FROM events v
+       |WHERE v.event_type = 'view' AND NOT EXISTS (
+       |  SELECT 1 FROM events p
+       |  WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+       |    AND epoch_us(p.ts) > epoch_us(v.ts)
+       |    AND epoch_us(p.ts) <= epoch_us(v.ts) + $ABSENCE_GAP_US)
+       |ORDER BY user_id, view_event_id""".stripMargin
+
   /** foreachBatch sink — the production escape hatch for sinks
     * Structured Streaming lacks natively (JDBC, multi-table writes,
     * merge-upserts). Each micro-batch lands as a parquet DYNAMIC

@@ -106,6 +106,26 @@ class StreamSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("absence pattern emits timer-only negatives (quiet users flushed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val abandoned = graft.streaming.StreamOps
+      .streamMatchTimeout(spark, sf)
+      .select($"view_event_id").as[Long].collect().toSet
+    // views that are their user's LAST event can only be emitted by
+    // the event-time timer after the sentinel advances the watermark
+    // — no in-batch evidence event ever arrives for them
+    val lastViews = graft.engine.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rn" === 1 && $"event_type" === "view")
+      .select($"event_id").as[Long].collect().toSet
+    assert(lastViews.nonEmpty, "fixture must have trailing views")
+    assert(lastViews.subsetOf(abandoned),
+      "every trailing view is abandoned and only a timer could emit it")
+  }
+
   test("flatMapGroupsWithState carries state across micro-batches") {
     import spark.implicits._
     val events = (1 to 10).map(i => Ev(i.toLong, ts(i), 7L, "a", 1.5))
