@@ -170,6 +170,95 @@ object TxnOps {
       |  CAST(3 AS BIGINT) AS latest_version
       |FROM counts ORDER BY user_id""".stripMargin
 
+  /** CHANGE DATA FEED out of the transaction log (the Delta CDF
+    * `table_changes()` idea): for every committed version, emit the
+    * row-level changes with their type — `insert` for keys the
+    * version introduced, `update_preimage`/`update_postimage` pairs
+    * for keys it replaced, `delete` (with preimage) for keys it
+    * removed; a delete of an absent key emits nothing. Pre-images
+    * come from a key-join of the previous snapshot against the
+    * delta's keys — the same delta-bounded read IVM uses, which is
+    * why serving CDF from a log of deltas is cheap while serving it
+    * from snapshot diffs would be two table scans per version. The
+    * oracle reconstructs every change row from the base events in
+    * closed form (the tt table's four commits are deterministic),
+    * so types, pre- and post-images are all checked. */
+  def txnChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = ttTable(spark, sfDir)
+    val latest = TxnLog.latestCommitted(root)
+    val perVersion = (0L to latest).map { v =>
+      val delta = spark.read.parquet(s"$root/delta_v$v")
+      val prev =
+        if (v == 0) TxnLog.emptySnapshot(spark)
+        else TxnLog.read(spark, root, v - 1)
+      val joined = delta.as("d")
+        .join(prev.as("s").withColumnRenamed("value", "prev_value"),
+          Seq("key"), "left")
+      val inserts = joined
+        .filter($"op" === "upsert" && $"prev_value".isNull)
+        .select(lit(v).as("version"), $"key",
+          lit("insert").as("change_type"), $"value")
+      val updPre = joined
+        .filter($"op" === "upsert" && $"prev_value".isNotNull)
+        .select(lit(v).as("version"), $"key",
+          lit("update_preimage").as("change_type"),
+          $"prev_value".as("value"))
+      val updPost = joined
+        .filter($"op" === "upsert" && $"prev_value".isNotNull)
+        .select(lit(v).as("version"), $"key",
+          lit("update_postimage").as("change_type"), $"value")
+      val deletes = joined
+        .filter($"op" === "delete" && $"prev_value".isNotNull)
+        .select(lit(v).as("version"), $"key",
+          lit("delete").as("change_type"), $"prev_value".as("value"))
+      inserts.unionByName(updPre).unionByName(updPost).unionByName(deletes)
+    }
+    perVersion.reduce(_ unionByName _)
+      .select($"version", $"key".as("user_id"), $"change_type", $"value")
+      .orderBy($"version", $"user_id", $"change_type")
+  }
+
+  val txnChangesSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |      AS n_c,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+      |      AS n_v,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |      AS n_p,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+      |      AS n_e
+      |  FROM events GROUP BY user_id),
+      |changes AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, user_id,
+      |    'insert' AS change_type, n_c AS value
+      |  FROM per_user WHERE n_c > 0
+      |  UNION ALL
+      |  SELECT 1, user_id, 'insert', n_v
+      |  FROM per_user WHERE n_v > 0 AND n_c = 0
+      |  UNION ALL
+      |  SELECT 1, user_id, 'update_preimage', n_c
+      |  FROM per_user WHERE n_v > 0 AND n_c > 0
+      |  UNION ALL
+      |  SELECT 1, user_id, 'update_postimage', n_c + n_v
+      |  FROM per_user WHERE n_v > 0 AND n_c > 0
+      |  UNION ALL
+      |  SELECT 2, user_id, 'insert', n_p
+      |  FROM per_user WHERE n_p > 0 AND n_c + n_v = 0
+      |  UNION ALL
+      |  SELECT 2, user_id, 'update_preimage', n_c + n_v
+      |  FROM per_user WHERE n_p > 0 AND n_c + n_v > 0
+      |  UNION ALL
+      |  SELECT 2, user_id, 'update_postimage', n_c + n_v + n_p
+      |  FROM per_user WHERE n_p > 0 AND n_c + n_v > 0
+      |  UNION ALL
+      |  SELECT 3, user_id, 'delete', n_c + n_v + n_p
+      |  FROM per_user WHERE n_e > 0 AND n_c + n_v + n_p > 0)
+      |SELECT version, user_id, change_type, value
+      |FROM changes ORDER BY version, user_id, change_type""".stripMargin
+
   /** Incremental view maintenance over the transaction log: a
     * materialized aggregate view (key count + value sum) maintained
     * across all versions by applying each commit's DELTA — the full

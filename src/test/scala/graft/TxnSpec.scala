@@ -182,6 +182,28 @@ class TxnSpec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("replaying the change feed reconstructs the latest snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val changes = graft.operators.TxnOps.txnChanges(spark, sf)
+    // fold the feed: last change per key wins; postimages/inserts
+    // materialize, deletes remove
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"version".desc)
+    val rebuilt = changes
+      .filter($"change_type" =!= "update_preimage")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"change_type" =!= "delete")
+      .select($"user_id", $"value")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val snap = graft.operators.TxnOps.txnCatalogRead(spark, sf)
+      .filter($"latest_balance".isNotNull)
+      .select($"user_id", $"latest_balance")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rebuilt == snap,
+      "CDF fold must equal the latest committed snapshot")
+  }
+
   test("a crashed writer's claim is invisible and does not block progress") {
     val root = freshRoot("crash")
     TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Set(1L)))
