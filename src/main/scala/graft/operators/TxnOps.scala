@@ -170,6 +170,67 @@ object TxnOps {
       |  CAST(3 AS BIGINT) AS latest_version
       |FROM counts ORDER BY user_id""".stripMargin
 
+  /** Transactional MERGE INTO — the three-clause upsert every
+    * lakehouse runs, committed atomically through the log: target =
+    * per-user click counts (v0), source = per-user purchase counts;
+    * WHEN MATCHED AND source > 2×target THEN DELETE (the
+    * runaway-row eviction clause), WHEN MATCHED THEN UPDATE
+    * (balance += source), WHEN NOT MATCHED THEN INSERT. The whole
+    * merge is ONE commit: its delta carries exactly the source keys
+    * (written-key set = merge source — what OCC validates against),
+    * and unmatched-by-source target rows carry over untouched, which
+    * is MERGE's contract and what the `carryover` action pins. The
+    * oracle evaluates all three clauses in closed form. */
+  def txnMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "merge")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    val source = typeCounts(spark, sfDir, "purchase")
+    TxnLog.commit(spark, root, { base =>
+      val delta = base.as("t").join(source.as("s"), Seq("key"), "right")
+        .select($"key",
+          when($"t.value".isNotNull && $"s.cnt" > $"t.value" * 2, lit(0L))
+            .otherwise(coalesce($"t.value", lit(0L)) + $"s.cnt")
+            .as("value"),
+          when($"t.value".isNotNull && $"s.cnt" > $"t.value" * 2,
+            lit("delete")).otherwise(lit("upsert")).as("op"))
+      (delta, source.select($"key").collect().map(_.getLong(0)).toSet)
+    })
+    val v0 = TxnLog.read(spark, root, 0L)
+      .withColumnRenamed("value", "v0_value")
+    val sourceKeys = source.select($"key")
+    TxnLog.read(spark, root, 1L)
+      .join(v0, Seq("key"), "left")
+      .join(sourceKeys.withColumn("in_src", lit(1)), Seq("key"), "left")
+      .select($"key".as("user_id"), $"value".as("balance"),
+        when($"v0_value".isNull, lit("insert"))
+          .when($"in_src".isNotNull, lit("update"))
+          .otherwise(lit("carryover")).as("action"))
+      .orderBy($"user_id")
+  }
+
+  val txnMergeSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |      AS n_c,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |      AS n_p
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  CASE WHEN n_c > 0 AND n_p = 0 THEN n_c
+      |       WHEN n_c = 0 THEN n_p
+      |       ELSE n_c + n_p END AS balance,
+      |  CASE WHEN n_c > 0 AND n_p = 0 THEN 'carryover'
+      |       WHEN n_c = 0 THEN 'insert'
+      |       ELSE 'update' END AS action
+      |FROM per_user
+      |WHERE (n_c > 0 OR n_p > 0)
+      |  AND NOT (n_c > 0 AND n_p > 2 * n_c)
+      |ORDER BY user_id""".stripMargin
+
   /** CHANGE DATA FEED out of the transaction log (the Delta CDF
     * `table_changes()` idea): for every committed version, emit the
     * row-level changes with their type — `insert` for keys the
