@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   * Each version directory holds the commit's DELTA (keyed upserts /
   * deletes) and the materialized post-commit SNAPSHOT; a version is
   * visible to readers only once its `vN.commit` marker exists, so a
-  * crashed writer's half-written claim is invisible (and its claim
-  * file blocks nobody: `latestCommitted` skips unmarked claims while
-  * a fresh writer claims the next free slot).
+  * crashed writer's half-written claim is invisible to READERS
+  * (`latestCommitted` skips unmarked claims). For WRITERS the dead
+  * slot is recovered in-code: a claim's owner heartbeats the claim
+  * file's mtime while it works, and a waiting writer that sees a
+  * claim go a full `claimTimeoutMs` without a heartbeat treats it as
+  * abandoned and deletes it (age-checked claim steal) — no external
+  * janitor is required for liveness after a writer crash.
   *
   * Scale notes (100 TB): the per-version materialized snapshot is
   * the fixture-scale stand-in for file-level copy-on-write — a real
@@ -51,6 +55,11 @@ object TxnLog {
   final case class TxnStats(version: Long, attempts: Int, conflicts: Int)
 
   final class Conflict(msg: String) extends RuntimeException(msg)
+
+  /** A commit whose post-state violated the table's CHECK constraint
+    * — rejected before anything became visible (the claim is
+    * released, the log is untouched). */
+  final class CheckViolation(msg: String) extends RuntimeException(msg)
 
   private def logDir(root: String): File = new File(root, "_txn_log")
 
@@ -149,6 +158,49 @@ object TxnLog {
     v
   }
 
+  /** OPTIMIZE (small-file compaction): commit a new version whose
+    * snapshot is the latest state bin-packed into `targetFiles`
+    * hash-partitioned files — same rows, better layout. The delta is
+    * EMPTY and the written-key set is EMPTY, so an optimize never
+    * conflicts with any concurrent data commit (read-set validation
+    * sees no overlap) — exactly how lakehouse formats make OPTIMIZE
+    * a background citizen. Goes through the same claim/marker
+    * protocol as a data commit (atomic, crash-invisible). Returns
+    * the new version.
+    *
+    * Scale note (100 TB): compaction cost is a read+write of the
+    * live data ONLY (no shuffle beyond the repartition), and the
+    * hash-by-key layout means a downstream keyed join/agg can reuse
+    * the partitioning. A real multi-TB table would compact per
+    * partition-bucket; the claim protocol and empty-write-set
+    * conflict rule carry over unchanged. */
+  def optimize(spark: SparkSession, root: String,
+      targetFiles: Int, maxAttempts: Int = 10): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val v = latestCommitted(root) + 1
+      require(v > 0, "nothing to optimize")
+      if (claimFile(root, v).createNewFile()) {
+        val heartbeat = startHeartbeat(claimFile(root, v), 30000L)
+        try {
+          val prev = read(spark, root, v - 1)
+          prev.repartition(targetFiles, col("key"))
+            .write.mode("overwrite").parquet(s"$root/snapshot_v$v")
+          // empty delta: optimize changes layout, not content
+          emptySnapshot(spark).withColumn("op", lit("upsert")).limit(0)
+            .write.mode("overwrite").parquet(s"$root/delta_v$v")
+          writeMeta(root, CommitMeta(v, v - 1, Set.empty))
+          commitMarker(root, v).createNewFile()
+          return v
+        } finally heartbeat.interrupt()
+      }
+      Thread.sleep(20)
+    }
+    throw new Conflict(s"optimize gave up after $maxAttempts attempts")
+  }
+
   /** Retention vacuum: delete snapshot + delta data for all versions
     * older than the last `keepLast` committed ones. Markers and metas
     * stay (history remains auditable; the data is what storage pays
@@ -199,7 +251,9 @@ object TxnLog {
       txn: DataFrame => (DataFrame, Set[Long]),
       barrier: Option[java.util.concurrent.CyclicBarrier] = None,
       maxAttempts: Int = 10,
-      txnId: Option[String] = None): TxnStats = {
+      txnId: Option[String] = None,
+      claimTimeoutMs: Long = 30000L,
+      check: Option[org.apache.spark.sql.Column] = None): TxnStats = {
     // idempotent retry: an application txn id that already committed
     // returns its version without touching the log (attempts = 0 is
     // the caller-visible proof nothing re-applied)
@@ -245,30 +299,47 @@ object TxnLog {
       if (attempts == 1) barrier.foreach(_.await())
       val v = latestCommitted(root) + 1
       if (claimFile(root, v).createNewFile()) {
-        // we own version v; validate the read set against commits we
-        // did not see when the delta was built
-        val builtAt = pending.get._3
-        val clash = ((builtAt + 1) until v).exists(u =>
-          readMeta(root, u).writtenKeys.exists(readKeys.contains))
-        if (clash) {
-          // release the claim and re-run against the newer snapshot
-          claimFile(root, v).delete()
-          conflicts += 1
-          pending = None
-        } else {
-          val prevSnap =
-            if (v == 0) emptySnapshot(spark)
-            else read(spark, root, v - 1)
-          val keyed = delta.localCheckpoint(true)
-          applyDelta(prevSnap, keyed).write.mode("overwrite")
-            .parquet(s"$root/snapshot_v$v")
-          keyed.write.mode("overwrite").parquet(s"$root/delta_v$v")
-          writeMeta(root, CommitMeta(v, builtAt, pending.get._2))
-          txnId.foreach(id => Files.write(txnIdFile(root, v).toPath,
-            id.getBytes(StandardCharsets.UTF_8)))
-          commitMarker(root, v).createNewFile()
-          return TxnStats(v, attempts, conflicts)
-        }
+        // we own version v; heartbeat the claim's mtime while we work
+        // so waiting writers can tell "slow" from "dead"
+        val heartbeat = startHeartbeat(claimFile(root, v), claimTimeoutMs)
+        try {
+          // validate the read set against commits we did not see when
+          // the delta was built
+          val builtAt = pending.get._3
+          val clash = ((builtAt + 1) until v).exists(u =>
+            readMeta(root, u).writtenKeys.exists(readKeys.contains))
+          if (clash) {
+            // release the claim and re-run against the newer snapshot
+            claimFile(root, v).delete()
+            conflicts += 1
+            pending = None
+          } else {
+            val prevSnap =
+              if (v == 0) emptySnapshot(spark)
+              else read(spark, root, v - 1)
+            val keyed = delta.localCheckpoint(true)
+            val post = applyDelta(prevSnap, keyed)
+            // CHECK constraint: enforced on the POST state, before
+            // anything becomes visible; a violating commit releases
+            // its claim and rejects — the log is left untouched
+            check.foreach { c =>
+              val bad = post.filter(!c).limit(1).count()
+              if (bad > 0) {
+                claimFile(root, v).delete()
+                throw new CheckViolation(
+                  s"commit v$v rejected: post-state violates CHECK $c")
+              }
+            }
+            post.write.mode("overwrite")
+              .parquet(s"$root/snapshot_v$v")
+            keyed.write.mode("overwrite").parquet(s"$root/delta_v$v")
+            writeMeta(root, CommitMeta(v, builtAt, pending.get._2))
+            txnId.foreach(id => Files.write(txnIdFile(root, v).toPath,
+              id.getBytes(StandardCharsets.UTF_8)))
+            commitMarker(root, v).createNewFile()
+            return TxnStats(v, attempts, conflicts)
+          }
+        } finally heartbeat.interrupt()
       }
       else {
         // lost the claim: wait for its owner to finish (marker) or
@@ -276,12 +347,39 @@ object TxnLog {
         val t0 = System.nanoTime()
         while (claimFile(root, v).exists() &&
             !commitMarker(root, v).exists() &&
-            (System.nanoTime() - t0) < 30e9.toLong)
-          Thread.sleep(20)
+            (System.nanoTime() - t0) < claimTimeoutMs * 1000000L)
+          Thread.sleep(math.min(20L, math.max(claimTimeoutMs / 8, 1L)))
+        // age-checked claim steal: a live owner heartbeats the mtime
+        // every claimTimeoutMs/4, so a claim whose mtime is a full
+        // claimTimeoutMs old belongs to a crashed writer — delete it
+        // and let the loop re-claim the freed slot
+        val orphan = claimFile(root, v)
+        if (orphan.exists() && !commitMarker(root, v).exists() &&
+            System.currentTimeMillis() - orphan.lastModified() >=
+              claimTimeoutMs) {
+          orphan.delete(); ()
+        }
       }
       // loop re-validates against the new latest and retries
     }
     throw new Conflict(s"gave up after $maxAttempts attempts")
+  }
+
+  /** Daemon thread refreshing `claim`'s mtime every `timeoutMs/4`
+    * while the owning commit runs — the liveness signal the
+    * age-checked claim steal in `commit` keys off. */
+  private def startHeartbeat(claim: File, timeoutMs: Long): Thread = {
+    val t = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          claim.setLastModified(System.currentTimeMillis())
+          Thread.sleep(math.max(timeoutMs / 4, 5L))
+        }
+      } catch { case _: InterruptedException => }
+    }, s"txn-claim-heartbeat-${claim.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   def emptySnapshot(spark: SparkSession): DataFrame = {

@@ -130,22 +130,30 @@ object MatchRecognize {
       var from = 0
       var matchNo = 0
       while (from <= seq.length && m.find(from)) {
-        matchNo += 1
         val s = m.start(); val e = m.end()
-        val counts = chars.map { c =>
-          var n = 0; var i = s
-          while (i < e) { if (seq.charAt(i) == c) n += 1; i += 1 }
-          Int.box(n)
+        if (e == s) {
+          // zero-width match from an empty-capable pattern (e.g.
+          // `C*`): matches no rows, so there is nothing to emit and
+          // no row to navigate (rows(s) at s == rows.size and
+          // rows(e-1) at e == 0 are both out of range) — skip it and
+          // advance one char so the scan still terminates
+          from = s + 1
+        } else {
+          matchNo += 1
+          val counts = chars.map { c =>
+            var n = 0; var i = s
+            while (i < e) { if (seq.charAt(i) == c) n += 1; i += 1 }
+            Int.box(n)
+          }
+          val nav = (0 until nMeasures).flatMap { i =>
+            Seq(rows(s).get(measureOffset + i),
+              rows(e - 1).get(measureOffset + i))
+          }
+          out += Row.fromSeq(
+            part +: Seq(Int.box(matchNo), Int.box(s + 1), Int.box(e),
+              Int.box(e - s)) ++: counts ++: nav)
+          from = if (overlap) s + 1 else e
         }
-        val nav = (0 until nMeasures).flatMap { i =>
-          Seq(rows(s).get(measureOffset + i),
-            rows(e - 1).get(measureOffset + i))
-        }
-        out += Row.fromSeq(
-          part +: Seq(Int.box(matchNo), Int.box(s + 1), Int.box(e),
-            Int.box(e - s)) ++: counts ++: nav)
-        // empty-capable patterns: always advance at least one char
-        from = if (overlap) s + 1 else math.max(e, s + 1)
       }
       out
     }(enc)

@@ -151,14 +151,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirOf(namespace)
     if (!dir.isDirectory)
       throw new NoSuchNamespaceException(namespace)
-    Option(dir.listFiles()).getOrElse(Array.empty)
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+    val plain = entries
       .filter(_.getName.endsWith(".parquet"))
       .map(f => Identifier.of(namespace,
         f.getName.stripSuffix(".parquet")))
+    // transaction-log tables are directories carrying a _txn_log —
+    // loadTable resolves them, so the listing must show them too
+    val txn = entries
+      .filter(d => d.isDirectory &&
+        new File(d, "_txn_log").isDirectory)
+      .map(d => Identifier.of(namespace, d.getName))
+    plain ++ txn
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    fileOf(ident).exists()
+    fileOf(ident).exists() || txnRoot(ident).isDefined
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

@@ -74,4 +74,36 @@ class CatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       spark.sql(s"DROP TABLE ${GraftCatalog.ident(sf, "region")}")
     }
   }
+
+  test("txn-log tables are visible to tableExists and listTables") {
+    import graft.engine.TxnLog
+    GraftCatalog.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_txn").toFile
+    val root = new java.io.File(dir, "acct").getAbsolutePath
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, { _ =>
+      import spark.implicits._
+      (Seq((1L, 10L)).toDF("key", "value")
+        .withColumn("op", lit("upsert")), Set(1L))
+    })
+    // the catalog metadata surface must agree with loadTable: a
+    // resolvable txn table reports as existing and shows in listings
+    val cat = spark.sessionState.catalogManager.catalog(GraftCatalog.NAME)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ns = dir.getAbsolutePath.split("/").filter(_.nonEmpty)
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(ns, "acct")
+    assert(cat.tableExists(ident),
+      "a loadTable-resolvable txn table must report as existing")
+    assert(cat.listTables(ns).contains(ident),
+      "listTables must include _txn_log directory tables")
+    // and the SQL surface agrees end-to-end
+    val nsIdent = (GraftCatalog.NAME +: ns.toSeq)
+      .map(p => s"`$p`").mkString(".")
+    val listed = spark.sql(s"SHOW TABLES IN $nsIdent")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(listed.contains("acct"))
+    assert(spark.table(GraftCatalog.ident(dir.getAbsolutePath, "acct"))
+      .count() == 1)
+  }
 }

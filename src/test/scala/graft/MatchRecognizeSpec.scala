@@ -78,4 +78,25 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getInt(4))).toSeq ==
       Seq((1L, 2), (2L, 3))) // (user, n_rows)
   }
+
+  test("empty-capable patterns never emit zero-width matches") {
+    // `C*` matches the empty string at every position; a naive scan
+    // would emit bogus n_rows=0 rows (and with measures, index past
+    // the end of the partition) — all zero-width matches are skipped
+    assert(run("vvv", "C*") == Seq.empty)
+    assert(run("vcv", "C*") == Seq((1, 2, 2)), "only the width-1 run")
+    assert(run("vp", "C? P") == Seq((1, 2, 2)),
+      "optional var absent: match is just the P row")
+    // measures navigate FIRST()/LAST() — the crash path for
+    // zero-width matches at the partition edges
+    import spark.implicits._
+    val out = MatchRecognize(seqDf("cvc"), "u", Seq("i"),
+      Seq("V" -> ($"t" === "v"), "C" -> ($"t" === "c"),
+        "P" -> ($"t" === "p")), "V?",
+      measuresFor = Seq("i"))
+      .orderBy($"match_no").collect()
+    assert(out.length == 1 && out(0).getAs[Int]("n_rows") == 1)
+    assert(out(0).getAs[Long]("first_i") == 1L &&
+      out(0).getAs[Long]("last_i") == 1L)
+  }
 }

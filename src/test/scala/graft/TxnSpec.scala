@@ -207,17 +207,49 @@ class TxnSpec extends SparkSpec {
   test("a crashed writer's claim is invisible and does not block progress") {
     val root = freshRoot("crash")
     TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Set(1L)))
-    // simulate a crash: claim v1 but never write data or the marker
+    // simulate a crash: claim v1 but never write data or the marker,
+    // and make the claim look long-dead (no heartbeat since creation)
     val claim = new java.io.File(root, "_txn_log/v1.claim")
     assert(claim.createNewFile())
+    assert(claim.setLastModified(System.currentTimeMillis() - 60000L))
     assert(TxnLog.latestCommitted(root) == 0,
       "an unmarked claim must be invisible to readers")
-    // a live writer skips the dead slot once the wait times out…
-    // (the poll window is long; emulate the recovery path by
-    // releasing the orphan like a janitor would, then committing)
-    claim.delete()
-    TxnLog.commit(spark, root, incTxn(Seq(1L), 1L))
+    // a live writer recovers the dead slot IN-CODE: the wait loop
+    // times out, the age check sees no heartbeat for a full
+    // claimTimeoutMs, the orphan is deleted, and the retry re-claims
+    // the freed version — no external janitor
+    val stats = TxnLog.commit(spark, root, incTxn(Seq(1L), 1L),
+      claimTimeoutMs = 500L)
+    assert(stats.version == 1L,
+      "the recovered writer must commit INTO the stolen slot")
     assert(state(root) == Map(1L -> 2L))
+    assert(new java.io.File(root, "_txn_log/v1.commit").exists(),
+      "the stolen slot must now carry a real commit marker")
+    TxnLog.destroy(root)
+  }
+
+  test("a live owner's heartbeat protects its claim from being stolen") {
+    val root = freshRoot("heartbeat")
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Set(1L)))
+    val claim = new java.io.File(root, "_txn_log/v1.claim")
+    assert(claim.createNewFile())
+    // a heartbeating owner keeps the mtime fresh; a contender with a
+    // short timeout must NOT steal the slot while beats keep landing
+    val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val owner = new Thread(() => {
+      while (alive.get()) {
+        claim.setLastModified(System.currentTimeMillis())
+        Thread.sleep(50L)
+      }
+    })
+    owner.setDaemon(true); owner.start()
+    val thrown = intercept[TxnLog.Conflict] {
+      TxnLog.commit(spark, root, incTxn(Seq(1L), 1L),
+        maxAttempts = 3, claimTimeoutMs = 400L)
+    }
+    assert(thrown.getMessage.contains("gave up"))
+    assert(claim.exists(), "a heartbeating claim must not be stolen")
+    alive.set(false); owner.join()
     TxnLog.destroy(root)
   }
 }
