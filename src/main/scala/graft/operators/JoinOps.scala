@@ -669,4 +669,67 @@ object JoinOps {
        |WHERE (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
        |  < CAST($SPA_EPS2 AS DOUBLE)
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Bloom-prefiltered selective join (the runtime-filter / semi-join
+    * pushdown pattern): the build side is the SELECTIVE dim — the
+    * suppliers of one nation, ~4% of suppliers — and a Bloom filter
+    * over its join keys (`df.stat.bloomFilter`, the same
+    * `org.apache.spark.util.sketch.BloomFilter` Spark's own runtime
+    * bloom-filter rule injects) is shipped to the fact scan as a
+    * cheap row-level prefilter BEFORE the join. Bloom guarantees no
+    * false negatives, so the exact broadcast join afterwards removes
+    * the (deterministic, ~1%) false positives — the result is exact,
+    * which is why a plain join is a valid oracle. At 100 TB this is
+    * the difference between shuffling the full fact table and
+    * shuffling the ~4% that can possibly match: the filter is a few
+    * hundred KB broadcast to every scan task, evaluated at read time
+    * next to the parquet reader (BloomSelectivitySpec pins the
+    * reduction). */
+  def joinBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact._
+    val dim = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    // sized for the sf0.1 dim (~400 keys); create() seeds its hashes
+    // deterministically, so the prefiltered row set is reproducible.
+    // Ship the sketch in its portable byte form — the impl's bit
+    // array does not survive closure serialization — and rehydrate
+    // once per executor via the holder's transient-lazy field.
+    val bf = dim.stat.bloomFilter("s_suppkey", 2000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val holder = new BloomHolder(bos.toByteArray)
+    val mightContain = udf((k: Long) => holder.contains(k))
+    Tables.lineitem(spark, sfDir)
+      .filter(mightContain($"l_suppkey"))
+      .join(broadcast(dim), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("n_items"),
+        xsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+      .orderBy($"s_name")
+  }
+
+  /** Serializable carrier for a broadcast Bloom filter: the byte
+    * image travels with the closure; the filter itself is rebuilt
+    * lazily once per executor (transient-lazy). */
+  private final class BloomHolder(bytes: Array[Byte]) extends Serializable {
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    def contains(k: Long): Boolean = bf.mightContain(k)
+  }
+
+  val joinBloomPrefilterSql: String =
+    s"""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${graft.engine.Exact.sqlXsum("l_extendedprice * (1.0 - l_discount)")}
+       |    AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3'
+       |GROUP BY s_name ORDER BY s_name""".stripMargin
 }

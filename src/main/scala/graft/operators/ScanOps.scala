@@ -518,4 +518,83 @@ object ScanOps {
        |WHERE l_orderkey % 256 BETWEEN $zXlo AND $zXhi
        |  AND l_partkey % 256 BETWEEN $zYlo AND $zYhi
        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Write-once range-clustered lineitem layout + per-FILE min/max
+    * stats sidecar — the Delta/Iceberg data-skipping mechanics
+    * (manifest file stats) on plain parquet. `repartitionByRange`
+    * clusters rows by `l_shipdate` into 16 files with tight,
+    * near-disjoint date ranges; one extra pass collects each file's
+    * (min, max) into a one-file sidecar table. Same freshness
+    * contract as every derived layout. */
+  private[graft] def statsLayoutDir(spark: SparkSession,
+      sfDir: String): String = {
+    val path = scratch(sfDir) + "/lineitem_statskip"
+    val marker = new java.io.File(path, "_SUCCESS")
+    val spec = new java.io.File(path, "_GRAFT_SPEC")
+    val statsMarker = new java.io.File(path + "_stats", "_SUCCESS")
+    val want = "v1|cluster=l_shipdate|files=16|stats=min_max_per_file"
+    val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    def newestUnder(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
+      else f.lastModified()
+    val fresh = marker.exists() && spec.exists() && statsMarker.exists() &&
+      newestUnder(src) <= marker.lastModified() &&
+      java.nio.file.Files.readString(spec.toPath) == want
+    if (!fresh) {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"),
+          col("l_returnflag"))
+        .repartitionByRange(16, col("l_shipdate"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("l_shipdate")).as("min_d"),
+          max(col("l_shipdate")).as("max_d"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path + "_stats")
+      java.nio.file.Files.writeString(spec.toPath, want)
+    }
+    path
+  }
+
+  /** Date-range bounds for [[scanStatsSkipping]] — half a year out of
+    * the fixture's ~7-year l_shipdate span, so stats pruning keeps
+    * only ~2 of the 16 range-clustered files. */
+  private[graft] val (skipLo, skipHi) =
+    ("1997-01-01 00:00:00", "1997-06-30 23:59:59")
+
+  /** FILE-STATS DATA SKIPPING: resolve the per-file min/max sidecar
+    * against the query's date predicate and hand the scan ONLY the
+    * files whose [min,max] intersects it — the other ~87% are never
+    * opened. This is exactly what a lakehouse manifest does at
+    * 100 TB: the stats table is metadata-scale (one row per file —
+    * thousands of rows for millions of gigabytes), so the driver-side
+    * resolve is a manifest lookup, not a data scan, and the residual
+    * in-file predicate still runs (file ranges overlap at the
+    * boundaries). The oracle is layout-free: the same date filter
+    * over raw lineitem. StatsSkippingSpec pins the file-count cut. */
+  def scanStatsSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = statsLayoutDir(spark, sfDir)
+    val lo = to_timestamp(lit(skipLo))
+    val hi = to_timestamp(lit(skipHi))
+    val files = spark.read.parquet(dir + "_stats")
+      .filter($"max_d" >= lo && $"min_d" <= hi)
+      .select($"file").collect().map(_.getString(0))
+    require(files.nonEmpty, "stats pruning removed every file")
+    spark.read.parquet(files.toSeq: _*)
+      .filter($"l_shipdate".between(lo, hi))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val scanStatsSkippingSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_shipdate BETWEEN TIMESTAMP '$skipLo'
+       |  AND TIMESTAMP '$skipHi'
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 }

@@ -22,7 +22,7 @@ import graft.engine.{Tables, TxnLog}
   * exercised on every execution, not just under lucky scheduling. */
 object TxnOps {
 
-  private def scratch(spark: SparkSession, sfDir: String,
+  private[graft] def scratch(spark: SparkSession, sfDir: String,
       tag: String): String = {
     val id = (spark.sparkContext.applicationId + sfDir + tag)
       .replaceAll("[^A-Za-z0-9]", "_")
@@ -126,7 +126,7 @@ object TxnOps {
   private val ttBuilt =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def ttTable(spark: SparkSession, sfDir: String): String = {
+  private[graft] def ttTable(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val scope = s"${spark.sparkContext.applicationId}|$sfDir"
     ttBuilt.keys.filter(_ != scope).foreach(ttBuilt.remove)
@@ -426,4 +426,136 @@ object TxnOps {
       |FROM counts
       |WHERE balance > 0
       |ORDER BY user_id""".stripMargin
+
+  /** RESTORE TABLE ... TO VERSION: revert the table to an earlier
+    * version's STATE as a new FORWARD commit (history is never
+    * rewritten — the bad versions stay auditable; this is Delta's
+    * RESTORE). The restore delta is computed as the keyed diff
+    * target-vs-current (upsert what differs or reappears, delete
+    * what the target lacks), so its size is bounded by the damage,
+    * not the table. Demo: v0 = per-user 'click' balances, v1 =
+    * (erroneous) deletion of every error-tainted user, v2 = RESTORE
+    * to v0. Final state ≡ v0, with THREE versions on the log — the
+    * oracle checks both. */
+  def txnRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "restore")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    // v1: the "fat-finger" delete of error-tainted users
+    TxnLog.commit(spark, root, { _ =>
+      val errs = Tables.events(spark, sfDir)
+        .filter($"event_type" === "error")
+        .select($"user_id".as("key")).distinct()
+      (errs.select($"key", lit(0L).as("value"),
+        lit("delete").as("op")),
+        errs.collect().map(_.getLong(0)).toSet)
+    })
+    // v2: RESTORE to v0 — delta = diff(target = v0, current = base)
+    TxnLog.commit(spark, root, { base =>
+      val target = TxnLog.read(spark, root, 0L)
+      val delta = target.as("t")
+        .join(base.as("c"), Seq("key"), "full_outer")
+        .filter($"t.value".isNull || $"c.value".isNull ||
+          $"t.value" =!= $"c.value")
+        .select($"key",
+          coalesce($"t.value", lit(0L)).as("value"),
+          when($"t.value".isNull, "delete").otherwise("upsert").as("op"))
+      val keys = delta.select($"key").collect().map(_.getLong(0)).toSet
+      (delta, keys)
+    })
+    val latest = TxnLog.latestCommitted(root)
+    TxnLog.read(spark, root, latest)
+      .select($"key".as("user_id"), $"value".as("balance"),
+        lit(latest + 1).cast("long").as("n_versions"))
+      .orderBy($"user_id")
+  }
+
+  val txnRestoreSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
+      |  CAST(3 AS BIGINT) AS n_versions
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** OPTIMIZE (small-file compaction) through the log: v0 commits
+    * per-user 'click' balances (snapshot fragmented across the write
+    * shuffle's output files), then [[TxnLog.optimize]] commits v1 —
+    * the same rows bin-packed into exactly 2 hash-partitioned files,
+    * with an EMPTY delta and EMPTY write set so it can never
+    * conflict with a concurrent data commit. The query returns the
+    * post-optimize state plus the actual file count of the new
+    * snapshot — proving content survived and layout changed. */
+  def txnOptimize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "optimize")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    val v = TxnLog.optimize(spark, root, targetFiles = 2)
+    val nFiles = Option(new java.io.File(root, s"snapshot_v$v")
+      .listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_"))
+    TxnLog.read(spark, root, v)
+      .select($"key".as("user_id"), $"value".as("balance"),
+        lit(nFiles).cast("long").as("n_files"),
+        lit(v + 1).cast("long").as("n_versions"))
+      .orderBy($"user_id")
+  }
+
+  val txnOptimizeSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
+      |  CAST(2 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_versions
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** CHECK constraint enforced AT COMMIT: the table carries the
+    * invariant `value >= 0`; a transaction whose post-state would
+    * violate it is rejected before its version becomes visible (the
+    * claim is released, the log untouched) — data quality moved from
+    * after-the-fact audit to write-time enforcement, which is the
+    * only placement that scales (validating 100 TB after corruption
+    * lands costs a full scan; validating the commit's post-image
+    * costs the commit). v0 = 'click' balances (passes); a rogue
+    * commit subtracting 1e6 from every purchase user's balance is
+    * REJECTED; v1 = 'view' increments (passes). Final state shows
+    * the rejected write left no trace. */
+  def txnConstraint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val check = col("value") >= 0L
+    val root = scratch(spark, sfDir, "check")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"),
+      check = Some(check))
+    val rejected =
+      try {
+        TxnLog.commit(spark, root, { base =>
+          val rogue = typeCounts(spark, sfDir, "purchase")
+          val delta = base.as("s").join(rogue.as("d"), Seq("key"), "inner")
+            .select($"key", ($"s.value" - lit(1000000L)).as("value"),
+              lit("upsert").as("op"))
+          (delta, rogue.select($"key").collect().map(_.getLong(0)).toSet)
+        }, check = Some(check))
+        0L
+      } catch { case _: TxnLog.CheckViolation => 1L }
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "view"),
+      check = Some(check))
+    val latest = TxnLog.latestCommitted(root)
+    TxnLog.read(spark, root, latest)
+      .select($"key".as("user_id"), $"value".as("balance"),
+        lit(latest + 1).cast("long").as("n_versions"),
+        lit(rejected).cast("long").as("n_rejected"))
+      .orderBy($"user_id")
+  }
+
+  val txnConstraintSql: String =
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |    + CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+      |    AS balance,
+      |  CAST(2 AS BIGINT) AS n_versions, CAST(1 AS BIGINT) AS n_rejected
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -1181,8 +1181,16 @@ object StreamOps {
         }
         .outputMode(OutputMode.Append()).start()
       try {
-        val chunk = math.max(1, rows.size / 3 + 1)
-        rows.grouped(chunk).foreach { c =>
+        // exactly min(n, 3) NON-EMPTY batches for any replay size:
+        // three balanced slices when n >= 3 (each non-empty since
+        // n/3 >= 1), one row per batch below that — so n_versions
+        // mirrors the oracle's LEAST(COUNT(*), 3) at any fixture size
+        val n = rows.size
+        val batches =
+          if (n < 3) rows.map(Seq(_))
+          else Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+            rows.slice(2 * n / 3, n))
+        batches.foreach { c =>
           source.addData(c)
           q.processAllAvailable()
         }
@@ -1197,8 +1205,69 @@ object StreamOps {
 
   val streamTxnSinkSql: String =
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-      |  CAST(3 AS BIGINT) AS n_versions
+      |  (SELECT CAST(LEAST(COUNT(*), 3) AS BIGINT) FROM events)
+      |    AS n_versions
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private case class Chg(version: Long, key: Long, op: String)
+
+  /** The TRANSACTION LOG AS A STREAMING SOURCE (Delta's
+    * `readStream`): each committed version's delta file is replayed
+    * as one micro-batch, in commit order, into an incremental
+    * complete-mode aggregation — per-version upsert/delete change
+    * counts. This is the consume side of the lakehouse streaming
+    * story ([[streamTxnSink]] is the produce side): a downstream job
+    * tails the log and sees exactly the committed change feed, never
+    * a half-written version, because delta files only exist for
+    * versions whose commit marker landed. At 100 TB the per-batch
+    * work is sized by the DELTA (what changed), not the table —
+    * which is the entire point of log-tailing over snapshot-diffing.
+    * The demo table is the 4-version ttTable (click adds, view adds,
+    * purchase adds, error-user deletes), so every count is a
+    * distinct-user aggregate DuckDB recomputes from events. */
+  def streamTxnSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.operators.TxnOps.ttTable(spark, sfDir)
+    val latest = graft.engine.TxnLog.latestCommitted(root)
+    val source = MemoryStream[Chg](spark)
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = source.toDS()
+        .groupBy($"version")
+        .agg(count(when($"op" === "upsert", 1)).as("n_upserts"),
+          count(when($"op" === "delete", 1)).as("n_deletes"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        (0L to latest).foreach { v =>
+          val delta = spark.read.parquet(s"$root/delta_v$v")
+            .select(lit(v).as("version"), $"key", $"op")
+            .as[Chg].collect().toSeq
+          source.addData(delta)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sinkName).orderBy($"version")
+  }
+
+  val streamTxnSourceSql: String =
+    """SELECT CAST(0 AS BIGINT) AS version,
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'click') AS n_upserts,
+      |  CAST(0 AS BIGINT) AS n_deletes
+      |UNION ALL SELECT CAST(1 AS BIGINT),
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'view'), CAST(0 AS BIGINT)
+      |UNION ALL SELECT CAST(2 AS BIGINT),
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'purchase'), CAST(0 AS BIGINT)
+      |UNION ALL SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'error')
+      |ORDER BY version""".stripMargin
 
   /** Streaming CDC apply — foreachBatch MERGE of a keyed changelog
     * into a maintained snapshot table, the production pattern behind
