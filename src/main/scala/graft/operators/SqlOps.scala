@@ -228,4 +228,31 @@ object SqlOps {
        |    AS net_rev
        |FROM lineitem
        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** `GROUP BY ALL` (Spark 3.4+/4, DuckDB-pioneered): the grouping
+    * key list is INFERRED — every select-list item that is not an
+    * aggregate becomes a key. Kills the classic copy-the-columns
+    * drift bug in wide rollups; the analyzer expands it to the
+    * explicit form, so the plan (and therefore the 100 TB cost) is
+    * byte-identical to spelling the keys out. DuckDB supports the
+    * same syntax — the oracle uses it directly, making this a
+    * two-engine semantics check of the inference rule itself. */
+  def sqlGroupByAll(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  YEAR(l_shipdate) AS ship_year,
+         |  COUNT(*) AS n, ${sqlXsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ALL
+         |ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin)
+  }
+
+  val sqlGroupByAllSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+       |  COUNT(*) AS n, ${sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ALL
+       |ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin
 }
