@@ -15,7 +15,10 @@ object ProfilePlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (k <- Seq("q_catalog_scan", "q_multimodal_manifest",
-        "q_image_phash", "q_audio_decode", "q_match_recognize")) {
+        "q_image_phash", "q_audio_decode", "q_match_recognize",
+        // round-7 keys
+        "q_scan_stats_skipping", "q_join_bloom_prefilter",
+        "q_txn_optimize", "q_stream_txn_source", "q_sql_group_by_all")) {
       val df = SparkEntry.queries(k)(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
