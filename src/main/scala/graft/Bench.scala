@@ -59,10 +59,15 @@ object Bench {
     // steady state, never a partially-built one.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A crashed query must never bench as a fast one: collect the keys
+    // that threw (any rep) and surface them in the JSON line — round 7
+    // shipped a throwing key that this loop silently timed as "0.02s".
+    val errored = scala.collection.mutable.SortedSet[String]()
     val results = (1 to reps).map { _ =>
       sortedQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => errored += name }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
@@ -75,7 +80,8 @@ object Bench {
     val qs = reported.map(k => s"\"" + k + "\":" + r3(results(k)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

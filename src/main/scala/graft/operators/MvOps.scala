@@ -79,8 +79,8 @@ object MvOps {
     val rewritten = MvRewriteRule.force(
       raw.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
         .queryExecution.analyzed)
-    require(rewritten.collectLeaves().exists(
-      _.toString.contains("lineitem_mv_flag_status")),
+    require(
+      MvRewriteRule.readsPath(rewritten, "lineitem_mv_flag_status"),
       "MV rewrite did not fire — the key would silently scan the fact")
     org.apache.spark.sql.graft.Bridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], rewritten)

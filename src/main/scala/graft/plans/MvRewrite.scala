@@ -80,6 +80,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** True iff some leaf of `plan` is a file scan whose root paths
+    * mention `pathPart`. Detection MUST go through the relation's
+    * FileIndex — `LogicalRelation.toString` prints `Relation [cols]
+    * parquet` with no path, so a toString grep never matches. */
+  private[graft] def readsPath(plan: LogicalPlan, pathPart: String): Boolean =
+    plan.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains(pathPart))
+        case _ => false
+      }
+      case _ => false
+    }
+
   private def rewriteOne(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
     val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
       .queryExecution.analyzed
@@ -95,10 +109,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
 
+    // a GLOBAL aggregate over an empty fact yields one row either way,
+    // but COUNT(*)=0 would rewrite to SUM(cnt)=NULL — bail outright
+    if (agg.groupingExpressions.isEmpty) return None
+
     def rwAggFn(ae: AggregateExpression): Option[AggregateExpression] =
       if (ae.isDistinct || ae.filter.isDefined) None
       else ae.aggregateFunction match {
-        case Count(Seq(Literal(_, IntegerType))) =>
+        // non-null literal only: COUNT(NULL) counts nothing and must
+        // NOT become SUM(cnt), which would count every row
+        case Count(Seq(Literal(v, IntegerType))) if v != null =>
           Some(ae.copy(aggregateFunction = Sum(cnt)))
         case Sum(c: Cast, _) => c.child match {
           case a: AttributeReference if c.dataType == XD &&

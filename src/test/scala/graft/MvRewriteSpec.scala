@@ -9,7 +9,9 @@ import graft.plans.{MvRewrite, MvRewriteRule}
 /** Materialized-view rewrite semantics: byte-equality with the fact
   * query, plan actually reads the summary, conf-gated injection, and
   * the conservative bail-outs (filter / unknown aggregate / non-key
-  * grouping must leave the plan untouched). */
+  * grouping must leave the plan untouched). Detection everywhere via
+  * [[MvRewriteRule.readsPath]] — LogicalRelation.toString never
+  * prints the scan path, so a toString grep is always false. */
 class MvRewriteSpec extends SparkSpec {
 
   private def classic(df: org.apache.spark.sql.DataFrame) =
@@ -31,10 +33,9 @@ class MvRewriteSpec extends SparkSpec {
 
   test("the rewritten plan scans the MV, never the fact") {
     val df = MvOps.mvRewrite(spark, sf)
-    val leaves = classic(df).queryExecution.optimizedPlan
-      .collectLeaves().map(_.toString)
-    assert(leaves.exists(_.contains("lineitem_mv_flag_status")))
-    assert(!leaves.exists(_.contains(s"$sf/lineitem.parquet")),
+    val plan = classic(df).queryExecution.optimizedPlan
+    assert(MvRewriteRule.readsPath(plan, "lineitem_mv_flag_status"))
+    assert(!MvRewriteRule.readsPath(plan, "lineitem.parquet"),
       "the fact table must not appear anywhere in the rewritten plan")
   }
 
@@ -49,8 +50,7 @@ class MvRewriteSpec extends SparkSpec {
     spark.conf.set("spark.graft.mv.rewrite", "true")
     try {
       val on = classic(q).queryExecution.optimizedPlan
-        .collectLeaves().map(_.toString)
-      assert(on.exists(_.contains("lineitem_mv_flag_status")),
+      assert(MvRewriteRule.readsPath(on, "lineitem_mv_flag_status"),
         "flag on: the injected rule must fire on the idiomatic query")
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
     // flag off: a FRESH identical query plans against the fact
@@ -59,16 +59,16 @@ class MvRewriteSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"),
         sum($"l_quantity".cast(DecimalType(38, 6))).as("sq"))
     val off = classic(q2).queryExecution.optimizedPlan
-      .collectLeaves().map(_.toString)
-    assert(!off.exists(_.contains("lineitem_mv_flag_status")))
+    assert(!MvRewriteRule.readsPath(off, "lineitem_mv_flag_status"))
   }
 
   test("conservative bail-outs leave non-derivable queries untouched") {
     import spark.implicits._
     MvRewriteRule.register(MvOps.mvDef(spark, sf))
     def fires(df: org.apache.spark.sql.DataFrame): Boolean =
-      MvRewriteRule.force(classic(df).queryExecution.analyzed)
-        .collectLeaves().exists(_.toString.contains("lineitem_mv_flag_status"))
+      MvRewriteRule.readsPath(
+        MvRewriteRule.force(classic(df).queryExecution.analyzed),
+        "lineitem_mv_flag_status")
     val li = Tables.lineitem(spark, sf)
     // filter between aggregate and scan: MV rows cannot answer it
     assert(!fires(li.filter($"l_quantity" > 10)
@@ -77,11 +77,17 @@ class MvRewriteSpec extends SparkSpec {
     assert(!fires(li.groupBy($"l_returnflag")
       .agg(avg($"l_quantity").as("a"))))
     // grouping key the MV does not carry
-    assert(!fires(li.groupBy($"l_shipmode")
+    assert(!fires(li.groupBy($"l_suppkey")
       .agg(count(lit(1)).as("n"))))
     // double (non-decimal) sum: fold-order hazard, must NOT rewrite
     assert(!fires(li.groupBy($"l_returnflag")
       .agg(sum($"l_quantity").as("s"))))
+    // COUNT(NULL) counts nothing — must never become SUM(cnt)
+    assert(!fires(li.groupBy($"l_returnflag")
+      .agg(count(lit(null).cast("int")).as("n"))))
+    // global (no grouping keys) aggregate: empty-fact COUNT(*)=0 vs
+    // SUM(cnt)=NULL divergence — rule bails outright
+    assert(!fires(li.agg(count(lit(1)).as("n"))))
     // and the derivable shape DOES fire under the same helper
     assert(fires(li.groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"))))

@@ -23,11 +23,15 @@ class Round9Spec extends SparkSpec {
     val kept = stats.filter($"max_d" >= lo && $"min_d" <= hi).count()
     assert(kept >= 1 && kept <= 4,
       s"half a year of a ~7-year span must keep ~2 of 16 files, kept $kept")
-    // the pruned-out files genuinely contain no qualifying rows:
-    // their [min,max] lies entirely outside the predicate range
-    val outside = stats.filter(!($"max_d" >= lo && $"min_d" <= hi))
-      .filter($"max_d" >= lo && $"min_d" <= hi).count()
-    assert(outside == 0)
+    // the pruned-out files genuinely contain no qualifying rows —
+    // open the EXCLUDED files themselves and run the date predicate
+    val excluded = stats.filter(!($"max_d" >= lo && $"min_d" <= hi))
+      .select($"file").collect().map(_.getString(0))
+    assert(excluded.length == 16 - kept)
+    val missed = spark.read.parquet(excluded.toSeq: _*)
+      .filter($"l_shipdate".between(lo, hi)).count()
+    assert(missed == 0,
+      s"$missed qualifying rows hide in pruned files — skipping would drop them")
   }
 
   test("bloom prefilter: zero false negatives, large scan cut") {
