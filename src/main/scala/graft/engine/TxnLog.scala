@@ -2,54 +2,87 @@ package graft.engine
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mini transaction log: optimistic-concurrency multi-writer commits
   * and time-travel reads over plain-parquet versioned snapshots —
-  * the Delta-lake idea reduced to its two load-bearing mechanisms,
+  * the Delta-lake idea reduced to its load-bearing mechanisms,
   * built on nothing but the filesystem's atomic create:
   *
   *  1. **Version claim**: commit N+1 is claimed by atomically
   *     creating `_txn_log/vN+1.claim` (`File.createNewFile` —
-  *     exactly one concurrent writer can win). A writer that loses
-  *     the claim did its work against a stale snapshot.
-  *  2. **Read-set validation (OCC)**: every commit records the key
-  *     set it WROTE in its meta record. A losing writer compares its
-  *     READ set against the written keys of every intervening
-  *     commit: disjoint → its delta is still serializable, re-claim
-  *     with the same delta (rebase without recompute); overlapping →
-  *     the classic lost-update hazard, the transaction is REJECTED
-  *     and must re-run against the new snapshot.
+  *     exactly one concurrent writer can win), and the winner writes
+  *     a unique OWNER TOKEN into the claim it won. A writer that
+  *     loses the claim did its work against a stale snapshot.
+  *  2. **Read-set validation (OCC)**: every commit records the
+  *     per-file [min, max] KEY RANGES its delta wrote (one row per
+  *     written file — metadata-scale at any transaction size, the
+  *     lakehouse manifest-stats shape; never a key list collected to
+  *     the driver). A losing writer intersects its READ ranges
+  *     against the written ranges of every intervening commit:
+  *     disjoint → its delta is still serializable, re-claim with the
+  *     same delta (rebase without recompute); overlapping → the
+  *     classic lost-update hazard, the transaction is REJECTED and
+  *     re-runs against the new snapshot. Range intersection is
+  *     CONSERVATIVE (a false overlap costs one re-run, never a lost
+  *     update), and the delta is range-partitioned on write so file
+  *     ranges stay tight.
+  *  3. **Fenced publish**: all data is staged in a claim-scoped
+  *     uniquely-named directory, the owner re-verifies its claim
+  *     token immediately before publishing, and the commit marker's
+  *     `createNewFile` is the single atomic decider — `false` means
+  *     another writer committed this version (e.g. after an
+  *     age-checked claim steal from a stalled owner) and is treated
+  *     as a CONFLICT, never as success. A resumed zombie can
+  *     therefore not overwrite a committed version: final snapshot/
+  *     delta directories are only ever written by rename, by the
+  *     unique marker winner.
   *
-  * Each version directory holds the commit's DELTA (keyed upserts /
-  * deletes) and the materialized post-commit SNAPSHOT; a version is
-  * visible to readers only once its `vN.commit` marker exists, so a
-  * crashed writer's half-written claim is invisible to READERS
-  * (`latestCommitted` skips unmarked claims). For WRITERS the dead
-  * slot is recovered in-code: a claim's owner heartbeats the claim
-  * file's mtime while it works, and a waiting writer that sees a
-  * claim go a full `claimTimeoutMs` without a heartbeat treats it as
-  * abandoned and deletes it (age-checked claim steal) — no external
+  * A version is visible to readers only once its `vN.commit` marker
+  * exists, so a crashed writer's half-written claim is invisible to
+  * READERS. For WRITERS the dead slot is recovered in-code: a
+  * claim's owner heartbeats the claim file's mtime while it works,
+  * and a waiting writer that sees a claim go a full `claimTimeoutMs`
+  * without a heartbeat treats it as abandoned, deletes it along with
+  * any unmarked leftovers, and re-claims the slot — no external
   * janitor is required for liveness after a writer crash.
+  *
+  * Schemas are evolvable through the log: a delta may carry columns
+  * the current snapshot lacks (ADD COLUMN), back-filled on existing
+  * rows from the commit's declared defaults and recorded in a
+  * `vN.schema` audit entry; time travel to an older version shows
+  * the old schema for free because each version's snapshot is
+  * self-describing parquet.
   *
   * Scale notes (100 TB): the per-version materialized snapshot is
   * the fixture-scale stand-in for file-level copy-on-write — a real
-  * table format rewrites only the files a delta touches and stores
-  * per-file min/max+bloom stats; the written-keys meta here plays
-  * that stats role for conflict checks, and the claim/marker pair is
-  * byte-for-byte the atomic-rename commit protocol those formats use
-  * on object stores. Deltas stay keyed and bounded by the
-  * transaction (shuffle sized by the change, not the table).
-  */
+  * table format rewrites only the files a delta touches; the
+  * per-file written ranges here ARE that format's file-stats
+  * manifest entries, so conflict validation stays O(files) for any
+  * transaction width, and the claim/marker pair is byte-for-byte the
+  * atomic-rename commit protocol those formats use on object stores.
+  * Deltas stay keyed and bounded by the transaction (shuffle sized
+  * by the change, not the table). */
 object TxnLog {
 
+  /** Per-file [min, max] written-key ranges — the metadata-scale
+    * write/read-set descriptor. */
+  type KeyRanges = Seq[(Long, Long)]
+
+  /** Files per delta write (range-partitioned so per-file key ranges
+    * are tight and near-disjoint — wide hash-scattered files would
+    * make every range span the whole domain and every conflict check
+    * a false positive). Meta size is O(DELTA_FILES) per commit. */
+  val DELTA_FILES = 4
+
   /** Per-commit metadata: the version, the snapshot version the
-    * writer read, and the keys the commit wrote (upserts + deletes). */
+    * writer read, and the per-file key ranges the commit wrote
+    * (upserts + deletes). */
   final case class CommitMeta(version: Long, readVersion: Long,
-      writtenKeys: Set[Long])
+      writtenRanges: KeyRanges)
 
   /** Transaction outcome statistics for one `commit` call. */
   final case class TxnStats(version: Long, attempts: Int, conflicts: Int)
@@ -69,6 +102,10 @@ object TxnLog {
     new File(logDir(root), s"v$v.claim")
   private def commitMarker(root: String, v: Long): File =
     new File(logDir(root), s"v$v.commit")
+  private def schemaFile(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.schema")
+  private def vacuumTombstone(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.vacuumed")
 
   def init(root: String): Unit = { logDir(root).mkdirs(); () }
 
@@ -96,15 +133,30 @@ object TxnLog {
     if (committed.isEmpty) -1L else committed.max
   }
 
-  /** Time travel: the materialized snapshot as of `version`.
-    * Columns: key LONG, value LONG. */
+  /** Time travel: the materialized snapshot as of `version`. The
+    * committer renames data into place immediately after its marker,
+    * so a racing reader polls briefly rather than failing on the
+    * microsecond marker-to-rename window. */
   def read(spark: SparkSession, root: String, version: Long): DataFrame = {
     require(version >= 0 && commitMarker(root, version).exists(),
       s"version $version does not exist or is uncommitted")
-    require(new File(root, s"snapshot_v$version").isDirectory,
+    require(!vacuumTombstone(root, version).exists(),
       s"version $version was vacuumed — its snapshot data is gone " +
         "(markers/metas remain for audit)")
-    spark.read.parquet(s"$root/snapshot_v$version")
+    val dir = new File(root, s"snapshot_v$version")
+    var waitedMs = 0L
+    while (!dir.isDirectory && waitedMs < 3000L) {
+      Thread.sleep(25L); waitedMs += 25L
+    }
+    require(dir.isDirectory,
+      s"version $version is committed but its snapshot never appeared")
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
+  private def encodeRanges(rs: KeyRanges): Seq[String] =
+    rs.map(r => s"${r._1}:${r._2}")
+  private def decodeRange(s: String): (Long, Long) = {
+    val p = s.split(":", 2); (p(0).toLong, p(1).toLong)
   }
 
   def readMeta(root: String, version: Long): CommitMeta = {
@@ -113,7 +165,7 @@ object TxnLog {
       val lines = new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).linesIterator.toSeq
       CommitMeta(lines.head.toLong, lines(1).toLong,
-        lines.drop(2).map(_.toLong).toSet)
+        lines.drop(2).map(decodeRange))
     } else {
       // compacted away: serve from the newest checkpoint covering it
       val ckpt = Option(logDir(root).listFiles()).getOrElse(Array.empty)
@@ -129,8 +181,8 @@ object TxnLog {
         .map(_.split("\\|", -1))
         .find(_.head.toLong == version)
         .map(p => CommitMeta(p(0).toLong, p(1).toLong,
-          if (p(2).isEmpty) Set.empty
-          else p(2).split(",").map(_.toLong).toSet))
+          if (p(2).isEmpty) Nil
+          else p(2).split(",").toSeq.map(decodeRange)))
         .getOrElse(throw new IllegalStateException(
           s"version $version missing from checkpoint ${ckpt.getName}"))
     }
@@ -149,7 +201,7 @@ object TxnLog {
     require(v >= 0, "nothing to checkpoint")
     val body = (0L to v).map { u =>
       val m = readMeta(root, u)
-      s"${m.version}|${m.readVersion}|${m.writtenKeys.toSeq.sorted.mkString(",")}"
+      s"${m.version}|${m.readVersion}|${encodeRanges(m.writtenRanges).mkString(",")}"
     }.mkString("\n")
     val f = new File(logDir(root), s"checkpoint_$v.ckpt")
     Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8))
@@ -161,12 +213,13 @@ object TxnLog {
   /** OPTIMIZE (small-file compaction): commit a new version whose
     * snapshot is the latest state bin-packed into `targetFiles`
     * hash-partitioned files — same rows, better layout. The delta is
-    * EMPTY and the written-key set is EMPTY, so an optimize never
+    * EMPTY and the written-range set is EMPTY, so an optimize never
     * conflicts with any concurrent data commit (read-set validation
     * sees no overlap) — exactly how lakehouse formats make OPTIMIZE
-    * a background citizen. Goes through the same claim/marker
-    * protocol as a data commit (atomic, crash-invisible). Returns
-    * the new version.
+    * a background citizen. Routed through [[commit]] itself, so it
+    * inherits the full claim protocol: marker-fenced publish,
+    * wait-for-marker on a lost claim, and age-checked recovery of a
+    * crashed writer's orphaned claim. Returns the new version.
     *
     * Scale note (100 TB): compaction cost is a read+write of the
     * live data ONLY (no shuffle beyond the repartition), and the
@@ -177,35 +230,21 @@ object TxnLog {
   def optimize(spark: SparkSession, root: String,
       targetFiles: Int, maxAttempts: Int = 10): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    var attempts = 0
-    while (attempts < maxAttempts) {
-      attempts += 1
-      val v = latestCommitted(root) + 1
-      require(v > 0, "nothing to optimize")
-      if (claimFile(root, v).createNewFile()) {
-        val heartbeat = startHeartbeat(claimFile(root, v), 30000L)
-        try {
-          val prev = read(spark, root, v - 1)
-          prev.repartition(targetFiles, col("key"))
-            .write.mode("overwrite").parquet(s"$root/snapshot_v$v")
-          // empty delta: optimize changes layout, not content
-          emptySnapshot(spark).withColumn("op", lit("upsert")).limit(0)
-            .write.mode("overwrite").parquet(s"$root/delta_v$v")
-          writeMeta(root, CommitMeta(v, v - 1, Set.empty))
-          commitMarker(root, v).createNewFile()
-          return v
-        } finally heartbeat.interrupt()
-      }
-      Thread.sleep(20)
-    }
-    throw new Conflict(s"optimize gave up after $maxAttempts attempts")
+    require(latestCommitted(root) >= 0, "nothing to optimize")
+    commit(spark, root,
+      _ => (emptyDelta(spark), Nil),
+      maxAttempts = maxAttempts,
+      layout = Some(_.repartition(targetFiles, col("key"))))
+      .version
   }
 
   /** Retention vacuum: delete snapshot + delta data for all versions
     * older than the last `keepLast` committed ones. Markers and metas
     * stay (history remains auditable; the data is what storage pays
     * for) — a time-travel read of a vacuumed version fails with the
-    * descriptive error in [[read]]. Returns the evicted versions. */
+    * descriptive error in [[read]] (a tombstone distinguishes
+    * "vacuumed" from "publish in flight"). Returns the evicted
+    * versions. */
   def vacuum(root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest version")
     val latest = latestCommitted(root)
@@ -213,47 +252,106 @@ object TxnLog {
     evict.foreach { v =>
       destroyDir(new File(root, s"snapshot_v$v"))
       destroyDir(new File(root, s"delta_v$v"))
+      vacuumTombstone(root, v).createNewFile()
     }
     evict
   }
 
   private def writeMeta(root: String, meta: CommitMeta): Unit = {
     val body = (Seq(meta.version.toString, meta.readVersion.toString) ++
-      meta.writtenKeys.toSeq.sorted.map(_.toString)).mkString("\n")
+      encodeRanges(meta.writtenRanges)).mkString("\n")
     Files.write(metaFile(root, meta.version).toPath,
       body.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
-  /** Apply a keyed delta (key, value, op ∈ upsert|delete) to a
-    * snapshot (key, value): upserts replace, deletes remove,
-    * untouched keys carry over. */
-  def applyDelta(snapshot: DataFrame, delta: DataFrame): DataFrame = {
-    val spark = snapshot.sparkSession
-    import spark.implicits._
-    snapshot.as("s").join(delta.as("d"), Seq("key"), "full_outer")
-      .filter(coalesce($"d.op", lit("upsert")) =!= "delete")
-      .select($"key",
-        coalesce($"d.value", $"s.value").as("value"))
+  /** Distributed [min, max] of a keyed frame — the metadata-scale
+    * read/write-set descriptor (ONE aggregation row comes back to
+    * the driver; never a key collect). Empty frame → empty ranges. */
+  def range(df: DataFrame, keyCol: String = "key"): KeyRanges = {
+    val r = df.agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"))
+      .collect()(0)
+    if (r.isNullAt(0)) Nil else Seq((r.getLong(0), r.getLong(1)))
   }
 
+  /** Conservative range intersection — the conflict predicate. A
+    * false overlap costs one transaction re-run; a missed overlap
+    * would be a lost update, and ranges make that impossible. */
+  def rangesOverlap(a: KeyRanges, b: KeyRanges): Boolean =
+    a.exists(x => b.exists(y => x._1 <= y._2 && y._1 <= x._2))
+
+  /** Per-file [min, max] key ranges of a just-written delta — read
+    * from the files' own footers' worth of data (one aggregate row
+    * per file; the delta is transaction-bounded). */
+  private def fileRanges(spark: SparkSession, path: String): KeyRanges =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("key")).as("mn"), max(col("key")).as("mx"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+
+  /** Apply a keyed delta (key, …value cols…, op ∈ upsert|delete) to
+    * a snapshot (key, …value cols…): upserts replace the columns the
+    * delta carries (columns it omits carry over — column-level
+    * upsert), deletes remove, untouched keys carry over. Columns the
+    * SNAPSHOT lacks are ADD COLUMNs: existing rows back-fill from
+    * `defaults` (NULL when undeclared). */
+  def applyDelta(snapshot: DataFrame, delta: DataFrame,
+      defaults: Map[String, Long] = Map.empty): DataFrame = {
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    val sCols = snapshot.columns.filter(_ != "key").toSeq
+    val dCols = delta.columns.filter(c => c != "key" && c != "op").toSet
+    val newCols = delta.columns
+      .filter(c => dCols(c) && !sCols.contains(c)).toSeq
+    val valueCols = sCols.map {
+      case c if dCols(c) => coalesce(col(s"d.$c"), col(s"s.$c")).as(c)
+      case c => col(s"s.$c").as(c)
+    } ++ newCols.map { c =>
+      defaults.get(c) match {
+        case Some(d) => coalesce(col(s"d.$c"), lit(d)).as(c)
+        case None => col(s"d.$c").as(c)
+      }
+    }
+    snapshot.as("s").join(delta.as("d"), Seq("key"), "full_outer")
+      .filter(coalesce($"d.op", lit("upsert")) =!= "delete")
+      .select((col("key") +: valueCols): _*)
+  }
+
+  private def emptyDelta(spark: SparkSession): DataFrame =
+    emptySnapshot(spark).withColumn("op", lit("upsert")).limit(0)
+
+  /** Does this writer still own `claim`? The steal path deletes (or
+    * a thief re-creates) the claim file, so token mismatch or a read
+    * failure both mean "stolen". */
+  private def ownsClaim(claim: File, token: String): Boolean =
+    try new String(Files.readAllBytes(claim.toPath),
+      StandardCharsets.UTF_8) == token
+    catch { case _: java.io.IOException => false }
+
   /** One optimistic transaction. `txn` maps the base snapshot to
-    * (delta, readKeys): the delta to commit and the keys the
-    * transaction's result DEPENDS on (its read set). Loops:
-    * read latest → build → claim; on a lost claim, validates the
-    * read set against every intervening commit's written keys —
-    * rebase (reuse the delta) when disjoint, full re-run when
-    * overlapping (the lost update that blind last-writer-wins would
-    * silently absorb). `barrier`, when set, is awaited between
+    * (delta, readRanges): the delta to commit and the key ranges the
+    * transaction's result DEPENDS on (its read set, metadata-scale).
+    * Loops: read latest → build → claim; on a lost claim, validates
+    * the read ranges against every intervening commit's written
+    * ranges — rebase (reuse the delta) when disjoint, full re-run
+    * when overlapping (the lost update that blind last-writer-wins
+    * would silently absorb). `barrier`, when set, is awaited between
     * snapshot read and claim — the test hook that forces two writers
-    * into a genuine race deterministically. */
+    * into a genuine race deterministically. `defaults` back-fill ADD
+    * COLUMNs the delta introduces; `layout` re-layouts the post
+    * snapshot (OPTIMIZE); `prePublish` is a test-only fault-injection
+    * hook that runs after staging, before the fenced publish. */
   def commit(spark: SparkSession, root: String,
-      txn: DataFrame => (DataFrame, Set[Long]),
+      txn: DataFrame => (DataFrame, KeyRanges),
       barrier: Option[java.util.concurrent.CyclicBarrier] = None,
       maxAttempts: Int = 10,
       txnId: Option[String] = None,
       claimTimeoutMs: Long = 30000L,
-      check: Option[org.apache.spark.sql.Column] = None): TxnStats = {
+      check: Option[org.apache.spark.sql.Column] = None,
+      defaults: Map[String, Long] = Map.empty,
+      layout: Option[DataFrame => DataFrame] = None,
+      prePublish: Long => Unit = _ => ()): TxnStats = {
     // idempotent retry: an application txn id that already committed
     // returns its version without touching the log (attempts = 0 is
     // the caller-visible proof nothing re-applied)
@@ -263,16 +361,17 @@ object TxnLog {
     }
     var attempts = 0
     var conflicts = 0
-    var pending: Option[(DataFrame, Set[Long], Long)] = None // delta, readKeys, builtAt
+    var pending: Option[(DataFrame, KeyRanges, Long)] = None // delta, readRanges, builtAt
+    var prePublishFired = false
     while (attempts < maxAttempts) {
       attempts += 1
       val base = latestCommitted(root)
-      val pair: (DataFrame, Set[Long]) = pending match {
-        case Some((d, rk, builtAt)) =>
+      val pair: (DataFrame, KeyRanges) = pending match {
+        case Some((d, rr, builtAt)) =>
           // rebase path: the delta was built at `builtAt`; valid iff
-          // no commit in (builtAt, base] wrote into our read set
+          // no commit in (builtAt, base] wrote into our read ranges
           val clash = ((builtAt + 1) to base).exists(v =>
-            readMeta(root, v).writtenKeys.exists(rk.contains))
+            rangesOverlap(readMeta(root, v).writtenRanges, rr))
           if (clash) {
             conflicts += 1
             pending = None
@@ -282,7 +381,7 @@ object TxnLog {
             val built = txn(snap)
             pending = Some((built._1, built._2, base))
             built
-          } else (d, rk)
+          } else (d, rr)
         case None =>
           val snap =
             if (base < 0) emptySnapshot(spark)
@@ -292,25 +391,31 @@ object TxnLog {
           built
       }
       val delta = pair._1
-      val readKeys = pair._2
+      val readRanges = pair._2
       // the race-pinning hook trips once, on the writers' FIRST
       // attempts — a retrying loser must not wait on a partner that
       // already committed and left
       if (attempts == 1) barrier.foreach(_.await())
       val v = latestCommitted(root) + 1
-      if (claimFile(root, v).createNewFile()) {
-        // we own version v; heartbeat the claim's mtime while we work
-        // so waiting writers can tell "slow" from "dead"
-        val heartbeat = startHeartbeat(claimFile(root, v), claimTimeoutMs)
+      val claim = claimFile(root, v)
+      if (claim.createNewFile()) {
+        // we own version v: fence it with a unique token, and
+        // heartbeat the claim's mtime while we work so waiting
+        // writers can tell "slow" from "dead"
+        val token = java.util.UUID.randomUUID().toString
+        Files.write(claim.toPath, token.getBytes(StandardCharsets.UTF_8))
+        val heartbeat = startHeartbeat(claim, claimTimeoutMs)
+        val stage = new File(root, s".stage_v${v}_$token")
+        def abandon(): Unit = { destroyDir(stage); conflicts += 1; pending = None }
         try {
           // validate the read set against commits we did not see when
           // the delta was built
           val builtAt = pending.get._3
           val clash = ((builtAt + 1) until v).exists(u =>
-            readMeta(root, u).writtenKeys.exists(readKeys.contains))
+            rangesOverlap(readMeta(root, u).writtenRanges, readRanges))
           if (clash) {
             // release the claim and re-run against the newer snapshot
-            claimFile(root, v).delete()
+            claim.delete()
             conflicts += 1
             pending = None
           } else {
@@ -318,26 +423,58 @@ object TxnLog {
               if (v == 0) emptySnapshot(spark)
               else read(spark, root, v - 1)
             val keyed = delta.localCheckpoint(true)
-            val post = applyDelta(prevSnap, keyed)
+            val post0 = applyDelta(prevSnap, keyed, defaults)
+            val post = layout.map(_(post0)).getOrElse(post0)
             // CHECK constraint: enforced on the POST state, before
             // anything becomes visible; a violating commit releases
             // its claim and rejects — the log is left untouched
             check.foreach { c =>
               val bad = post.filter(!c).limit(1).count()
               if (bad > 0) {
-                claimFile(root, v).delete()
+                claim.delete()
                 throw new CheckViolation(
                   s"commit v$v rejected: post-state violates CHECK $c")
               }
             }
-            post.write.mode("overwrite")
-              .parquet(s"$root/snapshot_v$v")
-            keyed.write.mode("overwrite").parquet(s"$root/delta_v$v")
-            writeMeta(root, CommitMeta(v, builtAt, pending.get._2))
-            txnId.foreach(id => Files.write(txnIdFile(root, v).toPath,
-              id.getBytes(StandardCharsets.UTF_8)))
-            commitMarker(root, v).createNewFile()
-            return TxnStats(v, attempts, conflicts)
+            // STAGE the data under claim-scoped unique names — a
+            // resumed zombie writing here can never clobber a
+            // committed version's directories
+            post.write.mode("overwrite").parquet(s"$stage/snapshot")
+            keyed.repartitionByRange(DELTA_FILES, col("key"))
+              .write.mode("overwrite").parquet(s"$stage/delta")
+            val written = fileRanges(spark, s"$stage/delta")
+            if (!prePublishFired) { prePublishFired = true; prePublish(v) }
+            // FENCED PUBLISH: re-verify we still own the claim (a
+            // stalled writer may have had it stolen), write the meta,
+            // then let the marker's atomic create decide the race —
+            // false means someone else committed v and our work is a
+            // CONFLICT, never a silent co-success
+            if (!ownsClaim(claim, token)) abandon()
+            else {
+              writeMeta(root, CommitMeta(v, builtAt, written))
+              if (!commitMarker(root, v).createNewFile()) abandon()
+              else {
+                // we ARE the unique committer of v: publish by rename
+                Files.move(Paths.get(stage.getPath, "snapshot"),
+                  Paths.get(root, s"snapshot_v$v"),
+                  StandardCopyOption.ATOMIC_MOVE)
+                Files.move(Paths.get(stage.getPath, "delta"),
+                  Paths.get(root, s"delta_v$v"),
+                  StandardCopyOption.ATOMIC_MOVE)
+                stage.delete()
+                val newCols = keyed.columns
+                  .filter(c => c != "key" && c != "op")
+                  .filterNot(prevSnap.columns.contains)
+                if (newCols.nonEmpty)
+                  Files.write(schemaFile(root, v).toPath,
+                    newCols.map(c => s"ADD|$c|" +
+                      defaults.get(c).map(_.toString).getOrElse("NULL"))
+                      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+                txnId.foreach(id => Files.write(txnIdFile(root, v).toPath,
+                  id.getBytes(StandardCharsets.UTF_8)))
+                return TxnStats(v, attempts, conflicts)
+              }
+            }
           }
         } finally heartbeat.interrupt()
       }
@@ -352,12 +489,19 @@ object TxnLog {
         // age-checked claim steal: a live owner heartbeats the mtime
         // every claimTimeoutMs/4, so a claim whose mtime is a full
         // claimTimeoutMs old belongs to a crashed writer — delete it
-        // and let the loop re-claim the freed slot
+        // (plus any unmarked leftovers it published) and let the loop
+        // re-claim the freed slot
         val orphan = claimFile(root, v)
         if (orphan.exists() && !commitMarker(root, v).exists() &&
             System.currentTimeMillis() - orphan.lastModified() >=
               claimTimeoutMs) {
-          orphan.delete(); ()
+          orphan.delete()
+          metaFile(root, v).delete()
+          schemaFile(root, v).delete()
+          Option(new File(root).listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(s".stage_v${v}_"))
+            .foreach(destroyDir)
+          ()
         }
       }
       // loop re-validates against the new latest and retries

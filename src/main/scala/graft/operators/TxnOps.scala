@@ -45,15 +45,17 @@ object TxnOps {
     * where absent). Read set = the keys it is about to write (the
     * read-modify-write set). */
   private def addCounts(spark: SparkSession, sfDir: String,
-      eventType: String)(base: DataFrame): (DataFrame, Set[Long]) = {
+      eventType: String)(base: DataFrame)
+      : (DataFrame, TxnLog.KeyRanges) = {
     import spark.implicits._
     val inc = typeCounts(spark, sfDir, eventType)
     val delta = base.as("s").join(inc.as("d"), Seq("key"), "right")
       .select($"key",
         (coalesce($"s.value", lit(0L)) + $"d.cnt").as("value"),
         lit("upsert").as("op"))
-    val keys = inc.select($"key").collect().map(_.getLong(0)).toSet
-    (delta, keys)
+    // read set as a metadata-scale key RANGE (one aggregate row),
+    // never a key collect — the 100 TB form of the RMW dependency
+    (delta, TxnLog.range(inc))
   }
 
   /** Two concurrent writers race one table: both read version 0 (a
@@ -144,7 +146,7 @@ object TxnOps {
           .select($"user_id".as("key")).distinct()
         val delta = errs
           .select($"key", lit(0L).as("value"), lit("delete").as("op"))
-        (delta, errs.collect().map(_.getLong(0)).toSet)
+        (delta, TxnLog.range(errs))
       })
       root
     })
@@ -196,7 +198,7 @@ object TxnOps {
             .as("value"),
           when($"t.value".isNotNull && $"s.cnt" > $"t.value" * 2,
             lit("delete")).otherwise(lit("upsert")).as("op"))
-      (delta, source.select($"key").collect().map(_.getLong(0)).toSet)
+      (delta, TxnLog.range(source))
     })
     val v0 = TxnLog.read(spark, root, 0L)
       .withColumnRenamed("value", "v0_value")
@@ -449,8 +451,7 @@ object TxnOps {
         .filter($"event_type" === "error")
         .select($"user_id".as("key")).distinct()
       (errs.select($"key", lit(0L).as("value"),
-        lit("delete").as("op")),
-        errs.collect().map(_.getLong(0)).toSet)
+        lit("delete").as("op")), TxnLog.range(errs))
     })
     // v2: RESTORE to v0 — delta = diff(target = v0, current = base)
     TxnLog.commit(spark, root, { base =>
@@ -462,8 +463,7 @@ object TxnOps {
         .select($"key",
           coalesce($"t.value", lit(0L)).as("value"),
           when($"t.value".isNull, "delete").otherwise("upsert").as("op"))
-      val keys = delta.select($"key").collect().map(_.getLong(0)).toSet
-      (delta, keys)
+      (delta, TxnLog.range(delta))
     })
     val latest = TxnLog.latestCommitted(root)
     TxnLog.read(spark, root, latest)
@@ -536,7 +536,7 @@ object TxnOps {
           val delta = base.as("s").join(rogue.as("d"), Seq("key"), "inner")
             .select($"key", ($"s.value" - lit(1000000L)).as("value"),
               lit("upsert").as("op"))
-          (delta, rogue.select($"key").collect().map(_.getLong(0)).toSet)
+          (delta, TxnLog.range(rogue))
         }, check = Some(check))
         0L
       } catch { case _: TxnLog.CheckViolation => 1L }

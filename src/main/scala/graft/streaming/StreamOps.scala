@@ -1165,13 +1165,14 @@ object StreamOps {
             .agg(count(lit(1)).as("cnt"))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           def tx(base: org.apache.spark.sql.DataFrame)
-              : (org.apache.spark.sql.DataFrame, Set[Long]) = {
+              : (org.apache.spark.sql.DataFrame, TxnLog.KeyRanges) = {
             val inc = counts.toSeq.toDF("key", "cnt")
             val delta = base.as("s").join(inc.as("d"), Seq("key"), "right")
               .select($"key",
                 (coalesce($"s.value", lit(0L)) + $"d.cnt").as("value"),
                 lit("upsert").as("op"))
-            (delta, counts.keySet)
+            (delta, if (counts.isEmpty) Nil
+              else Seq((counts.keys.min, counts.keys.max)))
           }
           val first = TxnLog.commit(spark2, root, tx, txnId = Some(s"b$id"))
           // the simulated re-drive: same batch id, same payload

@@ -84,7 +84,7 @@ class CatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     TxnLog.commit(spark, root, { _ =>
       import spark.implicits._
       (Seq((1L, 10L)).toDF("key", "value")
-        .withColumn("op", lit("upsert")), Set(1L))
+        .withColumn("op", lit("upsert")), Seq((1L, 1L)))
     })
     // the catalog metadata surface must agree with loadTable: a
     // resolvable txn table reports as existing and shows in listings

@@ -69,7 +69,7 @@ class Round9Spec extends SparkSpec {
     assert(files == 2, s"bin-packed snapshot must have exactly 2 files, got $files")
     assert(state(root, 0L) == state(root, 1L),
       "OPTIMIZE must not change a single row")
-    assert(TxnLog.readMeta(root, 1L).writtenKeys.isEmpty,
+    assert(TxnLog.readMeta(root, 1L).writtenRanges.isEmpty,
       "an empty write set is what makes OPTIMIZE conflict-free")
   }
 

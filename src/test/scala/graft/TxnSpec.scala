@@ -26,13 +26,13 @@ class TxnSpec extends SparkSpec {
 
   /** Read-modify-write increment of `keys` by `by`. */
   private def incTxn(keys: Seq[Long], by: Long)(
-      base: DataFrame): (DataFrame, Set[Long]) = {
+      base: DataFrame): (DataFrame, TxnLog.KeyRanges) = {
     import spark.implicits._
     val want = keys.toDF("key")
     val delta = base.as("s").join(want.as("d"), Seq("key"), "right")
       .select($"key", (coalesce($"s.value", lit(0L)) + by).as("value"),
         lit("upsert").as("op"))
-    (delta, keys.toSet)
+    (delta, Seq((keys.min, keys.max)))
   }
 
   private def state(root: String): Map[Long, Long] = {
@@ -43,11 +43,11 @@ class TxnSpec extends SparkSpec {
 
   test("serial commits version monotonically and time-travels exactly") {
     val root = freshRoot("serial")
-    TxnLog.commit(spark, root, _ => (upserts(1L -> 10L, 2L -> 20L), Set(1L, 2L)))
-    TxnLog.commit(spark, root, _ => (upserts(2L -> 25L), Set(2L)))
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 10L, 2L -> 20L), Seq((1L, 2L))))
+    TxnLog.commit(spark, root, _ => (upserts(2L -> 25L), Seq((2L, 2L))))
     TxnLog.commit(spark, root,
       _ => (upserts(3L -> 30L).unionByName(
-        upserts(1L -> 0L).withColumn("op", lit("delete"))), Set(1L, 3L)))
+        upserts(1L -> 0L).withColumn("op", lit("delete"))), Seq((1L, 3L))))
     assert(TxnLog.latestCommitted(root) == 2)
     def snap(v: Long) = TxnLog.read(spark, root, v).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -60,7 +60,7 @@ class TxnSpec extends SparkSpec {
 
   test("overlapping racers: loser is conflict-rejected, final state is serial") {
     val root = freshRoot("race")
-    TxnLog.commit(spark, root, _ => (upserts(1L -> 100L, 2L -> 200L), Set(1L, 2L)))
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 100L, 2L -> 200L), Seq((1L, 2L))))
     val barrier = new CyclicBarrier(2)
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[TxnLog.TxnStats]()
     val ts = Seq(Seq(1L, 2L) -> 7L, Seq(2L, 3L) -> 11L).map { case (ks, by) =>
@@ -82,7 +82,7 @@ class TxnSpec extends SparkSpec {
 
   test("disjoint racers: loser rebases WITHOUT a conflict re-run") {
     val root = freshRoot("disjoint")
-    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L, 9L -> 9L), Set(1L, 9L)))
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L, 9L -> 9L), Seq((1L, 1L), (9L, 9L))))
     val barrier = new CyclicBarrier(2)
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[TxnLog.TxnStats]()
     val ts = Seq(Seq(1L) -> 5L, Seq(9L) -> 3L).map { case (ks, by) =>
@@ -101,7 +101,7 @@ class TxnSpec extends SparkSpec {
 
   test("8-way overlapping increments converge to the serial sum") {
     val root = freshRoot("many")
-    TxnLog.commit(spark, root, _ => (upserts(42L -> 0L), Set(42L)))
+    TxnLog.commit(spark, root, _ => (upserts(42L -> 0L), Seq((42L, 42L))))
     val ts = (1 to 8).map { i =>
       new Thread(() => {
         TxnLog.commit(spark, root, incTxn(Seq(42L), i.toLong),
@@ -116,7 +116,7 @@ class TxnSpec extends SparkSpec {
 
   test("checkpoint compacts metas; validation still sees old commits") {
     val root = freshRoot("ckpt")
-    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Set(1L)))
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Seq((1L, 1L))))
     TxnLog.commit(spark, root, incTxn(Seq(1L, 2L), 5L))
     TxnLog.commit(spark, root, incTxn(Seq(3L), 2L))
     val before = (0L to 2L).map(TxnLog.readMeta(root, _))
@@ -158,7 +158,7 @@ class TxnSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       TxnLog.read(spark, root, 0))
     assert(e.getMessage.contains("vacuumed"))
-    assert(TxnLog.readMeta(root, 0).writtenKeys == Set(1L))
+    assert(TxnLog.readMeta(root, 0).writtenRanges == Seq((1L, 1L)))
     assert(TxnLog.latestCommitted(root) == 3)
     TxnLog.destroy(root)
   }
@@ -204,9 +204,95 @@ class TxnSpec extends SparkSpec {
       "CDF fold must equal the latest committed snapshot")
   }
 
+  test("a wide commit's meta stays O(files), never O(keys)") {
+    import spark.implicits._
+    val root = freshRoot("wide")
+    val wide = (0L until 10000L).map(k => (k, k)).toDF("key", "value")
+      .withColumn("op", lit("upsert"))
+    TxnLog.commit(spark, root, _ => (wide, TxnLog.range(wide)))
+    val meta = TxnLog.readMeta(root, 0L)
+    assert(meta.writtenRanges.nonEmpty &&
+      meta.writtenRanges.size <= TxnLog.DELTA_FILES,
+      s"10k written keys must compress to <= ${TxnLog.DELTA_FILES} " +
+        s"file ranges, got ${meta.writtenRanges.size}")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_txn_log", "v0.meta")).size
+    assert(lines <= 2 + TxnLog.DELTA_FILES,
+      s"meta file must stay O(files): $lines lines for a 10k-key commit")
+    // the ranges still validate correctly: a key inside the written
+    // domain conflicts, one outside does not
+    assert(TxnLog.rangesOverlap(Seq((5000L, 5000L)), meta.writtenRanges))
+    assert(!TxnLog.rangesOverlap(Seq((20000L, 20000L)), meta.writtenRanges))
+    // range-partitioned delta files have tight, near-disjoint ranges —
+    // total covered width ~= key domain, not files x domain
+    val covered = meta.writtenRanges.map(r => r._2 - r._1 + 1).sum
+    assert(covered <= 10000L + TxnLog.DELTA_FILES,
+      s"file ranges must not overlap-inflate: covered $covered of 10000")
+    TxnLog.destroy(root)
+  }
+
+  test("a stolen claim is detected before publish — no silent lost update") {
+    val root = freshRoot("fence")
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Seq((1L, 1L))))
+    // fault injection: after the writer stages its data for v1 but
+    // before it publishes, a 'thief' steals the claim (what the
+    // age-checked steal does to a stalled owner). The fenced publish
+    // must detect the foreign token, count a conflict, and commit at
+    // a later attempt — never co-succeed on the stolen slot.
+    val stats = TxnLog.commit(spark, root, incTxn(Seq(1L), 5L),
+      claimTimeoutMs = 400L,
+      prePublish = { v =>
+        val claim = new java.io.File(root, s"_txn_log/v$v.claim")
+        claim.delete()
+        claim.createNewFile()
+        java.nio.file.Files.write(claim.toPath, "thief-token".getBytes)
+        // age the thief's claim so the retry can steal the slot back
+        claim.setLastModified(System.currentTimeMillis() - 60000L)
+      })
+    assert(stats.conflicts >= 1,
+      "the fenced publish must count the theft as a conflict")
+    assert(state(root) == Map(1L -> 6L),
+      "the increment must land exactly once despite the stolen claim")
+    TxnLog.destroy(root)
+  }
+
+  test("schema evolution: ADD COLUMN back-fills defaults, old versions keep the old schema") {
+    import spark.implicits._
+    val root = freshRoot("schema")
+    // v0: plain (key, value)
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 10L, 2L -> 20L), Seq((1L, 2L))))
+    // v1: ADD COLUMN score DEFAULT 7 — zero-row delta carrying the
+    // new column; existing rows back-fill the default
+    val addCol = Seq.empty[(Long, Long)].toDF("key", "score")
+      .withColumn("op", lit("upsert"))
+    TxnLog.commit(spark, root, _ => (addCol, Nil),
+      defaults = Map("score" -> 7L))
+    // v2: column-level upsert — writes score for key 2, inserts key 3
+    // with score but no value
+    val d2 = Seq((2L, 99L), (3L, 50L)).toDF("key", "score")
+      .withColumn("op", lit("upsert"))
+    TxnLog.commit(spark, root, _ => (d2, Seq((2L, 3L))))
+    val latest = TxnLog.read(spark, root, 2L).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(latest == Map(
+      1L -> (Some(10L), Some(7L)),   // untouched: default back-fill
+      2L -> (Some(20L), Some(99L)),  // score updated, value carried
+      3L -> (None, Some(50L))),      // inserted without a value
+      s"evolved state wrong: $latest")
+    // time travel: v0 still has the ORIGINAL two-column schema
+    assert(TxnLog.read(spark, root, 0L).columns.toSeq == Seq("key", "value"))
+    assert(TxnLog.read(spark, root, 2L).columns.toSeq ==
+      Seq("key", "value", "score"))
+    // the ADD COLUMN is audited in the log
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_txn_log", "v1.schema")))
+    assert(audit == "ADD|score|7")
+    TxnLog.destroy(root)
+  }
+
   test("a crashed writer's claim is invisible and does not block progress") {
     val root = freshRoot("crash")
-    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Set(1L)))
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Seq((1L, 1L))))
     // simulate a crash: claim v1 but never write data or the marker,
     // and make the claim look long-dead (no heartbeat since creation)
     val claim = new java.io.File(root, "_txn_log/v1.claim")
@@ -230,7 +316,7 @@ class TxnSpec extends SparkSpec {
 
   test("a live owner's heartbeat protects its claim from being stolen") {
     val root = freshRoot("heartbeat")
-    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Set(1L)))
+    TxnLog.commit(spark, root, _ => (upserts(1L -> 1L), Seq((1L, 1L))))
     val claim = new java.io.File(root, "_txn_log/v1.claim")
     assert(claim.createNewFile())
     // a heartbeating owner keeps the mtime fresh; a contender with a
