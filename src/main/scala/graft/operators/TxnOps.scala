@@ -510,6 +510,133 @@ object TxnOps {
       |FROM events WHERE event_type = 'click'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** SCHEMA EVOLUTION through the transaction log: v0 commits the
+    * original (key, value) balances, v1 is a pure ADD COLUMN commit
+    * (`score` LONG DEFAULT 0 — a zero-row delta carrying the new
+    * column, back-filled on every existing row from the declared
+    * default and audited in the log's `v1.schema` entry), v2 writes
+    * the new column for purchase users as a COLUMN-LEVEL upsert (the
+    * delta omits `value`, so stored balances carry over untouched and
+    * inserted users get NULL — surfaced as -1 to keep the compared
+    * column integral). Reading latest shows the evolved 3-column
+    * schema with back-filled defaults; time travel to v0 still shows
+    * the original 2 columns because each version's snapshot is
+    * self-describing (`v0_ncols`/`latest_ncols` pin both facts). At
+    * 100 TB this is the first thing a changelog consumer needs after
+    * MERGE/CDF/RESTORE: adding a column costs a metadata entry plus
+    * default semantics, never a table rewrite. */
+  def txnSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "schema")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    // v1: ADD COLUMN score DEFAULT 0 (metadata-only: zero-row delta)
+    val addCol = Seq.empty[(Long, Long)].toDF("key", "score")
+      .withColumn("op", lit("upsert"))
+    TxnLog.commit(spark, root, _ => (addCol, Nil),
+      defaults = Map("score" -> 0L))
+    // v2: write the new column only — value carries over by omission
+    TxnLog.commit(spark, root, { _ =>
+      val scores = typeCounts(spark, sfDir, "purchase")
+      (scores.select($"key", $"cnt".as("score"), lit("upsert").as("op")),
+        TxnLog.range(scores))
+    })
+    val latest = TxnLog.latestCommitted(root)
+    val v0Cols = TxnLog.read(spark, root, 0L).columns.length.toLong
+    val cur = TxnLog.read(spark, root, latest)
+    val curCols = cur.columns.length.toLong
+    cur.select($"key".as("user_id"),
+      coalesce($"value", lit(-1L)).as("balance"), $"score",
+      lit(v0Cols).as("v0_ncols"), lit(curCols).as("latest_ncols"),
+      lit(latest + 1).cast("long").as("n_versions"))
+      .orderBy($"user_id")
+  }
+
+  val txnSchemaEvolutionSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |      AS n_c,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |      AS n_p
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  CASE WHEN n_c > 0 THEN n_c ELSE -1 END AS balance,
+      |  CASE WHEN n_p > 0 THEN n_p ELSE 0 END AS score,
+      |  CAST(2 AS BIGINT) AS v0_ncols, CAST(3 AS BIGINT) AS latest_ncols,
+      |  CAST(3 AS BIGINT) AS n_versions
+      |FROM per_user WHERE n_c > 0 OR n_p > 0
+      |ORDER BY user_id""".stripMargin
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE pinned to the
+    * transaction log — the maintenance side of
+    * [[graft.plans.MvRewriteRule]]'s consumption side: a per-bucket
+    * summary (users, total balance, bucket = key % 10) is built ONCE
+    * from the v0 snapshot, then rolled forward to every later
+    * version from that version's DELTA alone — retractions come from
+    * the delta-keyed join against the previous snapshot (the same
+    * delta-bounded read [[txnIvm]] uses), additions from the delta's
+    * upserts, and the per-bucket adjustments (≤ bucket-domain rows
+    * per version) fold into the pinned summary. The fact table is
+    * never rescanned after v0: at 100 TB each maintenance step costs
+    * O(delta + touched files), which is the entire point of keeping
+    * an MV consistent through a changelog instead of recomputing it.
+    * The oracle recomputes the latest summary from the base events in
+    * closed form, so maintained ≡ recomputed IS the correctness gate;
+    * Round10Spec additionally pins every INTERMEDIATE version against
+    * an in-engine recompute. */
+  def txnMvIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = ttTable(spark, sfDir)
+    val latest = TxnLog.latestCommitted(root)
+    // MV creation: the one and only full scan, at v0
+    var mv: Map[Long, (Long, Long)] = TxnLog.read(spark, root, 0L)
+      .groupBy(($"key" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    (1L to latest).foreach { v =>
+      val delta = spark.read.parquet(s"$root/delta_v$v")
+      val prev = TxnLog.read(spark, root, v - 1)
+      // retraction: old per-bucket contributions of touched keys only
+      val adj = prev.as("s")
+        .join(delta.select($"key", $"op").as("d"), Seq("key"))
+        .groupBy(($"key" % 10).as("bucket"))
+        .agg((-count(lit(1))).as("dn"), (-sum($"s.value")).as("ds"))
+        .unionByName(delta.filter($"op" === "upsert")
+          .groupBy(($"key" % 10).as("bucket"))
+          .agg(count(lit(1)).as("dn"), sum($"value").as("ds")))
+        .groupBy($"bucket")
+        .agg(sum($"dn").as("dn"), sum($"ds").as("ds"))
+        .collect()
+      adj.foreach { r =>
+        val b = r.getLong(0)
+        val (n0, s0) = mv.getOrElse(b, (0L, 0L))
+        val nb = (n0 + r.getLong(1), s0 + r.getLong(2))
+        mv = if (nb._1 == 0L) mv - b else mv + (b -> nb)
+      }
+    }
+    mv.toSeq.map { case (b, (n, s)) => (b, n, s) }
+      .toDF("bucket", "n_users", "sum_balance")
+      .withColumn("mv_version", lit(latest).cast("long"))
+      .orderBy($"bucket")
+  }
+
+  val txnMvIncrementalSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_c,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_v,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_p,
+      |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_e
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n_c + n_v + n_p) AS BIGINT) AS sum_balance,
+      |  CAST(3 AS BIGINT) AS mv_version
+      |FROM per_user WHERE n_c + n_v + n_p > 0 AND n_e = 0
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** CHECK constraint enforced AT COMMIT: the table carries the
     * invariant `value >= 0`; a transaction whose post-state would
     * violate it is rejected before its version becomes visible (the

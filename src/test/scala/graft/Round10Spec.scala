@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.TxnLog
+import graft.operators.TxnOps
+
+/** Round-8 session: schema evolution + incremental MV maintenance
+  * through the transaction log. */
+class Round10Spec extends SparkSpec {
+
+  test("schema evolution key: audit entry exists, v0 keeps 2 columns") {
+    TxnOps.txnSchemaEvolution(spark, sf).collect()
+    val root = TxnOps.scratch(spark, sf, "schema")
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_txn_log", "v1.schema")))
+    assert(audit == "ADD|score|0",
+      s"the ADD COLUMN must be audited in the log, got '$audit'")
+    assert(TxnLog.read(spark, root, 0L).columns.toSeq == Seq("key", "value"),
+      "time travel to v0 must show the pre-evolution schema")
+    assert(TxnLog.read(spark, root, 2L).columns.toSeq ==
+      Seq("key", "value", "score"))
+    // the ADD COLUMN commit wrote no data: empty write-range set
+    assert(TxnLog.readMeta(root, 1L).writtenRanges.isEmpty,
+      "a metadata-only commit must never conflict with data commits")
+  }
+
+  test("incremental MV equals a full recompute at EVERY version") {
+    import spark.implicits._
+    TxnOps.txnMvIncremental(spark, sf).collect()
+    val root = TxnOps.ttTable(spark, sf)
+    val latest = TxnLog.latestCommitted(root)
+    // maintain step-by-step exactly as the operator does, but check
+    // against an independent full recompute after every version —
+    // if any delta application drifted, the first divergent version
+    // names itself
+    def recompute(v: Long): Map[Long, (Long, Long)] =
+      TxnLog.read(spark, root, v)
+        .groupBy(($"key" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    var mv = recompute(0L)
+    (1L to latest).foreach { v =>
+      val delta = spark.read.parquet(s"$root/delta_v$v")
+      val prev = TxnLog.read(spark, root, v - 1)
+      val adj = prev.as("s")
+        .join(delta.select($"key", $"op").as("d"), Seq("key"))
+        .groupBy(($"key" % 10).as("bucket"))
+        .agg((-count(lit(1))).as("dn"), (-sum($"s.value")).as("ds"))
+        .unionByName(delta.filter($"op" === "upsert")
+          .groupBy(($"key" % 10).as("bucket"))
+          .agg(count(lit(1)).as("dn"), sum($"value").as("ds")))
+        .groupBy($"bucket")
+        .agg(sum($"dn").as("dn"), sum($"ds").as("ds"))
+        .collect()
+      adj.foreach { r =>
+        val b = r.getLong(0)
+        val (n0, s0) = mv.getOrElse(b, (0L, 0L))
+        val nb = (n0 + r.getLong(1), s0 + r.getLong(2))
+        mv = if (nb._1 == 0L) mv - b else mv + (b -> nb)
+      }
+      assert(mv == recompute(v),
+        s"maintained MV diverged from the full recompute at v$v")
+    }
+  }
+
+  test("column-level upsert: omitted columns carry over, present ones update") {
+    import spark.implicits._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_r10_colup").getAbsolutePath
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, { _ =>
+      (Seq((1L, 10L), (2L, 20L)).toDF("key", "value")
+        .withColumn("op", lit("upsert")), Seq((1L, 2L)))
+    })
+    // delta carries ONLY key+op for key 1 → a no-op upsert (all value
+    // columns carried over) — the degenerate column-level case
+    TxnLog.commit(spark, root, { _ =>
+      (Seq(Tuple1(1L)).toDF("key").withColumn("op", lit("upsert")),
+        Seq((1L, 1L)))
+    })
+    val out = TxnLog.read(spark, root, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 10L, 2L -> 20L),
+      "an upsert that names no value columns must change nothing")
+    TxnLog.destroy(root)
+  }
+}
