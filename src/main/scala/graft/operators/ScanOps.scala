@@ -597,4 +597,90 @@ object ScanOps {
        |WHERE l_shipdate BETWEEN TIMESTAMP '$skipLo'
        |  AND TIMESTAMP '$skipHi'
        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Write-once MORTON-CLUSTERED flat-file layout + TWO-column
+    * per-file min/max sidecar: rows ordered by the codegen'd
+    * [[graft.functions.ZOrder]] key of (l_orderkey%256, l_partkey%256)
+    * and range-split into 16 files, so each file's (x, y) bounding
+    * box is tight in BOTH dimensions — the property that makes
+    * multi-column stats skipping work from ONE clustering order
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY` + manifest column stats).
+    * Same freshness contract as every derived layout. */
+  private[graft] def stats2dLayoutDir(spark: SparkSession,
+      sfDir: String): String = {
+    val path = scratch(sfDir) + "/lineitem_statskip2d"
+    val marker = new java.io.File(path, "_SUCCESS")
+    val spec = new java.io.File(path, "_GRAFT_SPEC")
+    val statsMarker = new java.io.File(path + "_stats", "_SUCCESS")
+    val want = "v1|cluster=zorder(l_orderkey%256,l_partkey%256)|files=16|stats=2d_min_max"
+    val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    def newestUnder(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
+      else f.lastModified()
+    val fresh = marker.exists() && spec.exists() && statsMarker.exists() &&
+      newestUnder(src) <= marker.lastModified() &&
+      java.nio.file.Files.readString(spec.toPath) == want
+    if (!fresh) {
+      graft.functions.ZOrder.register(spark)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_returnflag"))
+        .withColumn("zx", expr("cast(l_orderkey % 256 as int)"))
+        .withColumn("zy", expr("cast(l_partkey % 256 as int)"))
+        .withColumn("z", expr("graft_zorder(zx, zy)"))
+        .repartitionByRange(16, col("z"))
+        .drop("z")
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+          min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path + "_stats")
+      java.nio.file.Files.writeString(spec.toPath, want)
+    }
+    path
+  }
+
+  /** 2-D box bounds for [[scanStatsSkipping2d]] — same box as the
+    * Z-order directory key, so the two pruning mechanisms (partition
+    * directories vs per-file stats) are directly comparable. */
+  private[graft] val (s2Xlo, s2Xhi, s2Ylo, s2Yhi) = (40, 80, 70, 120)
+
+  /** MULTI-COLUMN file-stats data skipping: the round-7 sidecar
+    * generalized from a 1-D date range to a CONJUNCTIVE 2-D box —
+    * per-file (min, max) on TWO columns over Morton-clustered files,
+    * the read resolving both predicates against the metadata-scale
+    * sidecar and opening only files whose bounding box intersects
+    * the query box (the residual in-file predicate still runs; file
+    * boxes overlap at curve boundaries). One clustering order serves
+    * range predicates on EITHER OR BOTH dimensions — at 100 TB this
+    * is how a lakehouse manifest answers `x BETWEEN … AND y BETWEEN
+    * …` by touching a few percent of files, without the directory
+    * explosion of nested partitioning. Round10Spec pins the file cut
+    * AND that pruned-out files hold zero qualifying rows; the oracle
+    * is layout-free. */
+  def scanStatsSkipping2d(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stats2dLayoutDir(spark, sfDir)
+    val files = spark.read.parquet(dir + "_stats")
+      .filter($"max_x" >= s2Xlo && $"min_x" <= s2Xhi &&
+        $"max_y" >= s2Ylo && $"min_y" <= s2Yhi)
+      .select($"file").collect().map(_.getString(0))
+    require(files.nonEmpty, "2-D stats pruning removed every file")
+    spark.read.parquet(files.toSeq: _*)
+      .filter($"zx".between(s2Xlo, s2Xhi) && $"zy".between(s2Ylo, s2Yhi))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val scanStatsSkipping2dSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey % 256 BETWEEN $s2Xlo AND $s2Xhi
+       |  AND l_partkey % 256 BETWEEN $s2Ylo AND $s2Yhi
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 }

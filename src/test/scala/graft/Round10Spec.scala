@@ -64,6 +64,31 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("2-D stats skipping: sidecar prunes most files, pruned files hold no rows") {
+    import spark.implicits._
+    import graft.operators.ScanOps
+    ScanOps.scanStatsSkipping2d(spark, sf).collect()
+    val dir = ScanOps.stats2dLayoutDir(spark, sf)
+    val stats = spark.read.parquet(dir + "_stats")
+    assert(stats.count() == 16, "one stats row per Morton-clustered file")
+    val (xlo, xhi, ylo, yhi) =
+      (ScanOps.s2Xlo, ScanOps.s2Xhi, ScanOps.s2Ylo, ScanOps.s2Yhi)
+    val boxHit = $"max_x" >= xlo && $"min_x" <= xhi &&
+      $"max_y" >= ylo && $"min_y" <= yhi
+    val kept = stats.filter(boxHit).count()
+    assert(kept >= 1 && kept <= 8,
+      s"a ~1/16-area box over a Z-clustered layout must keep few of " +
+        s"16 files, kept $kept")
+    // non-vacuous: open the EXCLUDED files and run the box predicate
+    val excluded = stats.filter(!boxHit)
+      .select($"file").collect().map(_.getString(0))
+    assert(excluded.length == 16 - kept)
+    val missed = spark.read.parquet(excluded.toSeq: _*)
+      .filter($"zx".between(xlo, xhi) && $"zy".between(ylo, yhi)).count()
+    assert(missed == 0,
+      s"$missed qualifying rows hide in pruned files")
+  }
+
   test("column-level upsert: omitted columns carry over, present ones update") {
     import spark.implicits._
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
