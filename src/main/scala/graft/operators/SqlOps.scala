@@ -255,4 +255,34 @@ object SqlOps {
        |FROM lineitem
        |GROUP BY ALL
        |ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin
+
+  /** MATCH_RECOGNIZE reached from SQL TEXT: the verbatim SQL:2016
+    * clause grammar parsed by [[graft.plans.MatchRecognizeSql]] and
+    * mapped onto the library's [[graft.plans.MatchRecognize]]
+    * operator — the same funnel (`V C* P`, SKIP PAST LAST ROW,
+    * FIRST/LAST navigation measures) a Scala caller gets from
+    * [[SnapshotOps.matchRecognize]], now writable by a SQL-text
+    * user. The parse produces the identical plan, so cost and
+    * semantics cannot drift between the two surfaces; the oracle is
+    * the same match-by-match positional reconstruction. */
+  def sqlMatchRecognize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.MatchRecognizeSql.sql(spark,
+      """SELECT * FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(event_id), LAST(event_id)
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C* P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin,
+      _ => Tables.events(spark, sfDir))
+      .orderBy($"user_id", $"match_no")
+  }
+
+  val sqlMatchRecognizeSql: String = SnapshotOps.matchRecognizeSql
 }

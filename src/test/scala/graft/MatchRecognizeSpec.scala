@@ -99,4 +99,70 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out(0).getAs[Long]("first_i") == 1L &&
       out(0).getAs[Long]("last_i") == 1L)
   }
+
+  test("SQL text front end produces the identical result to the Scala route") {
+    import spark.implicits._
+    import graft.plans.MatchRecognizeSql
+    val df = seqDf("vccpvpxvp")
+    val viaSql = MatchRecognizeSql.sql(spark,
+      """SELECT * FROM seq
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY u
+        |  ORDER BY i
+        |  MEASURES FIRST(i), LAST(i)
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C* P)
+        |  DEFINE V AS t = 'v', C AS t = 'c', P AS t = 'p'
+        |)""".stripMargin, _ => df)
+      .orderBy($"match_no").collect().toSeq
+    val viaScala = MatchRecognize(df, "u", Seq("i"),
+      Seq("V" -> ($"t" === "v"), "C" -> ($"t" === "c"),
+        "P" -> ($"t" === "p")), "V C* P",
+      measuresFor = Seq("i"))
+      .orderBy($"match_no").collect().toSeq
+    assert(viaSql == viaScala,
+      "the SQL parse must map onto the operator with zero drift")
+  }
+
+  test("SQL front end: SKIP TO NEXT ROW, nested pattern parens, rich DEFINEs") {
+    import graft.plans.MatchRecognizeSql
+    val p = MatchRecognizeSql.parse(
+      """SELECT * FROM t
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY k
+        |  ORDER BY a, b
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((V C)+ P?)
+        |  DEFINE V AS x IN ('v', 'w'), C AS coalesce(y, 0) > least(1, 2),
+        |    P AS x = 'p'
+        |)""".stripMargin)
+    assert(p.afterMatch == graft.plans.MatchRecognize.SkipToNextRow)
+    assert(p.pattern == "(V C)+ P?",
+      s"balanced-paren pattern extraction broke: '${p.pattern}'")
+    assert(p.orderBy == Seq("a", "b") && p.partitionBy == "k")
+    assert(p.define == Seq("V" -> "x IN ('v', 'w')",
+      "C" -> "coalesce(y, 0) > least(1, 2)", "P" -> "x = 'p'"),
+      "top-level comma split must not break inside function parens")
+    assert(p.measures.isEmpty)
+  }
+
+  test("SQL front end rejects malformed statements loudly") {
+    import graft.plans.MatchRecognizeSql
+    def bad(s: String) =
+      intercept[IllegalArgumentException](MatchRecognizeSql.parse(s))
+    assert(bad("SELECT x FROM t").getMessage.contains("MATCH_RECOGNIZE"))
+    assert(bad(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  ORDER BY a PATTERN (V) DEFINE V AS x = 1)""".stripMargin)
+      .getMessage.contains("PARTITION BY"))
+    assert(bad(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY a
+        |  MEASURES SUM(x) PATTERN (V) DEFINE V AS x = 1)""".stripMargin)
+      .getMessage.contains("FIRST(col)/LAST(col)"))
+    assert(bad(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY a PATTERN (V) DEFINE V)""".stripMargin)
+      .getMessage.contains("not '<var> AS <predicate>'"))
+  }
 }
