@@ -683,4 +683,96 @@ object ScanOps {
        |WHERE l_orderkey % 256 BETWEEN $s2Xlo AND $s2Xhi
        |  AND l_partkey % 256 BETWEEN $s2Ylo AND $s2Yhi
        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Buckets in the deletion-vector base layout (one file per
+    * bucket; the bucket id is the file's stable identity). */
+  private[graft] val DV_BUCKETS = 8
+
+  /** Write-once MERGE-ON-READ base layout: lineitem hash-bucketed
+    * into [[DV_BUCKETS]] files with an EXPLICIT per-bucket row
+    * position stamped at write time — the (bucket, pos) pair is the
+    * row's stable physical address (Iceberg's `(_file, _pos)`),
+    * immune to read-order nondeterminism because it is stored, not
+    * derived. Delete "waves" never touch these files. */
+  private[graft] def dvLayoutDir(spark: SparkSession, sfDir: String): String = {
+    val path = scratch(sfDir) + "/lineitem_dv_base"
+    val marker = new java.io.File(path, "_SUCCESS")
+    val spec = new java.io.File(path, "_GRAFT_SPEC")
+    val want = s"v1|buckets=$DV_BUCKETS|pos=row_number_at_write"
+    val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    def newestUnder(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
+      else f.lastModified()
+    val fresh = marker.exists() && spec.exists() &&
+      newestUnder(src) <= marker.lastModified() &&
+      java.nio.file.Files.readString(spec.toPath) == want
+    if (!fresh) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"), col("l_shipdate"))
+        .withColumn("bucket",
+          pmod(hash(col("l_orderkey")), lit(DV_BUCKETS)).cast("int"))
+        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      java.nio.file.Files.writeString(spec.toPath, want)
+    }
+    path
+  }
+
+  /** DELETION VECTORS (merge-on-read deletes — Delta DVs / Iceberg
+    * positional delete files): two delete waves are committed as
+    * per-bucket POSITION BITMAPS (64-bit words via shifted-bit
+    * `bit_or`, one row per touched (bucket, word) — the roaring-
+    * bitmap idea in its exact dense form) against the immutable base
+    * layout; the read ORs the waves' bitmaps, joins them to the base
+    * on the row's stored (bucket, pos>>6) address, and drops rows
+    * whose bit is set. Deleting costs O(deleted positions) sidecar
+    * bytes instead of rewriting data files — at 100 TB a 1%-delete
+    * wave writes megabytes, not a terabyte of copy-on-write — and
+    * the read-side tax is a broadcast-sized bitmap probe until
+    * OPTIMIZE materializes (Round10Spec pins merge-on-read ≡
+    * copy-on-write rewrite AND the sidecar-vs-rewrite byte ratio).
+    * The two waves here delete by predicate (returnflag 'R' rows,
+    * then quantity > 45) — the oracle is the layout-free double
+    * NOT-filter. */
+  def scanDeletionVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = spark.read.parquet(dvLayoutDir(spark, sfDir))
+    val bitOfPos = expr("shiftleft(1L, cast(pmod(pos, 64) as int))")
+    def dvOf(pred: org.apache.spark.sql.Column): DataFrame = base
+      .filter(pred)
+      .groupBy($"bucket", shiftright($"pos", 6).as("word"))
+      .agg(bit_or(bitOfPos).as("bits"))
+    // wave 1: purge returned lines; wave 2: purge bulk quantities
+    // explicit renames break the base→dv self-join lineage so the
+    // join condition can never degenerate to a trivially-true
+    // same-attribute compare
+    val dv = dvOf($"l_returnflag" === "R")
+      .unionByName(dvOf($"l_quantity" > 45.0))
+      .groupBy($"bucket", $"word").agg(bit_or($"bits").as("bits"))
+      .select($"bucket".as("dv_bucket"), $"word".as("dv_word"), $"bits")
+    val live = base
+      .join(broadcast(dv),
+        $"bucket" === $"dv_bucket" &&
+          shiftright($"pos", 6) === $"dv_word", "left")
+      .filter($"bits".isNull || ($"bits".bitwiseAND(bitOfPos)) === 0L)
+    live.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val scanDeletionVectorsSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity > 45.0)
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 }

@@ -89,6 +89,38 @@ class Round10Spec extends SparkSpec {
       s"$missed qualifying rows hide in pruned files")
   }
 
+  test("deletion vectors: merge-on-read equals copy-on-write, sidecar stays tiny") {
+    import spark.implicits._
+    import graft.operators.ScanOps
+    val base = spark.read.parquet(ScanOps.dvLayoutDir(spark, sf))
+    // (bucket, pos) is a genuine physical address: unique per bucket
+    val dupAddr = base.groupBy($"bucket", $"pos").count()
+      .filter($"count" > 1L).count()
+    assert(dupAddr == 0, "stored row positions must be unique per file")
+    // the merged key result ≡ the copy-on-write rewrite of the base
+    val mor = ScanOps.scanDeletionVectors(spark, sf).collect().toSeq
+    val cow = base
+      .filter(!($"l_returnflag" === "R") && !($"l_quantity" > 45.0))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(mor == cow, "merge-on-read must equal the rewritten table")
+    // cost accounting: the DV bitmap is a small fraction of the rows
+    // a copy-on-write delete would rewrite — one 64-bit word covers
+    // up to 64 positions, so words <= ceil(deleted/1) and in practice
+    // ~deleted/constant; the point is O(deleted), not O(table)
+    val deleted = base
+      .filter($"l_returnflag" === "R" || $"l_quantity" > 45.0).count()
+    val words = base.filter($"l_returnflag" === "R" || $"l_quantity" > 45.0)
+      .select($"bucket", shiftright($"pos", 6).as("w")).distinct().count()
+    val total = base.count()
+    assert(words <= deleted, "bitmap words cannot exceed deleted positions")
+    assert(words < total / 2,
+      s"DV sidecar ($words words) must be far smaller than a rewrite " +
+        s"($total rows)")
+  }
+
   test("column-level upsert: omitted columns carry over, present ones update") {
     import spark.implicits._
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
