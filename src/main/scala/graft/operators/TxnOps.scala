@@ -637,6 +637,53 @@ object TxnOps {
       |FROM per_user WHERE n_c + n_v + n_p > 0 AND n_e = 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** ROW-LEVEL LINEAGE from the transaction log (the Delta/Iceberg
+    * row-tracking idea: `_created_version` / `_modified_version`
+    * system columns): each surviving row of the latest snapshot is
+    * annotated with the version that INSERTED it and the last
+    * version that TOUCHED it — derived entirely from the log's
+    * delta files (total change volume, never a snapshot scan per
+    * version), which is why a changelog makes per-row audit cheap:
+    * lineage is a groupBy over the deltas' (key, version, op)
+    * stream. The per-commit audit question "which rows did v2
+    * change" and the compliance question "when was this row born"
+    * both read from the same two columns. Oracle reconstructs both
+    * versions per user in closed form from the tt table's
+    * deterministic four-commit history. */
+  def txnRowLineage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = ttTable(spark, sfDir)
+    val latest = TxnLog.latestCommitted(root)
+    val deltas = (0L to latest).map { v =>
+      spark.read.parquet(s"$root/delta_v$v")
+        .select($"key", lit(v).cast("long").as("v"), $"op")
+    }.reduce(_ unionByName _)
+    val lineage = deltas.groupBy($"key").agg(
+      min(when($"op" === "upsert", $"v")).as("created_version"),
+      max($"v").as("modified_version"))
+    TxnLog.read(spark, root, latest)
+      .join(lineage, Seq("key"))
+      .select($"key".as("user_id"), $"value".as("balance"),
+        $"created_version", $"modified_version")
+      .orderBy($"user_id")
+  }
+
+  val txnRowLineageSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_c,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_v,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_p,
+      |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_e
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(n_c + n_v + n_p AS BIGINT) AS balance,
+      |  CAST(CASE WHEN n_c > 0 THEN 0 WHEN n_v > 0 THEN 1 ELSE 2 END
+      |    AS BIGINT) AS created_version,
+      |  CAST(CASE WHEN n_p > 0 THEN 2 WHEN n_v > 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS modified_version
+      |FROM per_user WHERE n_c + n_v + n_p > 0 AND n_e = 0
+      |ORDER BY user_id""".stripMargin
+
   /** CHECK constraint enforced AT COMMIT: the table carries the
     * invariant `value >= 0`; a transaction whose post-state would
     * violate it is rejected before its version becomes visible (the

@@ -1602,4 +1602,68 @@ object StreamOps {
     s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
        |  COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  private case class Cdf(version: Long, user_id: Long,
+      change_type: String, value: Long)
+
+  /** STREAMING MATERIALIZED-VIEW MAINTENANCE off the CHANGE DATA
+    * FEED — the streaming composition of [[graft.operators.TxnOps
+    * .txnChanges]] (CDF with pre-images) and [[graft.operators
+    * .TxnOps.txnMvIncremental]] (delta-bounded summary maintenance):
+    * each committed version's CDF rows replay as one micro-batch
+    * into a COMPLETE-mode aggregation whose state IS the per-bucket
+    * MV — additions (+1, +value) from insert/update_postimage rows,
+    * retractions (−1, −value) from update_preimage/delete rows. No
+    * table is ever read during maintenance: the CDF carries the
+    * pre-images, so per-batch work is O(changes) and the streaming
+    * engine's state store holds exactly |bucket-domain| rows forever
+    * — the payoff of a CDF that emits retraction rows, and the
+    * production shape of "keep the dashboard aggregate fresh off the
+    * changelog". The final maintained MV must equal the closed-form
+    * recompute from the base events — the oracle. */
+  def streamMvMaintenance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val feed = graft.operators.TxnOps.txnChanges(spark, sfDir)
+      .as[Cdf].collect().toSeq.groupBy(_.version).toSeq.sortBy(_._1)
+    val source = MemoryStream[Cdf](spark)
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = source.toDS()
+        .select(($"user_id" % 10).as("bucket"),
+          when($"change_type".isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L).as("sign"),
+          $"value")
+        .groupBy($"bucket")
+        .agg(sum($"sign").as("n_users"),
+          sum($"sign" * $"value").as("sum_balance"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        feed.foreach { case (_, rows) =>
+          source.addData(rows)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sinkName)
+      .filter($"n_users" > 0L)
+      .withColumn("n_batches", lit(feed.size).cast("long"))
+      .orderBy($"bucket")
+  }
+
+  val streamMvMaintenanceSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_c,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_v,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_p,
+      |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_e
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n_c + n_v + n_p) AS BIGINT) AS sum_balance,
+      |  CAST(4 AS BIGINT) AS n_batches
+      |FROM per_user WHERE n_c + n_v + n_p > 0 AND n_e = 0
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
 }
