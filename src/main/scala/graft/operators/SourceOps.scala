@@ -98,6 +98,34 @@ object SourceOps {
        |SELECT id, bucket, value FROM synth
        |WHERE bucket = 11 ORDER BY id LIMIT 9""".stripMargin
 
+  /** AGGREGATE pushdown through the custom source
+    * ([[org.apache.spark.sql.connector.read.SupportsPushDownAggregates]],
+    * COMPLETE mode): COUNT/MIN/MAX/SUM(id) grouped by bucket over a
+    * pushed id range are answered by the source's residue-class
+    * arithmetic — closed-form count/first/last/series-sum per
+    * partition, NO rows generated, and Spark plans no HashAggregate
+    * at all (SourceSpec pins the aggregate-free plan). This is the
+    * top rung of the pushdown ladder: a storage layer holding
+    * metadata (footer stats, index counters) serves whole aggregate
+    * queries at manifest cost — at 100 TB, the difference between
+    * scanning every file and reading the stats. */
+  def sourceSynthAggPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    synth(spark)
+      .filter($"id" >= 5000L && $"id" < 50000L)
+      .groupBy($"bucket")
+      .agg(count($"id").as("n"), min($"id").as("min_id"),
+        max($"id").as("max_id"), sum($"id").as("sum_id"))
+      .orderBy($"bucket")
+  }
+
+  val sourceSynthAggPushdownSql: String =
+    s"""WITH $synthCte
+       |SELECT bucket, COUNT(id) AS n, MIN(id) AS min_id,
+       |  MAX(id) AS max_id, CAST(SUM(id) AS BIGINT) AS sum_id
+       |FROM synth WHERE id >= 5000 AND id < 50000
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** The custom DataSourceV2 SINK end-to-end
     * ([[graft.sources.MemSink]]): the pricing-summary aggregate is
     * written through the full V2 write protocol — WriteBuilder →

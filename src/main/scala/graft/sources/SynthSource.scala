@@ -10,8 +10,13 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection,
   SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression,
+  NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc,
+  Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters,
+  PartitionReaderFactory, Scan, ScanBuilder, Statistics,
+  SupportsPushDownAggregates, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
   GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -92,11 +97,54 @@ private[graft] class SynthTable(rows: Long, buckets: Int)
 private[graft] class SynthScanBuilder(rows: Long, buckets: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = SynthSource.SCHEMA
   private var pushed: Array[Filter] = Array.empty
   private var topN: Int = -1
+  private var agg: Option[(Boolean, Seq[String])] = None
+
+  private def fieldOf(e: V2Expression): Option[String] = e match {
+    case f: NamedReference if f.fieldNames().length == 1 =>
+      Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  /** COUNT(*) / COUNT(id) (id is non-null, so they coincide) and
+    * MIN/MAX/SUM(id), optionally grouped by `bucket` — everything a
+    * residue-class generator can answer in CLOSED FORM (arithmetic
+    * series over [lo, hi)). Anything else declines and Spark keeps
+    * its own aggregate over the plain scan. */
+  private def translate(a: Aggregation): Option[(Boolean, Seq[String])] = {
+    val grouped = a.groupByExpressions() match {
+      case Array() => false
+      case Array(g) if fieldOf(g).contains("bucket") => true
+      case _ => return None
+    }
+    val kinds = a.aggregateExpressions().toSeq.map {
+      case _: CountStar => "cnt"
+      case c: Count if !c.isDistinct && fieldOf(c.column).contains("id") =>
+        "cnt"
+      case m: Min if fieldOf(m.column).contains("id") => "min"
+      case m: Max if fieldOf(m.column).contains("id") => "max"
+      case s: Sum if !s.isDistinct && fieldOf(s.column).contains("id") =>
+        "sum"
+      case _ => return None
+    }
+    Some((grouped, kinds))
+  }
+
+  /** Complete pushdown: the source returns FINAL aggregate rows, so
+    * Spark plans no partial/final HashAggregate at all (the spec
+    * pins the aggregate-free plan). */
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    translate(a).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    translate(a) match {
+      case some @ Some(_) => agg = some; true
+      case None => false
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -145,8 +193,127 @@ private[graft] class SynthScanBuilder(rows: Long, buckets: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SynthScan(rows, buckets, requiredSchema, pushed, topN)
+  override def build(): Scan = agg match {
+    case Some((grouped, kinds)) =>
+      new SynthAggScan(rows, buckets, pushed, grouped, kinds)
+    case None =>
+      new SynthScan(rows, buckets, requiredSchema, pushed, topN)
+  }
+}
+
+/** Aggregate-pushdown scan: the generator's residue-class arithmetic
+  * answers COUNT/MIN/MAX/SUM(id) per bucket WITHOUT generating a
+  * single row — count = class size in [lo, hi), min = first member,
+  * max = last, sum = arithmetic series. One input partition per kept
+  * bucket (grouped) or one total (global), each emitting ONE row.
+  * This is the DSv2 contract that lets a storage layer with metadata
+  * (footer stats, index counters) serve whole aggregate queries at
+  * metadata cost — the 100 TB difference between reading every file
+  * and reading the manifest. */
+private[graft] class SynthAggScan(rows: Long, buckets: Int,
+    pushed: Array[Filter], grouped: Boolean, kinds: Seq[String])
+    extends Scan with Batch {
+
+  private val (lo, hi): (Long, Long) = {
+    var l = 0L
+    var h = rows
+    pushed.foreach {
+      case EqualTo("id", v: Long) => l = math.max(l, v); h = math.min(h, v + 1)
+      case GreaterThan("id", v: Long) => l = math.max(l, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => l = math.max(l, v)
+      case LessThan("id", v: Long) => h = math.min(h, v)
+      case LessThanOrEqual("id", v: Long) => h = math.min(h, v + 1)
+      case _ => ()
+    }
+    (l, math.max(l, h))
+  }
+
+  private val keptBuckets: Seq[Int] = {
+    val all = 0 until buckets
+    pushed.foldLeft(all: Seq[Int]) {
+      case (acc, EqualTo("bucket", v: Int)) => acc.filter(_ == v)
+      case (acc, In("bucket", vs)) =>
+        val set = vs.collect { case i: Int => i }.toSet
+        acc.filter(set)
+      case (acc, _) => acc
+    }
+  }
+
+  /** Complete-pushdown output schema: group columns first, then one
+    * field per aggregate, positionally matched by Spark. */
+  override def readSchema(): StructType = StructType(
+    (if (grouped) Seq(StructField("bucket", IntegerType, nullable = false))
+     else Nil) ++
+      kinds.zipWithIndex.map { case (k, i) =>
+        StructField(s"agg_$i$k", LongType, nullable = k != "cnt")
+      })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSynthAgg(grouped=$grouped, kinds=${kinds.mkString(",")}, " +
+      s"range=[$lo,$hi), partitions=${if (grouped) keptBuckets.length else 1})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (grouped)
+      keptBuckets.map(b => SynthAggPartition(Seq(b), buckets, lo, hi,
+        grouped = true, kinds)).toArray[InputPartition]
+    else
+      Array(SynthAggPartition(keptBuckets, buckets, lo, hi,
+        grouped = false, kinds))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SynthAggReaderFactory
+}
+
+private[graft] case class SynthAggPartition(kept: Seq[Int], buckets: Int,
+    lo: Long, hi: Long, grouped: Boolean, kinds: Seq[String])
+    extends InputPartition
+
+private[graft] object SynthAggReaderFactory extends PartitionReaderFactory {
+  /** (count, min, max, sum) of bucket `b`'s residue class ∩ [lo, hi)
+    * — pure arithmetic, no enumeration. */
+  private def classStats(b: Int, buckets: Int, lo: Long, hi: Long)
+      : (Long, Long, Long, Long) = {
+    val first = lo + ((b - lo % buckets + buckets) % buckets)
+    if (first >= hi) (0L, 0L, 0L, 0L)
+    else {
+      val n = (hi - 1 - first) / buckets + 1
+      val last = first + (n - 1) * buckets
+      (n, first, last, n * first + buckets * n * (n - 1) / 2)
+    }
+  }
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthAggPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (done) return false
+        done = true
+        val stats = p.kept.map(classStats(_, p.buckets, p.lo, p.hi))
+        val n = stats.map(_._1).sum
+        if (p.grouped && n == 0L) return false // empty group: no row
+        val alive = stats.filter(_._1 > 0L)
+        def nl(v: => Long): Any = if (n == 0L) null else Long.box(v)
+        val aggVals: Seq[Any] = p.kinds.map {
+          case "cnt" => Long.box(n)
+          case "min" => nl(alive.map(_._2).min)
+          case "max" => nl(alive.map(_._3).max)
+          case "sum" => nl(alive.map(_._4).sum)
+        }
+        val vals: Seq[Any] =
+          (if (p.grouped) Seq(Int.box(p.kept.head)) else Nil) ++ aggVals
+        current = new GenericInternalRow(vals.toArray)
+        true
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[graft] class SynthScan(rows: Long, buckets: Int,

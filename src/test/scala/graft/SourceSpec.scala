@@ -100,6 +100,44 @@ class SourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ids == (0 until 9).map(i => 11L + 32L * i))
   }
 
+  test("COUNT/MIN/MAX/SUM push COMPLETELY into the source: no aggregate exec at all") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+      ObjectHashAggregateExec, SortAggregateExec}
+    val df = SourceOps.sourceSynthAggPushdown(spark, sf)
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+      org.apache.spark.sql.Row]].queryExecution.executedPlan
+    val aggs = collectWithSubqueries(plan) {
+      case h: HashAggregateExec => h
+      case o: ObjectHashAggregateExec => o
+      case s: SortAggregateExec => s
+    }
+    assert(aggs.isEmpty,
+      s"complete aggregate pushdown must leave NO aggregate exec:\n$plan")
+    val scans = collectWithSubqueries(plan) {
+      case b: BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.SynthAggScan] =>
+        b.scan.asInstanceOf[graft.sources.SynthAggScan]
+    }
+    assert(scans.size == 1,
+      s"the scan must be the closed-form aggregate scan:\n$plan")
+    assert(scans.head.description().contains("grouped=true"))
+    // and the closed-form answers equal a plain Spark aggregate over
+    // the unpushed scan (count(lit(1)) does not translate to the V2
+    // CountStar shape, so this twin keeps Spark's own aggregate)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val plain = spark.read
+      .format(classOf[graft.sources.SynthSource].getName)
+      .option("rows", "60000").option("buckets", "32").load()
+      .filter($"id" >= 5000L && $"id" < 50000L)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"id").as("min_id"),
+        max($"id").as("max_id"), sum($"id").as("sum_id"))
+      .orderBy($"bucket").collect().toSeq
+    assert(df.collect().toSeq == plain,
+      "closed-form source aggregates must equal Spark's own")
+  }
+
   test("memsink V2 write: overwrite truncates, append accumulates, result matches the query") {
     import spark.implicits._
     import graft.sources.{MemSink, MemSinkRegistry}
