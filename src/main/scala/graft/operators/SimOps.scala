@@ -819,4 +819,121 @@ object SimOps {
        |FROM exact_s e LEFT JOIN approx_s a
        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  /** Every 7th vector is the "new batch"; the rest are the indexed
+    * base corpus. */
+  private val BATCH_MOD = 7
+
+  /** INCREMENTAL ANN INDEX MAINTENANCE — the "daily embedding batch
+    * vs standing index" shape every production vector store runs:
+    * IVF centroids are FROZEN from the base corpus (trained once;
+    * here the decimal-exact per-label means of base vectors), and the
+    * new batch is merged by ASSIGNING each new vector to its nearest
+    * frozen centroid — one broadcast-centroid map-side pass costing
+    * O(batch × n_lists), never a re-clustering of the corpus. Queries
+    * probe the same centroids and scan the probed lists across base
+    * AND batch members (`src` tags which index generation served each
+    * hit). At 100 TB this is the entire economics of a vector index:
+    * ingest cost scales with the batch, drift is handled by periodic
+    * re-train (the base path already registered as
+    * [[simsearchIvf]]), and the search plan is unchanged. Exact
+    * decimal math + rnd6 + full tiebreaks keep the approximate
+    * STRATEGY deterministic, so the whole composition has a SQL twin. */
+  def simsearchIndexIncremental(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter($"vec_id" % BATCH_MOD =!= 0)
+    val batch = e.filter($"vec_id" % BATCH_MOD === 0)
+    // frozen centroids: decimal-exact per-label means of BASE vectors
+    val cent = base
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg((graft.engine.Exact.xsum($"v".cast("double")) / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("cs"))
+      .select($"label".as("c_label"),
+        expr("transform(cs, s -> cast(s.c as float))").as("centroid"))
+    // batch ingestion: nearest frozen centroid, map-side
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"a_sim".desc, $"c_label".asc)
+    val assigned = batch.crossJoin(broadcast(cent))
+      .select($"vec_id", $"embedding",
+        rnd6(expr("graft_cosine_sim(embedding, centroid)")).as("a_sim"),
+        $"c_label")
+      .withColumn("ark", row_number().over(wAssign))
+      .filter($"ark" === 1)
+      .select($"vec_id", $"embedding", $"c_label".as("label"),
+        lit("batch").as("src"))
+    val index = base.select($"vec_id", $"embedding", $"label",
+      lit("base").as("src")).unionByName(assigned)
+    // search: probe NPROBE centroids, scan probed lists of the UNION
+    val q = e.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"c_sim".desc, $"c_label".asc)
+    val probed = q.crossJoin(broadcast(cent))
+      .select($"query_id", $"qv", $"c_label",
+        rnd6(expr("graft_cosine_sim(qv, centroid)")).as("c_sim"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter($"prk" <= NPROBE)
+      .select($"query_id", $"qv", $"c_label")
+    val wK = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    index.join(broadcast(probed),
+        $"label" === $"c_label" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"src",
+        rnd6(expr("graft_cosine_sim(embedding, qv)")).as("cos_sim"))
+      .withColumn("rk", row_number().over(wK))
+      .filter($"rk" <= TOP_K)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val simsearchIndexIncrementalSql: String = {
+    val assignCos = Udfs.sqlCosSimDbl("b.embedding", "c.centroid")
+    val probeCos = Udfs.sqlCosSimDbl("q.embedding", "c.centroid")
+    val scanCos = Udfs.sqlCosSimDbl("i.embedding", "q.embedding")
+    s"""WITH cent AS (
+       |  SELECT label, list_transform(
+       |    list(c ORDER BY dim), v -> CAST(v AS FLOAT)) AS centroid
+       |  FROM (
+       |    SELECT label, CAST(i.range AS INT) AS dim,
+       |      CAST(SUM(CAST(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)
+       |        AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+       |    FROM embeddings, range(1, 65) i
+       |    WHERE vec_id % $BATCH_MOD <> 0 GROUP BY 1, 2)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_label AS label, 'batch' AS src
+       |  FROM (
+       |    SELECT b.vec_id, b.embedding, c.label AS c_label,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${Udfs.sqlRnd6(assignCos)} DESC, c.label ASC) AS ark
+       |    FROM embeddings b, cent c
+       |    WHERE b.vec_id % $BATCH_MOD = 0)
+       |  WHERE ark = 1),
+       |idx AS (
+       |  SELECT vec_id, embedding, label, 'base' AS src
+       |  FROM embeddings WHERE vec_id % $BATCH_MOD <> 0
+       |  UNION ALL SELECT vec_id, embedding, label, src FROM assigned),
+       |probed AS (
+       |  SELECT query_id, c_label FROM (
+       |    SELECT q.vec_id AS query_id, c.label AS c_label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${Udfs.sqlRnd6(probeCos)} DESC, c.label ASC) AS prk
+       |    FROM embeddings q, cent c
+       |    WHERE q.vec_id < $N_QUERIES) WHERE prk <= $NPROBE),
+       |ranked AS (
+       |  SELECT q.vec_id AS query_id, i.vec_id, i.src,
+       |    ${Udfs.sqlRnd6(scanCos)} AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${Udfs.sqlRnd6(scanCos)} DESC, i.vec_id ASC) AS rk
+       |  FROM idx i
+       |  JOIN embeddings q ON q.vec_id < $N_QUERIES AND i.vec_id <> q.vec_id
+       |  JOIN probed p ON p.query_id = q.vec_id AND p.c_label = i.label)
+       |SELECT query_id, vec_id, src, cos_sim, rk
+       |FROM ranked WHERE rk <= $TOP_K
+       |ORDER BY query_id, rk""".stripMargin
+  }
 }
