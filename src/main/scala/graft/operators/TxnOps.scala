@@ -637,6 +637,52 @@ object TxnOps {
       |FROM per_user WHERE n_c + n_v + n_p > 0 AND n_e = 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** MERGE WITH AUTOMATIC SCHEMA EVOLUTION (Delta's
+    * `mergeSchema` MERGE): the merge source carries a column the
+    * target never had (`purchases`), and ONE commit both applies the
+    * three-clause upsert and evolves the schema — matched users get
+    * balance += source count AND the new column, inserted users
+    * arrive with it, and untouched target rows carry over with the
+    * declared default back-fill (0). This is the ingest reality of a
+    * long-lived table: upstream adds a field, and the next MERGE must
+    * absorb it without a rewrite or a manual DDL window. Composes the
+    * round's two txn capabilities (column-level deltas + ADD COLUMN
+    * defaults) in a single commit; closed-form oracle. */
+  def txnMergeEvolving(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "mergeevo")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    val source = typeCounts(spark, sfDir, "purchase")
+    TxnLog.commit(spark, root, { base =>
+      val delta = base.as("t").join(source.as("s"), Seq("key"), "right")
+        .select($"key",
+          (coalesce($"t.value", lit(0L)) + $"s.cnt").as("value"),
+          $"s.cnt".as("purchases"),
+          lit("upsert").as("op"))
+      (delta, TxnLog.range(source))
+    }, defaults = Map("purchases" -> 0L))
+    val latest = TxnLog.latestCommitted(root)
+    TxnLog.read(spark, root, latest)
+      .select($"key".as("user_id"), $"value".as("balance"), $"purchases",
+        lit(latest + 1).cast("long").as("n_versions"))
+      .orderBy($"user_id")
+  }
+
+  val txnMergeEvolvingSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |      AS n_c,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |      AS n_p
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_c + n_p AS balance, n_p AS purchases,
+      |  CAST(2 AS BIGINT) AS n_versions
+      |FROM per_user WHERE n_c > 0 OR n_p > 0
+      |ORDER BY user_id""".stripMargin
+
   /** ROW-LEVEL LINEAGE from the transaction log (the Delta/Iceberg
     * row-tracking idea: `_created_version` / `_modified_version`
     * system columns): each surviving row of the latest snapshot is
