@@ -40,11 +40,17 @@ object Verify {
       case c => c.toString
     } + "\""
     // __SFDIR__ lets a file-reading oracle (read_blob for the
-    // binaryFile source) target the sweep's own fixture directory —
-    // table-only oracles are unaffected.
+    // binaryFile source) target the sweep's own fixture directory;
+    // __SCRATCH__ resolves to the sweep's derived-layout scratch dir
+    // (same tag rule as ScanOps.scratch) so a file-granular oracle
+    // can read the layout the query itself derived. Table-only
+    // oracles are unaffected.
+    val scratchDir =
+      "/tmp/graft_scratch/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("__SFDIR__", sfDir))}" }
+        s"${q(k)}: ${q(v.replace("__SFDIR__", sfDir)
+          .replace("__SCRATCH__", scratchDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -775,4 +775,42 @@ object ScanOps {
        |FROM lineitem
        |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity > 45.0)
        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** HIDDEN FILE-METADATA COLUMNS (`_metadata.file_name` /
+    * `_metadata.row_index`): every row of the 16-file range-clustered
+    * layout reports which physical file it came from and its ordinal
+    * within that file — the addressing scheme behind row-level
+    * lineage, positional deletes, and manifest debugging. The query
+    * profiles the layout per file: row count, the file's l_shipdate
+    * span (tight, because the layout is range-clustered on that key),
+    * and the row_index span (0 … n-1 — pinning that the ordinal is
+    * per-file and dense). Cross-engine by construction: the oracle
+    * reads the SAME physical files with DuckDB's `filename` /
+    * `file_row_number` read options (`__SCRATCH__` resolves to this
+    * sweep's layout dir), so both engines must agree on the file
+    * boundaries themselves, not just row values. Metadata columns are
+    * generated by the reader — zero bytes of storage; at 100 TB the
+    * file profile is a metadata-scale aggregate (one group per file). */
+  def scanFileMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = statsLayoutDir(spark, sfDir)
+    spark.read.parquet(dir)
+      .select(col("l_shipdate"),
+        col("_metadata.file_name").as("file_name"),
+        col("_metadata.row_index").as("row_index"))
+      .groupBy($"file_name")
+      .agg(count(lit(1)).as("n"),
+        min($"l_shipdate").as("min_d"), max($"l_shipdate").as("max_d"),
+        min($"row_index").as("min_ri"), max($"row_index").as("max_ri"))
+      .orderBy($"min_d", $"file_name")
+  }
+
+  val scanFileMetadataSql: String =
+    """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+      |  COUNT(*) AS n,
+      |  MIN(l_shipdate) AS min_d, MAX(l_shipdate) AS max_d,
+      |  MIN(file_row_number) AS min_ri, MAX(file_row_number) AS max_ri
+      |FROM read_parquet('__SCRATCH__/lineitem_statskip/*.parquet',
+      |  filename=true, file_row_number=true)
+      |GROUP BY 1 ORDER BY min_d, file_name""".stripMargin
 }

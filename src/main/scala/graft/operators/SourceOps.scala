@@ -126,6 +126,82 @@ object SourceOps {
        |FROM synth WHERE id >= 5000 AND id < 50000
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** A second, smaller instance of the generator (same bucket count,
+    * so its key-grouped layout is compatible with [[synth]]'s). */
+  private def synthSized(spark: SparkSession, rows: Long): DataFrame =
+    spark.read.format(classOf[graft.sources.SynthSource].getName)
+      .option("rows", rows.toString).option("buckets", BUCKETS.toString)
+      .load()
+
+  /** SHUFFLE-FREE AGGREGATION over reported storage partitioning
+    * ([[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]):
+    * the source reports its one-partition-per-bucket layout as a
+    * KeyGroupedPartitioning on `bucket` (each input partition carries
+    * its key via HasPartitionKey), so `GROUP BY bucket` needs no
+    * Exchange at all — the partial aggregate IS the final aggregate,
+    * per storage partition. The sum is exact-decimal (not pushable as
+    * a V2 aggregate), so this exercises the row-scan path, not the
+    * aggregate-pushdown path. SourceSpec pins the exchange-free plan.
+    * At 100 TB this is the difference between re-shuffling a bucketed
+    * table on every aggregate and reading it pre-grouped — what
+    * Iceberg/Delta bucket transforms buy under DSv2. */
+  def sourceSpjAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    synth(spark)
+      .filter($"id" >= 2000L)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+      .orderBy($"bucket")
+  }
+
+  val sourceSpjAggSql: String =
+    s"""WITH $synthCte
+       |SELECT bucket, COUNT(*) AS n, ${sqlXsum("value")} AS sum_value,
+       |  MIN(value) AS min_value, MAX(value) AS max_value
+       |FROM synth WHERE id >= 2000
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** STORAGE-PARTITIONED JOIN (SPJ): two instances of the generator
+    * (60k and 45k rows, SAME 32-bucket layout) both report
+    * KeyGroupedPartitioning on `bucket`; joining on (bucket, id) —
+    * a superset of the partition key — lets Spark co-locate the join
+    * on the reported layout with ZERO Exchange on either side (the
+    * `merge` hint keeps the small side from broadcasting so the
+    * co-partitioned path is actually exercised; SourceSpec pins the
+    * exchange-free sort-merge plan). The id-range predicate still
+    * pushes into both generators. This is DSv2's shuffle-free join
+    * over co-bucketed tables — at 100 TB, the single biggest join
+    * cost (re-shuffling both fact tables) deleted by layout. */
+  def sourceSpjJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // join keys (bucket, id) are a SUPERSET of the partition key
+    // (bucket): co-partitioning on the subset is exactly what SPJ
+    // exploits, so relax the all-keys requirement (the conf pair
+    // Iceberg's SPJ guide prescribes). Purely a plan relaxation —
+    // Spark only elides an exchange where distribution still holds.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val a = synth(spark)
+    val b = synthSized(spark, 45000L)
+    a.join(b.hint("merge"), Seq("bucket", "id"))
+      .filter($"id" >= 40000L)
+      .select($"id", $"bucket", (a("value") + b("value")).as("v2"))
+      .orderBy($"id")
+  }
+
+  val sourceSpjJoinSql: String =
+    s"""WITH $synthCte,
+       |synth_b AS (
+       |  SELECT id, CAST(id % $BUCKETS AS INTEGER) AS bucket,
+       |    ((id * 2654435761) % 1000003) / 1000003.0 AS value
+       |  FROM range(0, 45000) t(id))
+       |SELECT a.id, a.bucket, a.value + b.value AS v2
+       |FROM synth a JOIN synth_b b USING (bucket, id)
+       |WHERE a.id >= 40000
+       |ORDER BY a.id""".stripMargin
+
   /** The custom DataSourceV2 SINK end-to-end
     * ([[graft.sources.MemSink]]): the pricing-summary aggregate is
     * written through the full V2 write protocol — WriteBuilder →

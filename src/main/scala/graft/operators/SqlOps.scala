@@ -285,4 +285,29 @@ object SqlOps {
   }
 
   val sqlMatchRecognizeSql: String = SnapshotOps.matchRecognizeSql
+
+  /** QUALIFY from SQL TEXT ([[graft.plans.QualifySql]]): filter on a
+    * window function without the manual subquery — the Snowflake /
+    * BigQuery / DuckDB clause Spark's parser lacks, desugared to the
+    * standard subquery form (predicate as inner select item, outer
+    * filter, helper dropped, trailing ORDER BY applied on top). The
+    * top-3-orders-per-customer shape lands on Spark's
+    * WindowGroupLimit path — per-partition top-k heaps before the
+    * full sort, the same plan the hand-written subquery gets. The
+    * oracle is the VERBATIM same statement: DuckDB executes QUALIFY
+    * natively, so the two engines parse the identical text — the
+    * strongest cross-engine check a SQL front end can get. */
+  def sqlQualify(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    graft.plans.QualifySql.sql(spark, qualifyText)
+  }
+
+  private val qualifyText: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  val sqlQualifySql: String = qualifyText
 }

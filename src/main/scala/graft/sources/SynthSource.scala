@@ -14,10 +14,15 @@ import org.apache.spark.sql.connector.expressions.{Expression => V2Expression,
   NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc,
   Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
+  InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
+  SupportsPushDownRequiredColumns, SupportsPushDownTopN,
+  SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
+  Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
   GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
@@ -319,7 +324,8 @@ private[graft] object SynthAggReaderFactory extends PartitionReaderFactory {
 private[graft] class SynthScan(rows: Long, buckets: Int,
     requiredSchema: StructType, pushed: Array[Filter],
     private[graft] val topN: Int = -1)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   /** Generation range [lo, hi) after pushed id predicates. */
   private val (lo, hi): (Long, Long) = {
@@ -368,6 +374,25 @@ private[graft] class SynthScan(rows: Long, buckets: Int,
 
   override def createReaderFactory(): PartitionReaderFactory = SynthReaderFactory
 
+  /** Storage-partitioned scan ([[SupportsReportPartitioning]]): the
+    * generator's one-partition-per-bucket layout IS a key-grouped
+    * partitioning on `bucket`, and reporting it (each
+    * [[SynthPartition]] carries its key via [[HasPartitionKey]]) lets
+    * Spark drop the Exchange under a `GROUP BY bucket` aggregate and
+    * run a storage-partitioned join (SPJ) between two such scans —
+    * the DSv2 mechanism behind shuffle-free joins over co-bucketed
+    * Iceberg/Delta tables. Requires
+    * `spark.sql.sources.v2.bucketing.enabled=true` on the session.
+    * Not reported when the TopN path collapses to a single merged
+    * partition, or when `bucket` itself is pruned from the output
+    * (the key must be resolvable against the scan's columns). */
+  override def outputPartitioning(): Partitioning =
+    if (topN >= 0 || !requiredSchema.fieldNames.contains("bucket"))
+      new UnknownPartitioning(if (topN >= 0) 1 else keptBuckets.length)
+    else
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("bucket")), keptBuckets.length)
+
   /** Post-pushdown estimates (what the pruned scan will actually
     * emit), so the optimizer sizes joins against the truth. */
   override def estimateStatistics(): Statistics = new Statistics {
@@ -380,9 +405,15 @@ private[graft] class SynthScan(rows: Long, buckets: Int,
 }
 
 /** One bucket's residue class within [lo, hi); generates only the
-  * projected columns. Plain case class → trivially serializable. */
+  * projected columns. Plain case class → trivially serializable.
+  * [[HasPartitionKey]] exposes the bucket as the partition's
+  * key-grouped partition value (see [[SynthScan.outputPartitioning]]). */
 private[graft] case class SynthPartition(bucket: Int, buckets: Int,
-    lo: Long, hi: Long, fields: Array[String]) extends InputPartition
+    lo: Long, hi: Long, fields: Array[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** Fully-pushed TopN: one partition walking ALL kept residues in
   * global id order, stopping after n emitted rows. */

@@ -138,6 +138,61 @@ class SourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "closed-form source aggregates must equal Spark's own")
   }
 
+  private def hashShuffles(plan: SparkPlan) = collectWithSubqueries(plan) {
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+  }
+
+  test("SPJ: reported key-grouped partitioning makes GROUP BY bucket exchange-free") {
+    val df = SourceOps.sourceSpjAgg(spark, sf)
+    df.collect()
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+      org.apache.spark.sql.Row]].queryExecution.executedPlan
+    // the only exchange allowed is the final ORDER BY's range exchange;
+    // the aggregate itself must consume the storage partitioning
+    assert(hashShuffles(plan).isEmpty,
+      s"GROUP BY bucket over a key-grouped scan must not shuffle:\n$plan")
+    val scan = synthScan(plan)
+    assert(scan.outputPartitioning().isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+      s"scan must report key-grouped partitioning: ${scan.outputPartitioning()}")
+  }
+
+  test("SPJ: join on (bucket, id) between two co-bucketed scans plans zero shuffles") {
+    val df = SourceOps.sourceSpjJoin(spark, sf)
+    val n = df.count() // count() avoids the final ORDER BY exchange entirely
+    assert(n == 5000, s"ids in [40000, 45000) on both sides, got $n")
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+      org.apache.spark.sql.Row]].queryExecution.executedPlan
+    assert(hashShuffles(plan).isEmpty,
+      s"storage-partitioned join must not shuffle either side:\n$plan")
+    val smj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s"expected the hinted sort-merge join:\n$plan")
+    val scans = collectWithSubqueries(plan) {
+      case b: BatchScanExec if b.scan.isInstanceOf[SynthScan] => b
+    }
+    assert(scans.size == 2, s"both sides must be synth scans:\n$plan")
+  }
+
+  test("TopN and pruned-bucket scans do not claim key-grouped partitioning") {
+    // a single merged TopN partition has no per-partition key; a scan
+    // that pruned the bucket column cannot resolve the key expression
+    val topn = SourceOps.sourceSynthTopn(spark, sf)
+    topn.collect()
+    val s1 = synthScan(topn.queryExecution.executedPlan)
+    assert(!s1.outputPartitioning().isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
+    import spark.implicits._
+    val pruned = spark.read.format("graft-synth").load().select($"id")
+    pruned.collect()
+    val s2 = synthScan(pruned.queryExecution.executedPlan)
+    assert(!s2.outputPartitioning().isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
+  }
+
   test("memsink V2 write: overwrite truncates, append accumulates, result matches the query") {
     import spark.implicits._
     import graft.sources.{MemSink, MemSinkRegistry}
