@@ -245,6 +245,38 @@ object TxnLog {
     * descriptive error in [[read]] (a tombstone distinguishes
     * "vacuumed" from "publish in flight"). Returns the evicted
     * versions. */
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` / an
+    * Iceberg snapshot ref): create a new table at `dstRoot` whose
+    * version 0 IS `srcRoot`'s latest committed snapshot, copying
+    * ZERO data bytes — the clone's `snapshot_v0` is a filesystem
+    * link to the source's snapshot directory (the local-FS stand-in
+    * for a manifest that lists the source's files by reference).
+    * The clone's v0 meta declares an EMPTY write set (creating a
+    * clone conflicts with nothing), and subsequent commits on the
+    * clone stage their own snapshots/deltas under `dstRoot` — the
+    * two tables diverge freely and the source is never touched.
+    * Like Delta, the clone starts with no change feed (its history
+    * begins at the clone point); `changes`/lineage reads of the
+    * clone cover only its own commits. At 100 TB a shallow clone is
+    * a metadata-only operation — one link + one meta file — which is
+    * the entire point: test/dev forks of production tables without a
+    * copy job. Returns the source version that was cloned. */
+  def cloneShallow(srcRoot: String, dstRoot: String): Long = {
+    val srcV = latestCommitted(srcRoot)
+    require(srcV >= 0, "source table has no committed version to clone")
+    require(!vacuumTombstone(srcRoot, srcV).exists(),
+      s"source version $srcV was vacuumed")
+    destroy(dstRoot)
+    init(dstRoot)
+    Files.createSymbolicLink(
+      Paths.get(dstRoot, "snapshot_v0"),
+      Paths.get(srcRoot, s"snapshot_v$srcV").toAbsolutePath)
+    writeMeta(dstRoot, CommitMeta(0L, -1L, Nil))
+    require(commitMarker(dstRoot, 0L).createNewFile(),
+      s"clone target $dstRoot already has a committed v0")
+    srcV
+  }
+
   def vacuum(root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest version")
     val latest = latestCommitted(root)

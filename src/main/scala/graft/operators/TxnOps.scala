@@ -778,4 +778,135 @@ object TxnOps {
       |  CAST(2 AS BIGINT) AS n_versions, CAST(1 AS BIGINT) AS n_rejected
       |FROM events WHERE event_type IN ('click', 'view')
       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** A key-sliced additive transaction: [[addCounts]] restricted to
+    * keys in [lo, hi) — the disjoint-writer payload. */
+  private def addCountsSlice(spark: SparkSession, sfDir: String,
+      eventType: String, lo: Long, hi: Long)(base: DataFrame)
+      : (DataFrame, TxnLog.KeyRanges) = {
+    import spark.implicits._
+    val inc = typeCounts(spark, sfDir, eventType)
+      .filter($"key" >= lo && $"key" < hi)
+    val delta = base.as("s").join(inc.as("d"), Seq("key"), "right")
+      .select($"key",
+        (coalesce($"s.value", lit(0L)) + $"d.cnt").as("value"),
+        lit("upsert").as("op"))
+    (delta, TxnLog.range(inc))
+  }
+
+  /** User-id split point for the disjoint writers — mid-domain at
+    * every fixture SF (user ids are dense from 0). */
+  private val DISJOINT_SPLIT = 8L
+
+  /** DISJOINT CONCURRENT WRITERS: two transactions race the claim
+    * from the same base version (barrier-pinned), writing per-user
+    * 'view' increments for NON-OVERLAPPING user-id ranges (< 8 and
+    * >= 8). The claim loser waits out the winner, revalidates its
+    * read range against the winner's per-file written ranges, finds
+    * NO intersection — and commits its ALREADY-BUILT delta without a
+    * single re-run. The require pins conflicts == 0: range-based OCC
+    * admits disjoint concurrency for free, which is the 100 TB
+    * multi-writer story (per-partition ingest writers almost never
+    * overlap; key-set validation would still serialize a rebuild,
+    * range validation doesn't). Oracle = the serial result; the
+    * emitted n_conflicts = 0 is itself oracle-checked. */
+  def txnConcurrentDisjoint(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "disjoint")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    val barrier = new CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String,
+      TxnLog.TxnStats]()
+    val threads = Seq(
+      ("low", Long.MinValue, DISJOINT_SPLIT),
+      ("high", DISJOINT_SPLIT, Long.MaxValue)).map {
+      case (name, lo, hi) =>
+        new Thread(() => {
+          results.put(name,
+            TxnLog.commit(spark, root,
+              addCountsSlice(spark, sfDir, "view", lo, hi),
+              barrier = Some(barrier)))
+        }, s"txn-disjoint-$name")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    require(results.size == 2, "a disjoint writer failed to commit")
+    val it = results.values().iterator()
+    var conflicts = 0
+    while (it.hasNext) conflicts += it.next().conflicts
+    require(conflicts == 0,
+      s"disjoint ranges must commit without conflict re-runs, got $conflicts")
+    val latest = TxnLog.latestCommitted(root)
+    TxnLog.read(spark, root, latest)
+      .select($"key".as("user_id"), $"value".as("balance"),
+        lit(latest + 1).cast("long").as("n_versions"),
+        lit(conflicts).cast("long").as("n_conflicts"))
+      .orderBy($"user_id")
+  }
+
+  val txnConcurrentDisjointSql: String =
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |    + CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+      |    AS balance,
+      |  CAST(3 AS BIGINT) AS n_versions, CAST(0 AS BIGINT) AS n_conflicts
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** SHALLOW CLONE + DIVERGENCE ([[TxnLog.cloneShallow]]): the
+    * source table accrues two commits (click then view counts), is
+    * shallow-cloned — a metadata-only operation, zero data bytes
+    * copied (the require pins the link) — and the CLONE then commits
+    * purchase counts. The output joins both tables' latest states:
+    * the clone carries click+view+purchase, the source must still be
+    * click+view exactly (the clone's commit stayed in the clone).
+    * This is the test/dev-fork workflow every production lakehouse
+    * table needs — at 100 TB a copy-based fork is a day-long job,
+    * a shallow clone is two file writes. */
+  def txnClone(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = scratch(spark, sfDir, "clone_src")
+    val dst = scratch(spark, sfDir, "clone_dst")
+    TxnLog.destroy(src)
+    TxnLog.init(src)
+    TxnLog.commit(spark, src, addCounts(spark, sfDir, "click"))
+    TxnLog.commit(spark, src, addCounts(spark, sfDir, "view"))
+    val clonedV = TxnLog.cloneShallow(src, dst)
+    require(clonedV == 1L, s"expected to clone source v1, got v$clonedV")
+    require(java.nio.file.Files.isSymbolicLink(
+      java.nio.file.Paths.get(dst, "snapshot_v0")),
+      "shallow clone must reference, not copy, the source snapshot")
+    TxnLog.commit(spark, dst, addCounts(spark, sfDir, "purchase"))
+    val srcLatest = TxnLog.read(spark, src, TxnLog.latestCommitted(src))
+    val dstLatest = TxnLog.read(spark, dst, TxnLog.latestCommitted(dst))
+    srcLatest.select($"key", $"value".as("src_balance"))
+      .join(dstLatest.select($"key", $"value".as("clone_balance")),
+        Seq("key"), "full")
+      .select($"key".as("user_id"),
+        coalesce($"src_balance", lit(0L)).as("src_balance"),
+        coalesce($"clone_balance", lit(0L)).as("clone_balance"))
+      .orderBy($"user_id")
+  }
+
+  val txnCloneSql: String =
+    """WITH cv AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |      + CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+      |      AS src_balance
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY user_id),
+      |p AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS pcnt
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id)
+      |SELECT COALESCE(cv.user_id, p.user_id) AS user_id,
+      |  CAST(COALESCE(cv.src_balance, 0) AS BIGINT) AS src_balance,
+      |  CAST(COALESCE(cv.src_balance, 0) + COALESCE(p.pcnt, 0) AS BIGINT)
+      |    AS clone_balance
+      |FROM cv FULL JOIN p ON cv.user_id = p.user_id
+      |ORDER BY user_id""".stripMargin
 }

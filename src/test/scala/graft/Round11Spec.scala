@@ -107,6 +107,78 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("shallow clone copies zero parquet bytes and leaves the source log untouched") {
+    import graft.engine.TxnLog
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("r11_clone_src")
+      .toFile.getAbsolutePath
+    val dst = java.nio.file.Files.createTempDirectory("r11_clone_dst")
+      .toFile.getAbsolutePath
+    TxnLog.destroy(src); TxnLog.init(src)
+    TxnLog.commit(spark, src, { _ =>
+      (Seq((1L, 10L), (2L, 20L)).toDF("key", "value")
+        .withColumn("op", lit("upsert")), Seq((1L, 2L)))
+    })
+    val beforeSrc = TxnLog.latestCommitted(src)
+    TxnLog.cloneShallow(src, dst)
+    // zero-copy: no real parquet data under dst, only the link + log
+    def realParquetBytes(dir: java.io.File): Long = {
+      def walk(f: java.io.File): Long =
+        if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+        else if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length()
+        else 0L
+      walk(dir)
+    }
+    assert(realParquetBytes(new java.io.File(dst)) == 0L,
+      "shallow clone must not copy a byte of data")
+    // clone diverges; source version count unchanged
+    TxnLog.commit(spark, dst, { base =>
+      (Seq((3L, 30L)).toDF("key", "value")
+        .withColumn("op", lit("upsert")), Seq((3L, 3L)))
+    })
+    assert(TxnLog.latestCommitted(src) == beforeSrc,
+      "commits on the clone must never advance the source")
+    assert(TxnLog.read(spark, dst, 1L).count() == 3)
+    assert(TxnLog.read(spark, src, beforeSrc).count() == 2)
+    TxnLog.destroy(dst); TxnLog.destroy(src)
+  }
+
+  test("disjoint-range writers commit with zero conflict re-runs; overlapping ones do not") {
+    import graft.engine.TxnLog
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("r11_disjoint")
+      .toFile.getAbsolutePath
+    TxnLog.destroy(root); TxnLog.init(root)
+    TxnLog.commit(spark, root, { _ =>
+      (Seq((1L, 1L), (100L, 1L)).toDF("key", "value")
+        .withColumn("op", lit("upsert")), Seq((1L, 100L)))
+    })
+    def writer(keys: Seq[Long], barrier: java.util.concurrent.CyclicBarrier)
+        : TxnLog.TxnStats =
+      TxnLog.commit(spark, root, { base =>
+        (keys.map(k => (k, k)).toDF("key", "value")
+          .withColumn("op", lit("upsert")), Seq((keys.min, keys.max)))
+      }, barrier = Some(barrier))
+    val b = new java.util.concurrent.CyclicBarrier(2)
+    val out = new java.util.concurrent.ConcurrentHashMap[String, TxnLog.TxnStats]()
+    val ts = Seq("lo" -> Seq(2L, 3L), "hi" -> Seq(200L, 300L)).map {
+      case (n, ks) => new Thread(() => { out.put(n, writer(ks, b)) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(out.size == 2)
+    val totalConflicts = {
+      val it = out.values().iterator()
+      var c = 0; while (it.hasNext) c += it.next().conflicts; c
+    }
+    assert(totalConflicts == 0,
+      s"disjoint ranges must not trigger conflict re-runs: $totalConflicts")
+    assert(TxnLog.latestCommitted(root) == 2L)
+    assert(TxnLog.read(spark, root, 2L).count() == 6)
+    TxnLog.destroy(root)
+  }
+
   test("SPJ keys return the co-partitioned join/agg answers (values, not just plans)") {
     import spark.implicits._
     val agg = SourceOps.sourceSpjAgg(spark, sf).collect()
