@@ -805,6 +805,178 @@ object ScanOps {
       .orderBy($"min_d", $"file_name")
   }
 
+  /** Two-generation layout for PARTITION-SPEC EVOLUTION: generation 1
+    * (orderkey < 750) is partitioned by ship month alone; generation
+    * 2 (the "later ingest") by (l_returnflag, ship_month) — the
+    * evolved, finer spec. Old files are never rewritten when the
+    * spec changes (the Iceberg rule); each generation prunes under
+    * ITS OWN spec. Same freshness contract as every derived layout. */
+  private[graft] def partitionEvolutionDirs(spark: SparkSession,
+      sfDir: String): (String, String) = {
+    val g1 = scratch(sfDir) + "/lineitem_pspec1"
+    val g2 = scratch(sfDir) + "/lineitem_pspec2"
+    val m1 = new java.io.File(g1, "_SUCCESS")
+    val m2 = new java.io.File(g2, "_SUCCESS")
+    val spec = new java.io.File(g1, "_GRAFT_SPEC")
+    val want = "v2|gen1=month(l_shipdate)|gen2=(l_returnflag,month)|split=750"
+    val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    def newestUnder(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
+      else f.lastModified()
+    val fresh = m1.exists() && m2.exists() && spec.exists() &&
+      newestUnder(src) <= math.min(m1.lastModified(), m2.lastModified()) &&
+      java.nio.file.Files.readString(spec.toPath) == want
+    if (!fresh) {
+      val base = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_shipdate"))
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      base.filter(col("l_orderkey") < 750L)
+        .write.mode("overwrite").partitionBy("ship_month").parquet(g1)
+      base.filter(col("l_orderkey") >= 750L)
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag", "ship_month").parquet(g2)
+      java.nio.file.Files.writeString(spec.toPath, want)
+    }
+    (g1, g2)
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's headline metadata feature):
+    * the table's partitioning changed between ingest generations —
+    * month-only for the old files, (returnflag, month) for the new —
+    * and, exactly like Iceberg, the old files are NOT rewritten: the
+    * read plans each generation under the spec it was written with.
+    * The month predicate prunes DIRECTORIES in both generations; the
+    * returnflag predicate prunes directories in generation 2 and
+    * falls back to a pushed data filter in generation 1. The oracle
+    * is layout-free (same filter over raw lineitem), so the result
+    * proves spec evolution changes the COST, never the answer. At
+    * 100 TB this is what makes re-partitioning a table an O(1)
+    * metadata operation instead of a full rewrite. PlanSpec-style
+    * assertions live in Round11Spec (partition filters on both
+    * scans; returnflag a partition filter only in gen 2). */
+  def scanPartitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (g1, g2) = partitionEvolutionDirs(spark, sfDir)
+    val cols = Seq("ship_month", "l_quantity")
+    def gen(dir: String): DataFrame = spark.read.parquet(dir)
+      .filter($"ship_month" >= "1997-01" && $"ship_month" <= "1997-06" &&
+        $"l_returnflag" === "R")
+      .select(cols.map(col): _*)
+    gen(g1).unionByName(gen(g2))
+      .groupBy($"ship_month")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"ship_month")
+  }
+
+  val scanPartitionEvolutionSql: String =
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       |  COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_returnflag = 'R'
+       |  AND strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-06'
+       |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
+  /** Bloom-index geometry: 32768 bits (4 KB) per file, 4 hash probes
+    * — sized so even a file holding every sf0.1 order keeps its load
+    * factor well under the 50% that would blunt pruning. */
+  private val BLOOM_BITS = 1 << 15
+  private val BLOOM_K = 4
+
+  /** PER-FILE BLOOM INDEX sidecar over the 16-file range layout: for
+    * every (file, key, seed) the key's bit is OR-ed into the file's
+    * 512-word bit array (the same distributed `bit_or` trick the
+    * deletion vectors use — the whole build is one aggregation, no
+    * driver loop). Sidecar size is BLOOM_BITS/8 bytes per file —
+    * metadata-scale forever (4 KB per file at ANY row count), which
+    * is what distinguishes a Bloom index from an exact inverted
+    * index at 100 TB. Same freshness contract as the other layouts. */
+  private[graft] def bloomIndexDir(spark: SparkSession, sfDir: String)
+      : String = {
+    val layout = statsLayoutDir(spark, sfDir)
+    val path = layout + "_bloom"
+    val marker = new java.io.File(path, "_SUCCESS")
+    val spec = new java.io.File(path, "_GRAFT_SPEC")
+    val want = s"v1|bits=$BLOOM_BITS|k=$BLOOM_K|key=l_orderkey"
+    val layoutMarker = new java.io.File(layout, "_SUCCESS")
+    val fresh = marker.exists() && spec.exists() &&
+      layoutMarker.lastModified() <= marker.lastModified() &&
+      java.nio.file.Files.readString(spec.toPath) == want
+    if (!fresh) {
+      import spark.implicits._
+      val keys = spark.read.parquet(layout)
+        .select(input_file_name().as("file"), $"l_orderkey")
+      val bits = (0 until BLOOM_K).map { s =>
+        val pos = pmod(xxhash64($"l_orderkey", lit(s)), lit(BLOOM_BITS.toLong))
+        keys.select($"file", shiftright(pos, 6).as("word"), pos.as("pos"))
+          .select($"file", $"word",
+            expr("shiftleft(1L, cast(pmod(pos, 64) as int))").as("mask"))
+      }.reduce(_ unionByName _)
+      bits.groupBy($"file", $"word").agg(bit_or($"mask").as("bits"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      java.nio.file.Files.writeString(spec.toPath, want)
+    }
+    path
+  }
+
+  /** Point-lookup keys for [[scanBloomIndex]] — inside the orderkey
+    * domain at every fixture SF. */
+  private[graft] val bloomProbeKeys = Seq(11L, 444L, 1201L)
+
+  /** BLOOM-INDEXED POINT LOOKUP: the probe keys' bit coordinates are
+    * resolved against the per-file Bloom sidecar (a metadata-scale
+    * join: 3 probes × 4 seeds against ≤ files × 512 words), a file
+    * survives only if ALL K of a probe's bits are set, and the scan
+    * opens ONLY the surviving files — with the exact residual filter
+    * keeping Bloom's false positives out of the answer (no false
+    * negatives by construction, so the layout-free oracle is valid).
+    * This is the secondary-index story for a column the layout is
+    * NOT clustered on: min/max stats are useless for scattered point
+    * keys, but 4 KB of bloom per file still prunes most of the scan.
+    * Round11Spec pins the pruning and the no-false-negative law. */
+  /** Files the Bloom sidecar admits for `keys` — a file survives a
+    * probe iff every one of its K bits is set. Metadata-scale: the
+    * probe frame is |keys| × K rows against files × 512 words. */
+  private[graft] def bloomCandidates(spark: SparkSession, sfDir: String,
+      keys: Seq[Long]): Seq[String] = {
+    import spark.implicits._
+    val idx = spark.read.parquet(bloomIndexDir(spark, sfDir))
+    val probes = keys.toDF("k")
+    val probeBits = (0 until BLOOM_K).map { s =>
+      val pos = pmod(xxhash64($"k", lit(s)), lit(BLOOM_BITS.toLong))
+      probes.select($"k", shiftright(pos, 6).as("word"), pos.as("pos"))
+        .select($"k", $"word",
+          expr("shiftleft(1L, cast(pmod(pos, 64) as int))").as("mask"))
+    }.reduce(_ unionByName _)
+    probeBits.join(idx, "word")
+      .filter(($"bits".bitwiseAND($"mask")) === $"mask")
+      .groupBy($"file", $"k").agg(count(lit(1)).as("hits"))
+      .filter($"hits" === BLOOM_K)
+      .select($"file").distinct().as[String].collect().sorted.toIndexedSeq
+  }
+
+  def scanBloomIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val files = bloomCandidates(spark, sfDir, bloomProbeKeys)
+    require(files.nonEmpty, "bloom index pruned every file")
+    spark.read.parquet(files.toIndexedSeq: _*)
+      .filter($"l_orderkey".isin(bloomProbeKeys: _*))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_orderkey")
+  }
+
+  val scanBloomIndexSql: String =
+    s"""SELECT l_orderkey, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (${bloomProbeKeys.mkString(", ")})
+       |GROUP BY 1 ORDER BY l_orderkey""".stripMargin
+
   val scanFileMetadataSql: String =
     """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
       |  COUNT(*) AS n,

@@ -8,7 +8,8 @@ import graft.plans.QualifySql
 /** Round-8 wave 2: QUALIFY SQL surface, hidden file-metadata columns,
   * and the storage-partitioned-join keys' row-level semantics (their
   * PLAN properties are pinned in SourceSpec). */
-class Round11Spec extends SparkSpec {
+class Round11Spec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("QUALIFY desugars to exactly the hand-written window subquery") {
     graft.engine.Tables.registerViews(spark, sf)
@@ -105,6 +106,62 @@ class Round11Spec extends SparkSpec {
         assert(hi1 <= lo2, "range-clustered files must not overlap")
       case _ => ()
     }
+  }
+
+  test("partition evolution: each generation prunes under its own spec") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = ScanOps.scanPartitionEvolution(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]].queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 2, s"expected one scan per generation")
+    val byGen = scans.map { s =>
+      val parts = s.partitionFilters.map(_.toString).mkString(";")
+      (s.relation.location.rootPaths.mkString, parts)
+    }.sortBy(_._1)
+    val (gen1, gen2) = (byGen.head, byGen.last)
+    assert(gen1._1.contains("pspec1") && gen2._1.contains("pspec2"))
+    // both generations prune month directories
+    assert(gen1._2.contains("ship_month") && gen2._2.contains("ship_month"))
+    // returnflag is a PARTITION filter only under the evolved spec
+    assert(!gen1._2.contains("l_returnflag"),
+      s"gen1 must treat returnflag as a data filter: ${gen1._2}")
+    assert(gen2._2.contains("l_returnflag"),
+      s"gen2 must prune returnflag directories: ${gen2._2}")
+    // and gen1 pushes returnflag down to parquet instead
+    val gen1Scan = scans.find(
+      _.relation.location.rootPaths.mkString.contains("pspec1")).get
+    assert(gen1Scan.dataFilters.map(_.toString).mkString
+      .contains("l_returnflag"))
+  }
+
+  test("bloom index prunes files and never loses a qualifying row") {
+    import spark.implicits._
+    val candidates =
+      ScanOps.bloomCandidates(spark, sf, ScanOps.bloomProbeKeys)
+    val layout = ScanOps.statsLayoutDir(spark, sf)
+    val all = new java.io.File(layout).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(all == 16)
+    assert(candidates.nonEmpty && candidates.size < all,
+      s"bloom index should prune some of the $all files, " +
+        s"kept ${candidates.size}")
+    // no false negatives: pruned answer == full-scan answer
+    val pruned = ScanOps.scanBloomIndex(spark, sf).collect().toSeq
+    val full = spark.read.parquet(layout)
+      .filter($"l_orderkey".isin(ScanOps.bloomProbeKeys: _*))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_orderkey").collect().toSeq
+    assert(pruned == full, "bloom pruning must be lossless")
+    // absent keys are admitted by at most a few false-positive files
+    val ghost = ScanOps.bloomCandidates(spark, sf, Seq(987654321L))
+    assert(ghost.size <= 4,
+      s"a never-written key should hit almost nothing: ${ghost.size}")
   }
 
   test("shallow clone copies zero parquet bytes and leaves the source log untouched") {
