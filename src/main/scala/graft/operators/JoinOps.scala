@@ -723,6 +723,45 @@ object JoinOps {
     def contains(k: Long): Boolean = bf.mightContain(k)
   }
 
+  /** PK-FK JOIN ELIMINATION ([[graft.plans.JoinEliminationRule]]):
+    * the BI-tool query shape — fact joined to its parent table "just
+    * in case", grouping and measuring fact columns only. With
+    * lineitem.l_orderkey → orders.o_orderkey declared (total FK,
+    * unique PK — the TPC-H referential-integrity guarantee), the
+    * inner join matches every lineitem exactly once, so the rule
+    * deletes it: the optimized plan reads ONLY lineitem (the require
+    * pins both directions). The oracle EXECUTES THE JOIN in DuckDB —
+    * cross-engine proof the rewrite is semantics-preserving, not
+    * just plausible. At 100 TB this deletes the fact-to-dimension
+    * shuffle a generated star query pays for nothing. */
+  def joinElimination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact._
+    import graft.plans.JoinEliminationRule
+    JoinEliminationRule.register(JoinEliminationRule.FkDef(
+      "lineitem.parquet", "l_orderkey", "orders.parquet", "o_orderkey"))
+    val raw = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), xsum($"l_quantity").as("sum_qty"))
+    val rewritten = JoinEliminationRule.force(
+      raw.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]].queryExecution.analyzed)
+    require(!graft.plans.MvRewriteRule.readsPath(rewritten, "orders.parquet"),
+      "join elimination did not fire — the plan still reads orders")
+    require(graft.plans.MvRewriteRule.readsPath(rewritten, "lineitem.parquet"),
+      "eliminated plan must still read the fact")
+    org.apache.spark.sql.graft.Bridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], rewritten)
+      .orderBy($"l_returnflag")
+  }
+
+  val joinEliminationSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${graft.engine.Exact.sqlXsum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val joinBloomPrefilterSql: String =
     s"""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
        |  ${graft.engine.Exact.sqlXsum("l_extendedprice * (1.0 - l_discount)")}

@@ -108,6 +108,57 @@ class Round11Spec extends SparkSpec
     }
   }
 
+  test("join elimination: fires on the declared edge, bails on every unsafe variant") {
+    import spark.implicits._
+    import graft.plans.{JoinEliminationRule => JE}
+    import graft.plans.MvRewriteRule.readsPath
+    import graft.engine.Tables
+    JE.register(JE.FkDef(
+      "lineitem.parquet", "l_orderkey", "orders.parquet", "o_orderkey"))
+    def analyzed(df: org.apache.spark.sql.DataFrame) =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]].queryExecution.analyzed
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf)
+
+    // eliminated result must equal the executed join, row for row
+    val viaRule = graft.operators.JoinOps.joinElimination(spark, sf)
+      .collect().toSeq
+    val executed = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Exact.xsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(viaRule == executed)
+
+    // a filter on the PK side makes the join selective — must bail
+    val filtered = JE.force(analyzed(
+      li.join(ord.filter($"o_totalprice" > 1000.0),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))))
+    assert(readsPath(filtered, "orders.parquet"),
+      "a filtered parent must not be eliminated")
+
+    // projecting a parent column above the join — must bail
+    val keepsParent = JE.force(analyzed(
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_returnflag", $"o_orderstatus")))
+    assert(readsPath(keepsParent, "orders.parquet"),
+      "a consumer of parent columns must keep the join")
+
+    // an undeclared edge (suppkey) — must bail
+    val undeclared = JE.force(analyzed(
+      li.join(Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))))
+    assert(readsPath(undeclared, "supplier.parquet"))
+
+    // outer joins are out of scope — must bail
+    val outer = JE.force(analyzed(
+      li.join(ord, $"l_orderkey" === $"o_orderkey", "left")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))))
+    assert(readsPath(outer, "orders.parquet"))
+  }
+
   test("partition evolution: each generation prunes under its own spec") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = ScanOps.scanPartitionEvolution(spark, sf)
