@@ -133,11 +133,31 @@ object TxnLog {
     if (committed.isEmpty) -1L else committed.max
   }
 
-  /** Time travel: the materialized snapshot as of `version`. The
-    * committer renames data into place immediately after its marker,
-    * so a racing reader polls briefly rather than failing on the
-    * microsecond marker-to-rename window. */
+  /** Time travel: the materialized snapshot as of `version`,
+    * resolved through the COLUMN MAPPING in force at that version
+    * (logical names; physically-absent mapped columns materialize
+    * their declared default). The committer renames data into place
+    * immediately after its marker, so a racing reader polls briefly
+    * rather than failing on the microsecond marker-to-rename
+    * window. */
   def read(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val df = readPhysical(spark, root, version)
+    currentMapping(root, version) match {
+      case None => df
+      case Some(m) =>
+        val phys = df.columns.toSet
+        df.select(col("key") +: m.map { case (l, p, d) =>
+          if (phys(p)) col(p).as(l)
+          else lit(d.map(Long.box).orNull).cast("long").as(l)
+        }: _*)
+    }
+  }
+
+  /** The snapshot as stored on disk — PHYSICAL column names, no
+    * mapping resolution. Writers work here (deltas are translated to
+    * physical before merge), readers go through [[read]]. */
+  private def readPhysical(spark: SparkSession, root: String,
+      version: Long): DataFrame = {
     require(version >= 0 && commitMarker(root, version).exists(),
       s"version $version does not exist or is uncommitted")
     require(!vacuumTombstone(root, version).exists(),
@@ -238,13 +258,6 @@ object TxnLog {
       .version
   }
 
-  /** Retention vacuum: delete snapshot + delta data for all versions
-    * older than the last `keepLast` committed ones. Markers and metas
-    * stay (history remains auditable; the data is what storage pays
-    * for) — a time-travel read of a vacuumed version fails with the
-    * descriptive error in [[read]] (a tombstone distinguishes
-    * "vacuumed" from "publish in flight"). Returns the evicted
-    * versions. */
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` / an
     * Iceberg snapshot ref): create a new table at `dstRoot` whose
     * version 0 IS `srcRoot`'s latest committed snapshot, copying
@@ -277,16 +290,231 @@ object TxnLog {
     srcV
   }
 
+  /** Retention vacuum: delete snapshot + delta data for all versions
+    * older than the last `keepLast` committed ones, EXCEPT versions
+    * pinned by a [[tag]]. Markers and metas stay (history remains
+    * auditable; the data is what storage pays for) — a time-travel
+    * read of a vacuumed version fails with the descriptive error in
+    * [[read]] (a tombstone distinguishes "vacuumed" from "publish in
+    * flight"). Returns the evicted versions. */
   def vacuum(root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest version")
     val latest = latestCommitted(root)
-    val evict = 0L to (latest - keepLast)
+    val pinned = taggedVersions(root)
+    // REACHABILITY: a retained version whose snapshot is a LINK
+    // (metadata-only commit) keeps its referent's data alive — the
+    // same live-file rule a manifest-based vacuum applies. Resolve
+    // each retained root transitively and protect what it lands on.
+    val retained = ((latest - keepLast + 1) to latest) ++ pinned
+    val reachable = retained.flatMap { v =>
+      val p = Paths.get(root, s"snapshot_v$v")
+      if (Files.exists(p))
+        Some(p.toRealPath().getFileName.toString
+          .stripPrefix("snapshot_v").toLong)
+      else None
+    }.toSet
+    val evict = (0L to (latest - keepLast)).filterNot(pinned)
+      .filterNot(reachable)
+      .filterNot(vacuumTombstone(root, _).exists())
     evict.foreach { v =>
       destroyDir(new File(root, s"snapshot_v$v"))
       destroyDir(new File(root, s"delta_v$v"))
       vacuumTombstone(root, v).createNewFile()
     }
     evict
+  }
+
+  /** OPTIMIZE with CLUSTERING (`OPTIMIZE ... ZORDER BY key` on one
+    * dimension): compaction that also SORTS — the post snapshot is
+    * range-partitioned and sorted on the key, so the resulting files
+    * hold pairwise-DISJOINT key ranges, which is exactly the layout
+    * per-file stats skipping wants (a point or range read opens the
+    * one or two files whose range intersects, not all of them). Same
+    * empty-write-set commit as [[optimize]] — a clustering rewrite
+    * never conflicts with concurrent data commits. At 100 TB this is
+    * the background job that turns ingest-ordered files into
+    * query-ordered files; cost is one read+sort+write of live data,
+    * amortized across every subsequent pruned scan. */
+  def optimizeClustered(spark: SparkSession, root: String,
+      targetFiles: Int, maxAttempts: Int = 10): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(latestCommitted(root) >= 0, "nothing to optimize")
+    commit(spark, root,
+      _ => (emptyDelta(spark), Nil),
+      maxAttempts = maxAttempts,
+      layout = Some(_.repartitionByRange(targetFiles, col("key"))
+        .sortWithinPartitions("key")))
+      .version
+  }
+
+  /** Did version `v`'s commit evolve the schema (ADD COLUMN audit
+    * entry present)? */
+  def schemaChanged(root: String, v: Long): Boolean =
+    schemaFile(root, v).exists()
+
+  private def tagFile(root: String, name: String): File =
+    new File(logDir(root), s"tag_$name.ref")
+
+  /** NAMED SNAPSHOT REFERENCE (an Iceberg TAG / a Delta named
+    * version): pin `name` to a committed `version`. A tag is a
+    * retention root — [[vacuum]] never evicts a tagged version — so
+    * an auditor's pinned read ("the table as the Q3 report saw it")
+    * survives any retention policy. At 100 TB the tag is one tiny
+    * ref file in the log directory; the alternative (a copy of the
+    * pinned state) is the whole table. Re-tagging moves the ref
+    * (last write wins), `tag_<name>.ref` holding just the version. */
+  def tag(root: String, name: String, version: Long): Unit = {
+    require(commitMarker(root, version).exists(),
+      s"cannot tag uncommitted version $version")
+    require(!vacuumTombstone(root, version).exists(),
+      s"cannot tag vacuumed version $version")
+    Files.write(tagFile(root, name).toPath,
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** The version a tag points at (fails on an unknown tag). */
+  def tagVersion(root: String, name: String): Long = {
+    val f = tagFile(root, name)
+    require(f.exists(), s"no tag named '$name'")
+    new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Time travel by NAME: read the snapshot a tag pins. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, tagVersion(root, name))
+
+  /** Every version currently pinned by a tag — vacuum's skip set. */
+  private def taggedVersions(root: String): Set[Long] =
+    Option(logDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("tag_") &&
+        f.getName.endsWith(".ref"))
+      .map(f => new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim.toLong)
+      .toSet
+
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING (the Delta column-mapping / Iceberg field-id idea):
+  // logical names are resolved through a per-version mapping to the
+  // PHYSICAL names stored in parquet, so RENAME and DROP are pure
+  // metadata commits — no data file is ever rewritten — and a column
+  // re-added after a drop binds to a FRESH physical name, so the old
+  // physical data can never resurrect under the new logical column.
+  // ------------------------------------------------------------------
+
+  /** (logical, physical, default-for-physically-absent) triples, in
+    * read order. The full mapping is snapshotted per metadata commit
+    * (`vN.mapping`) — O(columns), not O(history). */
+  type ColMapping = Vector[(String, String, Option[Long])]
+
+  private def mappingFile(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.mapping")
+
+  private def parseMapping(f: File): ColMapping =
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val p = line.split("\\|", -1)
+        (p(0), p(1), if (p(2) == "NULL") None else Some(p(2).toLong))
+      }.toVector
+
+  private def writeMapping(root: String, v: Long, m: ColMapping): Unit = {
+    val body = m.map { case (l, p, d) =>
+      s"$l|$p|${d.map(_.toString).getOrElse("NULL")}"
+    }.mkString("\n")
+    Files.write(mappingFile(root, v).toPath,
+      body.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** The mapping in force at `upTo`: the newest `vN.mapping` with
+    * N ≤ upTo (file-listing scan — metadata-scale). None before the
+    * first mapping commit: reads pass physical names through, which
+    * is also why time travel to a pre-rename version shows the OLD
+    * schema for free. */
+  def currentMapping(root: String, upTo: Long): Option[ColMapping] =
+    Option(logDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".mapping"))
+      .map(f => f.getName.stripPrefix("v")
+        .stripSuffix(".mapping").toLong -> f)
+      .filter(_._1 <= upTo)
+      .sortBy(-_._1).headOption
+      .map(p => parseMapping(p._2))
+
+  /** Identity bootstrap: the latest snapshot's physical non-key
+    * columns, each mapped to itself. */
+  private def bootstrapMapping(spark: SparkSession,
+      root: String): ColMapping = {
+    val v = latestCommitted(root)
+    currentMapping(root, v).getOrElse(
+      readPhysical(spark, root, v).columns.filter(_ != "key")
+        .map(c => (c, c, Option.empty[Long])).toVector)
+  }
+
+  /** Translate a LOGICAL delta to PHYSICAL column names through the
+    * mapping (absent mapping = identity). Logical columns without a
+    * mapping entry pass through unchanged — they are brand-new ADD
+    * COLUMNs, registered into the mapping at publish. */
+  private def toPhysical(delta: DataFrame,
+      mapping: Option[ColMapping]): DataFrame =
+    mapping.fold(delta) { m =>
+      val byLogical = m.map(e => e._1 -> e._2).toMap
+      delta.columns.foldLeft(delta) { (d, c) =>
+        byLogical.get(c).filter(_ != c)
+          .fold(d)(p => d.withColumnRenamed(c, p))
+      }
+    }
+
+  /** RENAME COLUMN — metadata-only: the new mapping points the new
+    * logical name at the SAME physical column, the commit's snapshot
+    * is a link to the previous version's (zero data rewritten), and
+    * the claim/marker protocol makes it race-safe like any other
+    * commit. Returns the committed version. */
+  def renameColumn(spark: SparkSession, root: String,
+      from: String, to: String): Long = {
+    require(from != "key" && to != "key", "the key column cannot move")
+    val base = bootstrapMapping(spark, root)
+    require(base.exists(_._1 == from), s"no column named '$from'")
+    require(!base.exists(_._1 == to), s"column '$to' already exists")
+    metadataCommit(spark, root,
+      base.map { case (l, p, d) => (if (l == from) to else l, p, d) })
+  }
+
+  /** DROP COLUMN — metadata-only: the mapping entry is removed; the
+    * physical data stays in old snapshots (time travel still sees
+    * it) but no current read resolves it. */
+  def dropColumn(spark: SparkSession, root: String,
+      name: String): Long = {
+    require(name != "key", "the key column cannot be dropped")
+    val base = bootstrapMapping(spark, root)
+    require(base.exists(_._1 == name), s"no column named '$name'")
+    metadataCommit(spark, root, base.filterNot(_._1 == name))
+  }
+
+  /** ADD COLUMN via mapping with a declared default — the re-add
+    * after a DROP. The logical name binds to a FRESH physical name
+    * (`<name>__gen<version>`), so rows still carrying the DROPPED
+    * column's physical data can never leak into the new column: a
+    * read materializes the default until real writes arrive. */
+  def addColumnMapped(spark: SparkSession, root: String,
+      logical: String, default: Long): Long = {
+    val base = bootstrapMapping(spark, root)
+    require(!base.exists(_._1 == logical),
+      s"column '$logical' already exists")
+    val physical = s"${logical}__gen${latestCommitted(root) + 1}"
+    metadataCommit(spark, root,
+      base :+ ((logical, physical, Some(default))))
+  }
+
+  /** A schema-change commit: empty delta, empty write set (conflicts
+    * with nothing), snapshot LINKED to the previous version's, new
+    * mapping published at the committed version. */
+  private def metadataCommit(spark: SparkSession, root: String,
+      newMapping: ColMapping): Long = {
+    require(latestCommitted(root) >= 0,
+      "cannot evolve the schema of an empty table")
+    commit(spark, root, _ => (emptyDelta(spark), Nil),
+      mappingUpdate = Some(newMapping), linkSnapshot = true).version
   }
 
   private def writeMeta(root: String, meta: CommitMeta): Unit = {
@@ -383,6 +611,8 @@ object TxnLog {
       check: Option[org.apache.spark.sql.Column] = None,
       defaults: Map[String, Long] = Map.empty,
       layout: Option[DataFrame => DataFrame] = None,
+      mappingUpdate: Option[ColMapping] = None,
+      linkSnapshot: Boolean = false,
       prePublish: Long => Unit = _ => ()): TxnStats = {
     // idempotent retry: an application txn id that already committed
     // returns its version without touching the log (attempts = 0 is
@@ -453,15 +683,26 @@ object TxnLog {
           } else {
             val prevSnap =
               if (v == 0) emptySnapshot(spark)
-              else read(spark, root, v - 1)
-            val keyed = delta.localCheckpoint(true)
+              else readPhysical(spark, root, v - 1)
+            val mapping = if (v == 0) None else currentMapping(root, v - 1)
+            val keyed = toPhysical(delta, mapping).localCheckpoint(true)
             val post0 = applyDelta(prevSnap, keyed, defaults)
             val post = layout.map(_(post0)).getOrElse(post0)
-            // CHECK constraint: enforced on the POST state, before
+            // CHECK constraint: enforced on the POST state (resolved
+            // to LOGICAL names if a mapping is in force), before
             // anything becomes visible; a violating commit releases
             // its claim and rejects — the log is left untouched
             check.foreach { c =>
-              val bad = post.filter(!c).limit(1).count()
+              val checkView = mappingUpdate.orElse(mapping) match {
+                case None => post
+                case Some(m) =>
+                  val phys = post.columns.toSet
+                  post.select(col("key") +: m.map { case (l, p, d) =>
+                    if (phys(p)) col(p).as(l)
+                    else lit(d.map(Long.box).orNull).cast("long").as(l)
+                  }: _*)
+              }
+              val bad = checkView.filter(!c).limit(1).count()
               if (bad > 0) {
                 claim.delete()
                 throw new CheckViolation(
@@ -470,8 +711,11 @@ object TxnLog {
             }
             // STAGE the data under claim-scoped unique names — a
             // resumed zombie writing here can never clobber a
-            // committed version's directories
-            post.write.mode("overwrite").parquet(s"$stage/snapshot")
+            // committed version's directories. A metadata-only commit
+            // (linkSnapshot) stages NO snapshot bytes: its snapshot
+            // will be a link to the previous version's.
+            if (!linkSnapshot)
+              post.write.mode("overwrite").parquet(s"$stage/snapshot")
             keyed.repartitionByRange(DELTA_FILES, col("key"))
               .write.mode("overwrite").parquet(s"$stage/delta")
             val written = fileRanges(spark, s"$stage/delta")
@@ -487,9 +731,16 @@ object TxnLog {
               if (!commitMarker(root, v).createNewFile()) abandon()
               else {
                 // we ARE the unique committer of v: publish by rename
-                Files.move(Paths.get(stage.getPath, "snapshot"),
-                  Paths.get(root, s"snapshot_v$v"),
-                  StandardCopyOption.ATOMIC_MOVE)
+                // (or, for a metadata-only commit, by linking the
+                // previous snapshot — zero data bytes move)
+                if (linkSnapshot)
+                  Files.createSymbolicLink(
+                    Paths.get(root, s"snapshot_v$v"),
+                    Paths.get(root, s"snapshot_v${v - 1}").toAbsolutePath)
+                else
+                  Files.move(Paths.get(stage.getPath, "snapshot"),
+                    Paths.get(root, s"snapshot_v$v"),
+                    StandardCopyOption.ATOMIC_MOVE)
                 Files.move(Paths.get(stage.getPath, "delta"),
                   Paths.get(root, s"delta_v$v"),
                   StandardCopyOption.ATOMIC_MOVE)
@@ -502,6 +753,18 @@ object TxnLog {
                     newCols.map(c => s"ADD|$c|" +
                       defaults.get(c).map(_.toString).getOrElse("NULL"))
                       .mkString("\n").getBytes(StandardCharsets.UTF_8))
+                // publish the commit's mapping: an explicit schema
+                // change, or the identity extension a mapped table
+                // needs when a delta ADDs brand-new columns (without
+                // it the mapped read would silently hide them)
+                mappingUpdate match {
+                  case Some(m) => writeMapping(root, v, m)
+                  case None => mapping.foreach { m =>
+                    if (newCols.nonEmpty)
+                      writeMapping(root, v, m ++ newCols.map(c =>
+                        (c, c, defaults.get(c))))
+                  }
+                }
                 txnId.foreach(id => Files.write(txnIdFile(root, v).toPath,
                   id.getBytes(StandardCharsets.UTF_8)))
                 return TxnStats(v, attempts, conflicts)
@@ -530,6 +793,7 @@ object TxnLog {
           orphan.delete()
           metaFile(root, v).delete()
           schemaFile(root, v).delete()
+          mappingFile(root, v).delete()
           Option(new File(root).listFiles()).getOrElse(Array.empty)
             .filter(_.getName.startsWith(s".stage_v${v}_"))
             .foreach(destroyDir)
@@ -566,8 +830,15 @@ object TxnLog {
   /** Remove a table root recursively (test/operator scratch). */
   def destroy(root: String): Unit = destroyDir(new File(root))
 
+  /** Recursive delete that NEVER traverses a symlink: a shallow
+    * clone's snapshot is a link to the SOURCE's data, and dropping
+    * the clone must drop the reference, not the referent (the
+    * ownership rule every lakehouse clone implementation needs —
+    * deleting through the link would silently destroy the source
+    * table's files). */
   private def destroyDir(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(destroyDir)
+    if (!Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(destroyDir)
     f.delete(); ()
   }
 }

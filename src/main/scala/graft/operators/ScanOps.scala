@@ -985,4 +985,90 @@ object ScanOps {
       |FROM read_parquet('__SCRATCH__/lineitem_statskip/*.parquet',
       |  filename=true, file_row_number=true)
       |GROUP BY 1 ORDER BY min_d, file_name""".stripMargin
+
+  /** Write-once p_name-clustered layout + TRUNCATED-STRING per-file
+    * stats sidecar: 8 range-clustered files, each with an 8-char
+    * prefix MIN (a lower bound by prefix order) and, for the MAX, the
+    * 8-char prefix with its last character incremented — a STRICT
+    * upper bound on every string in the file. This is the Parquet/
+    * Iceberg string-stats subtlety: raw string min/max on long
+    * values bloats the manifest, so real formats store truncated
+    * bounds, and truncation is only CORRECT if the max is rounded UP
+    * (a truncated max taken verbatim would under-bound and skip files
+    * that hold matches). Same freshness contract as every layout. */
+  private[graft] def stringStatsLayoutDir(spark: SparkSession,
+      sfDir: String): String = {
+    val path = scratch(sfDir) + "/part_statskip_str"
+    val marker = new java.io.File(path, "_SUCCESS")
+    val spec = new java.io.File(path, "_GRAFT_SPEC")
+    val statsMarker = new java.io.File(path + "_stats", "_SUCCESS")
+    val want = "v1|cluster=p_name|files=8|stats=trunc8_min_maxub"
+    val src = new java.io.File(s"$sfDir/part.parquet")
+    def newestUnder(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().map(newestUnder)).max
+      else f.lastModified()
+    val fresh = marker.exists() && spec.exists() && statsMarker.exists() &&
+      newestUnder(src) <= marker.lastModified() &&
+      java.nio.file.Files.readString(spec.toPath) == want
+    if (!fresh) {
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .repartitionByRange(8, col("p_name"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("p_name")).as("mn"), max(col("p_name")).as("mx"))
+        .select(col("file"),
+          substring(col("mn"), 1, 8).as("min_t"),
+          when(length(col("mx")) <= 8, col("mx"))
+            .otherwise(concat(substring(col("mx"), 1, 7),
+              expr("char(ascii(substring(mx, 8, 1)) + 1)")))
+            .as("max_ub"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path + "_stats")
+      java.nio.file.Files.writeString(spec.toPath, want)
+    }
+    path
+  }
+
+  /** Name-range bounds for [[scanStatsSkippingString]] — first
+    * letters h..n out of the fixture's {b,c,h,l,n,o,r,s} palette, so
+    * pruning keeps roughly half of the 8 name-clustered files. */
+  private[graft] val (strSkipLo, strSkipHi) = ("h", "o")
+
+  /** TRUNCATED-STRING STATS SKIPPING: resolve the 8-char-prefix
+    * sidecar against a name-range predicate and open only the files
+    * whose [prefix-min, incremented-prefix-max) window intersects it.
+    * Keep iff `max_ub >= lo AND min_t < hi`: both bounds are
+    * CONSERVATIVE by construction (min_t ≤ every name via prefix
+    * order; max_ub > every name via the increment), so pruning can
+    * never drop a match — Round12Spec additionally proves the pruned
+    * files contain zero qualifying rows by reading them. At 100 TB
+    * this is why manifests can afford per-file stats on wide string
+    * columns at all: 16 bytes per file per column, regardless of
+    * value length. The oracle is layout-free over raw part. */
+  def scanStatsSkippingString(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stringStatsLayoutDir(spark, sfDir)
+    val files = spark.read.parquet(dir + "_stats")
+      .filter($"max_ub" >= strSkipLo && $"min_t" < strSkipHi)
+      .select($"file").collect().map(_.getString(0))
+    require(files.nonEmpty, "string stats pruning removed every file")
+    spark.read.parquet(files.toIndexedSeq: _*)
+      .filter($"p_name" >= strSkipLo && $"p_name" < strSkipHi)
+      .groupBy(substring($"p_name", 1, 1).as("initial"))
+      .agg(count(lit(1)).as("n"),
+        min($"p_partkey").as("min_pk"), max($"p_partkey").as("max_pk"),
+        graft.engine.Exact.xsum($"p_retailprice").as("sum_price"))
+      .orderBy($"initial")
+  }
+
+  val scanStatsSkippingStringSql: String =
+    s"""SELECT substring(p_name, 1, 1) AS initial, COUNT(*) AS n,
+       |  MIN(p_partkey) AS min_pk, MAX(p_partkey) AS max_pk,
+       |  ${graft.engine.Exact.sqlXsum("p_retailprice")} AS sum_price
+       |FROM part
+       |WHERE p_name >= '$strSkipLo' AND p_name < '$strSkipHi'
+       |GROUP BY 1 ORDER BY initial""".stripMargin
 }

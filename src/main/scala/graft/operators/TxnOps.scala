@@ -909,4 +909,264 @@ object TxnOps {
       |    AS clone_balance
       |FROM cv FULL JOIN p ON cv.user_id = p.user_id
       |ORDER BY user_id""".stripMargin
+
+  /** TAG-PROTECTED RETENTION VACUUM ([[TxnLog.vacuum]] +
+    * [[TxnLog.tag]]): three commits (click v0, view v1, purchase
+    * v2), v0 pinned by the tag `baseline`, then `VACUUM keepLast=1`.
+    * The retention window alone would evict v0 and v1; the tag pins
+    * v0, so exactly v1 is evicted — history metas/markers survive
+    * for audit, a time-travel read of v1 fails with the descriptive
+    * tombstone error (asserted and surfaced as `evicted_read_fails`),
+    * and the tag read still serves v0 (its balances ride along as
+    * `baseline_balance`). This is the storage-reclaim workflow every
+    * production table runs nightly: at 100 TB the vacuum deletes
+    * exactly the unreferenced data files, the tag is one ref file,
+    * and nothing is ever copied. The oracle recomputes both states
+    * (latest = click+view+purchase, baseline = click) from events. */
+  def txnVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "vacuum")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    Seq("click", "view", "purchase").foreach { et =>
+      TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
+    }
+    TxnLog.tag(root, "baseline", 0L)
+    val evicted = TxnLog.vacuum(root, keepLast = 1)
+    require(evicted == Seq(1L),
+      s"expected tag-protected vacuum to evict exactly v1, got $evicted")
+    val evictedReadFails =
+      try { TxnLog.read(spark, root, 1L); 0L }
+      catch { case e: IllegalArgumentException
+          if e.getMessage.contains("vacuumed") => 1L }
+    val latest = TxnLog.read(spark, root, TxnLog.latestCommitted(root))
+    val baseline = TxnLog.readTag(spark, root, "baseline")
+    latest.select($"key", $"value".as("balance"))
+      .join(baseline.select($"key", $"value".as("b")), Seq("key"), "left")
+      .select($"key".as("user_id"), $"balance",
+        coalesce($"b", lit(0L)).as("baseline_balance"),
+        lit(evicted.size.toLong).as("n_evicted"),
+        lit(evictedReadFails).as("evicted_read_fails"))
+      .orderBy($"user_id")
+  }
+
+  val txnVacuumSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |    AS baseline_balance,
+      |  CAST(1 AS BIGINT) AS n_evicted,
+      |  CAST(1 AS BIGINT) AS evicted_read_fails
+      |FROM events WHERE event_type IN ('click', 'view', 'purchase')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** LOG CHECKPOINT ([[TxnLog.checkpoint]] — the Delta checkpoint
+    * idea): three commits, then the per-version metas are squashed
+    * into ONE checkpoint file and deleted (`n_meta_files` pins 0
+    * survivors). The output re-reads every version's commit metadata
+    * THROUGH the checkpoint — version, the snapshot it was built
+    * against, and the [min,max] span of its per-file written ranges —
+    * and the oracle recomputes those spans from events (v0 wrote the
+    * click users, v1 the view users, v2 the purchase users), so the
+    * check is cross-engine: compaction must preserve OCC metadata
+    * EXACTLY, not just approximately. Why it matters at scale: a
+    * long-lived table commits millions of versions; without
+    * checkpointing, every reader lists millions of log files —
+    * with it, one bounded file serves all compacted history and
+    * conflict validation never notices the difference. */
+  def txnCheckpoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "ckpt")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    Seq("click", "view", "purchase").foreach { et =>
+      TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
+    }
+    val ckptV = TxnLog.checkpoint(root)
+    require(ckptV == 2L, s"expected checkpoint at v2, got v$ckptV")
+    val metasLeft = Option(new java.io.File(root, "_txn_log").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".meta"))
+    // three CommitMeta rows — metadata-scale by construction
+    val rows = (0L to ckptV).map { v =>
+      val m = TxnLog.readMeta(root, v)
+      (m.version, m.readVersion,
+        m.writtenRanges.map(_._1).min, m.writtenRanges.map(_._2).max,
+        metasLeft.toLong)
+    }
+    rows.toDF("version", "read_version", "wmin", "wmax", "n_meta_files")
+      .orderBy($"version")
+  }
+
+  val txnCheckpointSql: String =
+    """WITH m AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, CAST(-1 AS BIGINT)
+      |      AS read_version,
+      |    CAST(MIN(user_id) AS BIGINT) AS wmin,
+      |    CAST(MAX(user_id) AS BIGINT) AS wmax
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT 1, 0, CAST(MIN(user_id) AS BIGINT),
+      |    CAST(MAX(user_id) AS BIGINT)
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT 2, 1, CAST(MIN(user_id) AS BIGINT),
+      |    CAST(MAX(user_id) AS BIGINT)
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT version, read_version, wmin, wmax,
+      |  CAST(0 AS BIGINT) AS n_meta_files
+      |FROM m ORDER BY version""".stripMargin
+
+  /** RENAME COLUMN via COLUMN MAPPING ([[TxnLog.renameColumn]] — the
+    * Delta column-mapping / Iceberg field-id mechanism): v0 stores
+    * per-user click counts as (key, value); v1 renames value →
+    * balance as a METADATA-ONLY commit (its snapshot is a filesystem
+    * link — `metadata_only` pins that zero data bytes moved); v2
+    * upserts view counts addressed by the NEW logical name, which
+    * the commit path translates back to the stable PHYSICAL name
+    * (`physical_name_stable` pins that the stored parquet still says
+    * `value`, never `balance`); time travel to v0 shows the OLD
+    * schema for free (`old_schema_ok`). At 100 TB this is the only
+    * viable rename: the alternative rewrites every file in the
+    * table to change a header string. */
+  def txnRenameMapping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "rename")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    TxnLog.renameColumn(spark, root, "value", "balance")
+    val metadataOnly =
+      if (java.nio.file.Files.isSymbolicLink(
+        java.nio.file.Paths.get(root, "snapshot_v1"))) 1L else 0L
+    TxnLog.commit(spark, root, { base =>
+      val inc = typeCounts(spark, sfDir, "view")
+      val delta = base.as("s").join(inc.as("d"), Seq("key"), "right")
+        .select($"key",
+          (coalesce($"s.balance", lit(0L)) + $"d.cnt").as("balance"),
+          lit("upsert").as("op"))
+      (delta, TxnLog.range(inc))
+    })
+    val oldSchemaOk =
+      if (TxnLog.read(spark, root, 0L).columns.toSeq ==
+        Seq("key", "value")) 1L else 0L
+    val physCols = spark.read.parquet(s"$root/snapshot_v2").columns.toSet
+    val physicalStable =
+      if (physCols("value") && !physCols("balance")) 1L else 0L
+    TxnLog.read(spark, root, 2L)
+      .select($"key".as("user_id"), $"balance",
+        lit(metadataOnly).as("metadata_only"),
+        lit(oldSchemaOk).as("old_schema_ok"),
+        lit(physicalStable).as("physical_name_stable"))
+      .orderBy($"user_id")
+  }
+
+  val txnRenameMappingSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
+      |  CAST(1 AS BIGINT) AS metadata_only,
+      |  CAST(1 AS BIGINT) AS old_schema_ok,
+      |  CAST(1 AS BIGINT) AS physical_name_stable
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** DROP + RE-ADD without resurrection ([[TxnLog.dropColumn]] /
+    * [[TxnLog.addColumnMapped]] — the column-mapping subtlety that
+    * justifies the whole mechanism): v0 commits click counts, v1
+    * ADDs a `score` column carrying view counts (default 0), v2
+    * DROPs it (metadata-only — the physical data stays, pinned by
+    * `physical_retained`), v3 RE-ADDs `score` with default 7 bound
+    * to a FRESH physical name. The latest read shows 7 EVERYWHERE:
+    * the v1 values still sit in the files the snapshot links to, but
+    * the new logical column can never resolve to them — without
+    * fresh physical binding, a drop+re-add would silently leak
+    * deleted data back into queries. Time travel to v1 still serves
+    * the original scores (`score_at_v1`). */
+  def txnDropColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "dropcol")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    TxnLog.commit(spark, root, { _ =>
+      val inc = typeCounts(spark, sfDir, "view")
+      (inc.select($"key", $"cnt".as("score"), lit("upsert").as("op")),
+        TxnLog.range(inc))
+    }, defaults = Map("score" -> 0L))
+    TxnLog.dropColumn(spark, root, "score")
+    TxnLog.addColumnMapped(spark, root, "score", default = 7L)
+    // the dropped column's PHYSICAL data is retained (time travel
+    // still owns it) — it is only unreachable from the new mapping
+    val physicalRetained =
+      if (spark.read.parquet(s"$root/snapshot_v3").columns
+        .contains("score")) 1L else 0L
+    val atV1 = TxnLog.read(spark, root, 1L)
+      .select($"key", $"score".as("score_at_v1"))
+    TxnLog.read(spark, root, 3L)
+      .join(atV1, Seq("key"))
+      .select($"key".as("user_id"),
+        coalesce($"value", lit(0L)).as("value"),
+        $"score", $"score_at_v1",
+        lit(physicalRetained).as("physical_retained"))
+      .orderBy($"user_id")
+  }
+
+  val txnDropColumnSql: String =
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |    AS value,
+      |  CAST(7 AS BIGINT) AS score,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+      |    AS score_at_v1,
+      |  CAST(1 AS BIGINT) AS physical_retained
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** CLUSTERED OPTIMIZE → PRUNED POINT READS
+    * ([[TxnLog.optimizeClustered]] — `OPTIMIZE ... ZORDER BY key`):
+    * three ingest commits leave key-scattered files; the clustering
+    * rewrite range-partitions + sorts, so the 8 result files hold
+    * pairwise-DISJOINT key ranges (`clustered_disjoint`, checked on
+    * the 8-row file-stats aggregate — metadata-scale by
+    * construction) and a narrow key-range read touches ≤ 2 of them
+    * (`pruned_ok`, via `input_file_name` distinct-count under the
+    * filter). This is the write-side half of stats skipping: the
+    * sidecar can only prune what the layout separates. The rewrite
+    * commits an EMPTY write set, so it never conflicts with
+    * concurrent ingest. Oracle = the same range aggregate,
+    * layout-free. */
+  def txnOptimizeCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "optcluster")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    Seq("click", "view", "purchase").foreach { et =>
+      TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
+    }
+    val v = TxnLog.optimizeClustered(spark, root, targetFiles = 8)
+    val snap = TxnLog.read(spark, root, v)
+    val fileStats = snap.groupBy(input_file_name().as("f"))
+      .agg(min($"key").as("mn"), max($"key").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val disjoint =
+      if (fileStats.sliding(2).forall {
+        case Array((_, hi), (lo, _)) => lo > hi
+        case _ => true
+      }) 1L else 0L
+    val hits = snap.filter($"key".between(10L, 25L))
+    val filesOpened = hits.select(input_file_name().as("f"))
+      .distinct().count()
+    val prunedOk = if (filesOpened <= 2L) 1L else 0L
+    hits.select($"key".as("user_id"), $"value".as("balance"),
+        lit(disjoint).as("clustered_disjoint"),
+        lit(prunedOk).as("pruned_ok"))
+      .orderBy($"user_id")
+  }
+
+  val txnOptimizeClusterSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
+      |  CAST(1 AS BIGINT) AS clustered_disjoint,
+      |  CAST(1 AS BIGINT) AS pruned_ok
+      |FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase')
+      |  AND user_id BETWEEN 10 AND 25
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 }

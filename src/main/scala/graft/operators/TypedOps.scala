@@ -74,4 +74,55 @@ object TypedOps {
       |  MAX(o_totalprice) AS max_price
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** Custom typed [[org.apache.spark.sql.expressions.Aggregator]]
+    * (the Dataset-native UDAF surface): a reusable, composable
+    * (count, min, max) fold with a case-class-free tuple buffer,
+    * attached via `toColumn` inside `groupByKey.agg`. Unlike
+    * `mapGroups`, an Aggregator declares `merge`, so Spark runs it
+    * as a REAL two-phase aggregation — partial folds per partition,
+    * merge on the reduce side — no per-group row buffering, the
+    * same partial/final shape as a built-in agg (that is the scale
+    * argument for preferring Aggregator over mapGroups whenever the
+    * computation folds). All-Long measures keep the fold order-exact
+    * at any parallelism. */
+  object OrderSpan
+      extends org.apache.spark.sql.expressions.Aggregator[
+        OrderRow, (Long, Long, Long), (Long, Long, Long)] {
+    override def zero: (Long, Long, Long) = (0L, Long.MaxValue, Long.MinValue)
+    override def reduce(b: (Long, Long, Long), o: OrderRow)
+        : (Long, Long, Long) =
+      (b._1 + 1, math.min(b._2, o.o_orderkey), math.max(b._3, o.o_orderkey))
+    override def merge(a: (Long, Long, Long), b: (Long, Long, Long))
+        : (Long, Long, Long) =
+      (a._1 + b._1, math.min(a._2, b._2), math.max(a._3, b._3))
+    override def finish(b: (Long, Long, Long)): (Long, Long, Long) = b
+    override def bufferEncoder
+        : org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[(Long, Long, Long)] = bufferEncoder
+  }
+
+  /** Per-customer order count and orderkey span through the typed
+    * Aggregator — partial/final aggregation, not group buffering. */
+  def typedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .as[OrderRow]
+      .groupByKey(_.o_custkey)
+      .agg(OrderSpan.toColumn.name("span"))
+      .map { case (k, (n, lo, hi)) => (k, n, lo, hi) }
+      .toDF("user_id", "n_orders", "min_ok", "max_ok")
+      .orderBy($"user_id")
+  }
+
+  val typedAggSql: String =
+    """SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+      |  MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
+      |FROM orders GROUP BY 1 ORDER BY user_id""".stripMargin
 }

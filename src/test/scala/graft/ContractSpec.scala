@@ -16,7 +16,12 @@ class ContractSpec extends SparkSpec {
     // builds each plan once at sf0.001 (cheap) and checks dtypes only.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val schema = fn(spark, sf).schema
+        val schema =
+          try fn(spark, sf).schema
+          catch {
+            case e: Throwable => fail(
+              s"$name failed to build its plan at $sf: ${e.getMessage}", e)
+          }
         schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
             f.dataType.isInstanceOf[MapType] ||

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.TxnLog
+
+/** Round-8 wave 4: column mapping (rename / drop / re-add without
+  * resurrection), metadata-only commits, vacuum reachability through
+  * linked snapshots, and clustered OPTIMIZE layout guarantees. */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_r13_$tag").toString
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    root
+  }
+
+  private def put(root: String, lo: Long, hi: Long,
+      valueOf: Long => Long = identity): Unit = {
+    TxnLog.commit(spark, root, { _ =>
+      val d = spark.range(lo, hi + 1)
+        .select(col("id").as("key"), expr("id").as("value"),
+          lit("upsert").as("op"))
+        .withColumn("value", udf(valueOf).apply(col("key")))
+      (d, Seq((lo, hi)))
+    })
+    ()
+  }
+
+  test("rename is metadata-only and physical files are untouched") {
+    val root = freshRoot("rename")
+    put(root, 0, 9)
+    val before = Option(new java.io.File(root, "snapshot_v0").listFiles())
+      .get.map(f => f.getName -> f.length()).toMap
+    TxnLog.renameColumn(spark, root, "value", "amount")
+    val after = Option(new java.io.File(root, "snapshot_v0").listFiles())
+      .get.map(f => f.getName -> f.length()).toMap
+    assert(before == after, "rename must not rewrite any data file")
+    assert(java.nio.file.Files.isSymbolicLink(
+      java.nio.file.Paths.get(root, "snapshot_v1")),
+      "a metadata commit's snapshot must be a link, not a copy")
+    assert(TxnLog.read(spark, root, 1L).columns.toSeq ==
+      Seq("key", "amount"))
+    assert(TxnLog.read(spark, root, 0L).columns.toSeq ==
+      Seq("key", "value"), "time travel must show the old schema")
+  }
+
+  test("drop + re-add binds a fresh physical column — no resurrection") {
+    val root = freshRoot("dropcol")
+    put(root, 0, 4, _ * 100)
+    TxnLog.dropColumn(spark, root, "value")
+    assert(TxnLog.read(spark, root, 1L).columns.toSeq == Seq("key"))
+    TxnLog.addColumnMapped(spark, root, "value", default = -1L)
+    val vals = TxnLog.read(spark, root, 2L)
+      .select("value").distinct().collect().map(_.getLong(0)).toSeq
+    assert(vals == Seq(-1L),
+      s"re-added column must read its default everywhere, got $vals — " +
+        "old physical data resurrected through the new logical name")
+    // the old data is still there physically (time travel owns it)
+    assert(TxnLog.read(spark, root, 0L)
+      .filter($"key" === 3L).head().getLong(1) == 300L)
+  }
+
+  test("a delta-ADD on a mapped table extends the mapping") {
+    val root = freshRoot("mapext")
+    put(root, 0, 4)
+    TxnLog.renameColumn(spark, root, "value", "amount")
+    TxnLog.commit(spark, root, { _ =>
+      val d = spark.range(0, 5)
+        .select(col("id").as("key"), col("id").as("bonus"),
+          lit("upsert").as("op"))
+      (d, Seq((0L, 4L)))
+    }, defaults = Map("bonus" -> 0L))
+    val cols = TxnLog.read(spark, root,
+      TxnLog.latestCommitted(root)).columns.toSeq
+    assert(cols == Seq("key", "amount", "bonus"),
+      s"mapped read must include the delta's new column, got $cols")
+  }
+
+  test("CHECK constraints evaluate against logical names post-rename") {
+    val root = freshRoot("mapcheck")
+    put(root, 0, 4)
+    TxnLog.renameColumn(spark, root, "value", "amount")
+    val e = intercept[TxnLog.CheckViolation] {
+      TxnLog.commit(spark, root, { _ =>
+        val d = Seq((2L, -5L, "upsert")).toDF("key", "amount", "op")
+        (d, Seq((2L, 2L)))
+      }, check = Some(col("amount") >= 0))
+    }
+    assert(e.getMessage.contains("CHECK"))
+    // the rejected commit left no trace
+    assert(TxnLog.latestCommitted(root) == 1L)
+  }
+
+  test("vacuum never evicts a snapshot a retained link resolves into") {
+    val root = freshRoot("vacreach")
+    put(root, 0, 9)                                  // v0: real data
+    TxnLog.renameColumn(spark, root, "value", "amount") // v1: link → v0
+    // keepLast=1 retains only v1, but v1's data IS v0's directory
+    assert(TxnLog.vacuum(root, keepLast = 1).isEmpty,
+      "evicting v0 would break the retained v1 link")
+    assert(TxnLog.read(spark, root, 1L).count() == 10L)
+    put(root, 10, 19)                                // v2: real data again
+    assert(TxnLog.vacuum(root, keepLast = 1) == Seq(0L, 1L))
+    assert(TxnLog.read(spark, root, 2L).count() == 20L)
+    TxnLog.destroy(root)
+  }
+
+  test("clustered optimize produces pairwise-disjoint file key ranges") {
+    val root = freshRoot("optclust")
+    put(root, 0, 499)
+    TxnLog.optimizeClustered(spark, root, targetFiles = 4)
+    val snap = TxnLog.read(spark, root, TxnLog.latestCommitted(root))
+    val stats = snap.groupBy(input_file_name().as("f"))
+      .agg(min($"key").as("mn"), max($"key").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stats.length >= 2, "expected a multi-file clustered layout")
+    stats.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(lo > hi, s"file ranges overlap: ...$hi vs $lo...")
+      case _ =>
+    }
+    TxnLog.destroy(root)
+  }
+}
