@@ -236,4 +236,52 @@ object SourceOps {
        |  ${sqlXsum("l_quantity")} AS sum_qty
        |FROM lineitem
        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** WRITE-SIDE DISTRIBUTION CONTRACT (`RequiresDistributionAndOrdering`
+    * on [[graft.sources.MemSink]]): the sink DECLARES it needs rows
+    * clustered by `user_id` and sorted within each writer task, and
+    * SPARK plans the exchange + sort to deliver it — the DSv2 hook
+    * behind Iceberg/Delta write distribution modes. The sink audits
+    * what actually arrived per task-commit message: `clustered_ok`
+    * (no key split across two tasks), `sorted_ok` (each task saw one
+    * non-decreasing run), `parallel_write` (more than one writer task
+    * committed — the contract was satisfied by partitioning, not by
+    * collapsing to one task). At 100 TB this is clustering paid for
+    * inside the write shuffle the job runs anyway, instead of a
+    * separate post-ingest OPTIMIZE pass over the same bytes. */
+  def sinkV2Distribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Tables
+    val table = "graft_sinkdist_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.MemSinkRegistry.clear(table)
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey".as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+      .write.format(classOf[graft.sources.MemSink].getName)
+      .option("table", table).option("clusterBy", "user_id")
+      .option("writePartitions", "8")
+      .mode("overwrite").save()
+    val (schema, rows) = graft.sources.MemSinkRegistry.read(table)
+      .getOrElse(throw new IllegalStateException(
+        s"MemSink commit did not publish table $table"))
+    val (clustered, sorted, nTasks) =
+      graft.sources.MemSinkRegistry.layout(table)
+        .getOrElse(throw new IllegalStateException(
+          s"clustered write published no layout audit for $table"))
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach(r => jrows.add(org.apache.spark.sql.Row.fromSeq(r)))
+    spark.createDataFrame(jrows, schema)
+      .select($"user_id", $"n_orders",
+        lit(if (clustered) 1L else 0L).as("clustered_ok"),
+        lit(if (sorted) 1L else 0L).as("sorted_ok"),
+        lit(if (nTasks > 1) 1L else 0L).as("parallel_write"))
+      .orderBy($"user_id")
+  }
+
+  val sinkV2DistributionSql: String =
+    """SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+      |  CAST(1 AS BIGINT) AS clustered_ok,
+      |  CAST(1 AS BIGINT) AS sorted_ok,
+      |  CAST(1 AS BIGINT) AS parallel_write
+      |FROM orders GROUP BY 1 ORDER BY user_id""".stripMargin
 }

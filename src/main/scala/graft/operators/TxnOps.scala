@@ -1161,6 +1161,58 @@ object TxnOps {
       .orderBy($"user_id")
   }
 
+  /** `DESCRIBE HISTORY` as a METADATA TABLE (`<table>$history`
+    * through [[graft.sources.GraftCatalog]] — the Iceberg metadata-
+    * table idiom): five commits of three kinds — three writes, a
+    * column RENAME (metadata-only), a clustered OPTIMIZE — then the
+    * log itself is queried as SQL. Each row carries the version, the
+    * snapshot it was built against, the operation kind derived from
+    * the published artifacts (linked snapshot ⇒ metadata; empty
+    * write set over a real snapshot ⇒ optimize), the file count and
+    * written key span from the commit meta. The history table is one
+    * row per commit — the log IS metadata, which is why serving it
+    * driver-side via a LocalScan is the honest scale answer. The
+    * oracle recomputes the write spans from events and pins the
+    * operation ladder. */
+  def txnHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = scratch(spark, sfDir, "history")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    Seq("click", "view", "purchase").foreach { et =>
+      TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
+    }
+    TxnLog.renameColumn(spark, root, "value", "balance")
+    TxnLog.optimizeClustered(spark, root, targetFiles = 4)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident =
+      (graft.sources.GraftCatalog.NAME +: parts.init :+
+        (parts.last + "$history")).map(p => s"`$p`").mkString(".")
+    spark.sql(
+      s"""SELECT version, read_version, operation, n_files,
+         |  coalesce(wmin, -1) AS wmin, coalesce(wmax, -1) AS wmax
+         |FROM $ident ORDER BY version""".stripMargin)
+  }
+
+  val txnHistorySql: String =
+    """WITH m AS (
+      |  SELECT 0 AS version, -1 AS read_version, 'write' AS operation,
+      |    4 AS n_files, MIN(user_id) AS wmin, MAX(user_id) AS wmax
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT 1, 0, 'write', 4, MIN(user_id), MAX(user_id)
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT 2, 1, 'write', 4, MIN(user_id), MAX(user_id)
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL SELECT 3, 2, 'metadata', 0, -1, -1
+      |  UNION ALL SELECT 4, 3, 'optimize', 0, -1, -1)
+      |SELECT CAST(version AS BIGINT) AS version,
+      |  CAST(read_version AS BIGINT) AS read_version, operation,
+      |  CAST(n_files AS INT) AS n_files,
+      |  CAST(wmin AS BIGINT) AS wmin, CAST(wmax AS BIGINT) AS wmax
+      |FROM m ORDER BY version""".stripMargin
+
   val txnOptimizeClusterSql: String =
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
       |  CAST(1 AS BIGINT) AS clustered_disjoint,

@@ -103,7 +103,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (new File(dir, "_txn_log").isDirectory) Some(dir) else None
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLE: `<table>$history` on a txn table
+    // resolves to the commit log itself — version, base-read version,
+    // file count, written key span, and the operation kind derived
+    // from the published artifacts (a linked snapshot is a metadata
+    // commit, an empty write set over a real snapshot is an
+    // optimize). The rows come straight from the log (one per commit
+    // — metadata-scale by definition), served via a LocalScan.
+    if (ident.name().endsWith("$history")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$history"))
+      val root = txnRoot(base).getOrElse(
+        throw new NoSuchTableException(
+          ident.namespace() :+ ident.name()))
+      return new TxnHistoryTable(
+        s"$catalogName.${ident.name()}", root.getAbsolutePath)
+    }
     txnRoot(ident) match {
       case Some(root) =>
         // transactional table: resolve the LATEST committed snapshot
@@ -128,6 +144,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (resolved.size > 256) resolved.clear()
         resolved.getOrElseUpdate(key, parquetTable(ident, f.getAbsolutePath))
     }
+  }
 
   /** SQL time travel (`VERSION AS OF n`) for transactional tables:
     * Spark routes the version literal here; a version is readable
@@ -228,6 +245,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean =
     throw new UnsupportedOperationException(
       s"$catalogName is a read-only catalog")
+}
+
+/** The `$history` metadata table: one row per committed version,
+  * materialized driver-side from the transaction log (commit metas +
+  * published artifacts) and served through a [[LocalScan]] — the
+  * same shape Iceberg's metadata tables take, and legitimately
+  * driver-resident: the log IS metadata, one row per commit. */
+private[graft] class TxnHistoryTable(tableName: String, root: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.types._
+
+  private val historySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("read_version", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("wmin", LongType, nullable = true),
+    StructField("wmax", LongType, nullable = true)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = historySchema
+        override def rows(): Array[InternalRow] = {
+          val latest = graft.engine.TxnLog.latestCommitted(root)
+          (0L to latest).map { v =>
+            val m = graft.engine.TxnLog.readMeta(root, v)
+            val snap = java.nio.file.Paths.get(root, s"snapshot_v$v")
+            val op =
+              if (java.nio.file.Files.isSymbolicLink(snap)) "metadata"
+              else if (m.writtenRanges.isEmpty) "optimize"
+              else "write"
+            val r = new GenericInternalRow(6)
+            r.setLong(0, m.version)
+            r.setLong(1, m.readVersion)
+            r.update(2, UTF8String.fromString(op))
+            r.setInt(3, m.writtenRanges.size)
+            if (m.writtenRanges.isEmpty) { r.setNullAt(4); r.setNullAt(5) }
+            else {
+              r.setLong(4, m.writtenRanges.map(_._1).min)
+              r.setLong(5, m.writtenRanges.map(_._2).max)
+            }
+            r: InternalRow
+          }.toArray
+        }
+      }
+    }
 }
 
 object GraftCatalog {

@@ -8,10 +8,14 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table,
   TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution,
+  Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection,
+  SortOrder, Transform}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
-  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
-  Write, WriteBuilder, WriterCommitMessage}
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType,
   LongType, StringType, StructType}
@@ -66,10 +70,23 @@ object MemSinkRegistry {
   private[sources] val tables =
     TrieMap.empty[String, (StructType, Seq[Seq[Any]])]
 
+  /** Layout facts observed by the last clustered write of a table:
+    * (every cluster key landed in exactly one writer task, every
+    * task's rows arrived sorted, number of writer tasks). The
+    * harness's assertion surface for the distribution contract — a
+    * real sink trusts the engine and just writes. */
+  private[sources] val layouts =
+    TrieMap.empty[String, (Boolean, Boolean, Int)]
+
   def read(table: String): Option[(StructType, Seq[Seq[Any]])] =
     tables.get(table)
 
-  def clear(table: String): Unit = { tables.remove(table); () }
+  def layout(table: String): Option[(Boolean, Boolean, Int)] =
+    layouts.get(table)
+
+  def clear(table: String): Unit = {
+    tables.remove(table); layouts.remove(table); ()
+  }
 }
 
 private[graft] class MemSinkTable(tableName: String, writeSchema: StructType)
@@ -80,27 +97,56 @@ private[graft] class MemSinkTable(tableName: String, writeSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new MemSinkWriteBuilder(tableName, info.schema())
+    new MemSinkWriteBuilder(tableName, info.schema(),
+      Option(info.options.get("clusterBy")),
+      Option(info.options.get("writePartitions")).map(_.toInt))
 }
 
-private[graft] class MemSinkWriteBuilder(table: String, schema: StructType)
+private[graft] class MemSinkWriteBuilder(table: String, schema: StructType,
+    clusterBy: Option[String], writePartitions: Option[Int])
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new MemSinkBatchWrite(table, schema, doTruncate)
+  override def build(): Write = clusterBy match {
+    case None => new Write {
+      override def toBatch: BatchWrite =
+        new MemSinkBatchWrite(table, schema, doTruncate, None)
+    }
+    // WRITE-SIDE LAYOUT CONTRACT (`RequiresDistributionAndOrdering`):
+    // the sink DEMANDS rows arrive clustered by the declared column
+    // and sorted within each writer task, and SPARK plans the
+    // exchange + sort to satisfy it — the DSv2 hook behind
+    // Iceberg/Delta "write.distribution-mode" that turns ingest into
+    // query-ready layout (one file set per cluster key group, sorted
+    // runs) instead of requiring a separate OPTIMIZE pass. At 100 TB
+    // this moves the clustering cost INTO the write shuffle the job
+    // pays anyway. `writePartitions` pins the writer-task count
+    // (`requiredNumPartitions` — a binding demand AQE must honor,
+    // where 0/absent lets AQE size the exchange; the Iceberg
+    // target-file-count lever).
+    case Some(c) => new Write with RequiresDistributionAndOrdering {
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(Array(Expressions.identity(c)))
+      override def requiredOrdering(): Array[SortOrder] =
+        Array(Expressions.sort(Expressions.identity(c),
+          SortDirection.ASCENDING))
+      override def requiredNumPartitions(): Int =
+        writePartitions.getOrElse(0)
+      override def toBatch: BatchWrite =
+        new MemSinkBatchWrite(table, schema, doTruncate,
+          Some(schema.fieldIndex(c)))
+    }
   }
 }
 
 private[graft] class MemSinkBatchWrite(table: String, schema: StructType,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, clusterIdx: Option[Int]) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    MemSinkWriterFactory(schema)
+    MemSinkWriterFactory(schema, clusterIdx)
 
   /** Job commit — atomic publish of every committed task's rows.
     * Truncate mode is a plain put (last writer wins, like an
@@ -108,9 +154,22 @@ private[graft] class MemSinkBatchWrite(table: String, schema: StructType,
     * so two jobs committing into the same table key concurrently both
     * land (a get-then-put would let one overwrite the other's rows). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.toSeq.flatMap {
-      case MemSinkRows(r) => r
-      case _ => Seq.empty
+    val batches = messages.toSeq.collect { case m: MemSinkRows => m }
+    val rows = batches.flatMap(_.rows)
+    // distribution contract audit (clustered writes only): clustered
+    // = no key appears in two tasks' key sets; ordered = every task
+    // saw a non-decreasing run. Key sets are per-task and bounded by
+    // the write — the check is harness-side proof, not a scale path.
+    if (clusterIdx.isDefined) {
+      val nonEmpty = batches.filter(_.rows.nonEmpty)
+      val clustered = nonEmpty.map(_.keys).combinations(2).forall {
+        case Seq(a, b) => a.intersect(b).isEmpty
+        case _ => true
+      }
+      val sorted = nonEmpty.forall(_.sortedRun)
+      MemSinkRegistry.layouts.put(table,
+        (clustered, sorted, nonEmpty.size))
+      ()
     }
     if (truncate) { MemSinkRegistry.tables.put(table, (schema, rows)); () }
     else {
@@ -132,20 +191,26 @@ private[graft] class MemSinkBatchWrite(table: String, schema: StructType,
 }
 
 /** Task-commit message: the partition's externalized rows (a real
-  * sink's message carries its file/offset manifest instead). */
-private[graft] case class MemSinkRows(rows: Seq[Seq[Any]])
+  * sink's message carries its file/offset manifest instead), plus —
+  * for clustered writes — the task's distinct cluster keys and
+  * whether its rows arrived as a sorted run. */
+private[graft] case class MemSinkRows(rows: Seq[Seq[Any]],
+    keys: Set[Long] = Set.empty, sortedRun: Boolean = true)
     extends WriterCommitMessage
 
-private[graft] case class MemSinkWriterFactory(schema: StructType)
-    extends DataWriterFactory {
+private[graft] case class MemSinkWriterFactory(schema: StructType,
+    clusterIdx: Option[Int]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new MemSinkDataWriter(schema)
+    new MemSinkDataWriter(schema, clusterIdx)
 }
 
-private[graft] class MemSinkDataWriter(schema: StructType)
-    extends DataWriter[InternalRow] {
+private[graft] class MemSinkDataWriter(schema: StructType,
+    clusterIdx: Option[Int]) extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+  private val keys = scala.collection.mutable.Set.empty[Long]
+  private var sortedRun = true
+  private var lastKey = Long.MinValue
 
   private def ext(row: InternalRow, i: Int, dt: DataType): Any =
     if (row.isNullAt(i)) null
@@ -161,10 +226,17 @@ private[graft] class MemSinkDataWriter(schema: StructType)
   override def write(row: InternalRow): Unit = {
     buf += schema.fields.indices
       .map(i => ext(row, i, schema.fields(i).dataType))
+    clusterIdx.foreach { i =>
+      val k = row.getLong(i)
+      if (k < lastKey) sortedRun = false
+      lastKey = k
+      keys += k
+    }
     ()
   }
 
-  override def commit(): WriterCommitMessage = MemSinkRows(buf.toSeq)
+  override def commit(): WriterCommitMessage =
+    MemSinkRows(buf.toSeq, keys.toSet, sortedRun)
   override def abort(): Unit = buf.clear()
   override def close(): Unit = ()
 }

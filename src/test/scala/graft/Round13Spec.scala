@@ -109,6 +109,42 @@ class Round13Spec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("a clustered V2 write receives clustered + sorted rows per task") {
+    val table = "r13_dist"
+    graft.sources.MemSinkRegistry.clear(table)
+    spark.range(0, 1000)
+      .select((col("id") % 37).as("user_id"), col("id").as("v"))
+      .write.format(classOf[graft.sources.MemSink].getName)
+      .option("table", table).option("clusterBy", "user_id")
+      .option("writePartitions", "4")
+      .mode("overwrite").save()
+    val (clustered, sorted, nTasks) =
+      graft.sources.MemSinkRegistry.layout(table).get
+    assert(clustered, "a cluster key was split across writer tasks")
+    assert(sorted, "a writer task received an unsorted run")
+    assert(nTasks == 4,
+      s"requiredNumPartitions=4 must pin the writer count, got $nTasks")
+    val rows = graft.sources.MemSinkRegistry.read(table).get._2
+    assert(rows.size == 1000)
+    graft.sources.MemSinkRegistry.clear(table)
+  }
+
+  test("$history surfaces commit kinds and spans through SQL") {
+    val root = freshRoot("history")
+    put(root, 0, 9)
+    TxnLog.renameColumn(spark, root, "value", "amount")
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts.init :+ (parts.last + "$history"))
+      .map(p => s"`$p`").mkString(".")
+    val h = spark.sql(s"SELECT * FROM $ident ORDER BY version").collect()
+    assert(h.length == 2)
+    assert(h(0).getString(2) == "write" && h(0).getInt(3) > 0)
+    assert(h(1).getString(2) == "metadata" && h(1).getInt(3) == 0 &&
+      h(1).isNullAt(4))
+    TxnLog.destroy(root)
+  }
+
   test("clustered optimize produces pairwise-disjoint file key ranges") {
     val root = freshRoot("optclust")
     put(root, 0, 499)
