@@ -1161,6 +1161,53 @@ object TxnOps {
       .orderBy($"user_id")
   }
 
+  /** SQL `INSERT INTO` a transactional table
+    * ([[graft.sources.GraftCatalog]]'s writable `TxnTable`): the DML
+    * runs the REAL distributed-ingest shape — executor DataWriters
+    * stage their partitions as files on shared storage, task-commit
+    * messages carry only (path, key-range, rows) MANIFESTS, and the
+    * driver's job commit folds the staged files into ONE OCC
+    * transaction (claim → read-set validation → fenced publish).
+    * Data never rides through commit messages; the driver touches
+    * metadata only — the shape that holds at any transaction width,
+    * and exactly how a lakehouse sink commits: files first, then one
+    * atomic manifest swap. Insert semantics are keyed UPSERT (the
+    * table declares a primary key): view counts REPLACE click
+    * balances where the user exists, insert where not. `n_versions`
+    * pins that the DML became exactly one new commit. */
+  def txnSqlInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "sqlinsert")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    typeCounts(spark, sfDir, "view").select($"key", $"cnt")
+      .createOrReplaceTempView("graft_sql_insert_src")
+    spark.sql(
+      s"INSERT INTO $ident SELECT key, cnt FROM graft_sql_insert_src")
+    val nVersions = TxnLog.latestCommitted(root) + 1
+    spark.sql(
+      s"""SELECT key AS user_id, value AS balance
+         |FROM $ident ORDER BY user_id""".stripMargin)
+      .withColumn("n_versions", lit(nVersions))
+  }
+
+  val txnSqlInsertSql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS ck,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS vw
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(CASE WHEN vw > 0 THEN vw ELSE ck END AS BIGINT) AS balance,
+      |  CAST(2 AS BIGINT) AS n_versions
+      |FROM c ORDER BY user_id""".stripMargin
+
   /** `DESCRIBE HISTORY` as a METADATA TABLE (`<table>$history`
     * through [[graft.sources.GraftCatalog]] — the Iceberg metadata-
     * table idiom): five commits of three kinds — three writes, a

@@ -124,11 +124,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case Some(root) =>
         // transactional table: resolve the LATEST committed snapshot
         // (never cached — the whole point of the log is that latest
-        // moves; snapshot dirs themselves are immutable)
+        // moves; snapshot dirs themselves are immutable) and wrap it
+        // writable: INSERT INTO commits through the OCC log
         val v = graft.engine.TxnLog.latestCommitted(root.getAbsolutePath)
         if (v < 0)
           throw new NoSuchTableException(ident.namespace() :+ ident.name())
-        parquetTable(ident, s"$root/snapshot_v$v")
+        new TxnTable(
+          s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+          root.getAbsolutePath,
+          parquetTable(ident, s"$root/snapshot_v$v"))
       case None =>
         val f = fileOf(ident)
         if (!f.exists())
@@ -245,6 +249,141 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean =
     throw new UnsupportedOperationException(
       s"$catalogName is a read-only catalog")
+}
+
+/** A transactional table through the catalog: reads delegate to the
+  * standard parquet table over the LATEST committed snapshot (full
+  * vectorized scan + pushdown), and `INSERT INTO` runs the real
+  * distributed-ingest shape — executor [[org.apache.spark.sql.connector.write.DataWriter]]s
+  * stage their partitions as files on shared storage, task-commit
+  * messages carry only (path, key-range, row-count) MANIFESTS, and
+  * the driver's job commit turns the staged files into one
+  * [[graft.engine.TxnLog]] OCC commit (claim → validate → fenced
+  * publish). Data never rides through commit messages; the driver
+  * handles metadata only — the shape that holds at any transaction
+  * width. Insert semantics are keyed UPSERT (the table declares a
+  * primary key; this is the MERGE-sink contract, not a bag append).
+  * Long-typed columns only — the txn fixture's schema family. */
+private[graft] class TxnTable(tableName: String, root: String,
+    delegate: Table)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.read.ScanBuilder
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def name(): String = tableName
+  override def schema(): StructType = delegate.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new TxnBatchWrite(root, info.schema())
+      }
+    }
+}
+
+/** Manifest-style task-commit message: where the task staged its
+  * rows, and the key range + count it wrote — never the rows. */
+private[graft] case class TxnStagedFile(path: String, kmin: Long,
+    kmax: Long, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[graft] class TxnBatchWrite(root: String,
+    writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val stageDir = new File(root,
+    s".insert_stage_${java.util.UUID.randomUUID()}")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    stageDir.mkdirs()
+    TxnStageWriterFactory(stageDir.getAbsolutePath, writeSchema.length)
+  }
+
+  /** Driver job commit: staged files → ONE OCC transaction. The
+    * delta is read back distributedly from the staged files; the
+    * commit message ranges become the transaction's read set (a
+    * keyed upsert's conservative serializability guard). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.toSeq.collect {
+      case m: TxnStagedFile if m.rows > 0 => m
+    }
+    val spark = SparkSession.active
+    try {
+      if (staged.nonEmpty) {
+        val fields = writeSchema.fieldNames.toSeq
+        val schema = StructType(fields.map(f =>
+          org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val ranges = staged.map(m => (m.kmin, m.kmax))
+        graft.engine.TxnLog.commit(spark, root, { _ =>
+          val delta = spark.read.schema(schema)
+            .csv(staged.map(_.path): _*)
+            .withColumn("op",
+              org.apache.spark.sql.functions.lit("upsert"))
+          (delta, ranges)
+        })
+        ()
+      }
+    } finally {
+      Option(stageDir.listFiles()).getOrElse(Array.empty)
+        .foreach(_.delete())
+      stageDir.delete()
+      ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    Option(stageDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    stageDir.delete()
+    ()
+  }
+}
+
+private[graft] case class TxnStageWriterFactory(stageDir: String,
+    nCols: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write.DataWriter
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import org.apache.spark.sql.connector.write.WriterCommitMessage
+      private val file = new File(stageDir, s"part_${partitionId}_$taskId.csv")
+      private val out = new java.io.PrintWriter(
+        new java.io.BufferedWriter(new java.io.FileWriter(file)))
+      private var kmin = Long.MaxValue
+      private var kmax = Long.MinValue
+      private var n = 0L
+
+      override def write(row: InternalRow): Unit = {
+        val k = row.getLong(0)
+        kmin = math.min(kmin, k); kmax = math.max(kmax, k); n += 1
+        out.println((0 until nCols).map(row.getLong).mkString(","))
+      }
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        TxnStagedFile(file.getAbsolutePath, kmin, kmax, n)
+      }
+
+      override def abort(): Unit = { out.close(); file.delete(); () }
+      override def close(): Unit = out.close()
+    }
 }
 
 /** The `$history` metadata table: one row per committed version,

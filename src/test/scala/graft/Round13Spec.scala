@@ -145,6 +145,33 @@ class Round13Spec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("SQL INSERT INTO a txn table is one OCC commit via staged files") {
+    val root = freshRoot("sqlins")
+    put(root, 0, 9)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts).map(p => s"`$p`").mkString(".")
+    spark.range(5, 15)
+      .select(col("id").as("key"), lit(777L).as("value"))
+      .createOrReplaceTempView("r13_ins_src")
+    spark.sql(s"INSERT INTO $ident SELECT key, value FROM r13_ins_src")
+    assert(TxnLog.latestCommitted(root) == 1L,
+      "the DML must land as exactly one new version")
+    val after = TxnLog.read(spark, root, 1L)
+    assert(after.count() == 15L)
+    assert(after.filter($"key" === 7L).head().getLong(1) == 777L,
+      "insert must upsert over the existing key")
+    assert(after.filter($"key" === 2L).head().getLong(1) == 2L,
+      "untouched keys must carry over")
+    // the staging directory is gone after job commit
+    val leftovers = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".insert_stage_"))
+    assert(leftovers.isEmpty,
+      s"staged files leaked: ${leftovers.map(_.getName).toSeq}")
+    TxnLog.destroy(root)
+  }
+
   test("clustered optimize produces pairwise-disjoint file key ranges") {
     val root = freshRoot("optclust")
     put(root, 0, 499)
