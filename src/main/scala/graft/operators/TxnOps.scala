@@ -1208,6 +1208,87 @@ object TxnOps {
       |  CAST(2 AS BIGINT) AS n_versions
       |FROM c ORDER BY user_id""".stripMargin
 
+  /** SQL `DELETE FROM ... WHERE` on a transactional table
+    * (`SupportsDelete` on the catalog's `TxnTable`): Spark pushes
+    * the predicate to the source, the matching keys become a DELETE
+    * delta, and the DML lands as ONE OCC commit whose write set is
+    * the deleted keys' file ranges — sized by the damage, never the
+    * table (Iceberg's filter-delete contract). v0+v1 build per-user
+    * click+view balances; the DELETE removes single-event users;
+    * the survivors and the version count are oracle-checked. A
+    * non-translatable predicate fails loudly via `canDeleteWhere`
+    * instead of deleting the wrong rows. */
+  def txnSqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "sqldelete")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "view"))
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    spark.sql(s"DELETE FROM $ident WHERE value <= 1")
+    val nVersions = TxnLog.latestCommitted(root) + 1
+    spark.sql(
+      s"""SELECT key AS user_id, value AS balance
+         |FROM $ident ORDER BY user_id""".stripMargin)
+      .withColumn("n_versions", lit(nVersions))
+  }
+
+  val txnSqlDeleteSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
+      |  CAST(3 AS BIGINT) AS n_versions
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY user_id HAVING COUNT(*) > 1
+      |ORDER BY user_id""".stripMargin
+
+  /** SQL time travel by TIME (`TIMESTAMP AS OF` through the
+    * catalog): the marker file's publish instant is the commit's
+    * visibility time, and the catalog resolves the FLOOR version —
+    * "the table as of t" = "every commit that had published by t" —
+    * Delta/Iceberg's timestamp-resolution rule. The key pins the two
+    * commits' publish times to known instants (the log is
+    * key-scratch, so re-stamping markers is the deterministic test
+    * harness, not a production pattern), asks for a time strictly
+    * between them, and must see exactly v0's click balances; the
+    * latest read rides along for contrast. */
+  def txnTimeTravelTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "ttts")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "view"))
+    // pin publish instants: v0 at T, v1 at T+10s; query T+5s
+    val base = (System.currentTimeMillis() / 1000L) * 1000L - 120000L
+    new java.io.File(root, "_txn_log/v0.commit").setLastModified(base)
+    new java.io.File(root, "_txn_log/v1.commit")
+      .setLastModified(base + 10000L)
+    val asOf = java.time.Instant.ofEpochMilli(base + 5000L).toString
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    spark.sql(
+      s"""SELECT atts.key AS user_id, atts.value AS clicks,
+         |  latest.value AS balance
+         |FROM $ident TIMESTAMP AS OF '$asOf' atts
+         |JOIN $ident latest ON atts.key = latest.key
+         |ORDER BY user_id""".stripMargin)
+  }
+
+  val txnTimeTravelTsSql: String =
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |    AS clicks,
+      |  CAST(COUNT(*) AS BIGINT) AS balance
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY user_id
+      |HAVING COUNT(*) FILTER (WHERE event_type = 'click') > 0
+      |ORDER BY user_id""".stripMargin
+
   /** `DESCRIBE HISTORY` as a METADATA TABLE (`<table>$history`
     * through [[graft.sources.GraftCatalog]] — the Iceberg metadata-
     * table idiom): five commits of three kinds — three writes, a

@@ -168,6 +168,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "transactional (_txn_log) tables")
     }
 
+  /** SQL time travel by TIME (`TIMESTAMP AS OF t`): resolve the
+    * LARGEST version whose commit marker was published at or before
+    * `timestamp` (micros since epoch — Spark's contract for this
+    * overload). The marker's mtime IS the commit's visibility
+    * instant, so "the table as of 14:05" means "every commit that
+    * had published by 14:05" — exactly Delta/Iceberg's
+    * timestamp-resolution rule (scan the log's commit times, pick
+    * the floor). O(versions-scan) over marker files — metadata. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    txnRoot(ident) match {
+      case Some(root) =>
+        val tsMs = timestamp / 1000L
+        val latest = graft.engine.TxnLog.latestCommitted(
+          root.getAbsolutePath)
+        val v = (0L to latest)
+          .filter(u => new File(root, s"_txn_log/v$u.commit")
+            .lastModified() <= tsMs)
+          .lastOption
+          .getOrElse(throw new NoSuchTableException(
+            ident.namespace() :+ ident.name()))
+        parquetTable(ident, s"$root/snapshot_v$v")
+      case None =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: TIMESTAMP AS OF is only defined for " +
+            "transactional (_txn_log) tables")
+    }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = dirOf(namespace)
     if (!dir.isDirectory)
@@ -268,10 +295,10 @@ private[graft] class TxnTable(tableName: String, root: String,
     delegate: Table)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.connector.read.ScanBuilder
   import org.apache.spark.sql.connector.write._
-  import org.apache.spark.sql.catalyst.InternalRow
 
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema()
@@ -290,6 +317,67 @@ private[graft] class TxnTable(tableName: String, root: String,
           new TxnBatchWrite(root, info.schema())
       }
     }
+
+  /** `DELETE FROM t WHERE ...` — metadata-routed row deletion: Spark
+    * pushes the (source-translatable) predicate here, the matching
+    * keys become a DELETE delta, and the whole DML is one OCC commit
+    * whose write set is the deleted keys' file ranges. The delta is
+    * sized by the DAMAGE (matched rows), never the table — the
+    * filter-pushdown form of row-level delete, the same contract
+    * `SupportsDelete` gives Iceberg's filter deletes. */
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.engine.TxnLog.commit(spark, root, { snap =>
+      val cond = filters.map(TxnTable.filterToColumn)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val victims = snap.filter(cond)
+        .select(col("key"), lit("delete").as("op"))
+      (victims, graft.engine.TxnLog.range(victims))
+    })
+    ()
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(TxnTable.translatable)
+}
+
+private[graft] object TxnTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** The V1 filter subset the delete path accepts; anything else
+    * makes `canDeleteWhere` return false and Spark falls back to a
+    * rewrite plan (which this table does not provide — loud failure
+    * beats silent wrong deletion). */
+  private[sources] def translatable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In | _: IsNull |
+         _: IsNotNull => true
+    case And(l, r) => translatable(l) && translatable(r)
+    case Or(l, r) => translatable(l) && translatable(r)
+    case Not(c) => translatable(c)
+    case _ => false
+  }
+
+  private[sources] def filterToColumn(f: Filter): Column = f match {
+    case EqualTo(a, v) => col(a) === lit(v)
+    case GreaterThan(a, v) => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v) => col(a) < lit(v)
+    case LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a) => col(a).isNull
+    case IsNotNull(a) => col(a).isNotNull
+    case And(l, r) => filterToColumn(l) && filterToColumn(r)
+    case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+    case Not(c) => !filterToColumn(c)
+    case other => throw new UnsupportedOperationException(
+      s"DELETE filter not translatable: $other")
+  }
 }
 
 /** Manifest-style task-commit message: where the task staged its

@@ -172,6 +172,45 @@ class Round13Spec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("SQL DELETE commits one version; untranslatable predicates fail loudly") {
+    val root = freshRoot("sqldel")
+    put(root, 0, 9)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts).map(p => s"`$p`").mkString(".")
+    spark.sql(s"DELETE FROM $ident WHERE key >= 5 AND key <= 7")
+    assert(TxnLog.latestCommitted(root) == 1L)
+    assert(TxnLog.read(spark, root, 1L).count() == 7L)
+    // a predicate the source cannot translate must not silently
+    // delete the wrong rows — Spark refuses the plan instead
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $ident WHERE key % 2 = 0")
+    }
+    assert(TxnLog.latestCommitted(root) == 1L,
+      "the refused DELETE must not have committed anything")
+    TxnLog.destroy(root)
+  }
+
+  test("TIMESTAMP AS OF resolves the floor version by publish time") {
+    val root = freshRoot("ttts")
+    put(root, 0, 4)
+    put(root, 5, 9)
+    val base = (System.currentTimeMillis() / 1000L) * 1000L - 600000L
+    new java.io.File(root, "_txn_log/v0.commit").setLastModified(base)
+    new java.io.File(root, "_txn_log/v1.commit")
+      .setLastModified(base + 60000L)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts).map(p => s"`$p`").mkString(".")
+    def countAt(ms: Long): Long = spark.sql(
+      s"SELECT * FROM $ident TIMESTAMP AS OF '" +
+        java.time.Instant.ofEpochMilli(ms).toString + "'").count()
+    assert(countAt(base + 1000L) == 5L, "between commits → v0")
+    assert(countAt(base + 61000L) == 10L, "after both → v1")
+    intercept[Exception](countAt(base - 1000L)) // before history began
+    TxnLog.destroy(root)
+  }
+
   test("clustered optimize produces pairwise-disjoint file key ranges") {
     val root = freshRoot("optclust")
     put(root, 0, 499)
