@@ -1244,6 +1244,49 @@ object TxnOps {
       |GROUP BY user_id HAVING COUNT(*) > 1
       |ORDER BY user_id""".stripMargin
 
+  /** SQL `CREATE TABLE ... AS SELECT` (CTAS through the catalog):
+    * `createTable` initializes an empty transaction log (guarded to
+    * the temp root — fixture namespaces stay read-only) and CTAS's
+    * follow-up write lands as commit v0 through the same staged-file
+    * manifest path INSERT uses; a second INSERT proves the created
+    * table is a live transactional table (v1). The full SQL
+    * lifecycle — CREATE / INSERT / DELETE / SELECT / time travel —
+    * now runs against the log with no Scala in the loop. */
+  def txnSqlCtas(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "ctas")
+    TxnLog.destroy(root)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    typeCounts(spark, sfDir, "click")
+      .select($"key", $"cnt".as("value"))
+      .createOrReplaceTempView("graft_ctas_src")
+    spark.sql(s"CREATE TABLE $ident AS SELECT key, value FROM graft_ctas_src")
+    typeCounts(spark, sfDir, "purchase")
+      .select($"key", $"cnt".as("value"))
+      .createOrReplaceTempView("graft_ctas_src2")
+    spark.sql(s"INSERT INTO $ident SELECT key, value FROM graft_ctas_src2")
+    val nVersions = TxnLog.latestCommitted(root) + 1
+    spark.sql(
+      s"""SELECT key AS user_id, value AS balance
+         |FROM $ident ORDER BY user_id""".stripMargin)
+      .withColumn("n_versions", lit(nVersions))
+  }
+
+  val txnSqlCtasSql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS ck,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS pu
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(CASE WHEN pu > 0 THEN pu ELSE ck END AS BIGINT) AS balance,
+      |  CAST(2 AS BIGINT) AS n_versions
+      |FROM c ORDER BY user_id""".stripMargin
+
   /** SQL time travel by TIME (`TIMESTAMP AS OF` through the
     * catalog): the marker file's publish instant is the commit's
     * visibility time, and the catalog resolves the FLOOR version —

@@ -129,10 +129,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val v = graft.engine.TxnLog.latestCommitted(root.getAbsolutePath)
         if (v < 0)
           throw new NoSuchTableException(ident.namespace() :+ ident.name())
+        val pt = parquetTable(ident, s"$root/snapshot_v$v")
         new TxnTable(
           s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-          root.getAbsolutePath,
-          parquetTable(ident, s"$root/snapshot_v$v"))
+          root.getAbsolutePath, pt.schema(), Some(pt))
       case None =>
         val f = fileOf(ident)
         if (!f.exists())
@@ -216,20 +216,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     fileOf(ident).exists() || txnRoot(ident).isDefined
 
+  /** `CREATE TABLE` / CTAS — only for TRANSACTIONAL tables under the
+    * JVM's temp root (fixture data stays read-only; the guard makes
+    * a mistyped identifier a loud error, not a stray directory).
+    * The new table is an initialized empty txn log; CTAS's follow-up
+    * write lands as commit v0 through the staged-file INSERT path.
+    * Schema contract: BIGINT columns with the primary key `key`
+    * first — the txn fixture family. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName is a read-only catalog")
+      properties: util.Map[String, String]): Table = {
+    val dir = new File(dirOf(ident.namespace()), ident.name())
+    val tmp = new File(System.getProperty("java.io.tmpdir")).getAbsolutePath
+    if (!dir.getAbsolutePath.startsWith(tmp))
+      throw new UnsupportedOperationException(
+        s"$catalogName: CREATE TABLE is only supported under $tmp " +
+          "(fixture namespaces are read-only)")
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName: partition transforms are not supported here")
+    require(schema.fields.nonEmpty && schema.fields.head.name == "key" &&
+      schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType),
+      s"$catalogName: txn tables need BIGINT columns with 'key' first, " +
+        s"got ${schema.simpleString}")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.namespace() :+ ident.name())
+    graft.engine.TxnLog.init(dir.getAbsolutePath)
+    new TxnTable(
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      dir.getAbsolutePath, schema, None)
+  }
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       s"$catalogName is a read-only catalog")
 
+  /** `DROP TABLE` — transactional tables under the temp root only
+    * (the same writability boundary as CREATE). */
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      s"$catalogName is a read-only catalog")
+    txnRoot(ident) match {
+      case Some(dir) if dir.getAbsolutePath.startsWith(
+          new File(System.getProperty("java.io.tmpdir")).getAbsolutePath) =>
+        graft.engine.TxnLog.destroy(dir.getAbsolutePath)
+        true
+      case Some(_) =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: DROP TABLE outside the temp root is refused")
+      case None => false
+    }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
@@ -292,7 +328,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * primary key; this is the MERGE-sink contract, not a bag append).
   * Long-typed columns only — the txn fixture's schema family. */
 private[graft] class TxnTable(tableName: String, root: String,
-    delegate: Table)
+    tableSchema: StructType, delegate: Option[Table])
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -301,13 +337,15 @@ private[graft] class TxnTable(tableName: String, root: String,
   import org.apache.spark.sql.connector.write._
 
   override def name(): String = tableName
-  override def schema(): StructType = delegate.schema()
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    delegate.getOrElse(throw new IllegalStateException(
+      s"$tableName has no committed version to read yet"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
       .newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

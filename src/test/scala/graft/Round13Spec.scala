@@ -211,6 +211,31 @@ class Round13Spec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("CTAS creates a live txn table; DROP removes it; fixtures are refused") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r13_ctas").toString
+    TxnLog.destroy(dir) // CREATE must see a free slot
+    graft.sources.GraftCatalog.register(spark)
+    val parts = dir.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts).map(p => s"`$p`").mkString(".")
+    spark.range(0, 10)
+      .select(col("id").as("key"), (col("id") * 2).as("value"))
+      .createOrReplaceTempView("r13_ctas_src")
+    spark.sql(s"CREATE TABLE $ident AS SELECT key, value FROM r13_ctas_src")
+    assert(TxnLog.latestCommitted(dir) == 0L, "CTAS lands as commit v0")
+    assert(spark.sql(s"SELECT * FROM $ident").count() == 10L)
+    spark.sql(s"DROP TABLE $ident")
+    assert(!new java.io.File(dir, "_txn_log").exists(),
+      "DROP must remove the table root")
+    // creating over fixture data is refused loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.root.testdata.`sf0.001`.t2 " +
+        "AS SELECT key, value FROM r13_ctas_src")
+    }
+    assert(e.getMessage.contains("read-only") ||
+      e.getMessage.contains("only supported under"))
+  }
+
   test("clustered optimize produces pairwise-disjoint file key ranges") {
     val root = freshRoot("optclust")
     put(root, 0, 499)
