@@ -1287,6 +1287,61 @@ object TxnOps {
       |  CAST(2 AS BIGINT) AS n_versions
       |FROM c ORDER BY user_id""".stripMargin
 
+  /** `ALTER TABLE ... RENAME COLUMN` from SQL TEXT (catalog
+    * `alterTable` → column mapping): the DDL is one metadata-only
+    * commit (linked snapshot — `metadata_only` pins zero bytes
+    * moved); the follow-up SQL INSERT addresses the NEW name and the
+    * commit path translates it back to the stable physical name
+    * (`physical_name_stable` pins the files still say `value`); the
+    * final SELECT reads through the catalog's name-translating scan
+    * (positional rows are identical under a rename — the wrapper
+    * translates only names, and column pruning still reaches the
+    * parquet reader). The whole rename lifecycle — DDL, DML, query —
+    * is SQL text with no Scala in the loop. */
+  def txnSqlAlter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "sqlalter")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    spark.sql(s"ALTER TABLE $ident RENAME COLUMN value TO balance")
+    val metadataOnly =
+      if (java.nio.file.Files.isSymbolicLink(
+        java.nio.file.Paths.get(root, "snapshot_v1"))) 1L else 0L
+    typeCounts(spark, sfDir, "view")
+      .select($"key", $"cnt".as("balance"))
+      .createOrReplaceTempView("graft_alter_src")
+    spark.sql(s"INSERT INTO $ident SELECT key, balance FROM graft_alter_src")
+    val physCols = spark.read.parquet(s"$root/snapshot_v2").columns.toSet
+    val physicalStable =
+      if (physCols("value") && !physCols("balance")) 1L else 0L
+    val nVersions = TxnLog.latestCommitted(root) + 1
+    spark.sql(
+      s"""SELECT key AS user_id, balance
+         |FROM $ident ORDER BY user_id""".stripMargin)
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("physical_name_stable", lit(physicalStable))
+      .withColumn("n_versions", lit(nVersions))
+  }
+
+  val txnSqlAlterSql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS ck,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS vw
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(CASE WHEN vw > 0 THEN vw ELSE ck END AS BIGINT) AS balance,
+      |  CAST(1 AS BIGINT) AS metadata_only,
+      |  CAST(1 AS BIGINT) AS physical_name_stable,
+      |  CAST(3 AS BIGINT) AS n_versions
+      |FROM c ORDER BY user_id""".stripMargin
+
   /** SQL time travel by TIME (`TIMESTAMP AS OF` through the
     * catalog): the marker file's publish instant is the commit's
     * visibility time, and the catalog resolves the FLOOR version —

@@ -130,9 +130,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (v < 0)
           throw new NoSuchTableException(ident.namespace() :+ ident.name())
         val pt = parquetTable(ident, s"$root/snapshot_v$v")
+        val mapping = graft.engine.TxnLog.currentMapping(
+          root.getAbsolutePath, v)
+        val logicalSchema = mapping match {
+          case None => pt.schema()
+          case Some(m) =>
+            val phys = pt.schema()
+            StructType(phys.fields.find(_.name == "key").toSeq ++
+              m.map { case (l, p, d) =>
+                phys.fields.find(_.name == p).map(_.copy(name = l))
+                  .getOrElse(org.apache.spark.sql.types.StructField(
+                    l, org.apache.spark.sql.types.LongType,
+                    nullable = d.isEmpty))
+              })
+        }
         new TxnTable(
           s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-          root.getAbsolutePath, pt.schema(), Some(pt))
+          root.getAbsolutePath, logicalSchema, Some(pt), mapping)
       case None =>
         val f = fileOf(ident)
         if (!f.exists())
@@ -248,10 +262,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       dir.getAbsolutePath, schema, None)
   }
 
+  /** `ALTER TABLE ... RENAME COLUMN / DROP COLUMN` on transactional
+    * tables: each change is one METADATA-ONLY commit through the
+    * column mapping ([[graft.engine.TxnLog.renameColumn]] /
+    * `dropColumn`) — a linked snapshot plus a mapping file, zero
+    * data rewritten, full claim/marker race safety. Anything else
+    * (type changes, nested fields) is refused loudly. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName is a read-only catalog")
+      changes: TableChange*): Table = {
+    val root = txnRoot(ident).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$catalogName: ALTER TABLE is only defined for " +
+          "transactional (_txn_log) tables"))
+    val spark = SparkSession.active
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "nested fields are not supported")
+        graft.engine.TxnLog.renameColumn(spark,
+          root.getAbsolutePath, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "nested fields are not supported")
+        graft.engine.TxnLog.dropColumn(spark,
+          root.getAbsolutePath, d.fieldNames()(0))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: unsupported ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
 
   /** `DROP TABLE` — transactional tables under the temp root only
     * (the same writability boundary as CREATE). */
@@ -264,6 +304,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case Some(_) =>
         throw new UnsupportedOperationException(
           s"$catalogName: DROP TABLE outside the temp root is refused")
+      case None if fileOf(ident).exists() =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: fixture tables are read-only")
       case None => false
     }
 
@@ -328,7 +371,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * primary key; this is the MERGE-sink contract, not a bag append).
   * Long-typed columns only — the txn fixture's schema family. */
 private[graft] class TxnTable(tableName: String, root: String,
-    tableSchema: StructType, delegate: Option[Table])
+    tableSchema: StructType, delegate: Option[Table],
+    mapping: Option[graft.engine.TxnLog.ColMapping] = None)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -342,11 +386,29 @@ private[graft] class TxnTable(tableName: String, root: String,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.getOrElse(throw new IllegalStateException(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = delegate.getOrElse(throw new IllegalStateException(
       s"$tableName has no committed version to read yet"))
       .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
       .newScanBuilder(options)
+    mapping match {
+      case None => inner
+      case Some(m) =>
+        // a VIRTUAL column (re-added via mapping, no physical data
+        // yet) cannot be produced by a positional delegate scan —
+        // refuse loudly rather than serve a wrong column
+        val physNames = delegate.get.schema().fieldNames.toSet
+        val virtual = m.collect {
+          case (l, p, _) if !physNames(p) => l
+        }
+        if (virtual.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"$tableName: column(s) ${virtual.mkString(", ")} exist " +
+              "only in the mapping (re-added with a default); read " +
+              "this table via TxnLog.read until real data is written")
+        new MappedScanBuilder(inner, m)
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -415,6 +477,46 @@ private[graft] object TxnTable {
     case Not(c) => !filterToColumn(c)
     case other => throw new UnsupportedOperationException(
       s"DELETE filter not translatable: $other")
+  }
+}
+
+/** Name-translating scan for COLUMN-MAPPED transactional tables: a
+  * rename never moves data, so the delegate's positional rows are
+  * byte-identical under the logical and physical schemas — the
+  * wrapper only translates NAMES: logical→physical on the column
+  * prune going down, physical→logical on the read schema coming up.
+  * Filter pushdown is not forwarded (Spark keeps the filters in the
+  * plan above the scan — correct, merely unpruned; the delegate
+  * still prunes columns, which is the scan cost that matters). */
+private[graft] class MappedScanBuilder(
+    delegate: org.apache.spark.sql.connector.read.ScanBuilder,
+    mapping: graft.engine.TxnLog.ColMapping)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.connector.read.{Batch, Scan,
+    SupportsPushDownRequiredColumns}
+
+  private val l2p = mapping.map(e => e._1 -> e._2).toMap
+  private val p2l = mapping.map(e => e._2 -> e._1).toMap
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate match {
+      case d: SupportsPushDownRequiredColumns =>
+        d.pruneColumns(StructType(requiredSchema.fields.map(f =>
+          f.copy(name = l2p.getOrElse(f.name, f.name)))))
+      case _ =>
+    }
+
+  override def build(): Scan = {
+    val inner = delegate.build()
+    new Scan {
+      override def readSchema(): StructType =
+        StructType(inner.readSchema().fields.map(f =>
+          f.copy(name = p2l.getOrElse(f.name, f.name))))
+      override def toBatch: Batch = inner.toBatch
+      override def description(): String =
+        s"mapped(${inner.description()})"
+    }
   }
 }
 

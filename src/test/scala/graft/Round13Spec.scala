@@ -236,6 +236,28 @@ class Round13Spec extends SparkSpec {
       e.getMessage.contains("only supported under"))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN drive the mapping; reads translate") {
+    val root = freshRoot("sqlalter")
+    put(root, 0, 9)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts).map(p => s"`$p`").mkString(".")
+    spark.sql(s"ALTER TABLE $ident RENAME COLUMN value TO amount")
+    // the catalog read resolves the LOGICAL name, with column
+    // pruning still reaching the (physically-named) parquet scan
+    val got = spark.sql(
+      s"SELECT amount FROM $ident WHERE key = 3").head().getLong(0)
+    assert(got == 3L)
+    assert(spark.table(ident).columns.toSeq == Seq("key", "amount"))
+    spark.sql(s"ALTER TABLE $ident DROP COLUMN amount")
+    assert(spark.table(ident).columns.toSeq == Seq("key"))
+    // unsupported change shapes are refused loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $ident ALTER COLUMN key TYPE INT")
+    }
+    TxnLog.destroy(root)
+  }
+
   test("clustered optimize produces pairwise-disjoint file key ranges") {
     val root = freshRoot("optclust")
     put(root, 0, 499)
