@@ -1342,6 +1342,82 @@ object TxnOps {
       |  CAST(3 AS BIGINT) AS n_versions
       |FROM c ORDER BY user_id""".stripMargin
 
+  /** SQL `UPDATE ... SET ... WHERE` (delta-based row-level operation
+    * — `SupportsDelta`): Spark rewrites the DML so the write
+    * receives ONLY the matched rows (tagged updates, keyed by the
+    * declared row id), which land through the staged-file manifest
+    * path as one OCC commit — the update costs the matched rows,
+    * never a table rewrite. Click balances ≥ 3 are scaled ×10; the
+    * oracle recomputes the conditional arithmetic from events and
+    * `n_versions` pins one commit for the whole DML. */
+  def txnSqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "sqlupdate")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    spark.sql(s"UPDATE $ident SET value = value * 10 WHERE value >= 3")
+    val nVersions = TxnLog.latestCommitted(root) + 1
+    spark.sql(
+      s"""SELECT key AS user_id, value AS balance
+         |FROM $ident ORDER BY user_id""".stripMargin)
+      .withColumn("n_versions", lit(nVersions))
+  }
+
+  val txnSqlUpdateSql: String =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS ck FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(CASE WHEN ck >= 3 THEN ck * 10 ELSE ck END AS BIGINT)
+      |    AS balance,
+      |  CAST(2 AS BIGINT) AS n_versions
+      |FROM c ORDER BY user_id""".stripMargin
+
+  /** SQL `MERGE INTO` (the full three-way DML through `SupportsDelta`):
+    * matched targets UPDATE (balance += source count), unmatched
+    * sources INSERT, and — the delta-write point — the write receives
+    * exactly those changed rows, keyed by row id, committed once
+    * through the log. This is the statement a warehouse user runs
+    * hourly against a 100 TB fact table; delta-based rewrite makes
+    * its cost the match set, and the log's keyed applyDelta IS the
+    * merge-on-read reconciliation the write relies on. */
+  def txnSqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "sqlmerge")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    typeCounts(spark, sfDir, "view")
+      .select($"key", $"cnt")
+      .createOrReplaceTempView("graft_merge_src")
+    spark.sql(
+      s"""MERGE INTO $ident t
+         |USING graft_merge_src s ON t.key = s.key
+         |WHEN MATCHED THEN UPDATE SET value = t.value + s.cnt
+         |WHEN NOT MATCHED THEN INSERT (key, value) VALUES (s.key, s.cnt)
+         |""".stripMargin)
+    val nVersions = TxnLog.latestCommitted(root) + 1
+    spark.sql(
+      s"""SELECT key AS user_id, value AS balance
+         |FROM $ident ORDER BY user_id""".stripMargin)
+      .withColumn("n_versions", lit(nVersions))
+  }
+
+  val txnSqlMergeSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
+      |  CAST(2 AS BIGINT) AS n_versions
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** SQL time travel by TIME (`TIMESTAMP AS OF` through the
     * catalog): the marker file's publish instant is the commit's
     * visibility time, and the catalog resolves the FLOOR version —

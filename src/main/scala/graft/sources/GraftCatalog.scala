@@ -376,12 +376,56 @@ private[graft] class TxnTable(tableName: String, root: String,
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import org.apache.spark.sql.connector.read.ScanBuilder
   import org.apache.spark.sql.connector.write._
 
+  /** SQL `UPDATE` / `MERGE INTO` via DELTA-BASED row-level operations
+    * (`SupportsDelta` — the Iceberg merge-on-read rewrite contract):
+    * Spark plans the rewrite so the WRITE receives only the CHANGED
+    * rows, each tagged insert/update/delete, with the declared row
+    * id (`key`) identifying targets. The deltas land through the
+    * same staged-file manifest path as INSERT and commit as one OCC
+    * transaction — a MERGE's cost is the matched+inserted rows, not
+    * a table rewrite (copy-on-write group rewrites would be the
+    * alternative; delta writes are the 100 TB answer because the
+    * log's applyDelta already IS merge-on-read keyed reconciliation). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new RowLevelOperation with SupportsDelta {
+          override def command(): RowLevelOperation.Command = info.command()
+          // the row id must be non-nullable; `key` is the primary
+          // key (never null in any snapshot), the parquet reader
+          // just can't declare it — adjust the reported schema
+          override def newScanBuilder(
+              options: CaseInsensitiveStringMap): ScanBuilder =
+            new KeyNotNullScanBuilder(
+              TxnTable.this.newScanBuilder(options))
+          override def newWriteBuilder(
+              wi: LogicalWriteInfo): DeltaWriteBuilder =
+            new DeltaWriteBuilder {
+              override def build(): DeltaWrite = new DeltaWrite {
+                override def toBatch: DeltaBatchWrite =
+                  new TxnDeltaBatchWrite(root, wi.schema())
+              }
+            }
+          override def rowId(): Array[
+              org.apache.spark.sql.connector.expressions.NamedReference] =
+            Array(org.apache.spark.sql.connector.expressions
+              .Expressions.column("key"))
+        }
+    }
+
   override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  // `key` is the primary key — never null in any snapshot. Declaring
+  // it is required for row-level operations (row ids cannot be
+  // nullable) and lets the scan report the same.
+  override def schema(): StructType =
+    StructType(tableSchema.fields.map(f =>
+      if (f.name == "key") f.copy(nullable = false) else f))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
@@ -602,6 +646,138 @@ private[graft] case class TxnStageWriterFactory(stageDir: String,
         val k = row.getLong(0)
         kmin = math.min(kmin, k); kmax = math.max(kmax, k); n += 1
         out.println((0 until nCols).map(row.getLong).mkString(","))
+      }
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        TxnStagedFile(file.getAbsolutePath, kmin, kmax, n)
+      }
+
+      override def abort(): Unit = { out.close(); file.delete(); () }
+      override def close(): Unit = out.close()
+    }
+}
+
+/** Declares the `key` column non-nullable in the scan's reported
+  * schema — required by row-level operations (row ids cannot be
+  * nullable) and true by construction: `key` is the table's primary
+  * key and every snapshot row carries it. Positional row data is
+  * untouched. */
+private[graft] class KeyNotNullScanBuilder(
+    delegate: org.apache.spark.sql.connector.read.ScanBuilder)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.connector.read.{Batch, Scan,
+    SupportsPushDownRequiredColumns}
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate match {
+      case d: SupportsPushDownRequiredColumns =>
+        d.pruneColumns(requiredSchema)
+      case _ =>
+    }
+
+  override def build(): Scan = {
+    val inner = delegate.build()
+    new Scan {
+      override def readSchema(): StructType =
+        StructType(inner.readSchema().fields.map(f =>
+          if (f.name == "key") f.copy(nullable = false) else f))
+      override def toBatch: Batch = inner.toBatch
+      override def description(): String =
+        s"keyNotNull(${inner.description()})"
+    }
+  }
+}
+
+/** Delta-based row-level write: executors stage ONLY the changed
+  * rows (insert/update → upsert, delete → delete) as op-tagged CSV
+  * files; the driver folds the staged files into one OCC commit.
+  * Same manifest discipline as [[TxnBatchWrite]]: messages carry
+  * paths and key ranges, never rows. */
+private[graft] class TxnDeltaBatchWrite(root: String,
+    writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val stageDir = new File(root,
+    s".rlo_stage_${java.util.UUID.randomUUID()}")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    stageDir.mkdirs()
+    TxnDeltaWriterFactory(stageDir.getAbsolutePath, writeSchema.length)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.toSeq.collect {
+      case m: TxnStagedFile if m.rows > 0 => m
+    }
+    val spark = SparkSession.active
+    try {
+      if (staged.nonEmpty) {
+        val schema = StructType(writeSchema.fieldNames.map(f =>
+          org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.LongType, nullable = false)) :+
+          org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType, nullable = false))
+        val ranges = staged.map(m => (m.kmin, m.kmax))
+        graft.engine.TxnLog.commit(spark, root, { _ =>
+          (spark.read.schema(schema).csv(staged.map(_.path): _*), ranges)
+        })
+        ()
+      }
+    } finally {
+      Option(stageDir.listFiles()).getOrElse(Array.empty)
+        .foreach(_.delete())
+      stageDir.delete()
+      ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    Option(stageDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    stageDir.delete()
+    ()
+  }
+}
+
+private[graft] case class TxnDeltaWriterFactory(stageDir: String,
+    nCols: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  import org.apache.spark.sql.connector.write.{DeltaWriter,
+    WriterCommitMessage}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val file = new File(stageDir, s"rlo_${partitionId}_$taskId.csv")
+      private val out = new java.io.PrintWriter(
+        new java.io.BufferedWriter(new java.io.FileWriter(file)))
+      private var kmin = Long.MaxValue
+      private var kmax = Long.MinValue
+      private var n = 0L
+
+      private def track(k: Long): Unit = {
+        kmin = math.min(kmin, k); kmax = math.max(kmax, k); n += 1
+      }
+
+      override def insert(row: InternalRow): Unit = {
+        track(row.getLong(0))
+        out.println((0 until nCols).map(row.getLong)
+          .mkString("", ",", ",upsert"))
+      }
+
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = insert(row)
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        val k = id.getLong(0)
+        track(k)
+        out.println((k +: Seq.fill(nCols - 1)(0L))
+          .mkString("", ",", ",delete"))
       }
 
       override def commit(): WriterCommitMessage = {

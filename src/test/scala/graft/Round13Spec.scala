@@ -258,6 +258,57 @@ class Round13Spec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("mapped catalog reads still prune columns at the parquet scan") {
+    val root = freshRoot("mapprune")
+    put(root, 0, 9)
+    TxnLog.renameColumn(spark, root, "value", "amount")
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts).map(p => s"`$p`").mkString(".")
+    val df = spark.sql(s"SELECT amount FROM $ident")
+    val plan = df.queryExecution.executedPlan.toString()
+    // the scan must read ONLY the physical column backing `amount`
+    assert(plan.contains("value") && !plan.contains("key#"),
+      s"column pruning did not reach the mapped scan:\n$plan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 9L).toSeq)
+    TxnLog.destroy(root)
+  }
+
+  test("SQL UPDATE and MERGE INTO run as delta-sized single commits") {
+    val root = freshRoot("rlo")
+    put(root, 0, 9)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts).map(p => s"`$p`").mkString(".")
+    spark.sql(s"UPDATE $ident SET value = value + 100 WHERE key < 3")
+    assert(TxnLog.latestCommitted(root) == 1L)
+    val v1 = TxnLog.read(spark, root, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1(0L) == 100L && v1(2L) == 102L && v1(5L) == 5L)
+    // the DELTA written by the update holds only the 3 matched rows
+    val delta1 = spark.read.parquet(s"$root/delta_v1")
+    assert(delta1.count() == 3L,
+      "a delta-based UPDATE must write only the matched rows")
+    spark.range(8, 12)
+      .select(col("id").as("key"), lit(1L).as("cnt"))
+      .createOrReplaceTempView("r13_merge_src")
+    spark.sql(
+      s"""MERGE INTO $ident t USING r13_merge_src s ON t.key = s.key
+         |WHEN MATCHED THEN UPDATE SET value = t.value + s.cnt
+         |WHEN NOT MATCHED THEN INSERT (key, value) VALUES (s.key, s.cnt)
+         |""".stripMargin)
+    assert(TxnLog.latestCommitted(root) == 2L)
+    val v2 = TxnLog.read(spark, root, 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2.size == 12)
+    assert(v2(8L) == 9L && v2(9L) == 10L, "matched rows updated")
+    assert(v2(10L) == 1L && v2(11L) == 1L, "unmatched rows inserted")
+    assert(spark.read.parquet(s"$root/delta_v2").count() == 4L,
+      "the MERGE delta must hold only matched+inserted rows")
+    TxnLog.destroy(root)
+  }
+
   test("clustered optimize produces pairwise-disjoint file key ranges") {
     val root = freshRoot("optclust")
     put(root, 0, 499)
