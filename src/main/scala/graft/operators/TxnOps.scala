@@ -1342,6 +1342,43 @@ object TxnOps {
       |  CAST(3 AS BIGINT) AS n_versions
       |FROM c ORDER BY user_id""".stripMargin
 
+  /** SQL `INSERT OVERWRITE` (V2 truncate-then-append as ONE atomic
+    * commit): the staged rows replace the table — every pre-existing
+    * key the new data doesn't cover becomes a DELETE in the same
+    * delta, and the transaction's read set is the FULL key domain
+    * (an overwrite semantically conflicts with every concurrent
+    * write, which is exactly what OCC validation should see).
+    * Readers observe the old table or the new, never a mix. Click
+    * balances are overwritten by view counts: view-only users
+    * appear, click-only users vanish. */
+  def txnSqlInsertOverwrite(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "sqlow")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    typeCounts(spark, sfDir, "view").select($"key", $"cnt")
+      .createOrReplaceTempView("graft_ow_src")
+    spark.sql(
+      s"INSERT OVERWRITE TABLE $ident SELECT key, cnt FROM graft_ow_src")
+    val nVersions = TxnLog.latestCommitted(root) + 1
+    spark.sql(
+      s"""SELECT key AS user_id, value AS balance
+         |FROM $ident ORDER BY user_id""".stripMargin)
+      .withColumn("n_versions", lit(nVersions))
+  }
+
+  val txnSqlInsertOverwriteSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
+      |  CAST(2 AS BIGINT) AS n_versions
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** SQL `UPDATE ... SET ... WHERE` (delta-based row-level operation
     * — `SupportsDelta`): Spark rewrites the DML so the write
     * receives ONLY the matched rows (tagged updates, keyed by the

@@ -427,7 +427,8 @@ private[graft] class TxnTable(tableName: String, root: String,
     StructType(tableSchema.fields.map(f =>
       if (f.name == "key") f.copy(nullable = false) else f))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -455,10 +456,12 @@ private[graft] class TxnTable(tableName: String, root: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new TxnBatchWrite(root, info.schema())
+          new TxnBatchWrite(root, info.schema(), doTruncate)
       }
     }
 
@@ -571,7 +574,7 @@ private[graft] case class TxnStagedFile(path: String, kmin: Long,
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[graft] class TxnBatchWrite(root: String,
-    writeSchema: StructType)
+    writeSchema: StructType, truncate: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
   import org.apache.spark.sql.catalyst.InternalRow
@@ -588,7 +591,13 @@ private[graft] class TxnBatchWrite(root: String,
   /** Driver job commit: staged files → ONE OCC transaction. The
     * delta is read back distributedly from the staged files; the
     * commit message ranges become the transaction's read set (a
-    * keyed upsert's conservative serializability guard). */
+    * keyed upsert's conservative serializability guard). In truncate
+    * mode (`INSERT OVERWRITE`) the delta additionally deletes every
+    * pre-existing key the staged rows don't replace, and the read
+    * set is the FULL key domain — an overwrite semantically depends
+    * on (and conflicts with) everything, which is exactly what the
+    * OCC validator should see. The replace is still one atomic
+    * commit: readers see the old table or the new, never a mix. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.toSeq.collect {
       case m: TxnStagedFile if m.rows > 0 => m
@@ -596,17 +605,39 @@ private[graft] class TxnBatchWrite(root: String,
     val spark = SparkSession.active
     try {
       if (staged.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, lit}
         val fields = writeSchema.fieldNames.toSeq
         val schema = StructType(fields.map(f =>
           org.apache.spark.sql.types.StructField(f,
             org.apache.spark.sql.types.LongType, nullable = false)))
-        val ranges = staged.map(m => (m.kmin, m.kmax))
-        graft.engine.TxnLog.commit(spark, root, { _ =>
-          val delta = spark.read.schema(schema)
+        val ranges =
+          if (truncate) Seq((Long.MinValue, Long.MaxValue))
+          else staged.map(m => (m.kmin, m.kmax))
+        graft.engine.TxnLog.commit(spark, root, { snap =>
+          val rows = spark.read.schema(schema)
             .csv(staged.map(_.path): _*)
-            .withColumn("op",
-              org.apache.spark.sql.functions.lit("upsert"))
+            .withColumn("op", lit("upsert"))
+          val delta =
+            if (!truncate) rows
+            else {
+              val dels = snap
+                .join(rows.select("key"), Seq("key"), "left_anti")
+                .select(col("key") +: fields.filter(_ != "key")
+                  .map(f => lit(0L).as(f)) :+
+                  lit("delete").as("op"): _*)
+              dels.unionByName(rows)
+            }
           (delta, ranges)
+        })
+        ()
+      } else if (truncate) {
+        // INSERT OVERWRITE from an empty query still truncates
+        import org.apache.spark.sql.functions.{col, lit}
+        val fields = writeSchema.fieldNames.toSeq
+        graft.engine.TxnLog.commit(spark, root, { snap =>
+          (snap.select(col("key") +: fields.filter(_ != "key")
+              .map(f => lit(0L).as(f)) :+ lit("delete").as("op"): _*),
+            Seq((Long.MinValue, Long.MaxValue)))
         })
         ()
       }

@@ -309,6 +309,31 @@ class Round13Spec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("INSERT OVERWRITE replaces atomically; empty overwrite truncates") {
+    val root = freshRoot("sqlow")
+    put(root, 0, 9)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts).map(p => s"`$p`").mkString(".")
+    spark.range(5, 8)
+      .select(col("id").as("key"), lit(99L).as("value"))
+      .createOrReplaceTempView("r13_ow_src")
+    spark.sql(
+      s"INSERT OVERWRITE TABLE $ident SELECT key, value FROM r13_ow_src")
+    val v1 = TxnLog.read(spark, root, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1 == Map(5L -> 99L, 6L -> 99L, 7L -> 99L),
+      s"overwrite must fully replace the table, got $v1")
+    spark.range(0, 0)
+      .select(col("id").as("key"), col("id").as("value"))
+      .createOrReplaceTempView("r13_ow_empty")
+    spark.sql(
+      s"INSERT OVERWRITE TABLE $ident SELECT key, value FROM r13_ow_empty")
+    assert(TxnLog.read(spark, root, 2L).count() == 0L,
+      "overwrite from an empty query must still truncate")
+    TxnLog.destroy(root)
+  }
+
   test("clustered optimize produces pairwise-disjoint file key ranges") {
     val root = freshRoot("optclust")
     put(root, 0, 499)
