@@ -1500,6 +1500,53 @@ object TxnOps {
       |HAVING COUNT(*) FILTER (WHERE event_type = 'click') > 0
       |ORDER BY user_id""".stripMargin
 
+  /** The `$files` METADATA TABLE (per-file manifest stats from
+    * parquet FOOTERS — row count + key min/max, zero data pages
+    * read): after a clustered OPTIMIZE the table's files hold
+    * disjoint key ranges, and this key proves it FROM THE MANIFEST
+    * ALONE — a windowed check over `$files` (each file's min strictly
+    * above the previous file's max), plus file count, total rows and
+    * the global key span, all reduced to one row so the oracle is
+    * layout-free (per-file splits depend on the range partitioner's
+    * sampling and are not cross-engine reproducible; the aggregate
+    * facts are). This is the read path every stats-skipping decision
+    * uses at 100 TB: the planner consults footers/manifests, never
+    * data. */
+  def txnFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = scratch(spark, sfDir, "files")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    Seq("click", "view", "purchase").foreach { et =>
+      TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
+    }
+    TxnLog.optimizeClustered(spark, root, targetFiles = 4)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts.init :+
+      (parts.last + "$files")).map(p => s"`$p`").mkString(".")
+    spark.sql(
+      s"""WITH f AS (
+         |  SELECT kmin, kmax,
+         |    LAG(kmax) OVER (ORDER BY file_index) AS prev_max,
+         |    n_rows
+         |  FROM $ident)
+         |SELECT CAST(COUNT(*) AS INT) AS n_files,
+         |  SUM(n_rows) AS total_rows,
+         |  MIN(kmin) AS lo, MAX(kmax) AS hi,
+         |  CAST(MIN(CASE WHEN prev_max IS NULL OR kmin > prev_max
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS disjoint
+         |FROM f""".stripMargin)
+  }
+
+  val txnFilesSql: String =
+    """SELECT CAST(4 AS INT) AS n_files,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_rows,
+      |  CAST(MIN(user_id) AS BIGINT) AS lo,
+      |  CAST(MAX(user_id) AS BIGINT) AS hi,
+      |  CAST(1 AS BIGINT) AS disjoint
+      |FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase')""".stripMargin
+
   /** `DESCRIBE HISTORY` as a METADATA TABLE (`<table>$history`
     * through [[graft.sources.GraftCatalog]] — the Iceberg metadata-
     * table idiom): five commits of three kinds — three writes, a

@@ -120,6 +120,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       return new TxnHistoryTable(
         s"$catalogName.${ident.name()}", root.getAbsolutePath)
     }
+    if (ident.name().endsWith("$files")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$files"))
+      val root = txnRoot(base).getOrElse(
+        throw new NoSuchTableException(
+          ident.namespace() :+ ident.name()))
+      return new TxnFilesTable(
+        s"$catalogName.${ident.name()}", root.getAbsolutePath)
+    }
     txnRoot(ident) match {
       case Some(root) =>
         // transactional table: resolve the LATEST committed snapshot
@@ -874,6 +883,90 @@ private[graft] class TxnHistoryTable(tableName: String, root: String)
             }
             r: InternalRow
           }.toArray
+        }
+      }
+    }
+}
+
+/** The `$files` metadata table: one row per data file of the LATEST
+  * committed snapshot, with stats read from the parquet FOOTERS —
+  * row count and the key column's min/max — exactly what a manifest
+  * stores, obtained without reading a single data page. Files are
+  * numbered in key-min order (physical file names are
+  * uuid-nondeterministic and would defeat any oracle). Driver-side
+  * and O(files): this IS metadata, the same honesty argument as
+  * `$history`. */
+private[graft] class TxnFilesTable(tableName: String, root: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types._
+
+  private val filesSchema = StructType(Seq(
+    StructField("file_index", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("kmin", LongType, nullable = true),
+    StructField("kmax", LongType, nullable = true)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = filesSchema
+        override def rows(): Array[InternalRow] = {
+          val v = graft.engine.TxnLog.latestCommitted(root)
+          require(v >= 0, s"$tableName: no committed version")
+          val snapDir = new File(root, s"snapshot_v$v").getCanonicalFile
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val stats = Option(snapDir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+            .flatMap { f =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                  conf)
+              val reader =
+                org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try {
+                val blocks = reader.getFooter.getBlocks
+                import scala.jdk.CollectionConverters._
+                val nRows = blocks.asScala.map(_.getRowCount).sum
+                if (nRows == 0L) None
+                else {
+                  val keyStats = blocks.asScala.flatMap { b =>
+                    b.getColumns.asScala.find(
+                      _.getPath.toDotString == "key")
+                      .map(_.getStatistics)
+                  }
+                  val mins = keyStats.collect {
+                    case s: org.apache.parquet.column.statistics
+                        .LongStatistics if !s.isEmpty => s.getMin
+                  }
+                  val maxs = keyStats.collect {
+                    case s: org.apache.parquet.column.statistics
+                        .LongStatistics if !s.isEmpty => s.getMax
+                  }
+                  Some((nRows,
+                    if (mins.nonEmpty) Some(mins.min) else None,
+                    if (maxs.nonEmpty) Some(maxs.max) else None))
+                }
+              } finally reader.close()
+            }
+            .sortBy(_._2.getOrElse(Long.MaxValue))
+          stats.zipWithIndex.map { case ((n, mn, mx), i) =>
+            val r = new GenericInternalRow(4)
+            r.setInt(0, i)
+            r.setLong(1, n)
+            mn.fold(r.setNullAt(2))(r.setLong(2, _))
+            mx.fold(r.setNullAt(3))(r.setLong(3, _))
+            r: InternalRow
+          }
         }
       }
     }

@@ -334,6 +334,28 @@ class Round13Spec extends SparkSpec {
     TxnLog.destroy(root)
   }
 
+  test("$files serves footer stats that agree with the data") {
+    val root = freshRoot("files")
+    put(root, 0, 499)
+    TxnLog.optimizeClustered(spark, root, targetFiles = 4)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts.init :+ (parts.last + "$files"))
+      .map(p => s"`$p`").mkString(".")
+    val f = spark.sql(s"SELECT * FROM $ident ORDER BY file_index")
+      .collect()
+    assert(f.map(_.getLong(1)).sum == 500L,
+      "footer row counts must sum to the table size")
+    assert(f.head.getLong(2) == 0L && f.last.getLong(3) == 499L,
+      "global key span must come from footer min/max")
+    // disjoint after clustering: each file's min above the last's max
+    f.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) > a.getLong(3))
+      case _ =>
+    }
+    TxnLog.destroy(root)
+  }
+
   test("clustered optimize produces pairwise-disjoint file key ranges") {
     val root = freshRoot("optclust")
     put(root, 0, 499)
