@@ -26,7 +26,10 @@ import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
 class WindowGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private val allowlist = Map(
-    "q_win_frame_range" -> "input is the per-day pre-aggregate (≤ #days rows)")
+    "q_win_frame_range" -> "input is the per-day pre-aggregate (≤ #days rows)",
+    "q_txn_files" -> ("the LAG runs over the $files METADATA table — " +
+      "one row per data file (manifest-scale at any table size), " +
+      "served by a driver-side LocalScan; see TxnOps.txnFiles"))
 
   private def boundedBelow(w: SparkPlan): Boolean =
     w.find {
