@@ -1208,6 +1208,70 @@ object TxnOps {
       |  CAST(2 AS BIGINT) AS n_versions
       |FROM c ORDER BY user_id""".stripMargin
 
+  /** CONCURRENT SQL DML (two racing `INSERT INTO` statements from
+    * different threads): the catalog write path inherits the log's
+    * full OCC protocol — both writers stage their files, race the
+    * version claim, and the loser retries against the winner's
+    * snapshot — so BOTH land, as two consecutive commits, with no
+    * lost update and no coordination beyond the claim file. The two
+    * writers' key spaces are DISJOINT (the second is shifted by
+    * 10^7, above any fixture user id), so the final state is
+    * commit-order-independent and the oracle can pin it exactly;
+    * what the race proves is the serialization itself, pinned by
+    * `n_versions` = 3. */
+  def txnSqlConcurrent(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "sqlconc")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    // two sources in disjoint key spaces: raw user ids are < 10^7 in
+    // every fixture; the second writer lands at +10^7
+    typeCounts(spark, sfDir, "view").select($"key", $"cnt")
+      .createOrReplaceTempView("graft_conc_a")
+    typeCounts(spark, sfDir, "purchase")
+      .select(($"key" + 10000000L).as("key"), $"cnt")
+      .createOrReplaceTempView("graft_conc_b")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { spark.sql(
+          s"INSERT INTO $ident SELECT key, cnt FROM graft_conc_a"); () }
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { spark.sql(
+          s"INSERT INTO $ident SELECT key, cnt FROM graft_conc_b"); () }
+      })
+      fa.get(); fb.get()
+    } finally pool.shutdown()
+    val nVersions = TxnLog.latestCommitted(root) + 1
+    spark.sql(
+      s"""SELECT key AS user_id, value AS balance
+         |FROM $ident ORDER BY user_id""".stripMargin)
+      .withColumn("n_versions", lit(nVersions))
+  }
+
+  val txnSqlConcurrentSql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS ck,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS vw
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(CASE WHEN vw > 0 THEN vw ELSE ck END AS BIGINT) AS balance,
+      |  CAST(3 AS BIGINT) AS n_versions
+      |FROM c
+      |UNION ALL
+      |SELECT user_id + 10000000, CAST(COUNT(*) AS BIGINT),
+      |  CAST(3 AS BIGINT)
+      |FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** SQL `DELETE FROM ... WHERE` on a transactional table
     * (`SupportsDelete` on the catalog's `TxnTable`): Spark pushes
     * the predicate to the source, the matching keys become a DELETE
