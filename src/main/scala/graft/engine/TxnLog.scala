@@ -30,25 +30,32 @@ import org.apache.spark.sql.functions._
   *     CONSERVATIVE (a false overlap costs one re-run, never a lost
   *     update), and the delta is range-partitioned on write so file
   *     ranges stay tight.
-  *  3. **Fenced publish**: all data is staged in a claim-scoped
-  *     uniquely-named directory, the owner re-verifies its claim
-  *     token immediately before publishing, and the commit marker's
-  *     `createNewFile` is the single atomic decider — `false` means
-  *     another writer committed this version (e.g. after an
-  *     age-checked claim steal from a stalled owner) and is treated
-  *     as a CONFLICT, never as success. A resumed zombie can
-  *     therefore not overwrite a committed version: final snapshot/
-  *     delta directories are only ever written by rename, by the
-  *     unique marker winner.
+  *  3. **Fenced publish**: EVERYTHING a commit publishes — snapshot,
+  *     delta, meta, schema/mapping audit entries, idempotency record
+  *     — is staged in a claim-scoped uniquely-named directory, and
+  *     the commit marker is created as a HARD LINK to a payload file
+  *     inside that stage. `link(2)` fails if the target exists, so
+  *     exactly one writer wins (unlike rename, which silently
+  *     replaces), and it fails if the stage was trashed by a claim
+  *     thief, so a resumed zombie whose claim was stolen can never
+  *     publish a marker pointing at destroyed data. The marker's
+  *     CONTENT names the winning stage; [[finishPublish]] then moves
+  *     each staged artifact to its canonical name. finishPublish is
+  *     idempotent and runs from ANY process — a reader that sees a
+  *     marked version whose snapshot/meta has not appeared simply
+  *     finishes the publish itself, so a writer crash between marker
+  *     and renames can never brick the table.
   *
   * A version is visible to readers only once its `vN.commit` marker
   * exists, so a crashed writer's half-written claim is invisible to
   * READERS. For WRITERS the dead slot is recovered in-code: a
   * claim's owner heartbeats the claim file's mtime while it works,
   * and a waiting writer that sees a claim go a full `claimTimeoutMs`
-  * without a heartbeat treats it as abandoned, deletes it along with
-  * any unmarked leftovers, and re-claims the slot — no external
-  * janitor is required for liveness after a writer crash.
+  * without a heartbeat treats it as abandoned, deletes it, trashes
+  * its stage via atomic rename (restoring it if the marker turns out
+  * to have been won — recovery then completes that publish), and
+  * re-claims the slot — no external janitor is required for
+  * liveness after a writer crash.
   *
   * Schemas are evolvable through the log: a delta may carry columns
   * the current snapshot lacks (ADD COLUMN), back-filled on existing
@@ -109,6 +116,68 @@ object TxnLog {
 
   def init(root: String): Unit = { logDir(root).mkdirs(); () }
 
+  /** Atomic create-with-content: hard-link `payload` (a file inside
+    * the winner's stage) into `target`. POSIX `link(2)` fails if the
+    * target exists — exactly one concurrent caller wins — unlike
+    * `ATOMIC_MOVE`, whose `rename(2)` silently REPLACES an existing
+    * target and therefore cannot decide a race. It also fails with
+    * `NoSuchFileException` if the payload's stage was trashed by a
+    * claim thief, which is precisely the fence a resumed zombie
+    * needs: it cannot mark a version whose data no longer exists. */
+  private def atomicLink(target: File, payload: File): Boolean =
+    try { Files.createLink(target.toPath, payload.toPath); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** Complete (or re-complete) the publish of a COMMITTED version:
+    * the marker's content names the winning writer's stage directory
+    * and every artifact still sitting there is renamed to its
+    * canonical home. Idempotent and safe from ANY process — readers
+    * call it when a marked version's snapshot or meta has not
+    * appeared, so a writer crash between marker creation and the
+    * renames is recoverable by the next reader instead of bricking
+    * the table. Each move is `ATOMIC_MOVE` with already-done
+    * tolerated: two racing recoverers win disjoint subsets and
+    * converge on the same published state. Markers with empty
+    * content (clone bootstrap) published directly — no-op. */
+  private[graft] def finishPublish(root: String, v: Long): Unit = {
+    val marker = commitMarker(root, v)
+    if (!marker.exists()) return
+    val token =
+      try new String(Files.readAllBytes(marker.toPath),
+        StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
+    if (token.isEmpty) return
+    val stage = new File(root, s".stage_v${v}_$token")
+    if (!stage.isDirectory) return
+    def mv(from: File, to: File): Unit =
+      try {
+        Files.move(from.toPath, to.toPath, StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    // a metadata-only commit publishes a symlink instead of moving bytes
+    val linkSpec = new File(stage, "snapshot_link")
+    if (linkSpec.exists()) {
+      val target = new String(Files.readAllBytes(linkSpec.toPath),
+        StandardCharsets.UTF_8)
+      try Files.createSymbolicLink(Paths.get(root, s"snapshot_v$v"),
+        Paths.get(root, target).toAbsolutePath)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      linkSpec.delete()
+    }
+    mv(new File(stage, "snapshot"), new File(root, s"snapshot_v$v"))
+    mv(new File(stage, "delta"), new File(root, s"delta_v$v"))
+    mv(new File(stage, "meta"), metaFile(root, v))
+    mv(new File(stage, "schema"), schemaFile(root, v))
+    mv(new File(stage, "mapping"), mappingFile(root, v))
+    mv(new File(stage, "txnid"), txnIdFile(root, v))
+    new File(stage, "decider").delete()
+    stage.delete()
+    ()
+  }
+
   private def txnIdFile(root: String, v: Long): File =
     new File(logDir(root), s"v$v.txn")
 
@@ -164,10 +233,27 @@ object TxnLog {
       s"version $version was vacuumed — its snapshot data is gone " +
         "(markers/metas remain for audit)")
     val dir = new File(root, s"snapshot_v$version")
+    // self-healing read: a marked version whose snapshot has not
+    // appeared is a publish another process can finish (crash between
+    // marker and renames, or a thief's transient stage-trash/restore
+    // window) — recover it here rather than waiting on the writer
     var waitedMs = 0L
-    while (!dir.isDirectory && waitedMs < 3000L) {
-      Thread.sleep(25L); waitedMs += 25L
+    while (!dir.isDirectory && !Files.isSymbolicLink(dir.toPath) &&
+        waitedMs < 3000L) {
+      finishPublish(root, version)
+      if (!dir.isDirectory) { Thread.sleep(25L); waitedMs += 25L }
     }
+    // diagnosability: a snapshot that IS present as a name but leads
+    // nowhere is a dangling link — the shallow-clone caveat (the
+    // SOURCE table vacuumed the snapshot this clone references), not
+    // a publish in flight
+    if (!dir.isDirectory && Files.isSymbolicLink(dir.toPath))
+      throw new IllegalStateException(
+        s"version $version's snapshot is a dangling link to " +
+          s"${Files.readSymbolicLink(dir.toPath)} — the referenced " +
+          "snapshot was vacuumed from the source table this table " +
+          "shallow-cloned (vacuuming a clone's SOURCE removes data the " +
+          "clone references; re-clone or restore the source version)")
     require(dir.isDirectory,
       s"version $version is committed but its snapshot never appeared")
     spark.read.parquet(dir.getAbsolutePath)
@@ -181,6 +267,9 @@ object TxnLog {
 
   def readMeta(root: String, version: Long): CommitMeta = {
     val f = metaFile(root, version)
+    // a marked version's meta may still be in its stage (publish
+    // crash) — finish the publish before falling back to checkpoints
+    if (!f.exists()) finishPublish(root, version)
     if (f.exists()) {
       val lines = new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).linesIterator.toSeq
@@ -273,7 +362,14 @@ object TxnLog {
     * clone cover only its own commits. At 100 TB a shallow clone is
     * a metadata-only operation — one link + one meta file — which is
     * the entire point: test/dev forks of production tables without a
-    * copy job. Returns the source version that was cloned. */
+    * copy job. Returns the source version that was cloned.
+    *
+    * CAVEAT (the Delta caveat too): the source table does not know
+    * its snapshots are referenced by clones, so a [[vacuum]] of the
+    * SOURCE can evict the snapshot this clone's `snapshot_v0` links
+    * to. The clone's subsequent reads fail with the descriptive
+    * dangling-link error in [[readPhysical]] (not a generic timeout);
+    * re-clone or restore the source version to recover. */
   def cloneShallow(srcRoot: String, dstRoot: String): Long = {
     val srcV = latestCommitted(srcRoot)
     require(srcV >= 0, "source table has no committed version to clone")
@@ -308,6 +404,9 @@ object TxnLog {
     val retained = ((latest - keepLast + 1) to latest) ++ pinned
     val reachable = retained.flatMap { v =>
       val p = Paths.get(root, s"snapshot_v$v")
+      // Files.exists follows links, so a dangling link (source table
+      // vacuumed under a clone) is simply not reachable — skip it
+      // rather than letting toRealPath throw
       if (Files.exists(p))
         Some(p.toRealPath().getFileName.toString
           .stripPrefix("snapshot_v").toLong)
@@ -418,12 +517,11 @@ object TxnLog {
         (p(0), p(1), if (p(2) == "NULL") None else Some(p(2).toLong))
       }.toVector
 
-  private def writeMapping(root: String, v: Long, m: ColMapping): Unit = {
+  private def writeMappingTo(f: File, m: ColMapping): Unit = {
     val body = m.map { case (l, p, d) =>
       s"$l|$p|${d.map(_.toString).getOrElse("NULL")}"
     }.mkString("\n")
-    Files.write(mappingFile(root, v).toPath,
-      body.getBytes(StandardCharsets.UTF_8))
+    Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
@@ -517,13 +615,15 @@ object TxnLog {
       mappingUpdate = Some(newMapping), linkSnapshot = true).version
   }
 
-  private def writeMeta(root: String, meta: CommitMeta): Unit = {
+  private def writeMetaTo(f: File, meta: CommitMeta): Unit = {
     val body = (Seq(meta.version.toString, meta.readVersion.toString) ++
       encodeRanges(meta.writtenRanges)).mkString("\n")
-    Files.write(metaFile(root, meta.version).toPath,
-      body.getBytes(StandardCharsets.UTF_8))
+    Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8))
     ()
   }
+
+  private def writeMeta(root: String, meta: CommitMeta): Unit =
+    writeMetaTo(metaFile(root, meta.version), meta)
 
   /** Distributed [min, max] of a keyed frame — the metadata-scale
     * read/write-set descriptor (ONE aggregation row comes back to
@@ -601,7 +701,20 @@ object TxnLog {
     * into a genuine race deterministically. `defaults` back-fill ADD
     * COLUMNs the delta introduces; `layout` re-layouts the post
     * snapshot (OPTIMIZE); `prePublish` is a test-only fault-injection
-    * hook that runs after staging, before the fenced publish. */
+    * hook that runs after staging, before the fenced publish.
+    *
+    * `baseline` declares that the FIRST delta `txn` returns was built
+    * against that already-scanned version (a SQL UPDATE/MERGE whose
+    * rewrite ran before commit() was entered) — validation then spans
+    * every commit after `baseline`, not just those after this call's
+    * first snapshot read. `rerunOnConflict=false` makes the
+    * transaction NON-RETRYABLE: a read-range conflict throws
+    * [[Conflict]] instead of re-running `txn`, which is mandatory
+    * when `txn` cannot actually rebuild (it replays a pre-computed
+    * delta, so a re-run would re-commit stale rows — the silent lost
+    * update). Disjoint intervening commits still rebase (the delta
+    * stays valid), so non-retryable writers keep full concurrency
+    * against non-overlapping traffic. */
   def commit(spark: SparkSession, root: String,
       txn: DataFrame => (DataFrame, KeyRanges),
       barrier: Option[java.util.concurrent.CyclicBarrier] = None,
@@ -613,7 +726,14 @@ object TxnLog {
       layout: Option[DataFrame => DataFrame] = None,
       mappingUpdate: Option[ColMapping] = None,
       linkSnapshot: Boolean = false,
+      baseline: Option[Long] = None,
+      rerunOnConflict: Boolean = true,
       prePublish: Long => Unit = _ => ()): TxnStats = {
+    // recover any crashed publish of the current head first: its
+    // idempotency record (txnid) may still be sitting in the stage,
+    // and the committedTxn check below must see it
+    val head0 = latestCommitted(root)
+    if (head0 >= 0) finishPublish(root, head0)
     // idempotent retry: an application txn id that already committed
     // returns its version without touching the log (attempts = 0 is
     // the caller-visible proof nothing re-applied)
@@ -621,6 +741,13 @@ object TxnLog {
       case Some(v) => return TxnStats(v, 0, 0)
       case None =>
     }
+    def conflictOrRerun(what: String): Unit =
+      if (!rerunOnConflict)
+        throw new Conflict(
+          s"non-retryable transaction: $what — a concurrent commit " +
+            "wrote into this transaction's read ranges after its " +
+            "delta was computed; replaying the pre-built delta would " +
+            "be a lost update, so the statement fails instead")
     var attempts = 0
     var conflicts = 0
     var pending: Option[(DataFrame, KeyRanges, Long)] = None // delta, readRanges, builtAt
@@ -635,6 +762,7 @@ object TxnLog {
           val clash = ((builtAt + 1) to base).exists(v =>
             rangesOverlap(readMeta(root, v).writtenRanges, rr))
           if (clash) {
+            conflictOrRerun(s"conflict while rebasing past v$base")
             conflicts += 1
             pending = None
             val snap =
@@ -649,7 +777,11 @@ object TxnLog {
             if (base < 0) emptySnapshot(spark)
             else read(spark, root, base)
           val built = txn(snap)
-          pending = Some((built._1, built._2, base))
+          // a pre-scanned transaction (SQL row-level DML) validates
+          // from the version its rewrite actually read, which may be
+          // older than the snapshot this loop just fetched
+          pending = Some((built._1, built._2,
+            baseline.fold(base)(math.min(_, base))))
           built
       }
       val delta = pair._1
@@ -678,14 +810,18 @@ object TxnLog {
           if (clash) {
             // release the claim and re-run against the newer snapshot
             claim.delete()
+            conflictOrRerun(s"conflict validating claim of v$v")
             conflicts += 1
             pending = None
           } else {
-            val prevSnap =
-              if (v == 0) emptySnapshot(spark)
-              else readPhysical(spark, root, v - 1)
             val mapping = if (v == 0) None else currentMapping(root, v - 1)
             val keyed = toPhysical(delta, mapping).localCheckpoint(true)
+            // v0's base is an empty frame with the DELTA's own
+            // columns, so the first commit of a wide table does not
+            // inherit emptySnapshot's fixture (key, value) shape
+            val prevSnap =
+              if (v == 0) keyed.drop("op").limit(0)
+              else readPhysical(spark, root, v - 1)
             val post0 = applyDelta(prevSnap, keyed, defaults)
             val post = layout.map(_(post0)).getOrElse(post0)
             // CHECK constraint: enforced on the POST state (resolved
@@ -709,64 +845,66 @@ object TxnLog {
                   s"commit v$v rejected: post-state violates CHECK $c")
               }
             }
-            // STAGE the data under claim-scoped unique names — a
-            // resumed zombie writing here can never clobber a
-            // committed version's directories. A metadata-only commit
-            // (linkSnapshot) stages NO snapshot bytes: its snapshot
-            // will be a link to the previous version's.
+            // STAGE everything — data AND log artifacts — under the
+            // claim-scoped unique directory. Nothing reaches a
+            // canonical name except through finishPublish, from the
+            // stage the marker itself names, so a resumed zombie can
+            // never clobber a committed version's files. A
+            // metadata-only commit (linkSnapshot) stages NO snapshot
+            // bytes: its snapshot publishes as a link to the
+            // previous version's.
+            stage.mkdirs()
             if (!linkSnapshot)
               post.write.mode("overwrite").parquet(s"$stage/snapshot")
+            else
+              Files.write(new File(stage, "snapshot_link").toPath,
+                s"snapshot_v${v - 1}".getBytes(StandardCharsets.UTF_8))
             keyed.repartitionByRange(DELTA_FILES, col("key"))
               .write.mode("overwrite").parquet(s"$stage/delta")
             val written = fileRanges(spark, s"$stage/delta")
+            writeMetaTo(new File(stage, "meta"),
+              CommitMeta(v, builtAt, written))
+            val newCols = keyed.columns
+              .filter(c => c != "key" && c != "op")
+              .filterNot(prevSnap.columns.contains)
+            if (newCols.nonEmpty)
+              Files.write(new File(stage, "schema").toPath,
+                newCols.map(c => s"ADD|$c|" +
+                  defaults.get(c).map(_.toString).getOrElse("NULL"))
+                  .mkString("\n").getBytes(StandardCharsets.UTF_8))
+            // the commit's mapping: an explicit schema change, or the
+            // identity extension a mapped table needs when a delta
+            // ADDs brand-new columns (without it the mapped read
+            // would silently hide them)
+            val mappingOut = mappingUpdate.orElse(
+              mapping.filter(_ => newCols.nonEmpty).map(m =>
+                m ++ newCols.map(c => (c, c, defaults.get(c)))))
+            mappingOut.foreach(m =>
+              writeMappingTo(new File(stage, "mapping"), m))
+            txnId.foreach(id =>
+              Files.write(new File(stage, "txnid").toPath,
+                id.getBytes(StandardCharsets.UTF_8)))
             if (!prePublishFired) { prePublishFired = true; prePublish(v) }
             // FENCED PUBLISH: re-verify we still own the claim (a
-            // stalled writer may have had it stolen), write the meta,
-            // then let the marker's atomic create decide the race —
-            // false means someone else committed v and our work is a
+            // stalled writer may have had it stolen), then let the
+            // marker's atomic hard-link decide the race — a failed
+            // link (target exists, or our stage was trashed by a
+            // thief) means someone else owns v and our work is a
             // CONFLICT, never a silent co-success
             if (!ownsClaim(claim, token)) abandon()
             else {
-              writeMeta(root, CommitMeta(v, builtAt, written))
-              if (!commitMarker(root, v).createNewFile()) abandon()
+              val decider = new File(stage, "decider")
+              Files.write(decider.toPath,
+                token.getBytes(StandardCharsets.UTF_8))
+              val won =
+                try atomicLink(commitMarker(root, v), decider)
+                catch { case _: java.nio.file.NoSuchFileException => false }
+              if (!won) abandon()
               else {
-                // we ARE the unique committer of v: publish by rename
-                // (or, for a metadata-only commit, by linking the
-                // previous snapshot — zero data bytes move)
-                if (linkSnapshot)
-                  Files.createSymbolicLink(
-                    Paths.get(root, s"snapshot_v$v"),
-                    Paths.get(root, s"snapshot_v${v - 1}").toAbsolutePath)
-                else
-                  Files.move(Paths.get(stage.getPath, "snapshot"),
-                    Paths.get(root, s"snapshot_v$v"),
-                    StandardCopyOption.ATOMIC_MOVE)
-                Files.move(Paths.get(stage.getPath, "delta"),
-                  Paths.get(root, s"delta_v$v"),
-                  StandardCopyOption.ATOMIC_MOVE)
-                stage.delete()
-                val newCols = keyed.columns
-                  .filter(c => c != "key" && c != "op")
-                  .filterNot(prevSnap.columns.contains)
-                if (newCols.nonEmpty)
-                  Files.write(schemaFile(root, v).toPath,
-                    newCols.map(c => s"ADD|$c|" +
-                      defaults.get(c).map(_.toString).getOrElse("NULL"))
-                      .mkString("\n").getBytes(StandardCharsets.UTF_8))
-                // publish the commit's mapping: an explicit schema
-                // change, or the identity extension a mapped table
-                // needs when a delta ADDs brand-new columns (without
-                // it the mapped read would silently hide them)
-                mappingUpdate match {
-                  case Some(m) => writeMapping(root, v, m)
-                  case None => mapping.foreach { m =>
-                    if (newCols.nonEmpty)
-                      writeMapping(root, v, m ++ newCols.map(c =>
-                        (c, c, defaults.get(c))))
-                  }
-                }
-                txnId.foreach(id => Files.write(txnIdFile(root, v).toPath,
-                  id.getBytes(StandardCharsets.UTF_8)))
+                // we ARE the unique committer of v: the marker names
+                // our stage, so the publish completes here — or, if
+                // we die first, in whichever reader arrives next
+                finishPublish(root, v)
                 return TxnStats(v, attempts, conflicts)
               }
             }
@@ -789,20 +927,225 @@ object TxnLog {
         val orphan = claimFile(root, v)
         if (orphan.exists() && !commitMarker(root, v).exists() &&
             System.currentTimeMillis() - orphan.lastModified() >=
-              claimTimeoutMs) {
+              claimTimeoutMs &&
+            // a stale claim carrying a multi-table INTENT is resolved
+            // through its coordinator first: decided → the recovery
+            // publishes it (marker appears, we wait like any loser);
+            // undecided → rolled back and the slot steals as usual
+            !(pendingFile(root, v).exists() && recoverPending(root, v))) {
           orphan.delete()
-          metaFile(root, v).delete()
-          schemaFile(root, v).delete()
-          mappingFile(root, v).delete()
+          // trash-then-check: rename each orphaned stage aside
+          // ATOMICALLY, then re-check the marker. If the presumed-dead
+          // owner actually won the marker inside the window, restore
+          // its stage so finishPublish can complete that commit; only
+          // markerless stages are destroyed. (The owner's marker
+          // hard-link fails once the stage is renamed — it can never
+          // mark a version whose data we trashed. Log artifacts need
+          // no cleanup here: meta/schema/mapping/txnid only reach
+          // _txn_log through finishPublish, after the marker exists.)
           Option(new File(root).listFiles()).getOrElse(Array.empty)
             .filter(_.getName.startsWith(s".stage_v${v}_"))
-            .foreach(destroyDir)
+            .foreach { st =>
+              val trash = new File(root,
+                s".trash_${java.util.UUID.randomUUID()}")
+              try {
+                Files.move(st.toPath, trash.toPath,
+                  StandardCopyOption.ATOMIC_MOVE)
+                if (commitMarker(root, v).exists())
+                  Files.move(trash.toPath, st.toPath,
+                    StandardCopyOption.ATOMIC_MOVE)
+                else destroyDir(trash)
+              } catch {
+                case _: java.nio.file.NoSuchFileException => ()
+              }
+            }
           ()
         }
       }
       // loop re-validates against the new latest and retries
     }
     throw new Conflict(s"gave up after $maxAttempts attempts")
+  }
+
+  // ------------------------------------------------------------------
+  // MULTI-TABLE ATOMIC COMMIT: one transaction spanning N tables
+  // (corpus + manifest is the canonical pair) with ALL-OR-NOTHING
+  // visibility, built from the same primitives as single-table
+  // commit. Protocol:
+  //
+  //   1. CLAIM the next version in every table in SORTED ROOT ORDER
+  //      (a global lock order — two multi-table writers can never
+  //      deadlock), validating each table's read set under its claim
+  //      exactly as commit() does; any clash releases every claim
+  //      and retries against fresh snapshots.
+  //   2. STAGE every table's artifacts under ONE SHARED TOKEN and
+  //      write a `vN.pending` intent in each log naming the token and
+  //      the COORDINATOR path.
+  //   3. DECIDE with one atomic hard link: the coordinator file's
+  //      creation commits the whole transaction.
+  //   4. COMPLETE: create each table's marker (hard link from its own
+  //      stage decider — finishPublish then works unchanged) and
+  //      finish each publish; drop the pendings.
+  //
+  // Crash anywhere: markers only exist after the coordinator, so if
+  // ANY table shows the commit, the coordinator exists and recovery
+  // ([[recoverPending]] — run by the single-table steal path when it
+  // trips over a pending version, or explicitly) finishes every other
+  // table; if the coordinator was never created, recovery rolls every
+  // table back. Either way: both visible or neither, never a mix.
+  // ------------------------------------------------------------------
+
+  private def pendingFile(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.pending")
+
+  /** Resolve a crashed multi-table participant at (root, v): finish
+    * the publish if its coordinator decided COMMIT, roll back if the
+    * coordinator was never created. Only call when the owning writer
+    * is known dead (the age-checked steal path) or from explicit
+    * recovery — a live writer between intent and decision would be
+    * rolled back otherwise. Returns true iff the version is now
+    * committed. */
+  private[graft] def recoverPending(root: String, v: Long): Boolean = {
+    val pf = pendingFile(root, v)
+    if (!pf.exists()) return commitMarker(root, v).exists()
+    val parts = new String(Files.readAllBytes(pf.toPath),
+      StandardCharsets.UTF_8).split("\\|", 2)
+    val (token, coord) = (parts(0), new File(parts(1)))
+    if (coord.exists()) {
+      val decider = new File(new File(root, s".stage_v${v}_$token"),
+        "decider")
+      try atomicLink(commitMarker(root, v), decider)
+      catch { case _: java.nio.file.NoSuchFileException => }
+      finishPublish(root, v)
+      pf.delete()
+      commitMarker(root, v).exists()
+    } else {
+      // never decided: roll the intent back
+      destroyDir(new File(root, s".stage_v${v}_$token"))
+      pf.delete()
+      claimFile(root, v).delete()
+      false
+    }
+  }
+
+  /** Recover every pending multi-table intent in `root`'s log. */
+  def recoverMulti(root: String): Unit =
+    Option(logDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".pending"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".pending").toLong)
+      .foreach(recoverPending(root, _))
+
+  /** One atomic transaction across `parts` (root → txn), committing a
+    * version in EVERY table with all-or-nothing visibility. Fault
+    * hooks: `preDecide` runs after intents are written but before the
+    * coordinator (a crash here must roll back everywhere);
+    * `postDecide(i)` runs before table i's marker is created (a crash
+    * here must still surface the commit in every table via
+    * recovery). Returns per-table stats in sorted-root order. */
+  def commitMulti(spark: SparkSession,
+      parts: Seq[(String, DataFrame => (DataFrame, KeyRanges))],
+      maxAttempts: Int = 10,
+      claimTimeoutMs: Long = 30000L,
+      preDecide: () => Unit = () => (),
+      postDecide: Int => Unit = _ => ()): Seq[TxnStats] = {
+    require(parts.nonEmpty, "commitMulti needs at least one table")
+    val ordered = parts.sortBy(_._1)
+    val roots = ordered.map(_._1)
+    require(roots.distinct.size == roots.size,
+      "commitMulti: one entry per table")
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      // phase 1: claim + validate per table, in lock order
+      val token = java.util.UUID.randomUUID().toString
+      val claimed = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, File, Thread, DataFrame, KeyRanges, Long)]
+      var clash = false
+      try {
+        ordered.foreach { case (root, txn) =>
+          if (!clash) {
+            val base = latestCommitted(root)
+            val snap =
+              if (base < 0) emptySnapshot(spark) else read(spark, root, base)
+            val (delta, rr) = txn(snap)
+            val v = latestCommitted(root) + 1
+            val claim = claimFile(root, v)
+            if (!claim.createNewFile()) { clash = true }
+            else {
+              Files.write(claim.toPath,
+                token.getBytes(StandardCharsets.UTF_8))
+              val hb = startHeartbeat(claim, claimTimeoutMs)
+              claimed += ((root, v, claim, hb, delta, rr, base))
+              val conflicted = ((base + 1) until v).exists(u =>
+                rangesOverlap(readMeta(root, u).writtenRanges, rr))
+              if (conflicted) clash = true
+            }
+          }
+        }
+        if (!clash) {
+          // phase 2: stage everything under the SHARED token + intents
+          val coord = new File(logDir(claimed.head._1),
+            s"mtxn_$token.coord")
+          claimed.zipWithIndex.foreach {
+            case ((root, v, _, _, delta, rr, base), _) =>
+              val stage = new File(root, s".stage_v${v}_$token")
+              stage.mkdirs()
+              val mapping =
+                if (v == 0) None else currentMapping(root, v - 1)
+              val keyed = toPhysical(delta, mapping).localCheckpoint(true)
+              val prevSnap =
+                if (v == 0) keyed.drop("op").limit(0)
+                else readPhysical(spark, root, v - 1)
+              applyDelta(prevSnap, keyed)
+                .write.mode("overwrite").parquet(s"$stage/snapshot")
+              keyed.repartitionByRange(DELTA_FILES, col("key"))
+                .write.mode("overwrite").parquet(s"$stage/delta")
+              writeMetaTo(new File(stage, "meta"),
+                CommitMeta(v, base, fileRanges(spark, s"$stage/delta")))
+              Files.write(new File(stage, "decider").toPath,
+                token.getBytes(StandardCharsets.UTF_8))
+              Files.write(pendingFile(root, v).toPath,
+                s"$token|${coord.getAbsolutePath}"
+                  .getBytes(StandardCharsets.UTF_8))
+          }
+          preDecide()
+          // phase 3: THE decision — one atomic link
+          val won = atomicLink(coord,
+            new File(new File(claimed.head._1,
+              s".stage_v${claimed.head._2}_$token"), "decider"))
+          require(won, s"coordinator $coord already existed")
+          // phase 4: complete every table (recovery can take over at
+          // any point from here — the coordinator has decided)
+          claimed.zipWithIndex.foreach { case ((root, v, _, _, _, _, _), i) =>
+            postDecide(i)
+            val decider = new File(new File(root, s".stage_v${v}_$token"),
+              "decider")
+            try atomicLink(commitMarker(root, v), decider)
+            catch { case _: java.nio.file.NoSuchFileException => }
+            finishPublish(root, v)
+            pendingFile(root, v).delete()
+          }
+          return claimed.toSeq.map { case (_, v, _, _, _, _, _) =>
+            TxnStats(v, attempts, attempts - 1)
+          }
+        }
+      } finally {
+        claimed.foreach { case (root, v, claim, hb, _, _, _) =>
+          hb.interrupt()
+          // only release what phase 3 did not decide: a decided
+          // transaction keeps its claims until completion removed the
+          // pendings (claims of committed versions are inert)
+          if (!commitMarker(root, v).exists() &&
+              !pendingFile(root, v).exists()) claim.delete()
+          else if (!commitMarker(root, v).exists() &&
+              pendingFile(root, v).exists() && clash) {
+            pendingFile(root, v).delete(); claim.delete()
+          }
+        }
+      }
+      Thread.sleep(10L)
+    }
+    throw new Conflict(s"commitMulti gave up after $maxAttempts attempts")
   }
 
   /** Daemon thread refreshing `claim`'s mtime every `timeoutMs/4`

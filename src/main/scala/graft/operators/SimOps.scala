@@ -936,4 +936,168 @@ object SimOps {
        |FROM ranked WHERE rk <= $TOP_K
        |ORDER BY query_id, rk""".stripMargin
   }
+  // ------------------------------------------------------------------
+  // HNSW-class GRAPH ANN (SURVEY §2.13): a hierarchical navigable
+  // small-world index built and searched with DataFrame algebra.
+  // ------------------------------------------------------------------
+
+  private val HNSW_M = 8            // neighbors kept per node per level
+  private val HNSW_EF = 24          // beam width at the base layer
+  private val HNSW_LEVELS = 3       // layers 0..2 (geometric occupancy)
+  private val HNSW_ROUNDS = 4       // expansion rounds per layer
+  // planes per level: fewer planes as layers thin, so candidate-
+  // bucket occupancy stays roughly constant (the LSH invariant) —
+  // a fixed plane count would leave upper layers ~1 node/bucket and
+  // the hierarchy unnavigable
+  private val HNSW_PLANES = Array(5, 4, 3)
+
+  /** Seeded, plane-count-parameterized variant of [[lshSigExpr]] —
+    * the graph build unions THREE independent plane sets per layer so
+    * candidate edges are not hostage to one hashing accident (the
+    * standard multi-table LSH recall knob). */
+  private def hnswSigExpr(col: String, seed: Int, planes: Int): String =
+    s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
+       |  acc + (CASE WHEN aggregate(sequence(1, 64), cast(0 as decimal(30,12)),
+       |      (a, i) -> cast(a + cast(cast(element_at($col, i) as double)
+       |        * cast(((p * 1000003 + i * 7919 + $seed * 31337) % 97) - 48 as double)
+       |        as decimal(30,12)) as decimal(30,12))) >= 0
+       |    THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))""".stripMargin
+
+  /** Deterministic HNSW level of a vector: trailing-zero count of an
+    * integer hash of vec_id, capped — the geometric level law (half
+    * the nodes per extra layer) without RNG, so builds are
+    * reproducible across runs and engines. */
+  private def hnswLevelCol = {
+    val h = expr("abs(hash(vec_id))")
+    least(
+      when(h % 8 === 0, lit(2)).when(h % 2 === 0, lit(1)).otherwise(lit(0)),
+      lit(HNSW_LEVELS - 1)).as("level")
+  }
+
+  /** HNSW-CLASS GRAPH ANN — the graph-index family next to IVF
+    * ([[simsearchIvf]]), LSH ([[simsearchLsh]]) and PQ
+    * ([[simsearchPq]]). Spark-first construction:
+    *
+    *  - **Levels**: deterministic hash-geometric layer assignment
+    *    (no RNG — rebuilds are identical).
+    *  - **Edges**: per layer, candidate pairs come from TWO seeded
+    *    LSH bucket equi-joins over that layer's members (never
+    *    all-pairs — the same banded-candidate discipline as the
+    *    dedup LSH), each node keeping its [[HNSW_M]] best neighbors
+    *    by exact cosine; edges are then symmetrized. Build cost is
+    *    one bucket join + one top-M window per layer.
+    *  - **Search**: beam descent — enter at the top layer's global
+    *    entry point, then per layer run [[HNSW_ROUNDS]] rounds of
+    *    frontier-expand-score-prune (beam 1 above the base layer,
+    *    [[HNSW_EF]] at layer 0), every step a frontier⋈edges join
+    *    plus a per-query top-beam window. The driver loop carries
+    *    only loop CONTROL; candidate sets live in DataFrames
+    *    throughout (per-round localCheckpoint pins lineage).
+    *
+    * Scale notes (100 TB): the edge table is n×M rows partitioned by
+    * source node — the search's frontier join shuffles the FRONTIER
+    * (queries × beam), never the graph; layer sizes halve per level
+    * so upper-layer joins are noise. Search latency is
+    * O(levels + rounds) joins regardless of corpus size — the whole
+    * point of the navigable-small-world family. Approximation lives
+    * in recall only: the math is the codegen'd exact cosine with
+    * rnd6 + vec_id tiebreaks, so results are deterministic and
+    * Round14Spec gates mean recall@k against the brute-force truth
+    * (the [[simsearchRecall]] pattern; no SQL oracle — a multi-round
+    * graph traversal has no single-query DuckDB twin, the same class
+    * as ALS).
+    */
+  def simsearchHnsw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val nodes = e.select($"vec_id", $"embedding")
+      .withColumn("level", hnswLevelCol)
+      .localCheckpoint(true)
+
+    // --- build: per layer, LSH-candidate top-M edges, symmetrized
+    val edgesByLevel: Map[Int, DataFrame] = (0 until HNSW_LEVELS).map { l =>
+      val members = nodes.filter($"level" >= l)
+      val sigs = Seq(0, 1, 2).map(seed => members
+        .select($"vec_id", $"embedding",
+          expr(hnswSigExpr("embedding", seed, HNSW_PLANES(l))).as("b"))
+        .withColumn("t", lit(seed)))
+      val cand = sigs.map { s =>
+        val a = s.select($"vec_id".as("src"), $"embedding".as("sv"),
+          $"b", $"t")
+        val bb = s.select($"vec_id".as("dst"), $"embedding".as("dv"),
+          $"b", $"t")
+        a.join(bb, Seq("b", "t")).filter($"src" =!= $"dst")
+      }.reduce(_ unionByName _)
+        .dropDuplicates("src", "dst")
+      val wM = Window.partitionBy($"src")
+        .orderBy($"sim".desc, $"dst".asc)
+      val topM = cand
+        .select($"src", $"dst",
+          rnd6(expr("graft_cosine_sim(sv, dv)")).as("sim"))
+        .withColumn("rk", row_number().over(wM))
+        .filter($"rk" <= HNSW_M)
+        .select($"src", $"dst")
+      // symmetrize: HNSW links are bidirectional (at 100 TB re-cap
+      // the reversed side at M too; fixture layers are small)
+      l -> topM.unionByName(topM.select($"dst".as("src"), $"src".as("dst")))
+        .dropDuplicates("src", "dst")
+        .localCheckpoint(true)
+    }.toMap
+
+    // --- entry points: a bounded deterministic set of top-layer
+    // nodes (multi-entry seeding — the sparse top layer of a small
+    // corpus can strand a single-entry greedy descent; the seed set
+    // is capped so entry cost stays O(1) at any corpus size)
+    val entries = nodes.filter($"level" === (HNSW_LEVELS - 1))
+      .orderBy($"vec_id").limit(8)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq match {
+      case Seq() => nodes.orderBy($"vec_id").limit(1)
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+      case es => es
+    }
+
+    val q = e.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val emb = nodes.select($"vec_id".as("nid"), $"embedding".as("nv"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(emb, $"node" === $"nid")
+        .select($"query_id", $"qv", $"node",
+          rnd6(expr("graft_cosine_sim(nv, qv)")).as("sim"))
+
+    // --- search: beam descent, narrow beam above the base layer,
+    // EF at layer 0
+    var visited = score(q.crossJoin(
+        broadcast(entries.toDF("node"))))
+      .localCheckpoint(true)
+    (HNSW_LEVELS - 1) to 0 by -1 foreach { l =>
+      val beam = if (l == 0) HNSW_EF else 4
+      val wBeam = Window.partitionBy($"query_id")
+        .orderBy($"sim".desc, $"node".asc)
+      (1 to HNSW_ROUNDS).foreach { _ =>
+        val frontier = visited
+          .withColumn("rk", row_number().over(wBeam))
+          .filter($"rk" <= beam)
+          .select($"query_id", $"qv", $"node")
+        val expanded = frontier
+          .join(edgesByLevel(l), $"node" === $"src")
+          .select($"query_id", $"qv", $"dst".as("node"))
+          .dropDuplicates("query_id", "node")
+        visited = score(expanded)
+          .unionByName(visited)
+          .dropDuplicates("query_id", "node")
+          .withColumn("rk", row_number().over(wBeam))
+          .filter($"rk" <= math.max(beam, HNSW_EF))
+          .select($"query_id", $"qv", $"node", $"sim")
+          .localCheckpoint(true)
+      }
+    }
+    val wK = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    visited.filter($"node" =!= $"query_id")
+      .select($"query_id", $"node".as("vec_id"), $"sim".as("cos_sim"))
+      .withColumn("rk", row_number().over(wK))
+      .filter($"rk" <= TOP_K)
+      .orderBy($"query_id", $"rk")
+  }
 }

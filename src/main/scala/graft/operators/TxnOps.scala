@@ -324,39 +324,58 @@ object TxnOps {
 
   /** Incremental view maintenance over the transaction log: a
     * materialized aggregate view (key count + value sum) maintained
-    * across all versions by applying each commit's DELTA — the full
-    * snapshot is NEVER rescanned. The one table-shaped touch per
-    * version is a key-join of the previous snapshot against the
-    * delta's keys (retraction values for replaced/deleted keys),
-    * which is DELTA-BOUNDED work: at 100 TB with file-level pruning
-    * this reads only the files holding touched keys, the whole point
-    * of IVM. Emits the maintained aggregates per version; the oracle
+    * across all versions from the commit DELTAS alone — the full
+    * snapshot is NEVER rescanned, and (round-9 fix) the maintenance
+    * itself is ONE distributed plan, not a per-version driver loop of
+    * collected scalars. The shape: every delta file is scanned once
+    * (version recovered from the file path), a per-KEY window LAG
+    * turns each touch into the change it contributes to the view
+    * (new value minus the value in force before — an upsert carries
+    * the full new value, a delete retracts to zero), the changes
+    * aggregate per VERSION, and a running sum over the ≤ #versions
+    * aggregate rows (metadata-scale — the same class as `$history`)
+    * yields the maintained view at every version. At 100 TB: one
+    * delta-bounded shuffle by key, one metadata-scale aggregate —
+    * nothing table-shaped, nothing driver-resident. The oracle
     * recomputes each version's view independently from the base
     * events, so maintained ≡ recomputed is the gate itself. */
   def txnIvm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val root = ttTable(spark, sfDir)
     val latest = TxnLog.latestCommitted(root)
-    var nKeys = 0L
-    var sumValue = 0L
-    val rows = (0L to latest).map { v =>
-      val delta = spark.read.parquet(s"$root/delta_v$v")
-      val prev =
-        if (v == 0) TxnLog.emptySnapshot(spark)
-        else TxnLog.read(spark, root, v - 1)
-      // retractions: old contributions of exactly the touched keys
-      val old = prev.as("s")
-        .join(delta.select($"key").as("d"), Seq("key"))
-        .agg(coalesce(sum($"value"), lit(0L)).as("s"),
-          count(lit(1)).as("n")).collect()(0)
-      val add = delta.filter($"op" === "upsert")
-        .agg(coalesce(sum($"value"), lit(0L)).as("s"),
-          count(lit(1)).as("n")).collect()(0)
-      nKeys = nKeys - old.getLong(1) + add.getLong(1)
-      sumValue = sumValue - old.getLong(0) + add.getLong(0)
-      (v, nKeys, sumValue)
-    }
-    rows.toDF("version", "n_keys", "sum_value").orderBy($"version")
+    val deltas = spark.read
+      .parquet((0L to latest).map(v => s"$root/delta_v$v"): _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "delta_v(\\d+)/", 1)
+          .cast("long"))
+    val perKey = Window.partitionBy($"key").orderBy($"version")
+    val changes = deltas
+      .withColumn("contrib",
+        when($"op" === "delete", lit(0L)).otherwise($"value"))
+      .withColumn("present",
+        when($"op" === "delete", lit(0L)).otherwise(lit(1L)))
+      .select($"version",
+        ($"contrib" - coalesce(lag($"contrib", 1).over(perKey), lit(0L)))
+          .as("d_sum"),
+        ($"present" - coalesce(lag($"present", 1).over(perKey), lit(0L)))
+          .as("d_cnt"))
+    // versions with empty (metadata-only) deltas still get a row
+    val versions = spark.range(0L, latest + 1).select($"id".as("version"))
+    val perVersion = versions
+      .join(changes.groupBy($"version")
+        .agg(sum($"d_cnt").as("dc"), sum($"d_sum").as("ds")),
+        Seq("version"), "left")
+      .select($"version", coalesce($"dc", lit(0L)).as("dc"),
+        coalesce($"ds", lit(0L)).as("ds"))
+    // running view over the per-version aggregate: ≤ #versions rows,
+    // metadata-scale at any table size (WindowGuard-allowlisted)
+    val run = Window.orderBy($"version")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perVersion.select($"version",
+      sum($"dc").over(run).as("n_keys"),
+      sum($"ds").over(run).as("sum_value"))
+      .orderBy($"version")
   }
 
   val txnIvmSql: String =
@@ -1671,4 +1690,261 @@ object TxnOps {
       |WHERE event_type IN ('click', 'view', 'purchase')
       |  AND user_id BETWEEN 10 AND 25
       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** SQL `ALTER TABLE ... ADD COLUMN ... DEFAULT n` — BACKFILL-FREE
+    * column defaults through the catalog: the ALTER is ONE
+    * metadata-only commit (linked snapshot + a column-mapping entry
+    * holding the default; zero data files rewritten — `link_ok`
+    * proves the snapshot is a symlink), and the catalog READ
+    * materializes the default inside the partition readers
+    * ([[graft.sources.MappedVirtualScanBuilder]] appends the
+    * constant row-side, fully distributed). Time travel BELOW the
+    * ALTER still shows the old two-column schema (`n_cols_v0`) —
+    * the Delta/Iceberg added-with-default semantic end to end. */
+  def txnSqlAddDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "sqladddef")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    spark.sql(s"ALTER TABLE $ident ADD COLUMN score BIGINT DEFAULT 7")
+    val linkOk =
+      if (java.nio.file.Files.isSymbolicLink(
+        java.nio.file.Paths.get(root, "snapshot_v1"))) 1L else 0L
+    val nColsV0 = spark.sql(
+      s"SELECT * FROM $ident VERSION AS OF 0").columns.length.toLong
+    spark.sql(
+      s"""SELECT key AS user_id, value AS balance, score
+         |FROM $ident ORDER BY user_id""".stripMargin)
+      .withColumn("link_ok", lit(linkOk))
+      .withColumn("n_cols_v0", lit(nColsV0))
+  }
+
+  val txnSqlAddDefaultSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance,
+      |  CAST(7 AS BIGINT) AS score, CAST(1 AS BIGINT) AS link_ok,
+      |  CAST(2 AS BIGINT) AS n_cols_v0
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** MULTI-TABLE ATOMIC COMMIT (`TxnLog.commitMulti`): the
+    * corpus+manifest pair every ingest pipeline maintains — per-user
+    * balances in one table, per-ingest row-count accounting in
+    * another — committed as ONE transaction whose visibility is
+    * decided by ONE atomic coordinator link (claims in sorted-root
+    * lock order, shared stage token, intents + coordinator + markers;
+    * Round14Spec crashes it on both sides of the decision and proves
+    * all-or-nothing). The oracle recomputes both tables from events:
+    * if the view-wave's corpus rows and its manifest row ever came
+    * from different transactions, the counts could not agree. */
+  def txnMultiCommit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = scratch(spark, sfDir, "mtx_corpus")
+    val manifest = scratch(spark, sfDir, "mtx_manifest")
+    Seq(corpus, manifest).foreach { r =>
+      TxnLog.destroy(r); TxnLog.init(r)
+    }
+    // seed transaction: click balances + their manifest row, atomic
+    TxnLog.commitMulti(spark, Seq(
+      corpus -> ((_: DataFrame) => {
+        val inc = typeCounts(spark, sfDir, "click")
+        (inc.select($"key", $"cnt".as("value"),
+          lit("upsert").as("op")), TxnLog.range(inc))
+      }),
+      manifest -> ((_: DataFrame) => {
+        val row = typeCounts(spark, sfDir, "click")
+          .agg(coalesce(sum($"cnt"), lit(0L)).as("value"))
+          .select(lit(0L).as("key"), $"value", lit("upsert").as("op"))
+        (row, Seq((0L, 0L)))
+      })))
+    // second transaction: view wave + its manifest row, atomic
+    TxnLog.commitMulti(spark, Seq(
+      corpus -> ((base: DataFrame) => {
+        val inc = typeCounts(spark, sfDir, "view")
+        val delta = base.as("s").join(inc.as("d"), Seq("key"), "right")
+          .select($"key",
+            (coalesce($"s.value", lit(0L)) + $"d.cnt").as("value"),
+            lit("upsert").as("op"))
+        (delta, TxnLog.range(inc))
+      }),
+      manifest -> ((_: DataFrame) => {
+        val row = typeCounts(spark, sfDir, "view")
+          .agg(coalesce(sum($"cnt"), lit(0L)).as("value"))
+          .select(lit(1L).as("key"), $"value", lit("upsert").as("op"))
+        (row, Seq((1L, 1L)))
+      })))
+    val nv = lit(TxnLog.latestCommitted(corpus) + 1).cast("long")
+    val nm = lit(TxnLog.latestCommitted(manifest) + 1).cast("long")
+    TxnLog.read(spark, corpus, TxnLog.latestCommitted(corpus))
+      .select(lit("corpus").as("side"), $"key", $"value")
+      .unionByName(
+        TxnLog.read(spark, manifest, TxnLog.latestCommitted(manifest))
+          .select(lit("manifest").as("side"), $"key", $"value"))
+      .withColumn("n_versions_corpus", nv)
+      .withColumn("n_versions_manifest", nm)
+      .orderBy($"side", $"key")
+  }
+
+  val txnMultiCommitSql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY user_id),
+      |m AS (
+      |  SELECT 0 AS key,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 1, COUNT(*) FILTER (WHERE event_type = 'view')
+      |  FROM events)
+      |SELECT side, key, value,
+      |  CAST(2 AS BIGINT) AS n_versions_corpus,
+      |  CAST(2 AS BIGINT) AS n_versions_manifest
+      |FROM (
+      |  SELECT 'corpus' AS side, CAST(user_id AS BIGINT) AS key,
+      |    balance AS value FROM c
+      |  UNION ALL
+      |  SELECT 'manifest', CAST(key AS BIGINT), CAST(value AS BIGINT)
+      |  FROM m)
+      |ORDER BY side, key""".stripMargin
+
+  /** The `$partitions` metadata table (the third of the trio next to
+    * `$history` and `$files`): partitions are maximal DISJOINT
+    * key-range runs of the snapshot's files, merged from footer
+    * stats ([[graft.engine.FooterStats.partitionRuns]]). The demo
+    * shows the semantic doing real work: after a clustered OPTIMIZE
+    * (4 range-sorted files) the table reports 4 disjoint partitions;
+    * after a hash re-layout (2 full-range files) it reports ONE
+    * partition of 2 files — "this layout has no partition
+    * structure", which is exactly what a planner needs to know
+    * before attempting partition-wise pruning. The query aggregates
+    * per stage so the oracle is boundary-independent (Spark's range
+    * sampler places cut points nondeterministically). */
+  def txnPartitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "partitions")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    Seq("click", "view", "purchase").foreach { et =>
+      TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
+    }
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts.init :+
+      (parts.last + "$partitions")).map(p => s"`$p`").mkString(".")
+    def stage(tag: String): DataFrame =
+      spark.sql(
+        s"""SELECT '$tag' AS stage,
+           |  CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           |  SUM(n_files) AS n_files, SUM(n_rows) AS total_rows,
+           |  MIN(kmin) AS lo, MAX(kmax) AS hi
+           |FROM $ident""".stripMargin)
+    // the metadata table always reads the LATEST snapshot, so each
+    // stage's (metadata-scale) summary row is collected before the
+    // next re-layout commits
+    TxnLog.optimizeClustered(spark, root, targetFiles = 4)
+    val clustered = stage("clustered").collect().toSeq
+    TxnLog.optimize(spark, root, targetFiles = 2)
+    val hashed = stage("hashed").collect().toSeq
+    (clustered ++ hashed)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toDF("stage", "n_partitions", "n_files", "total_rows", "lo", "hi")
+      .orderBy($"stage")
+  }
+
+  val txnPartitionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, COUNT(*) AS balance FROM events
+      |  WHERE event_type IN ('click', 'view', 'purchase')
+      |  GROUP BY user_id)
+      |SELECT 'clustered' AS stage, CAST(4 AS BIGINT) AS n_partitions,
+      |  CAST(4 AS BIGINT) AS n_files,
+      |  CAST(COUNT(*) AS BIGINT) AS total_rows,
+      |  CAST(MIN(user_id) AS BIGINT) AS lo,
+      |  CAST(MAX(user_id) AS BIGINT) AS hi
+      |FROM t
+      |UNION ALL
+      |SELECT 'hashed', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+      |  CAST(COUNT(*) AS BIGINT),
+      |  CAST(MIN(user_id) AS BIGINT), CAST(MAX(user_id) AS BIGINT)
+      |FROM t
+      |ORDER BY stage""".stripMargin
+
+  /** ANALYZE TABLE from the engine's own metadata: one footer pass
+    * over the latest snapshot ([[graft.plans.Cbo.analyze]]) yields
+    * table row count and per-column min/max/null-count — the numbers
+    * cost-based planning runs on — without reading a single data
+    * page. Emitted one row per column; the oracle recomputes the
+    * same statistics from the base events, so "footer stats ≡ true
+    * stats" is itself the assertion. At 100 TB this is O(files)
+    * manifest metadata; the alternative (a scan-based ANALYZE) reads
+    * the table. */
+  def txnAnalyze(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "analyze")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "click"))
+    val stats = graft.plans.Cbo.analyze(root)
+    stats.cols.toSeq.sortBy(_._1).map { case (c, s) =>
+      (c, stats.nRows, s.nulls,
+        s.min.getOrElse(-1L), s.max.getOrElse(-1L))
+    }.toDF("column_name", "n_rows", "null_count", "vmin", "vmax")
+      .orderBy($"column_name")
+  }
+
+  val txnAnalyzeSql: String =
+    """WITH t AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id)
+      |SELECT 'key' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS null_count,
+      |  CAST(MIN(user_id) AS BIGINT) AS vmin,
+      |  CAST(MAX(user_id) AS BIGINT) AS vmax
+      |FROM t
+      |UNION ALL
+      |SELECT 'value', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(MIN(balance) AS BIGINT), CAST(MAX(balance) AS BIGINT)
+      |FROM t
+      |ORDER BY column_name""".stripMargin
+
+  /** COST-BASED JOIN off the table's own stats: the events fact is
+    * joined to a transactional dimension (per-user purchase counts)
+    * through [[graft.plans.Cbo.join]], which ANALYZEs the dimension's
+    * footer stats and BROADCASTS it because the manifest says it fits
+    * — no hint from the query author, no reliance on Spark's
+    * file-size guess. Round14Spec pins the plan flip: the same join
+    * with a 1-byte budget plans a sort-merge join instead. The result
+    * aggregates purchases-weighted activity per event type — a
+    * shape DuckDB recomputes directly. */
+  def joinCbo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = scratch(spark, sfDir, "cbo")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, addCounts(spark, sfDir, "purchase"))
+    val dim = TxnLog.read(spark, root, TxnLog.latestCommitted(root))
+      .select($"key", $"value".as("purchases"))
+    val fact = Tables.events(spark, sfDir)
+      .select($"user_id".as("key"), $"event_type")
+    graft.plans.Cbo.join(fact, dim, root, Seq("key"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"purchases").as("sum_purchases"))
+      .orderBy($"event_type")
+  }
+
+  val joinCboSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(p.purchases) AS BIGINT) AS sum_purchases
+      |FROM events e JOIN p ON e.user_id = p.user_id
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 }

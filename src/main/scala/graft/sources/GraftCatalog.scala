@@ -62,6 +62,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  // declare column-DEFAULT support so Spark routes
+  // `ALTER TABLE ... ADD COLUMN ... DEFAULT n` here instead of
+  // rejecting it at analysis
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def dirOf(namespace: Array[String]): File =
     new File((root +: namespace.toSeq).mkString("/"))
 
@@ -129,6 +137,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       return new TxnFilesTable(
         s"$catalogName.${ident.name()}", root.getAbsolutePath)
     }
+    if (ident.name().endsWith("$partitions")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$partitions"))
+      val root = txnRoot(base).getOrElse(
+        throw new NoSuchTableException(
+          ident.namespace() :+ ident.name()))
+      return new TxnPartitionsTable(
+        s"$catalogName.${ident.name()}", root.getAbsolutePath)
+    }
     txnRoot(ident) match {
       case Some(root) =>
         // transactional table: resolve the LATEST committed snapshot
@@ -136,8 +153,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // moves; snapshot dirs themselves are immutable) and wrap it
         // writable: INSERT INTO commits through the OCC log
         val v = graft.engine.TxnLog.latestCommitted(root.getAbsolutePath)
-        if (v < 0)
-          throw new NoSuchTableException(ident.namespace() :+ ident.name())
+        if (v < 0) {
+          // CREATE TABLE without data yet: no snapshot to delegate
+          // reads to, but the declared schema was persisted at create
+          // time — INSERT INTO must resolve (the most basic DDL→DML
+          // sequence), reads fail loudly until v0 lands
+          val declared = new File(root, "_txn_log/create.schema")
+          if (!declared.exists())
+            throw new NoSuchTableException(
+              ident.namespace() :+ ident.name())
+          val cols = new String(java.nio.file.Files.readAllBytes(
+            declared.toPath), java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.filter(_.nonEmpty).toSeq
+          return new TxnTable(
+            s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+            root.getAbsolutePath,
+            StructType(cols.map(c => org.apache.spark.sql.types
+              .StructField(c, org.apache.spark.sql.types.LongType,
+                nullable = c != "key"))),
+            None)
+        }
         val pt = parquetTable(ident, s"$root/snapshot_v$v")
         val mapping = graft.engine.TxnLog.currentMapping(
           root.getAbsolutePath, v)
@@ -155,7 +190,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
         new TxnTable(
           s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-          root.getAbsolutePath, logicalSchema, Some(pt), mapping)
+          root.getAbsolutePath, logicalSchema, Some(pt), mapping, v)
       case None =>
         val f = fileOf(ident)
         if (!f.exists())
@@ -266,6 +301,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident.namespace() :+ ident.name())
     graft.engine.TxnLog.init(dir.getAbsolutePath)
+    // persist the declared columns so the table resolves BEFORE its
+    // first commit (CREATE TABLE then INSERT INTO as two statements)
+    java.nio.file.Files.write(
+      new File(dir, "_txn_log/create.schema").toPath,
+      schema.fieldNames.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
     new TxnTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       dir.getAbsolutePath, schema, None)
@@ -295,6 +336,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "nested fields are not supported")
         graft.engine.TxnLog.dropColumn(spark,
           root.getAbsolutePath, d.fieldNames()(0))
+      // ALTER TABLE ... ADD COLUMN ... DEFAULT n — BACKFILL-FREE:
+      // one metadata-only commit (linked snapshot + mapping entry);
+      // no data file is rewritten, reads materialize the default
+      // until real writes arrive, and time travel below the ALTER
+      // still shows the old schema (the Delta/Iceberg default
+      // semantic). The default must be a LITERAL the mapping can
+      // store — BIGINT, the txn column family.
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "nested fields are not supported")
+        require(a.dataType() == org.apache.spark.sql.types.LongType,
+          s"$catalogName: txn tables are BIGINT-columned, got " +
+            a.dataType().simpleString)
+        val default = Option(a.defaultValue()).map { dv =>
+          dv.getValue.value() match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case other => throw new UnsupportedOperationException(
+              s"$catalogName: DEFAULT must be an integer literal, " +
+                s"got $other")
+          }
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"$catalogName: ADD COLUMN on a txn table requires a " +
+            "DEFAULT (backfill-free adds materialize it on read)"))
+        graft.engine.TxnLog.addColumnMapped(spark,
+          root.getAbsolutePath, a.fieldNames()(0), default)
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other")
@@ -381,7 +448,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * Long-typed columns only — the txn fixture's schema family. */
 private[graft] class TxnTable(tableName: String, root: String,
     tableSchema: StructType, delegate: Option[Table],
-    mapping: Option[graft.engine.TxnLog.ColMapping] = None)
+    mapping: Option[graft.engine.TxnLog.ColMapping] = None,
+    scannedVersion: Long = -1L)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -418,7 +486,12 @@ private[graft] class TxnTable(tableName: String, root: String,
             new DeltaWriteBuilder {
               override def build(): DeltaWrite = new DeltaWrite {
                 override def toBatch: DeltaBatchWrite =
-                  new TxnDeltaBatchWrite(root, wi.schema())
+                  // the write validates against the version this
+                  // table was LOADED at — the version the rewrite's
+                  // scan actually read — so commits landing between
+                  // the DML's scan and its job commit are seen
+                  new TxnDeltaBatchWrite(root, wi.schema(),
+                    scannedVersion)
               }
             }
           override def rowId(): Array[
@@ -448,19 +521,19 @@ private[graft] class TxnTable(tableName: String, root: String,
     mapping match {
       case None => inner
       case Some(m) =>
-        // a VIRTUAL column (re-added via mapping, no physical data
-        // yet) cannot be produced by a positional delegate scan —
-        // refuse loudly rather than serve a wrong column
+        // VIRTUAL columns (added via mapping with a DEFAULT, no
+        // physical data yet — the backfill-free ADD COLUMN) are
+        // served by appending the constant default to every row in
+        // the readers themselves: distributed, prune-aware, zero
+        // data rewritten. Physically-backed columns go through the
+        // positional name translation as before.
         val physNames = delegate.get.schema().fieldNames.toSet
         val virtual = m.collect {
-          case (l, p, _) if !physNames(p) => l
+          case (l, p, d) if !physNames(p) => (l, d)
         }
-        if (virtual.nonEmpty)
-          throw new UnsupportedOperationException(
-            s"$tableName: column(s) ${virtual.mkString(", ")} exist " +
-              "only in the mapping (re-added with a default); read " +
-              "this table via TxnLog.read until real data is written")
-        new MappedScanBuilder(inner, m)
+        if (virtual.isEmpty) new MappedScanBuilder(inner, m)
+        else new MappedVirtualScanBuilder(inner,
+          m.filter(e => physNames(e._2)), virtual)
     }
   }
 
@@ -576,6 +649,95 @@ private[graft] class MappedScanBuilder(
   }
 }
 
+/** [[MappedScanBuilder]] plus VIRTUAL columns: logical columns whose
+  * physical data does not exist yet (the backfill-free
+  * `ADD COLUMN ... DEFAULT`) are appended to every row as CONSTANTS
+  * inside the partition readers — the read stays fully distributed
+  * and column-pruned; only the mapping metadata knows the value.
+  * Readers are forced onto the row-based path (`supportColumnarReads
+  * = false`) so one JoinedRow covers every inner source. At 100 TB
+  * this is exactly how Delta/Iceberg serve added-with-default
+  * columns: from metadata at read time, never by rewriting files. */
+private[graft] class MappedVirtualScanBuilder(
+    delegate: org.apache.spark.sql.connector.read.ScanBuilder,
+    physMapping: graft.engine.TxnLog.ColMapping,
+    virtualAll: Seq[(String, Option[Long])])
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow,
+    JoinedRow}
+
+  private val l2p = physMapping.map(e => e._1 -> e._2).toMap
+  private val p2l = physMapping.map(e => e._2 -> e._1).toMap
+  private val virtualByName = virtualAll.toMap
+  private var requestedVirtual: Seq[(String, Option[Long])] = virtualAll
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val (virt, phys) = requiredSchema.fields.partition(f =>
+      virtualByName.contains(f.name))
+    requestedVirtual = virt.toSeq.map(f => f.name -> virtualByName(f.name))
+    delegate match {
+      case d: SupportsPushDownRequiredColumns =>
+        d.pruneColumns(StructType(phys.map(f =>
+          f.copy(name = l2p.getOrElse(f.name, f.name)))))
+      case _ =>
+    }
+  }
+
+  override def build(): Scan = {
+    val inner = delegate.build()
+    val virtuals = requestedVirtual
+    new Scan {
+      override def readSchema(): StructType =
+        StructType(inner.readSchema().fields.map(f =>
+          f.copy(name = p2l.getOrElse(f.name, f.name))) ++
+          virtuals.map { case (l, d) =>
+            org.apache.spark.sql.types.StructField(l,
+              org.apache.spark.sql.types.LongType,
+              nullable = d.isEmpty)
+          })
+      override def description(): String =
+        s"mappedVirtual(${inner.description()}, " +
+          s"+${virtuals.map(_._1).mkString(",")})"
+      override def toBatch: Batch = {
+        val innerBatch = inner.toBatch
+        new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            innerBatch.planInputPartitions()
+          override def createReaderFactory(): PartitionReaderFactory = {
+            val innerFactory = innerBatch.createReaderFactory()
+            val consts = virtuals.map(_._2).toArray
+            new PartitionReaderFactory {
+              override def supportColumnarReads(
+                  p: InputPartition): Boolean = false
+              override def createReader(
+                  p: InputPartition): PartitionReader[InternalRow] = {
+                val r = innerFactory.createReader(p)
+                new PartitionReader[InternalRow] {
+                  private val joined = new JoinedRow
+                  private val extra = {
+                    val g = new GenericInternalRow(consts.length)
+                    consts.zipWithIndex.foreach {
+                      case (Some(v), i) => g.setLong(i, v)
+                      case (None, i) => g.setNullAt(i)
+                    }
+                    g
+                  }
+                  override def next(): Boolean = r.next()
+                  override def get(): InternalRow = joined(r.get(), extra)
+                  override def close(): Unit = r.close()
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
 /** Manifest-style task-commit message: where the task staged its
   * rows, and the key range + count it wrote — never the rows. */
 private[graft] case class TxnStagedFile(path: String, kmin: Long,
@@ -618,7 +780,8 @@ private[graft] class TxnBatchWrite(root: String,
         val fields = writeSchema.fieldNames.toSeq
         val schema = StructType(fields.map(f =>
           org.apache.spark.sql.types.StructField(f,
-            org.apache.spark.sql.types.LongType, nullable = false)))
+            org.apache.spark.sql.types.LongType,
+            nullable = f != "key")))
         val ranges =
           if (truncate) Seq((Long.MinValue, Long.MaxValue))
           else staged.map(m => (m.kmin, m.kmax))
@@ -682,10 +845,22 @@ private[graft] case class TxnStageWriterFactory(stageDir: String,
       private var kmax = Long.MinValue
       private var n = 0L
 
+      // NULL discipline: a NULL primary key is rejected LOUDLY (the
+      // row id identifies the target row — there is no meaningful
+      // null-keyed upsert); a NULL value column is encoded as an
+      // empty CSV field, which the txn layer's applyDelta already
+      // treats as "absent" (new keys read back NULL; existing keys
+      // keep their prior value — the log's column-level-upsert
+      // convention). Silent 0s from an unchecked getLong are neither.
       override def write(row: InternalRow): Unit = {
+        if (row.isNullAt(0))
+          throw new IllegalArgumentException(
+            "cannot INSERT a NULL primary key into a txn table")
         val k = row.getLong(0)
         kmin = math.min(kmin, k); kmax = math.max(kmax, k); n += 1
-        out.println((0 until nCols).map(row.getLong).mkString(","))
+        out.println((0 until nCols).map(i =>
+          if (row.isNullAt(i)) "" else row.getLong(i).toString)
+          .mkString(","))
       }
 
       override def commit(): WriterCommitMessage = {
@@ -736,7 +911,7 @@ private[graft] class KeyNotNullScanBuilder(
   * Same manifest discipline as [[TxnBatchWrite]]: messages carry
   * paths and key ranges, never rows. */
 private[graft] class TxnDeltaBatchWrite(root: String,
-    writeSchema: StructType)
+    writeSchema: StructType, scannedVersion: Long)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write._
   import org.apache.spark.sql.catalyst.InternalRow
@@ -750,6 +925,17 @@ private[graft] class TxnDeltaBatchWrite(root: String,
     TxnDeltaWriterFactory(stageDir.getAbsolutePath, writeSchema.length)
   }
 
+  /** NON-RETRYABLE commit: the delta was computed by Spark's rewrite
+    * against the snapshot at `scannedVersion`, so it cannot be
+    * rebuilt by re-running a closure — the staged rows are already
+    * stale if anything overlapping committed since the scan. The
+    * transaction therefore validates from `scannedVersion` (not from
+    * commit-entry time) and FAILS with [[graft.engine.TxnLog.Conflict]]
+    * on any read-range conflict instead of replaying the stale delta
+    * (which would silently overwrite the concurrent commit — the
+    * classic lost update, e.g. a MERGE's `t.value + s.cnt` computed
+    * pre-race clobbering a concurrent increment). Disjoint
+    * concurrent commits still rebase fine. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.toSeq.collect {
       case m: TxnStagedFile if m.rows > 0 => m
@@ -759,13 +945,16 @@ private[graft] class TxnDeltaBatchWrite(root: String,
       if (staged.nonEmpty) {
         val schema = StructType(writeSchema.fieldNames.map(f =>
           org.apache.spark.sql.types.StructField(f,
-            org.apache.spark.sql.types.LongType, nullable = false)) :+
+            org.apache.spark.sql.types.LongType,
+            nullable = f != "key")) :+
           org.apache.spark.sql.types.StructField("op",
             org.apache.spark.sql.types.StringType, nullable = false))
         val ranges = staged.map(m => (m.kmin, m.kmax))
         graft.engine.TxnLog.commit(spark, root, { _ =>
           (spark.read.schema(schema).csv(staged.map(_.path): _*), ranges)
-        })
+        },
+          baseline = if (scannedVersion >= 0) Some(scannedVersion) else None,
+          rerunOnConflict = false)
         ()
       }
     } finally {
@@ -804,9 +993,15 @@ private[graft] case class TxnDeltaWriterFactory(stageDir: String,
         kmin = math.min(kmin, k); kmax = math.max(kmax, k); n += 1
       }
 
+      // same NULL discipline as the INSERT writer: null key = loud
+      // error, null value = empty field (applyDelta's "absent")
       override def insert(row: InternalRow): Unit = {
+        if (row.isNullAt(0))
+          throw new IllegalArgumentException(
+            "cannot write a NULL primary key into a txn table")
         track(row.getLong(0))
-        out.println((0 until nCols).map(row.getLong)
+        out.println((0 until nCols).map(i =>
+          if (row.isNullAt(i)) "" else row.getLong(i).toString)
           .mkString("", ",", ",upsert"))
       }
 
@@ -967,6 +1162,59 @@ private[graft] class TxnFilesTable(tableName: String, root: String)
             mx.fold(r.setNullAt(3))(r.setLong(3, _))
             r: InternalRow
           }
+        }
+      }
+    }
+}
+
+/** The `$partitions` metadata table — the third of the metadata trio
+  * next to `$history` and `$files`: one row per PARTITION of the
+  * latest snapshot, where a partition is a maximal run of files whose
+  * footer key ranges merge into one disjoint interval
+  * ([[graft.engine.FooterStats.partitionRuns]] — the interval-merge a
+  * manifest planner runs to answer "which partitions does this range
+  * touch"). A clustered table reports one partition per file; a
+  * hash-layout table reports ONE partition spanning everything —
+  * honestly, "no partition structure". Per partition: file count,
+  * row count, key min/max. Driver-side LocalScan over footer stats,
+  * O(files) — metadata, same honesty argument as `$files`. */
+private[graft] class TxnPartitionsTable(tableName: String, root: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types._
+
+  private val partSchema = StructType(Seq(
+    StructField("partition_index", IntegerType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("kmin", LongType, nullable = true),
+    StructField("kmax", LongType, nullable = true)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = partSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = partSchema
+        override def rows(): Array[InternalRow] = {
+          graft.engine.FooterStats.partitionRuns(
+            graft.engine.FooterStats.latestSnapshot(root))
+            .map { case (i, nf, nr, mn, mx) =>
+              val r = new GenericInternalRow(5)
+              r.setInt(0, i)
+              r.setLong(1, nf)
+              r.setLong(2, nr)
+              mn.fold(r.setNullAt(3))(r.setLong(3, _))
+              mx.fold(r.setNullAt(4))(r.setLong(4, _))
+              r: InternalRow
+            }.toArray
         }
       }
     }

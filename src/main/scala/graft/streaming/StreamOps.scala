@@ -36,6 +36,37 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Fleet-guard plan capture: while [[planCaptureMode]] is set,
+    * [[sinkPoint]] aborts the op by throwing [[PlanCapture]] with the
+    * PRE-SINK analyzed logical plan(s) instead of starting the
+    * streaming query — so the cartesian/window guards can sweep every
+    * q_stream_* key's streaming plan STRUCTURALLY without paying a
+    * full replay (building the plan analyzes it; only execution needs
+    * the micro-batches). */
+  private[graft] final case class PlanCapture(
+      plans: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+    extends RuntimeException with scala.util.control.NoStackTrace
+  private[graft] val planCaptureMode =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Every streaming op routes its pre-sink frame(s) through here
+    * immediately before `.writeStream` — the guards' capture point. */
+  private def sinkPoint(df: DataFrame, more: DataFrame*): DataFrame = {
+    if (planCaptureMode.get)
+      throw PlanCapture((df +: more).map(_.queryExecution.analyzed))
+    df
+  }
+
+  /** `.sinkGuard` — the chainable form of [[sinkPoint]], spliced in
+    * front of every `.writeStream` in this file. */
+  private implicit class SinkGuardOps[T](ds: Dataset[T]) {
+    def sinkGuard: Dataset[T] = {
+      if (planCaptureMode.get)
+        throw PlanCapture(Seq(ds.queryExecution.analyzed))
+      ds
+    }
+  }
+
   /** Replay rows cached per (application, sfDir): five stream queries
     * share one collect+sort of the events table. Same lifecycle as
     * [[graft.engine.DfCache]]: switching to a new sfDir drops the old
@@ -85,17 +116,67 @@ object StreamOps {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = build(source.toDS())
+      val q = sinkPoint(build(source.toDS()))
         .writeStream.format("memory").queryName(sinkName).outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(sinkName)
   }
 
-  /** 1-hour tumbling counts/sums per event_type (complete mode). */
+  /** Stage the events table as batch-partitioned CSV for the
+    * OFFSET-BASED source ([[EventsFileStreamProvider]]): one Spark
+    * job, executors write their partitions — the driver never holds
+    * a row. Batch membership is a deterministic hash (these keys are
+    * Complete-mode aggregations, so any partition of the rows yields
+    * the identical final answer). */
+  private def stageReplayBatches(spark: SparkSession, sfDir: String,
+      nBatches: Int): String = {
+    import spark.implicits._
+    val dir = scratchDir(spark, sfDir, "graft_evsrc_")
+    Tables.events(spark, sfDir)
+      .select($"event_id", unix_micros($"ts").as("ts"), $"user_id",
+        $"event_type", $"value")
+      .withColumn("batch",
+        pmod(hash($"event_id"), lit(nBatches)).cast("long"))
+      .repartition(nBatches, $"batch")
+      .write.mode("overwrite").partitionBy("batch").csv(dir)
+    dir
+  }
+
+  /** [[runStream]] through the OFFSET-BASED file-backed V2 source
+    * instead of a MemoryStream replay: real micro-batches with
+    * checkpointable offsets and per-trigger admission control, rows
+    * read executor-side from the staged batch directories — the
+    * driver-memory-bounded replay collect is retired for the keys
+    * routed here. */
+  private def runStreamOffsets(spark: SparkSession, sfDir: String,
+      mode: OutputMode, nBatches: Int = 3)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val staged = stageReplayBatches(spark, sfDir, nBatches)
+    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val src = spark.readStream
+        .format(classOf[EventsFileStreamProvider].getName)
+        .option("path", staged)
+        .option("maxBatchesPerTrigger", "1")
+        .load()
+      val q = sinkPoint(build(src))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(sinkName)
+  }
+
+  /** 1-hour tumbling counts/sums per event_type (complete mode) —
+    * served through the OFFSET-BASED source: three real micro-batches
+    * admitted one per trigger, offsets checkpointed, rows
+    * executor-side end to end. */
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+    runStreamOffsets(spark, sfDir, OutputMode.Complete()) { ds =>
       ds.groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
         .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
@@ -177,7 +258,9 @@ object StreamOps {
     * sliding aggregation, and the same batch-twin oracle applies. */
   def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val panes = runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+    // offset-based source (see streamTumbling): real micro-batches,
+    // no driver-side replay collect
+    val panes = runStreamOffsets(spark, sfDir, OutputMode.Complete()) { ds =>
       ds.groupBy(window($"ts", "15 minutes"), $"event_type")
         .agg(count(lit(1)).as("pn"),
           sum($"value".cast(org.apache.spark.sql.types.DecimalType(38, 6)))
@@ -326,6 +409,7 @@ object StreamOps {
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
         .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append()).start()
       try {
@@ -388,6 +472,7 @@ object StreamOps {
       val q = source.toDS()
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Update()).start()
       try {
@@ -684,6 +769,7 @@ object StreamOps {
     def start() = source.toDS()
       .filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts", $"value")
+      .sinkGuard
       .writeStream.format("parquet")
       .option("checkpointLocation", ckpt)
       .option("path", sink)
@@ -870,6 +956,7 @@ object StreamOps {
         .transformWithState(new TimerSessionProc(3600L * 1000000L),
           TimeMode.EventTime(), OutputMode.Append())
         .toDF("user_id", "start_us", "n_events", "sum_value", "by_timer")
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append()).start()
       try {
@@ -1007,6 +1094,7 @@ object StreamOps {
           TimeMode.EventTime(), OutputMode.Append())
         .toDF("user_id", "view_event_id", "by_timer")
         .drop("by_timer")
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append()).start()
       try {
@@ -1067,6 +1155,7 @@ object StreamOps {
       val q = source.toDS()
         .filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts", $"value")
+        .sinkGuard
         .writeStream
         .foreachBatch(febWrite(out) _)
         .outputMode(OutputMode.Append()).start()
@@ -1132,6 +1221,29 @@ object StreamOps {
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** Per-user event counts of one micro-batch — the sink's commit
+    * payload, as a distributed frame (exposed for the plan spec that
+    * pins "no collect feeds the commit"). */
+  private[graft] def txnSinkCounts(
+      batch: Dataset[org.apache.spark.sql.Row]): DataFrame = {
+    val spark2 = batch.sparkSession
+    import spark2.implicits._
+    batch.groupBy($"user_id".as("key")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The sink's read-modify-write delta: batch counts added to the
+    * base snapshot's balances (insert where absent) — built from the
+    * two DataFrames directly, never from driver-resident rows. */
+  private[graft] def txnSinkDelta(inc: DataFrame,
+      base: DataFrame): DataFrame = {
+    val spark2 = inc.sparkSession
+    import spark2.implicits._
+    base.as("s").join(inc.as("d"), Seq("key"), "right")
+      .select($"key",
+        (coalesce($"s.value", lit(0L)) + $"d.cnt").as("value"),
+        lit("upsert").as("op"))
+  }
+
   /** Exactly-once streaming sink through the TRANSACTION LOG: each
     * micro-batch commits its per-user event-count delta as one
     * [[graft.engine.TxnLog]] transaction carrying the batch id as
@@ -1157,23 +1269,23 @@ object StreamOps {
     try {
       val q = source.toDS()
         .select($"user_id", $"event_id")
+        .sinkGuard
         .writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
           val spark2 = batch.sparkSession
-          import spark2.implicits._
-          val counts = batch.groupBy($"user_id".as("key"))
-            .agg(count(lit(1)).as("cnt"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // the per-batch delta stays a DataFrame end to end (round-9
+          // fix: the old code collected per-key counts to a driver
+          // Map, which is bounded by keys-touched-per-batch but at
+          // 100× should never leave the executors). localCheckpoint
+          // pins the transient micro-batch data so the txn closure
+          // can be re-run on conflict; the only driver row is
+          // TxnLog.range's single min/max aggregate — the same
+          // metadata-scale read-set descriptor every commit uses.
+          val inc = txnSinkCounts(batch).localCheckpoint(true)
+          val ranges = TxnLog.range(inc)
           def tx(base: org.apache.spark.sql.DataFrame)
-              : (org.apache.spark.sql.DataFrame, TxnLog.KeyRanges) = {
-            val inc = counts.toSeq.toDF("key", "cnt")
-            val delta = base.as("s").join(inc.as("d"), Seq("key"), "right")
-              .select($"key",
-                (coalesce($"s.value", lit(0L)) + $"d.cnt").as("value"),
-                lit("upsert").as("op"))
-            (delta, if (counts.isEmpty) Nil
-              else Seq((counts.keys.min, counts.keys.max)))
-          }
+              : (org.apache.spark.sql.DataFrame, TxnLog.KeyRanges) =
+            (txnSinkDelta(inc, base), ranges)
           val first = TxnLog.commit(spark2, root, tx, txnId = Some(s"b$id"))
           // the simulated re-drive: same batch id, same payload
           val retry = TxnLog.commit(spark2, root, tx, txnId = Some(s"b$id"))
@@ -1239,6 +1351,7 @@ object StreamOps {
         .groupBy($"version")
         .agg(count(when($"op" === "upsert", 1)).as("n_upserts"),
           count(when($"op" === "delete", 1)).as("n_deletes"))
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Complete()).start()
       try {
@@ -1312,6 +1425,7 @@ object StreamOps {
           when($"event_type" === "error", lit("delete"))
             .otherwise(lit("upsert")).as("op"),
           $"value")
+        .sinkGuard
         .writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
           val spark2 = batch.sparkSession
@@ -1396,6 +1510,7 @@ object StreamOps {
           $"p_user" === $"c_user" &&
             $"c_ts" >= expr("p_ts - INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
         .select($"purchase_id", $"click_id", $"p_user".as("user_id"))
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append()).start()
       try q.processAllAvailable() finally q.stop()
@@ -1454,6 +1569,7 @@ object StreamOps {
             $"c_ts" >= expr("p_ts - INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts",
           "left_outer")
         .select($"purchase_id", $"click_id", $"p_user".as("user_id"))
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append()).start()
       try {
@@ -1527,6 +1643,7 @@ object StreamOps {
           sum($"psum").cast(org.apache.spark.sql.types.DoubleType)
             .as("sum_value"))
         .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append()).start()
       try {
@@ -1587,6 +1704,7 @@ object StreamOps {
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
         .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Complete())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1638,6 +1756,7 @@ object StreamOps {
         .groupBy($"bucket")
         .agg(sum($"sign").as("n_users"),
           sum($"sign" * $"value").as("sum_balance"))
+        .sinkGuard
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Complete()).start()
       try {

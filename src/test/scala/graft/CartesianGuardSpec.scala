@@ -50,4 +50,51 @@ class CartesianGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "cartesian product — remove it")
     }
   }
+
+  test("streaming keys: no condition-less inner join in the pre-sink " +
+      "logical plan") {
+    // the q_stream_* keys are swept STRUCTURALLY: StreamOps'
+    // plan-capture mode aborts each op at its sink point with the
+    // analyzed pre-sink logical plan — no replay executes, so the
+    // old blanket exemption is gone. A condition-less inner/cross
+    // Join in the logical plan is the thing that would become a
+    // CartesianProductExec once run — UNLESS a side carries the
+    // house `broadcast(...)` hint (those plan BroadcastNestedLoop:
+    // the physical sweep above distinguishes them for free, the
+    // logical sweep must do it explicitly) or is a global aggregate
+    // (≤ 1 row by construction).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join,
+      LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+    def bounded(p: LogicalPlan): Boolean =
+      p.exists {
+        case h: ResolvedHint => h.hints.strategy.exists(
+          _.toString.contains("BROADCAST"))
+        case a: Aggregate => a.groupingExpressions.isEmpty
+        case _ => false
+      }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.startsWith("q_stream_"))
+    assert(names.size >= 20, s"expected the full streaming family, got $names")
+    graft.streaming.StreamOps.planCaptureMode.set(true)
+    try {
+      val offenders = names.flatMap { name =>
+        val plans =
+          try { SparkEntry.queries(name)(spark, sf); Nil }
+          catch {
+            case graft.streaming.StreamOps.PlanCapture(ps) => ps
+          }
+        assert(plans.nonEmpty,
+          s"$name never reached a sink capture point — add .sinkGuard")
+        val bad = plans.flatMap(_.collect {
+          case j: Join if j.condition.isEmpty &&
+            (j.joinType == Inner || j.joinType == Cross) &&
+            !bounded(j.left) && !bounded(j.right) => j
+        })
+        if (bad.nonEmpty) Some(name) else None
+      }
+      assert(offenders.isEmpty,
+        s"condition-less joins in streaming plans: ${offenders.mkString(", ")}")
+    } finally graft.streaming.StreamOps.planCaptureMode.set(false)
+  }
 }

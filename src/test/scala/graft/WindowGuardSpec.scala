@@ -29,7 +29,11 @@ class WindowGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q_win_frame_range" -> "input is the per-day pre-aggregate (≤ #days rows)",
     "q_txn_files" -> ("the LAG runs over the $files METADATA table — " +
       "one row per data file (manifest-scale at any table size), " +
-      "served by a driver-side LocalScan; see TxnOps.txnFiles"))
+      "served by a driver-side LocalScan; see TxnOps.txnFiles"),
+    "q_txn_ivm" -> ("the running sum is over the PER-VERSION aggregate " +
+      "— ≤ #versions rows (metadata-scale, same class as $history); " +
+      "the table-shaped work is the per-KEY window, which IS " +
+      "partitioned; see TxnOps.txnIvm"))
 
   private def boundedBelow(w: SparkPlan): Boolean =
     w.find {
@@ -66,5 +70,36 @@ class WindowGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(wins.nonEmpty, s"allowlist entry $name no longer plans an " +
         "unpartitioned window — remove it")
     }
+  }
+
+  test("streaming keys: no unpartitioned window in the pre-sink " +
+      "logical plan") {
+    // swept structurally via StreamOps' plan-capture mode (the op
+    // aborts at its sink point with the analyzed logical plan — no
+    // replay executes), replacing the old blanket q_stream_*
+    // exemption. Streaming plans rarely contain window FUNCTIONS
+    // (the engine forbids most), but a sneaked-in one with an empty
+    // partitionSpec would be the same single-task funnel.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.startsWith("q_stream_"))
+    graft.streaming.StreamOps.planCaptureMode.set(true)
+    try {
+      val offenders = names.flatMap { name =>
+        val plans =
+          try { SparkEntry.queries(name)(spark, sf); Nil }
+          catch {
+            case graft.streaming.StreamOps.PlanCapture(ps) => ps
+          }
+        assert(plans.nonEmpty,
+          s"$name never reached a sink capture point — add .sinkGuard")
+        val bad = plans.flatMap(_.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        })
+        if (bad.nonEmpty) Some(name) else None
+      }
+      assert(offenders.isEmpty,
+        s"unpartitioned windows in streaming plans: ${offenders.mkString(", ")}")
+    } finally graft.streaming.StreamOps.planCaptureMode.set(false)
   }
 }
