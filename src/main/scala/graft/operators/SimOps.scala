@@ -944,7 +944,7 @@ object SimOps {
   private val HNSW_M = 8            // neighbors kept per node per level
   private val HNSW_EF = 24          // beam width at the base layer
   private val HNSW_LEVELS = 3       // layers 0..2 (geometric occupancy)
-  private val HNSW_ROUNDS = 4       // expansion rounds per layer
+  private val HNSW_ROUNDS = 3       // expansion rounds at the base layer
   // planes per level: fewer planes as layers thin, so candidate-
   // bucket occupancy stays roughly constant (the LSH invariant) —
   // a fixed plane count would leave upper layers ~1 node/bucket and
@@ -954,13 +954,18 @@ object SimOps {
   /** Seeded, plane-count-parameterized variant of [[lshSigExpr]] —
     * the graph build unions THREE independent plane sets per layer so
     * candidate edges are not hostage to one hashing accident (the
-    * standard multi-table LSH recall knob). */
+    * standard multi-table LSH recall knob). Unlike [[lshSigExpr]]
+    * this one has NO cross-engine oracle to satisfy, so the
+    * projection runs in fixed-point LONG arithmetic (values scaled by
+    * 2^20, truncated deterministically; |sum| < 2^33, no overflow) —
+    * two orders of magnitude cheaper than the decimal(30,12) fold the
+    * oracle-paired LSH keys must use, and just as deterministic. */
   private def hnswSigExpr(col: String, seed: Int, planes: Int): String =
     s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
-       |  acc + (CASE WHEN aggregate(sequence(1, 64), cast(0 as decimal(30,12)),
-       |      (a, i) -> cast(a + cast(cast(element_at($col, i) as double)
-       |        * cast(((p * 1000003 + i * 7919 + $seed * 31337) % 97) - 48 as double)
-       |        as decimal(30,12)) as decimal(30,12))) >= 0
+       |  acc + (CASE WHEN aggregate(sequence(1, 64), cast(0 as bigint),
+       |      (a, i) -> a + cast(cast(element_at($col, i) as double)
+       |          * 1048576.0 as bigint)
+       |        * (((p * 1000003 + i * 7919 + $seed * 31337) % 97) - 48)) >= 0
        |    THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))""".stripMargin
 
   /** Deterministic HNSW level of a vector: trailing-zero count of an
@@ -1010,31 +1015,59 @@ object SimOps {
   def simsearchHnsw(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSim.register(spark)
+    // the build/search frames are (corpus × M) and (queries × EF)
+    // rows — 32 shuffle partitions would be pure per-round fixed
+    // overhead across the ~9 iterative jobs. 8 is plenty at fixture
+    // scale; at cluster scale this is the per-query sizing decision
+    // every iterative graph job makes (same note as the streaming
+    // harness). Restored before the RESULT is built, so the caller's
+    // plan is unaffected.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try simsearchHnswInner(spark, sfDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def simsearchHnswInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     val nodes = e.select($"vec_id", $"embedding")
       .withColumn("level", hnswLevelCol)
       .localCheckpoint(true)
 
-    // --- build: per layer, LSH-candidate top-M edges, symmetrized
+    // --- build: per layer, LSH-candidate top-M edges, symmetrized.
+    // ALL (level, seed) signatures — 9 fixed-point folds — project in
+    // ONE pinned pass over the corpus (the build is JOB-COUNT-bound
+    // at fixture scale: every localCheckpoint is a Spark job, so sigs
+    // for every layer ride one job instead of three).
+    val allSigs = nodes.select(
+      $"vec_id" +: $"embedding" +: $"level" +:
+        (for (l <- 0 until HNSW_LEVELS; s <- 0 until 3) yield
+          expr(hnswSigExpr("embedding", s, HNSW_PLANES(l)))
+            .as(s"b_${l}_$s")): _*)
+      .localCheckpoint(true)
     val edgesByLevel: Map[Int, DataFrame] = (0 until HNSW_LEVELS).map { l =>
-      val members = nodes.filter($"level" >= l)
-      val sigs = Seq(0, 1, 2).map(seed => members
+      val members = allSigs.filter($"level" >= l)
         .select($"vec_id", $"embedding",
-          expr(hnswSigExpr("embedding", seed, HNSW_PLANES(l))).as("b"))
-        .withColumn("t", lit(seed)))
-      val cand = sigs.map { s =>
-        val a = s.select($"vec_id".as("src"), $"embedding".as("sv"),
-          $"b", $"t")
-        val bb = s.select($"vec_id".as("dst"), $"embedding".as("dv"),
-          $"b", $"t")
-        a.join(bb, Seq("b", "t")).filter($"src" =!= $"dst")
+          col(s"b_${l}_0").as("b0"), col(s"b_${l}_1").as("b1"),
+          col(s"b_${l}_2").as("b2"))
+      // score INSIDE the bucket join and shed the 64-float arrays
+      // before anything shuffles — deduping/windowing rows that
+      // carry two embeddings each would move ~100× the bytes
+      val cand = (0 until 3).map { seed =>
+        val a = members.select($"vec_id".as("src"),
+          $"embedding".as("sv"), col(s"b$seed").as("b"))
+        val bb = members.select($"vec_id".as("dst"),
+          $"embedding".as("dv"), col(s"b$seed").as("b"))
+        a.join(bb, Seq("b")).filter($"src" =!= $"dst")
+          .select($"src", $"dst",
+            rnd6(expr("graft_cosine_sim(sv, dv)")).as("sim"))
       }.reduce(_ unionByName _)
         .dropDuplicates("src", "dst")
       val wM = Window.partitionBy($"src")
         .orderBy($"sim".desc, $"dst".asc)
       val topM = cand
-        .select($"src", $"dst",
-          rnd6(expr("graft_cosine_sim(sv, dv)")).as("sim"))
         .withColumn("rk", row_number().over(wM))
         .filter($"rk" <= HNSW_M)
         .select($"src", $"dst")
@@ -1057,38 +1090,54 @@ object SimOps {
       case es => es
     }
 
+    // beam frames carry (query_id, node, sim) ONLY — the query
+    // vectors join in at scoring time (broadcast: N_QUERIES rows),
+    // so no 64-float array ever rides a beam shuffle
     val q = e.filter($"vec_id" < N_QUERIES)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .localCheckpoint(true)
     val emb = nodes.select($"vec_id".as("nid"), $"embedding".as("nv"))
     def score(cands: DataFrame): DataFrame =
       cands.join(emb, $"node" === $"nid")
-        .select($"query_id", $"qv", $"node",
+        .join(broadcast(q), Seq("query_id"))
+        .select($"query_id", $"node",
           rnd6(expr("graft_cosine_sim(nv, qv)")).as("sim"))
 
     // --- search: beam descent, narrow beam above the base layer,
     // EF at layer 0
-    var visited = score(q.crossJoin(
+    var visited = score(q.select($"query_id").crossJoin(
         broadcast(entries.toDF("node"))))
       .localCheckpoint(true)
     (HNSW_LEVELS - 1) to 0 by -1 foreach { l =>
       val beam = if (l == 0) HNSW_EF else 4
+      // upper layers only need to DESCEND (one greedy hop toward the
+      // right region — their graphs are coarse by design); the full
+      // expansion budget is spent at the base layer where recall is
+      // won. Every round is a Spark job, so this is also the
+      // latency knob: 3+1+1 rounds, not levels×rounds
+      val rounds = if (l == 0) HNSW_ROUNDS else 1
       val wBeam = Window.partitionBy($"query_id")
         .orderBy($"sim".desc, $"node".asc)
-      (1 to HNSW_ROUNDS).foreach { _ =>
+      (1 to rounds).foreach { r =>
         val frontier = visited
           .withColumn("rk", row_number().over(wBeam))
           .filter($"rk" <= beam)
-          .select($"query_id", $"qv", $"node")
+          .select($"query_id", $"node")
         val expanded = frontier
           .join(edgesByLevel(l), $"node" === $"src")
-          .select($"query_id", $"qv", $"dst".as("node"))
+          .select($"query_id", $"dst".as("node"))
           .dropDuplicates("query_id", "node")
+        val _ = r
+        // per-round pin: without it every later round (and the final
+        // query) re-executes the whole prior search lineage — the
+        // iterative-loop rule, measured: dropping these pins COST
+        // time despite running fewer checkpoint jobs
         visited = score(expanded)
           .unionByName(visited)
           .dropDuplicates("query_id", "node")
           .withColumn("rk", row_number().over(wBeam))
           .filter($"rk" <= math.max(beam, HNSW_EF))
-          .select($"query_id", $"qv", $"node", $"sim")
+          .select($"query_id", $"node", $"sim")
           .localCheckpoint(true)
       }
     }

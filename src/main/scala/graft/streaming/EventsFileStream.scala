@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
-  Offset}
+  Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -46,7 +46,9 @@ class EventsFileStreamProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new EventsFileStreamTable(properties.get("path"),
       Option(properties.get("maxBatchesPerTrigger"))
-        .map(_.toInt).getOrElse(1))
+        .map(_.toInt).getOrElse(1),
+      Option(properties.get("maxTotalBatches"))
+        .map(_.toLong).getOrElse(Long.MaxValue))
 }
 
 private[graft] object EventsFileStream {
@@ -59,7 +61,8 @@ private[graft] object EventsFileStream {
 }
 
 private[graft] class EventsFileStreamTable(path: String,
-    maxPerTrigger: Int) extends Table with SupportsRead {
+    maxPerTrigger: Int,
+    maxTotal: Long = Long.MaxValue) extends Table with SupportsRead {
   override def name(): String = s"events_stream($path)"
   override def schema(): StructType = EventsFileStream.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
@@ -71,7 +74,7 @@ private[graft] class EventsFileStreamTable(path: String,
         override def readSchema(): StructType = EventsFileStream.SCHEMA
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
-          new EventsMicroBatchStream(path, maxPerTrigger)
+          new EventsMicroBatchStream(path, maxPerTrigger, maxTotal)
       }
     }
 }
@@ -84,26 +87,44 @@ private[graft] case class BatchPartition(dir: String)
   extends InputPartition
 
 private[graft] class EventsMicroBatchStream(path: String,
-    maxPerTrigger: Int) extends MicroBatchStream {
+    maxPerTrigger: Int,
+    maxTotal: Long = Long.MaxValue)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private def totalBatches: Long =
-    Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .count(d => d.isDirectory && d.getName.startsWith("batch="))
-      .toLong
-
-  // admission state: the last offset this stream has admitted; the
-  // engine persists the COMMITTED offset in its checkpoint — this is
-  // only the per-run rate limiter
-  private var admitted: Long = -1L
+    math.min(maxTotal,
+      Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty)
+        .count(d => d.isDirectory && d.getName.startsWith("batch="))
+        .toLong)
 
   override def initialOffset(): Offset = BatchOffset(-1L)
 
-  override def latestOffset(): Offset = {
-    val total = totalBatches
-    admitted = math.min(admitted + maxPerTrigger, total - 1)
-    BatchOffset(admitted)
+  private def offsetValue(o: Offset): Long = o match {
+    case b: BatchOffset => b.batch
+    case other => other.json().trim.toLong
   }
+
+  /** Admission control THROUGH the engine's start offset (the
+    * `SupportsAdmissionControl` overload): the next latest is
+    * `min(start + maxPerTrigger, available)` and NEVER below `start`
+    * — on a checkpoint restart the engine passes the RESTORED
+    * committed offset here, so a fresh stream instance resumes
+    * pacing from it instead of re-admitting processed batches (the
+    * stateless no-arg `latestOffset()` cannot see the restore point,
+    * which is exactly why this interface exists). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val floor = offsetValue(start)
+    BatchOffset(math.max(floor,
+      math.min(floor + maxPerTrigger, totalBatches - 1)))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: the engine must call " +
+        "latestOffset(start, limit)")
 
   override def deserializeOffset(json: String): Offset =
     BatchOffset(json.trim.toLong)

@@ -170,6 +170,63 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** CHECKPOINT-RESTART on the OFFSET-BASED source — the proof the
+    * offsets are REAL: run 1 caps availability at 2 of the 4 staged
+    * batches (`maxTotalBatches`, the harness's stand-in for "the
+    * topic ends here") and stops cold; run 2 is a brand-new query
+    * object on the same checkpointLocation with the cap lifted — the
+    * engine restores the committed batch-ordinal offset and the
+    * source resumes at batch 2, never re-admitting 0-1 (a replay
+    * would double every purchase in the exactly-once parquet sink,
+    * which the oracle would catch). `n_batches` = the checkpoint's
+    * offset-log entries: exactly 4 micro-batches across both runs.
+    * This is the recovery contract a 100 TB streaming job relies on,
+    * exercised against OUR source's offset arithmetic rather than
+    * MemoryStream's. */
+  def streamOffsetRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageReplayBatches(spark, sfDir, 4)
+    val root = scratchDir(spark, sfDir, "graft_osr_")
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    def start(cap: Option[Long]) = {
+      val reader = spark.readStream
+        .format(classOf[EventsFileStreamProvider].getName)
+        .option("path", staged)
+        .option("maxBatchesPerTrigger", "1")
+      cap.fold(reader)(c => reader.option("maxTotalBatches", c.toString))
+        .load()
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .sinkGuard
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .outputMode(OutputMode.Append()).start()
+    }
+    try {
+      val q1 = start(Some(2L))
+      try q1.processAllAvailable() finally q1.stop()
+      val q2 = start(None)
+      try q2.processAllAvailable() finally q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val nBatches = Option(new java.io.File(ckpt, "offsets").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.forall(_.isDigit)).toLong
+    spark.read.parquet(sink)
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .withColumn("n_batches", lit(nBatches))
+      .orderBy($"event_id")
+  }
+
+  val streamOffsetRestartSql: String =
+    """SELECT event_id, user_id, ts, value,
+      |  CAST(4 AS BIGINT) AS n_batches
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   /** 1-hour tumbling counts/sums per event_type (complete mode) —
     * served through the OFFSET-BASED source: three real micro-batches
     * admitted one per trigger, offsets checkpointed, rows

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Pinned micro-benchmark of ONE registered key (test scope, not
+  * shipped): warm-up + N timed reps on a fresh session, for verdicts
+  * about single-query regressions that the full-fleet bench cannot
+  * separate from co-tenancy noise.
+  *
+  * Run: sbt "Test/runMain graft.ProfileMicro <key> [sfDir] [reps]"
+  */
+object ProfileMicro {
+  def main(args: Array[String]): Unit = {
+    val key = args.headOption.getOrElse("q_agg_multi_key_pricing")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(key)
+    fn(spark, sfDir).count() // warm-up: JVM + codegen + IO cache
+    val times = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"micro $key rep$i%d  $s%8.3f s")
+      s
+    }
+    println(f"micro $key min=${times.min}%.3f s  " +
+      f"median=${times.sorted.apply(reps / 2)}%.3f s")
+    spark.stop()
+  }
+}
