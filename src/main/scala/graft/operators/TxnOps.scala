@@ -1731,6 +1731,48 @@ object TxnOps {
       |FROM events WHERE event_type = 'click'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** The CHANGE FEED through SQL (`<table>$changes` — Delta's
+    * `table_changes`): the 4-version time-travel table's committed
+    * deltas served as ONE parquet relation whose `version` is a real
+    * PARTITION COLUMN (the catalog exposes `_changes/version=N`
+    * symlinks over the delta directories — metadata-scale), so
+    * "changes since version N" partition-prunes before any data page
+    * is read. Unlike `$history`/`$files` this is table-shaped data
+    * and scans DISTRIBUTED with pruning/pushdown — the consumer pays
+    * for the versions and columns it reads, the CDC-consumer
+    * contract at 100 TB. Aggregated per (version, op); the oracle
+    * recomputes each wave's change counts and key spans from
+    * events. */
+  def txnSqlChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ttTable(spark, sfDir)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts.init :+
+      (parts.last + "$changes")).map(p => s"`$p`").mkString(".")
+    spark.sql(
+      s"""SELECT CAST(version AS BIGINT) AS version,
+         |  op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(key) AS kmin, MAX(key) AS kmax
+         |FROM $ident
+         |GROUP BY 1, 2 ORDER BY version, op""".stripMargin)
+  }
+
+  val txnSqlChangesSql: String =
+    """WITH w AS (
+      |  SELECT 0 AS version, 'upsert' AS op, user_id FROM events
+      |  WHERE event_type = 'click'
+      |  UNION ALL SELECT 1, 'upsert', user_id FROM events
+      |  WHERE event_type = 'view'
+      |  UNION ALL SELECT 2, 'upsert', user_id FROM events
+      |  WHERE event_type = 'purchase'
+      |  UNION ALL SELECT 3, 'delete', user_id FROM events
+      |  WHERE event_type = 'error')
+      |SELECT CAST(version AS BIGINT) AS version, op,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_rows,
+      |  CAST(MIN(user_id) AS BIGINT) AS kmin,
+      |  CAST(MAX(user_id) AS BIGINT) AS kmax
+      |FROM w GROUP BY version, op ORDER BY version, op""".stripMargin
+
   /** MULTI-TABLE ATOMIC COMMIT (`TxnLog.commitMulti`): the
     * corpus+manifest pair every ingest pipeline maintains — per-user
     * balances in one table, per-ingest row-count accounting in

@@ -137,6 +137,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       return new TxnFilesTable(
         s"$catalogName.${ident.name()}", root.getAbsolutePath)
     }
+    // `<table>$changes` — the CHANGE FEED as a TABLE (Delta's
+    // table_changes / CDF read). TABLE-SHAPED data, so unlike
+    // $history/$files it is NOT a LocalScan: the committed delta
+    // directories are exposed as a hive-partitioned layout
+    // (`_changes/version=N` → symlink to `delta_vN`, links are
+    // metadata-scale and idempotently refreshed here) and served as
+    // one parquet V2 relation — `version` becomes a genuine
+    // PARTITION COLUMN, so "changes since version N" PRUNES to the
+    // matching directories before any data page is read: the
+    // CDC-consumer contract at 100 TB. Physical column names (the
+    // stored feed; mapping-aware consumers resolve via vN.mapping).
+    if (ident.name().endsWith("$changes")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$changes"))
+      val root = txnRoot(base).getOrElse(
+        throw new NoSuchTableException(
+          ident.namespace() :+ ident.name()))
+      val latest = graft.engine.TxnLog.latestCommitted(
+        root.getAbsolutePath)
+      if (latest < 0)
+        throw new NoSuchTableException(ident.namespace() :+ ident.name())
+      val feed = new File(root, "_changes")
+      feed.mkdirs()
+      // drop links whose delta was vacuumed, add links for new commits
+      Option(feed.listFiles()).getOrElse(Array.empty).foreach { l =>
+        if (java.nio.file.Files.isSymbolicLink(l.toPath) &&
+            !java.nio.file.Files.exists(l.toPath)) l.delete()
+      }
+      (0L to latest).foreach { v =>
+        val link = new File(feed, s"version=$v")
+        val target = new File(root, s"delta_v$v")
+        if (target.isDirectory && !java.nio.file.Files
+            .isSymbolicLink(link.toPath) && !link.exists()) {
+          java.nio.file.Files.createSymbolicLink(link.toPath,
+            target.toPath.toAbsolutePath)
+          ()
+        }
+      }
+      val opts = new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("mergeSchema", "true"))
+      return ParquetTable(
+        s"$catalogName.${ident.name()}",
+        SparkSession.active, opts, Seq(feed.getAbsolutePath), None,
+        classOf[ParquetFileFormat])
+    }
     if (ident.name().endsWith("$partitions")) {
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("$partitions"))

@@ -191,6 +191,42 @@ class Round14Spec extends SparkSpec {
     val _ = deltaLocal // fixture-local inputs are expected here
   }
 
+  test("$changes feed: version is a partition column — 'changes " +
+      "since N' prunes old versions at the file level") {
+    val root = graft.operators.TxnOps.ttTable(spark, sf)
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = ("graft" +: parts.init :+ (parts.last + "$changes"))
+      .map(p => s"`$p`").mkString(".")
+    val since2 = spark.sql(
+      s"SELECT key, op FROM $ident WHERE version >= 2")
+    since2.collect()
+    // inputFiles reflects the relation BEFORE pushdown — the planned
+    // scan partitions are what actually gets read
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val helper = new org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(
+      since2.queryExecution.executedPlan) { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a V2 scan over the feed")
+    val files: Seq[String] =
+      scans.head.scan.toBatch.planInputPartitions().toSeq.flatMap {
+        case fp: FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq
+        case _ => Seq.empty[String]
+      }
+    assert(files.nonEmpty, "the pruned feed read must plan real files")
+    assert(!files.exists(f => f.contains("version=0") ||
+        f.contains("version=1")),
+      s"versions 0-1 must be partition-pruned away, read: ${files.toSeq}")
+    // and the full feed sees all four versions
+    val all = spark.sql(
+      s"SELECT DISTINCT version FROM $ident ORDER BY version")
+      .collect().map(_.get(0).toString.toLong).toSeq
+    assert(all == Seq(0L, 1L, 2L, 3L), s"full feed versions: $all")
+  }
+
   test("multi-table atomic commit: all-or-nothing visibility under " +
       "crashes on either side of the decision") {
     val a = freshRoot("mtx_a")
