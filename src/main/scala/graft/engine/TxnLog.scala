@@ -148,6 +148,22 @@ object TxnLog {
       catch { case _: java.io.IOException => "" }
     if (token.isEmpty) return
     val stage = new File(root, s".stage_v${v}_$token")
+    // a claim thief parks a stage in a DETERMINISTIC trash name while
+    // it checks the marker; if the thief crashed between parking and
+    // restoring a version that turned out to be marked, the staged
+    // artifacts would be stranded under a name nobody looks for —
+    // restore them here, so the "any reader can finish a crashed
+    // publish" invariant survives a crashed THIEF too
+    val trash = new File(root, s".trash_v${v}_$token")
+    if (!stage.isDirectory && trash.isDirectory)
+      try {
+        Files.move(trash.toPath, stage.toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     if (!stage.isDirectory) return
     def mv(from: File, to: File): Unit =
       try {
@@ -181,16 +197,39 @@ object TxnLog {
   private def txnIdFile(root: String, v: Long): File =
     new File(logDir(root), s"v$v.txn")
 
+  /** Sweep every MARKED version whose stage (or parked trash)
+    * directory still survives and finish its publish. Covers the
+    * partial-publish residue readMeta's meta-missing heal cannot see:
+    * a finishPublish raced by a thief's stage rename can land
+    * snapshot+meta at canonical names while mapping/schema/txnid stay
+    * behind in the restored stage — a mapping read would then
+    * silently serve the PRE-alter mapping and the idempotency record
+    * would be invisible. One directory listing (metadata-scale);
+    * unmarked stages (in-flight writers) are untouched. */
+  private def healStages(root: String): Unit =
+    Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(".stage_v") || n.startsWith(".trash_v")
+      }
+      .flatMap(f => f.getName.split("_").find(_.startsWith("v"))
+        .flatMap(s => scala.util.Try(s.stripPrefix("v").toLong).toOption))
+      .distinct
+      .foreach(v => if (commitMarker(root, v).exists())
+        finishPublish(root, v))
+
   /** The version a given application-level transaction id already
     * committed as, if any — the Delta `txn` (appId, version) dedup
     * that makes a re-driven streaming micro-batch a no-op instead of
     * a double-apply. */
-  def committedTxn(root: String, txnId: String): Option[Long] =
+  def committedTxn(root: String, txnId: String): Option[Long] = {
+    healStages(root)
     Option(logDir(root).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".txn"))
       .find(f => new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8) == txnId)
       .map(_.getName.stripPrefix("v").stripSuffix(".txn").toLong)
+  }
 
   /** Largest version whose commit marker exists; -1 for an empty
     * table. Claims without markers (in-flight or crashed writers)
@@ -530,7 +569,8 @@ object TxnLog {
     * first mapping commit: reads pass physical names through, which
     * is also why time travel to a pre-rename version shows the OLD
     * schema for free. */
-  def currentMapping(root: String, upTo: Long): Option[ColMapping] =
+  def currentMapping(root: String, upTo: Long): Option[ColMapping] = {
+    healStages(root)
     Option(logDir(root).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".mapping"))
       .map(f => f.getName.stripPrefix("v")
@@ -538,6 +578,7 @@ object TxnLog {
       .filter(_._1 <= upTo)
       .sortBy(-_._1).headOption
       .map(p => parseMapping(p._2))
+  }
 
   /** Identity bootstrap: the latest snapshot's physical non-key
     * columns, each mapped to itself. */
@@ -946,8 +987,13 @@ object TxnLog {
           Option(new File(root).listFiles()).getOrElse(Array.empty)
             .filter(_.getName.startsWith(s".stage_v${v}_"))
             .foreach { st =>
-              val trash = new File(root,
-                s".trash_${java.util.UUID.randomUUID()}")
+              // DETERMINISTIC trash name (.trash_v{v}_{token}): if we
+              // crash between parking and restoring a marked version's
+              // stage, finishPublish derives this exact name from the
+              // marker's token and restores it — a random name would
+              // strand the committed artifacts forever
+              val trash = new File(root, st.getName
+                .replaceFirst("^\\.stage_", ".trash_"))
               try {
                 Files.move(st.toPath, trash.toPath,
                   StandardCopyOption.ATOMIC_MOVE)
@@ -1109,22 +1155,58 @@ object TxnLog {
                   .getBytes(StandardCharsets.UTF_8))
           }
           preDecide()
-          // phase 3: THE decision — one atomic link
-          val won = atomicLink(coord,
-            new File(new File(claimed.head._1,
-              s".stage_v${claimed.head._2}_$token"), "decider"))
-          require(won, s"coordinator $coord already existed")
-          // phase 4: complete every table (recovery can take over at
-          // any point from here — the coordinator has decided)
-          claimed.zipWithIndex.foreach { case ((root, v, _, _, _, _, _), i) =>
-            postDecide(i)
-            val decider = new File(new File(root, s".stage_v${v}_$token"),
-              "decider")
-            try atomicLink(commitMarker(root, v), decider)
-            catch { case _: java.nio.file.NoSuchFileException => }
-            finishPublish(root, v)
-            pendingFile(root, v).delete()
+          // RE-VERIFY FENCE (the single-table ownsClaim fence, per
+          // table): a writer stalled past claimTimeoutMs can have a
+          // claim stolen and its intent rolled back by recoverPending
+          // (coordinator not yet created) — and a concurrent writer
+          // may have committed that version since. Deciding COMMIT
+          // now would publish SOME tables of this transaction and not
+          // others (the mixed commit the protocol rules out), so
+          // every table must still hold its claim (token match) and
+          // its intent before the coordinator link is attempted.
+          val stolen = claimed.exists { case (root, v, claim, _, _, _, _) =>
+            !ownsClaim(claim, token) || !pendingFile(root, v).exists()
           }
+          if (stolen) clash = true
+          else {
+            // phase 3: THE decision — one atomic link
+            val won = atomicLink(coord,
+              new File(new File(claimed.head._1,
+                s".stage_v${claimed.head._2}_$token"), "decider"))
+            require(won, s"coordinator $coord already existed")
+            // phase 4: complete every table (recovery can take over at
+            // any point from here — the coordinator has decided)
+            claimed.zipWithIndex.foreach {
+              case ((root, v, _, _, _, _, _), i) =>
+                postDecide(i)
+                val decider = new File(
+                  new File(root, s".stage_v${v}_$token"), "decider")
+                val linked =
+                  try atomicLink(commitMarker(root, v), decider)
+                  catch {
+                    case _: java.nio.file.NoSuchFileException => false
+                  }
+                // the marker must be OURS: a swallowed link failure
+                // against a foreign marker (our stage rolled back, the
+                // slot recommitted by someone else after the fence)
+                // must surface as the mixed-commit hazard it is, never
+                // as silent success
+                if (!linked) {
+                  val mk = commitMarker(root, v)
+                  val owner =
+                    try new String(Files.readAllBytes(mk.toPath),
+                      StandardCharsets.UTF_8)
+                    catch { case _: java.io.IOException => "" }
+                  require(owner == token,
+                    s"commitMulti decided COMMIT but table $root lost " +
+                      s"v$v to a foreign writer after the fence — " +
+                      "mixed-commit hazard; run recoverMulti and retry")
+                }
+                finishPublish(root, v)
+                pendingFile(root, v).delete()
+            }
+          }
+          if (!clash)
           return claimed.toSeq.map { case (_, v, _, _, _, _, _) =>
             TxnStats(v, attempts, attempts - 1)
           }
@@ -1132,14 +1214,26 @@ object TxnLog {
       } finally {
         claimed.foreach { case (root, v, claim, hb, _, _, _) =>
           hb.interrupt()
-          // only release what phase 3 did not decide: a decided
-          // transaction keeps its claims until completion removed the
-          // pendings (claims of committed versions are inert)
-          if (!commitMarker(root, v).exists() &&
-              !pendingFile(root, v).exists()) claim.delete()
-          else if (!commitMarker(root, v).exists() &&
-              pendingFile(root, v).exists() && clash) {
-            pendingFile(root, v).delete(); claim.delete()
+          // only release what is still OURS and what phase 3 did not
+          // decide: after a steal the claim/pending at (root, v) may
+          // belong to a foreign writer (recoverPending freed the slot
+          // and someone re-claimed it) — deleting those would sabotage
+          // the new owner. A decided transaction keeps its claims
+          // until completion removed the pendings (claims of committed
+          // versions are inert).
+          val ours = ownsClaim(claim, token)
+          val pendingOurs =
+            try pendingFile(root, v).exists() &&
+              new String(Files.readAllBytes(pendingFile(root, v).toPath),
+                StandardCharsets.UTF_8).startsWith(s"$token|")
+            catch { case _: java.io.IOException => false }
+          if (ours && !commitMarker(root, v).exists()) {
+            if (!pendingOurs && !pendingFile(root, v).exists())
+              claim.delete()
+            else if (pendingOurs && clash) {
+              pendingFile(root, v).delete(); claim.delete()
+              destroyDir(new File(root, s".stage_v${v}_$token"))
+            }
           }
         }
       }

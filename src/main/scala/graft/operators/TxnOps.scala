@@ -340,8 +340,6 @@ object TxnOps {
     * recomputes each version's view independently from the base
     * events, so maintained ≡ recomputed is the gate itself. */
   def txnIvm(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val root = ttTable(spark, sfDir)
     val latest = TxnLog.latestCommitted(root)
     val deltas = spark.read
@@ -349,15 +347,35 @@ object TxnOps {
       .withColumn("version",
         regexp_extract(input_file_name(), "delta_v(\\d+)/", 1)
           .cast("long"))
+    ivmFromDeltas(spark, deltas, latest)
+  }
+
+  /** The IVM window/aggregate core over a (version, key, value, op)
+    * delta frame — split out so the NULL-value-upsert retraction
+    * semantics are unit-testable off the fixture path. */
+  private[graft] def ivmFromDeltas(spark: SparkSession,
+      deltas: DataFrame, latest: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val perKey = Window.partitionBy($"key").orderBy($"version")
+    // the retraction baseline is the value IN FORCE before this touch,
+    // not the literal previous delta row: a NULL-value upsert (the
+    // log's column-level "keep prior value" convention) contributes no
+    // change itself and must not become the next touch's baseline —
+    // last(..., ignoreNulls) over the preceding frame skips it, where
+    // a plain lag(contrib, 1) would retract the next upsert against 0
+    // and double-count the prior value
+    val prevFrame = perKey.rowsBetween(Window.unboundedPreceding, -1)
     val changes = deltas
       .withColumn("contrib",
         when($"op" === "delete", lit(0L)).otherwise($"value"))
       .withColumn("present",
         when($"op" === "delete", lit(0L)).otherwise(lit(1L)))
+      .withColumn("in_force",
+        last($"contrib", ignoreNulls = true).over(prevFrame))
       .select($"version",
-        ($"contrib" - coalesce(lag($"contrib", 1).over(perKey), lit(0L)))
-          .as("d_sum"),
+        (coalesce($"contrib", $"in_force", lit(0L)) -
+          coalesce($"in_force", lit(0L))).as("d_sum"),
         ($"present" - coalesce(lag($"present", 1).over(perKey), lit(0L)))
           .as("d_cnt"))
     // versions with empty (metadata-only) deltas still get a row

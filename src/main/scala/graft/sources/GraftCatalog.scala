@@ -170,8 +170,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val target = new File(root, s"delta_v$v")
         if (target.isDirectory && !java.nio.file.Files
             .isSymbolicLink(link.toPath) && !link.exists()) {
-          java.nio.file.Files.createSymbolicLink(link.toPath,
+          // check-then-act on shared state: two sessions loading the
+          // feed concurrently can both pass the exists() check — the
+          // loser's create must be an idempotent no-op, not a failed
+          // query (same tolerant style as TxnLog.finishPublish)
+          try java.nio.file.Files.createSymbolicLink(link.toPath,
             target.toPath.toAbsolutePath)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
           ()
         }
       }

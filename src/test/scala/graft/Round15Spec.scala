@@ -1,0 +1,179 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.TxnLog
+
+/** Round-10 protocol hardening: crashed-thief trash restore
+  * (deterministic trash names), partial-publish residue self-heal
+  * (healStages from currentMapping/committedTxn), the commitMulti
+  * re-verify fence against mixed commits, and the IVM NULL-value
+  * upsert retraction baseline. */
+class Round15Spec extends SparkSpec {
+
+  private def freshRoot(tag: String): String = {
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_r15_$tag").getAbsolutePath
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    root
+  }
+
+  private def upserts(kvs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    kvs.toDF("key", "value").withColumn("op", lit("upsert"))
+  }
+
+  private def state(root: String): Map[Long, Long] = {
+    val v = TxnLog.latestCommitted(root)
+    TxnLog.read(spark, root, v).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("crashed thief: a marked version parked in deterministic trash " +
+      "is restored and published by the next reader") {
+    val root = freshRoot("trash_restore")
+    TxnLog.commit(spark, root,
+      _ => (upserts(1L -> 10L), Seq((1L, 1L))))
+    // hand-build the committed-but-unpublished state of v1: stage with
+    // all artifacts, marker naming the stage's token — then simulate
+    // the thief crash by parking the stage under the DETERMINISTIC
+    // trash name and never restoring it
+    val token = "feedfeed-0000-0000-0000-00000000beef"
+    val stage = new File(root, s".stage_v1_$token")
+    stage.mkdirs()
+    upserts(2L -> 20L).drop("op")
+      .union(upserts(1L -> 10L).drop("op"))
+      .write.parquet(s"$stage/snapshot")
+    upserts(2L -> 20L)
+      .write.parquet(s"$stage/delta")
+    Files.write(new File(stage, "meta").toPath,
+      "1\n0\n2:2".getBytes(StandardCharsets.UTF_8))
+    Files.write(new File(stage, "decider").toPath,
+      token.getBytes(StandardCharsets.UTF_8))
+    Files.createLink(Paths.get(root, "_txn_log", "v1.commit"),
+      new File(stage, "decider").toPath)
+    Files.move(stage.toPath,
+      new File(root, s".trash_v1_$token").toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+    // before the fix this read polls 3s then dies "snapshot never
+    // appeared"; with deterministic trash, finishPublish restores
+    assert(state(root) == Map(1L -> 10L, 2L -> 20L))
+    assert(!new File(root, s".trash_v1_$token").exists(),
+      "restored trash must not linger")
+    TxnLog.destroy(root)
+  }
+
+  test("partial-publish residue: a stale mapping left in a marked " +
+      "stage is healed before mapping reads, not just meta reads") {
+    val root = freshRoot("heal_mapping")
+    TxnLog.commit(spark, root,
+      _ => (upserts(1L -> 10L, 2L -> 20L), Seq((1L, 2L))))
+    val v = TxnLog.renameColumn(spark, root, "value", "amount")
+    assert(TxnLog.read(spark, root, v).columns.toSeq ==
+      Seq("key", "amount"))
+    // simulate the torn finishPublish: snapshot+meta reached canonical
+    // names but the mapping is still in the (restored) stage — readMeta
+    // sees its meta and never re-runs finishPublish, so before the fix
+    // currentMapping silently serves the PRE-rename mapping (none here)
+    val token = new String(Files.readAllBytes(
+      Paths.get(root, "_txn_log", s"v$v.commit")), StandardCharsets.UTF_8)
+    val stage = new File(root, s".stage_v${v}_$token")
+    stage.mkdirs()
+    Files.move(Paths.get(root, "_txn_log", s"v$v.mapping"),
+      new File(stage, "mapping").toPath, StandardCopyOption.ATOMIC_MOVE)
+    // a fresh mapped read must self-heal (healStages in currentMapping)
+    assert(TxnLog.read(spark, root, v).columns.toSeq ==
+      Seq("key", "amount"),
+      "the post-rename mapping must be healed out of the stage")
+    assert(new File(root, s"_txn_log/v$v.mapping").exists())
+    TxnLog.destroy(root)
+  }
+
+  test("commitMulti re-verify fence: a stolen claim + foreign commit " +
+      "before the decision yields retry, never a mixed commit") {
+    val rootA = freshRoot("mfence_a")
+    val rootB = freshRoot("mfence_b")
+    def mk(k: Long, v: Long): DataFrame => (DataFrame, TxnLog.KeyRanges) =
+      _ => (upserts(k -> v), Seq((k, k)))
+    TxnLog.commitMulti(spark,
+      Seq(rootA -> mk(1L, 100L), rootB -> mk(1L, 200L)))
+    // second transaction: after intents are written but BEFORE the
+    // coordinator decision, a "thief" rolls back table B's pending
+    // (the age-checked steal path with an undecided coordinator) and a
+    // foreign single-table writer immediately commits B's version —
+    // the exact zombie window the fence closes
+    val stolen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stats = TxnLog.commitMulti(spark,
+      Seq(rootA -> mk(2L, 101L), rootB -> mk(2L, 201L)),
+      preDecide = () => {
+        if (stolen.compareAndSet(false, true)) {
+          val vB = TxnLog.latestCommitted(rootB) + 1
+          assert(!TxnLog.recoverPending(rootB, vB),
+            "undecided pending must roll back, not commit")
+          TxnLog.commit(spark, rootB,
+            _ => (upserts(9L -> 999L), Seq((9L, 9L))))
+        }
+      })
+    assert(stats.size == 2)
+    // both tables show the multi-commit data AND table B additionally
+    // shows the foreign commit — nothing lost, nothing mixed
+    assert(state(rootA) == Map(1L -> 100L, 2L -> 101L))
+    assert(state(rootB) == Map(1L -> 200L, 2L -> 201L, 9L -> 999L))
+    // exactly one coordinator decided per transaction; no residue
+    val logs = Seq(rootA, rootB).flatMap(r =>
+      Option(new File(r, "_txn_log").listFiles()).getOrElse(Array.empty))
+    assert(!logs.exists(_.getName.endsWith(".pending")),
+      "no pending intents may survive a completed transaction")
+    TxnLog.destroy(rootA); TxnLog.destroy(rootB)
+  }
+
+  test("no driver-side replay feeds a non-injection streaming key: " +
+      "replayRows/MemoryStream only in the sanctioned batch-composition keys") {
+    // the keys that legitimately need driver-controlled batch
+    // composition: out-of-order injection (late_data), parity-split
+    // emission contract (update_mode), restart-across-query-objects
+    // with a shared in-memory source (restart), and timer-path
+    // emission pinned to slicing (tws_timers). Everything else reads
+    // the offset source — rows never transit the driver.
+    val allowed = Set("streamLateData", "streamUpdateMode",
+      "streamRestart", "streamTwsTimers")
+    val src = new String(Files.readAllBytes(Paths.get(
+      "src/main/scala/graft/streaming/StreamOps.scala")),
+      StandardCharsets.UTF_8)
+    val defs = src.split("\n  (?=(?:private(?:\\[graft\\])? )?def )")
+    def nameOf(d: String): String =
+      d.linesIterator.next()
+        .replaceFirst("^(?:private(?:\\[graft\\])? )?def (\\w+).*", "$1")
+    val offenders = defs.toSeq
+      .filter { d =>
+        nameOf(d).startsWith("stream") &&
+          (d.contains("replayRows(") || d.contains("MemoryStream[") ||
+            d.contains("runStream(") || d.contains("runStreamRows("))
+      }
+      .map(nameOf)
+    assert(offenders.toSet == allowed,
+      s"driver-side replay escaped the sanctioned set: got $offenders")
+  }
+
+  test("IVM retraction baseline skips NULL-value upserts (column-level " +
+      "'keep prior value' rows neither contribute nor become baselines)") {
+    import spark.implicits._
+    val deltas = Seq(
+      (0L, 1L, Some(10L), "upsert"),
+      (1L, 1L, None: Option[Long], "upsert"), // keep prior value (10)
+      (2L, 1L, Some(15L), "upsert"),
+      (3L, 1L, Some(0L), "delete"))
+      .toDF("version", "key", "value", "op")
+    val got = graft.operators.TxnOps
+      .ivmFromDeltas(spark, deltas, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // buggy lag(contrib,1) baseline: v2 = 10 + (15 - 0) = 25
+    assert(got.toSeq == Seq(
+      (0L, 1L, 10L), (1L, 1L, 10L), (2L, 1L, 15L), (3L, 0L, 0L)))
+  }
+}
