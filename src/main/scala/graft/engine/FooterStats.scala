@@ -28,7 +28,10 @@ object FooterStats {
   def read(dir: File): Seq[FileStat] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val canonical = dir.getCanonicalFile
-    Option(canonical.listFiles()).getOrElse(Array.empty)
+    // accept a single parquet FILE too (the fixture tables are one
+    // file per table) — ANALYZE shouldn't care how the data is laid out
+    (if (canonical.isFile) Array(canonical)
+     else Option(canonical.listFiles()).getOrElse(Array.empty))
       .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
       .flatMap { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile

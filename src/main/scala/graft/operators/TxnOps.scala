@@ -609,53 +609,42 @@ object TxnOps {
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE pinned to the
     * transaction log — the maintenance side of
     * [[graft.plans.MvRewriteRule]]'s consumption side: a per-bucket
-    * summary (users, total balance, bucket = key % 10) is built ONCE
-    * from the v0 snapshot, then rolled forward to every later
-    * version from that version's DELTA alone — retractions come from
-    * the delta-keyed join against the previous snapshot (the same
-    * delta-bounded read [[txnIvm]] uses), additions from the delta's
-    * upserts, and the per-bucket adjustments (≤ bucket-domain rows
-    * per version) fold into the pinned summary. The fact table is
-    * never rescanned after v0: at 100 TB each maintenance step costs
-    * O(delta + touched files), which is the entire point of keeping
-    * an MV consistent through a changelog instead of recomputing it.
-    * The oracle recomputes the latest summary from the base events in
-    * closed form, so maintained ≡ recomputed IS the correctness gate;
-    * Round10Spec additionally pins every INTERMEDIATE version against
-    * an in-engine recompute. */
+    * summary (users, total balance, bucket = key % 10) maintained
+    * from the commit DELTAS ALONE. Round-10 rewrite: the old form
+    * re-read snapshot v−1 once per version to derive retractions —
+    * O(versions × table) at scale. But the per-version retract/add
+    * walk TELESCOPES when only the latest view is served (this key's
+    * contract; the per-version running form is [[txnIvm]]): a key's
+    * net contribution is decided entirely by its LAST touch, so the
+    * whole maintenance is ONE scan of every delta file (version
+    * recovered from the path — the same `$changes`-feed read), a
+    * per-key last-touch window, and a bucket aggregate. No snapshot
+    * is ever read — the scan set is delta_v* only, pinned by spec —
+    * and at 100 TB the cost is O(total changes), the changelog bound
+    * incremental maintenance exists to achieve. The oracle recomputes
+    * the latest summary from the base events in closed form, so
+    * maintained ≡ recomputed IS the correctness gate; Round10Spec
+    * additionally pins every INTERMEDIATE version by maintaining
+    * step-by-step against an in-engine recompute. */
   def txnMvIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val root = ttTable(spark, sfDir)
     val latest = TxnLog.latestCommitted(root)
-    // MV creation: the one and only full scan, at v0
-    var mv: Map[Long, (Long, Long)] = TxnLog.read(spark, root, 0L)
+    val deltas = spark.read
+      .parquet((0L to latest).map(v => s"$root/delta_v$v"): _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "delta_v(\\d+)/", 1)
+          .cast("long"))
+    // a key is in the view iff its newest touch is an upsert; its
+    // contribution is that touch's value (delta shuffle is sized by
+    // the changes, never the table)
+    val newestFirst = Window.partitionBy($"key").orderBy($"version".desc)
+    deltas
+      .withColumn("rn", row_number().over(newestFirst))
+      .filter($"rn" === 1 && $"op" === "upsert")
       .groupBy(($"key" % 10).as("bucket"))
-      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    (1L to latest).foreach { v =>
-      val delta = spark.read.parquet(s"$root/delta_v$v")
-      val prev = TxnLog.read(spark, root, v - 1)
-      // retraction: old per-bucket contributions of touched keys only
-      val adj = prev.as("s")
-        .join(delta.select($"key", $"op").as("d"), Seq("key"))
-        .groupBy(($"key" % 10).as("bucket"))
-        .agg((-count(lit(1))).as("dn"), (-sum($"s.value")).as("ds"))
-        .unionByName(delta.filter($"op" === "upsert")
-          .groupBy(($"key" % 10).as("bucket"))
-          .agg(count(lit(1)).as("dn"), sum($"value").as("ds")))
-        .groupBy($"bucket")
-        .agg(sum($"dn").as("dn"), sum($"ds").as("ds"))
-        .collect()
-      adj.foreach { r =>
-        val b = r.getLong(0)
-        val (n0, s0) = mv.getOrElse(b, (0L, 0L))
-        val nb = (n0 + r.getLong(1), s0 + r.getLong(2))
-        mv = if (nb._1 == 0L) mv - b else mv + (b -> nb)
-      }
-    }
-    mv.toSeq.map { case (b, (n, s)) => (b, n, s) }
-      .toDF("bucket", "n_users", "sum_balance")
+      .agg(count(lit(1)).as("n_users"), sum($"value").as("sum_balance"))
       .withColumn("mv_version", lit(latest).cast("long"))
       .orderBy($"bucket")
   }
@@ -1997,6 +1986,56 @@ object TxnOps {
       .agg(count(lit(1)).as("n_events"),
         sum($"purchases").as("sum_purchases"))
       .orderBy($"event_type")
+  }
+
+  /** Multi-way JOIN-ORDER CBO — the greedy reorder with selectivity
+    * propagation ([[graft.plans.Cbo.reorderJoin]]) on a lineitem star:
+    * part carries a range filter covering the lowest DECILE of
+    * p_partkey (footer-stats selectivity ≈ 0.1 → ≈ 20k·SF estimated
+    * rows), orders is unfiltered (1.5M·SF rows). The planner must
+    * join the filtered part FIRST so the selective dimension shrinks
+    * the fact before the wide one touches it — raw table sizes alone
+    * would put part first here too, so the spec's INVERTED case
+    * (filter on orders at the percentile that drops it below part)
+    * is what proves the ordering follows the post-filter ESTIMATE,
+    * not the table size: the ordering decision that dominates TPC-H
+    * q5/q10 shapes at 100 TB. The filter cut comes from the footer
+    * max (metadata, engine-deterministic) and the oracle recomputes
+    * it as max/10 in SQL. */
+  def joinCboOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Exact.xsum
+    import graft.plans.Cbo
+    val pStats = Cbo.analyzePath(s"$sfDir/part.parquet")
+    val oStats = Cbo.analyzePath(s"$sfDir/orders.parquet")
+    val cut = pStats.cols("p_partkey").max.get / 10
+    val fact = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_orderkey", $"l_extendedprice")
+    val part = Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_partkey".as("l_partkey"))
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val (joined, order) = Cbo.reorderJoin(fact, Seq(
+      "part" -> Cbo.Input(part, pStats, Seq("l_partkey"),
+        Some(("p_partkey", 0L, cut))),
+      "orders" -> Cbo.Input(orders, oStats, Seq("l_orderkey"))))
+    require(order == Seq("part", "orders"),
+      s"stats must order the filtered dimension first, got $order")
+    joined
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), xsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinCboOrderSql: String = {
+    import graft.engine.Exact.sqlXsum
+    s"""SELECT o.o_orderpriority,
+       |  COUNT(*) AS n, ${sqlXsum("l.l_extendedprice")} AS sum_price
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |  AND p.p_partkey <= (SELECT MAX(p_partkey) // 10 FROM part)
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   }
 
   val joinCboSql: String =

@@ -34,8 +34,15 @@ object Cbo {
   }
 
   /** ANALYZE TABLE: one footer pass over the latest snapshot. */
-  def analyze(root: String): TableStats = {
-    val files = FooterStats.latestSnapshot(root)
+  def analyze(root: String): TableStats =
+    fromFiles(FooterStats.latestSnapshot(root))
+
+  /** ANALYZE for a plain parquet table (single file or directory) —
+    * the fixture tables and any non-transactional input. */
+  def analyzePath(path: String): TableStats =
+    fromFiles(FooterStats.read(new java.io.File(path)))
+
+  private def fromFiles(files: Seq[FooterStats.FileStat]): TableStats = {
     val cols = files.flatMap(_.cols.keys).distinct.map { c =>
       val sts = files.flatMap(_.cols.get(c))
       c -> FooterStats.ColStat(
@@ -64,5 +71,70 @@ object Cbo {
       // what the manifest knows is large
       else right.hint("merge")
     left.join(buildSide, keys)
+  }
+
+  // ------------------------------------------------------------------
+  // JOIN-ORDER CBO: greedy multi-way reorder with filter-selectivity
+  // propagation through the footer stats — the decision that matters
+  // at 100 TB TPC-H shapes is not just HOW each join runs
+  // (broadcast/merge, above) but in WHAT ORDER the dimensions hit the
+  // fact: the most selective dimension must shrink the intermediate
+  // first, because every later join pays for the rows the earlier
+  // ones let through. Estimates come from the same O(files) footer
+  // metadata ANALYZE reads — no data is scanned to decide.
+  // ------------------------------------------------------------------
+
+  /** One reorderable join input: the dimension frame, its ANALYZE
+    * stats, the equi-join column names (shared with the fact side —
+    * rename in the frame), and an optional `[lo, hi]` range predicate
+    * on a stats-covered column. The predicate is BOTH applied to the
+    * frame and fed to the cardinality estimate — the "selectivity
+    * propagation" that plain table-size ordering lacks. */
+  final case class Input(df: DataFrame, stats: TableStats,
+      keys: Seq[String], filter: Option[(String, Long, Long)] = None)
+
+  /** Uniform-assumption fraction of rows with `col` ∈ [lo, hi],
+    * from the column's footer [min, max]. Unknown stats → 1.0 (the
+    * conservative "doesn't shrink anything" estimate). */
+  def selectivity(stats: TableStats, col: String, lo: Long,
+      hi: Long): Double =
+    stats.cols.get(col) match {
+      case Some(FooterStats.ColStat(Some(mn), Some(mx), _)) =>
+        val span = (mx - mn + 1).toDouble
+        val keep =
+          math.max(0L, math.min(hi, mx) - math.max(lo, mn) + 1).toDouble
+        math.min(1.0, keep / span)
+      case _ => 1.0
+    }
+
+  /** Estimated post-filter cardinality of one input. */
+  def estRows(in: Input): Double =
+    in.stats.nRows.toDouble * in.filter.map { case (c, lo, hi) =>
+      selectivity(in.stats, c, lo, hi)
+    }.getOrElse(1.0)
+
+  /** GREEDY JOIN-ORDER: join `dims` onto `fact` in increasing order
+    * of estimated post-filter cardinality, each step reusing the
+    * stats-driven broadcast-vs-merge decision (the broadcast estimate
+    * is also selectivity-scaled — a 10% filter makes a 10×-too-big
+    * dimension broadcastable, which file-size thresholds never see).
+    * Returns the joined frame plus the chosen order (dim labels) so
+    * plan specs can pin that inverting the stats flips the order. */
+  def reorderJoin(fact: DataFrame, dims: Seq[(String, Input)],
+      broadcastBytes: Long = 10L << 20): (DataFrame, Seq[String]) = {
+    val ordered = dims.sortBy { case (_, in) => estRows(in) }
+    val joined = ordered.foldLeft(fact) { case (acc, (_, in)) =>
+      val filtered = in.filter.fold(in.df) { case (c, lo, hi) =>
+        in.df.filter(org.apache.spark.sql.functions.col(c) >= lo &&
+          org.apache.spark.sql.functions.col(c) <= hi)
+      }
+      val estBytes =
+        estRows(in) * 8.0 * math.max(in.stats.cols.size, 1)
+      val side =
+        if (estBytes <= broadcastBytes.toDouble) broadcast(filtered)
+        else filtered.hint("merge")
+      acc.join(side, in.keys)
+    }
+    (joined, ordered.map(_._1))
   }
 }

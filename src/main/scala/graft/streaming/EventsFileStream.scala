@@ -41,14 +41,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * executor-side, offsets checkpointed for exactly-once restart. */
 class EventsFileStreamProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EventsFileStream.SCHEMA
+    Option(options.get("schema")).map(StructType.fromDDL)
+      .getOrElse(EventsFileStream.SCHEMA)
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new EventsFileStreamTable(properties.get("path"),
       Option(properties.get("maxBatchesPerTrigger"))
         .map(_.toInt).getOrElse(1),
       Option(properties.get("maxTotalBatches"))
-        .map(_.toLong).getOrElse(Long.MaxValue))
+        .map(_.toLong).getOrElse(Long.MaxValue),
+      Option(properties.get("schema")).map(StructType.fromDDL)
+        .getOrElse(EventsFileStream.SCHEMA))
 }
 
 private[graft] object EventsFileStream {
@@ -62,19 +65,22 @@ private[graft] object EventsFileStream {
 
 private[graft] class EventsFileStreamTable(path: String,
     maxPerTrigger: Int,
-    maxTotal: Long = Long.MaxValue) extends Table with SupportsRead {
+    maxTotal: Long = Long.MaxValue,
+    tableSchema: StructType = EventsFileStream.SCHEMA)
+  extends Table with SupportsRead {
   override def name(): String = s"events_stream($path)"
-  override def schema(): StructType = EventsFileStream.SCHEMA
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = EventsFileStream.SCHEMA
+        override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
-          new EventsMicroBatchStream(path, maxPerTrigger, maxTotal)
+          new EventsMicroBatchStream(path, maxPerTrigger, maxTotal,
+            tableSchema)
       }
     }
 }
@@ -88,15 +94,22 @@ private[graft] case class BatchPartition(dir: String)
 
 private[graft] class EventsMicroBatchStream(path: String,
     maxPerTrigger: Int,
-    maxTotal: Long = Long.MaxValue)
+    maxTotal: Long = Long.MaxValue,
+    tableSchema: StructType = EventsFileStream.SCHEMA)
   extends MicroBatchStream with SupportsAdmissionControl {
 
+  /** Highest staged batch ordinal + 1 (NOT a directory count: a
+    * batch whose partition ended up empty writes no directory, and a
+    * count would then silently stop admission before the later
+    * batches that do exist). A missing ordinal reads as an empty
+    * micro-batch. */
   private def totalBatches: Long =
     math.min(maxTotal,
       Option(new java.io.File(path).listFiles())
         .getOrElse(Array.empty)
-        .count(d => d.isDirectory && d.getName.startsWith("batch="))
-        .toLong)
+        .filter(d => d.isDirectory && d.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong)
+        .foldLeft(-1L)(math.max) + 1L)
 
   override def initialOffset(): Offset = BatchOffset(-1L)
 
@@ -137,7 +150,8 @@ private[graft] class EventsMicroBatchStream(path: String,
       BatchPartition(s"$path/batch=$i"): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fields = tableSchema.fields
     new PartitionReaderFactory {
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] = {
@@ -155,12 +169,22 @@ private[graft] class EventsMicroBatchStream(path: String,
             if (!lines.hasNext) false
             else {
               val p = lines.next().split(",", -1)
-              val r = new GenericInternalRow(5)
-              r.setLong(0, p(0).toLong)
-              r.setLong(1, p(1).toLong) // TimestampType = micros
-              r.setLong(2, p(2).toLong)
-              r.update(3, UTF8String.fromString(p(3)))
-              r.setDouble(4, p(4).toDouble)
+              val r = new GenericInternalRow(fields.length)
+              var i = 0
+              while (i < fields.length) {
+                fields(i).dataType match {
+                  case LongType => r.setLong(i, p(i).toLong)
+                  // TimestampType = staged micros
+                  case TimestampType => r.setLong(i, p(i).toLong)
+                  case DoubleType => r.setDouble(i, p(i).toDouble)
+                  case StringType =>
+                    r.update(i, UTF8String.fromString(p(i)))
+                  case BooleanType => r.setBoolean(i, p(i).toBoolean)
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported staged-CSV field type $other")
+                }
+                i += 1
+              }
               row = r
               true
             }
@@ -169,6 +193,7 @@ private[graft] class EventsMicroBatchStream(path: String,
         }
       }
     }
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -123,51 +123,130 @@ object StreamOps {
     spark.table(sinkName)
   }
 
-  /** Stage the events table as batch-partitioned CSV for the
-    * OFFSET-BASED source ([[EventsFileStreamProvider]]): one Spark
-    * job, executors write their partitions — the driver never holds
-    * a row. Batch membership is a deterministic hash (these keys are
-    * Complete-mode aggregations, so any partition of the rows yields
-    * the identical final answer). */
-  private def stageReplayBatches(spark: SparkSession, sfDir: String,
-      nBatches: Int): String = {
+  /** Staged-batch directory cache: ONE staging job per (application,
+    * sfDir, variant) feeds every offset-source key of a sweep — a
+    * re-run reuses the layout, and switching sfDir drops the old
+    * scope (same lifecycle as [[replayCache]]). */
+  private val stageCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage an events-shaped frame CARRYING a `batch` column as
+    * batch-partitioned CSV for the OFFSET-BASED source
+    * ([[EventsFileStreamProvider]]): one Spark job, executors write
+    * their partitions — the driver never holds a row. */
+  private def stageBatched(spark: SparkSession, sfDir: String,
+      variant: String, df: => DataFrame): String = {
     import spark.implicits._
-    val dir = scratchDir(spark, sfDir, "graft_evsrc_")
-    Tables.events(spark, sfDir)
-      .select($"event_id", unix_micros($"ts").as("ts"), $"user_id",
-        $"event_type", $"value")
-      .withColumn("batch",
-        pmod(hash($"event_id"), lit(nBatches)).cast("long"))
-      .repartition(nBatches, $"batch")
-      .write.mode("overwrite").partitionBy("batch").csv(dir)
-    dir
+    stageRawBatched(spark, sfDir, variant,
+      df.select($"event_id", unix_micros($"ts").as("ts"), $"user_id",
+        $"event_type", $"value", $"batch"))
   }
 
-  /** [[runStream]] through the OFFSET-BASED file-backed V2 source
-    * instead of a MemoryStream replay: real micro-batches with
-    * checkpointable offsets and per-trigger admission control, rows
-    * read executor-side from the staged batch directories — the
-    * driver-memory-bounded replay collect is retired for the keys
-    * routed here. */
-  private def runStreamOffsets(spark: SparkSession, sfDir: String,
-      mode: OutputMode, nBatches: Int = 3)(
-      build: DataFrame => DataFrame): DataFrame = {
-    val staged = stageReplayBatches(spark, sfDir, nBatches)
+  /** [[stageBatched]] for ANY schema: the frame carries a `batch`
+    * column plus the stream's data columns in STAGED ORDER (timestamp
+    * columns pre-converted to unix micros) — pass the matching DDL to
+    * [[offsetSource]]. This is what makes the offset source a general
+    * connector rather than an events-table special case. */
+  private def stageRawBatched(spark: SparkSession, sfDir: String,
+      variant: String, df: => DataFrame): String = {
+    val scope = s"${spark.sparkContext.applicationId}|$sfDir"
+    stageCache.keys.filter(!_.startsWith(scope)).foreach(stageCache.remove)
+    stageCache.getOrElseUpdate(s"$scope|$variant", {
+      val dir = scratchDir(spark, sfDir, s"graft_evsrc_${variant}_")
+      val d = df
+      d.select(d.columns.filter(_ != "batch").map(col) :+ col("batch"): _*)
+        .repartition(8, col("batch"))
+        .write.mode("overwrite").partitionBy("batch").csv(dir)
+      dir
+    })
+  }
+
+  /** Deterministic TIME-RANGE batch assignment: batch i holds rows
+    * strictly no older than every row of batch i−1 (closed form from
+    * the global [min, max] event time — ONE metadata-scale aggregate
+    * row, no window, no collect of data rows). Time-ordered arrival
+    * is both the realistic transport order and what the WATERMARKED
+    * and STATEFUL keys require: no input row ever arrives behind the
+    * watermark, so nothing is dropped as late, and per-key chunk
+    * order composes to the global event-time order the batch-twin
+    * oracles assume. */
+  private def timeBatched(df: DataFrame, nBatches: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df.agg(min(unix_micros($"ts")).as("lo"),
+      max(unix_micros($"ts")).as("hi")).collect()(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1L
+    df.withColumn("batch",
+      least(lit(nBatches - 1L),
+        floor((unix_micros($"ts") - lit(lo)) * nBatches / span))
+        .cast("long"))
+  }
+
+  /** The events table with 5-column stream shape (TimestampType ts). */
+  private def eventsShaped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+  }
+
+  /** Append far-future WATERMARK-ADVANCE sentinel rows, each in its
+    * OWN trailing batch (`nRealBatches + i`) — the staged-source form
+    * of [[streamChainedAgg]]'s staggered sentinel discipline: with
+    * one batch admitted per trigger, each sentinel gets the engine
+    * trigger its watermark step needs. Sentinel times come from a
+    * 1-row max aggregate joined in-plan — no driver collect. */
+  private def withSentinelBatches(df: DataFrame,
+      minuteOffsets: Seq[Long], nRealBatches: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mx = df.agg(max($"ts").as("mx"))
+    val sentinels = mx.crossJoin(
+        minuteOffsets.zipWithIndex.toDF("mins", "i"))
+      .select(lit(-1L).as("event_id"),
+        expr("timestampadd(MINUTE, mins, mx)").as("ts"),
+        lit(-1L).as("user_id"), lit("wm_advance").as("event_type"),
+        lit(0.0).as("value"),
+        (lit(nRealBatches.toLong) + $"i").cast("long").as("batch"))
+    timeBatched(df, nRealBatches).unionByName(sentinels)
+  }
+
+  /** A fresh streaming reader over a staged batch directory: real
+    * micro-batches with checkpointable offsets, one batch admitted
+    * per trigger, rows read executor-side. */
+  private def offsetSource(spark: SparkSession, staged: String,
+      schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[EventsFileStreamProvider].getName)
+      .option("path", staged)
+      .option("maxBatchesPerTrigger", "1")
+    schemaDdl.fold(r)(s => r.option("schema", s)).load()
+  }
+
+  /** Drain a streaming frame into a memory sink and return it. */
+  private def drainToTable(spark: SparkSession, out: DataFrame,
+      mode: OutputMode): DataFrame = {
     val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val src = spark.readStream
-        .format(classOf[EventsFileStreamProvider].getName)
-        .option("path", staged)
-        .option("maxBatchesPerTrigger", "1")
-        .load()
-      val q = sinkPoint(build(src))
+      val q = sinkPoint(out)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(sinkName)
+  }
+
+  /** [[runStream]] through the OFFSET-BASED file-backed V2 source
+    * instead of a MemoryStream replay: the driver-memory-bounded
+    * replay collect is retired for every key routed here. */
+  private def runStreamOffsets(spark: SparkSession, sfDir: String,
+      mode: OutputMode, nBatches: Int = 3)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val staged = stageBatched(spark, sfDir, s"t$nBatches",
+      timeBatched(eventsShaped(spark, sfDir), nBatches))
+    drainToTable(spark, build(offsetSource(spark, staged)), mode)
   }
 
   /** CHECKPOINT-RESTART on the OFFSET-BASED source — the proof the
@@ -185,7 +264,8 @@ object StreamOps {
     * MemoryStream's. */
   def streamOffsetRestart(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val staged = stageReplayBatches(spark, sfDir, 4)
+    val staged = stageBatched(spark, sfDir, "t4",
+      timeBatched(eventsShaped(spark, sfDir), 4))
     val root = scratchDir(spark, sfDir, "graft_osr_")
     val sink = new java.io.File(root, "sink").getAbsolutePath
     val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
@@ -260,7 +340,7 @@ object StreamOps {
     import spark.implicits._
     graft.functions.KmvAgg.register(spark)
     val P31 = Int.MaxValue.toLong
-    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+    runStreamOffsets(spark, sfDir, OutputMode.Complete()) { ds =>
       ds.select($"event_type",
           expr(s"CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % $P31")
             .as("h"))
@@ -357,7 +437,7 @@ object StreamOps {
     import spark.implicits._
     val dim = Tables.customer(spark, sfDir)
       .select($"c_custkey", $"c_mktsegment")
-    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+    runStreamOffsets(spark, sfDir, OutputMode.Complete()) { ds =>
       ds.join(dim, ds("user_id") === dim("c_custkey"))
         .groupBy(window($"ts", "1 day"), $"c_mktsegment")
         .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
@@ -392,7 +472,7 @@ object StreamOps {
       .crossJoin(broadcast(totals)) // 1-row totals: scalar fan-in, not a real cross join
       .filter($"cnt" * $"n_users" >= lit(2) * $"total")
       .select($"user_id".as("blocked_uid"))
-    runStream(spark, sfDir, OutputMode.Append()) { ds =>
+    runStreamOffsets(spark, sfDir, OutputMode.Append()) { ds =>
       ds.join(blocklist, ds("user_id") === $"blocked_uid", "left_anti")
         .select($"event_id", $"user_id", $"event_type", $"value")
     }.orderBy($"event_id")
@@ -411,7 +491,7 @@ object StreamOps {
     * arrives ≥ gap after the previous one. */
   def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runStream(spark, sfDir, OutputMode.Complete()) { ds =>
+    runStreamOffsets(spark, sfDir, OutputMode.Complete()) { ds =>
       ds.groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("n_events"), xsum($"value").as("sum_value"))
         .select($"session_window.start".as("session_start"),
@@ -561,7 +641,7 @@ object StreamOps {
     * watermark (append mode): first occurrence of each key passes. */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runStream(spark, sfDir, OutputMode.Append()) { ds =>
+    runStreamOffsets(spark, sfDir, OutputMode.Append()) { ds =>
       ds.withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
         .select($"user_id", $"event_type")
@@ -585,14 +665,21 @@ object StreamOps {
     * the sink must equal the original events table byte-for-byte. */
   def streamDedupWithin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
-    val redelivered = (rows ++ rows.filter(_.event_id % 3 == 0))
-      .sortBy(e => (e.ts.getTime, e.event_id))
-    runStreamRows(spark, redelivered, OutputMode.Append()) { ds =>
-      ds.withWatermark("ts", "1 hour")
+    // the at-least-once transport is SIMULATED IN THE STAGED LAYOUT:
+    // every third event is unioned in twice (a distributed union —
+    // no driver-side replay), and since both deliveries carry the
+    // same event time they land in the same time-range batch, inside
+    // any watermark delay
+    val ev = eventsShaped(spark, sfDir)
+    val staged = stageBatched(spark, sfDir, "t3dup",
+      timeBatched(ev.unionByName(ev.filter($"event_id" % 3 === 0)), 3))
+    drainToTable(spark,
+      offsetSource(spark, staged)
+        .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-    }.orderBy($"event_id")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value"),
+      OutputMode.Append())
+      .orderBy($"event_id")
   }
 
   val streamDedupWithinSql: String =
@@ -606,8 +693,8 @@ object StreamOps {
     * batch twin is the decimal running-sum window. */
   def streamStateful(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runStream(spark, sfDir, OutputMode.Append()) { ds =>
-      ds.groupByKey(_.user_id)
+    runStreamOffsets(spark, sfDir, OutputMode.Append()) { df =>
+      df.as[Ev].groupByKey(_.user_id)
         .flatMapGroupsWithState[Array[Byte], (Long, Long, Timestamp, Double)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout) {
           (userId: Long, events: Iterator[Ev], state: GroupState[Array[Byte]]) =>
@@ -658,8 +745,8 @@ object StreamOps {
   def streamMatchRecognize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pat = java.util.regex.Pattern.compile("ab*c")
-    runStream(spark, sfDir, OutputMode.Append()) { ds =>
-      ds.groupByKey(_.user_id)
+    runStreamOffsets(spark, sfDir, OutputMode.Append()) { df =>
+      df.as[Ev].groupByKey(_.user_id)
         .flatMapGroupsWithState[(String, Array[Long], Long),
           (Long, Long, Long, Long, Long, Long)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout) {
@@ -770,8 +857,8 @@ object StreamOps {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      runStream(spark, sfDir, OutputMode.Append()) { ds =>
-        ds.groupByKey(_.user_id)
+      runStreamOffsets(spark, sfDir, OutputMode.Append()) { df =>
+        df.as[Ev].groupByKey(_.user_id)
           .transformWithState(new RunningMaxProc, TimeMode.None(),
             OutputMode.Append())
           .toDF("user_id", "event_id", "seq_no", "max_value")
@@ -892,8 +979,8 @@ object StreamOps {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      runStream(spark, sfDir, OutputMode.Append()) { ds =>
-        ds.groupByKey(_.user_id)
+      runStreamOffsets(spark, sfDir, OutputMode.Append()) { df =>
+        df.as[Ev].groupByKey(_.user_id)
           .transformWithState(new SeqContextProc, TimeMode.None(),
             OutputMode.Append())
           .toDF("user_id", "event_id", "prev1", "prev2", "prev3")
@@ -1133,47 +1220,37 @@ object StreamOps {
     * path could produce. */
   def streamMatchTimeout(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
-    val maxTs = rows.iterator.map(_.ts.getTime).max
-    val source = MemoryStream[Ev](spark)
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // three real time-ordered offset-source batches (pending views
+    // genuinely cross batch boundaries), then the far-future sentinel
+    // rides as its own trailing staged batch to fire quiet users'
+    // timers — the oracle is slicing-independent, so the staged
+    // batching needs no special composition
+    val staged = stageBatched(spark, sfDir, "t3s1",
+      withSentinelBatches(eventsShaped(spark, sfDir),
+        Seq(14L * 24L * 60L), 3))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = source.toDS()
-        .withWatermark("ts", "10 minutes")
-        .groupByKey(_.user_id)
-        .transformWithState(new TimeoutPatternProc(ABSENCE_GAP_US),
-          TimeMode.EventTime(), OutputMode.Append())
-        .toDF("user_id", "view_event_id", "by_timer")
-        .drop("by_timer")
-        .sinkGuard
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).start()
-      try {
-        val chunk = math.max(1, rows.size / 3 + 1)
-        rows.grouped(chunk).foreach { c =>
-          source.addData(c)
-          q.processAllAvailable()
-        }
-        source.addData(Ev(-1L,
-          new Timestamp(maxTs + 14L * 24L * 3600L * 1000L), -1L,
-          "wm_advance", 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
+      drainToTable(spark,
+        offsetSource(spark, staged)
+          .withWatermark("ts", "10 minutes")
+          .as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new TimeoutPatternProc(ABSENCE_GAP_US),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "view_event_id", "by_timer")
+          .drop("by_timer"),
+        OutputMode.Append())
+        .filter($"user_id" >= 0)
+        .orderBy($"user_id", $"view_event_id")
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProv match {
         case Some(v) => spark.conf.set(provKey, v)
         case None => spark.conf.unset(provKey)
       }
     }
-    spark.table(sinkName).filter($"user_id" >= 0)
-      .orderBy($"user_id", $"view_event_id")
   }
 
   val streamMatchTimeoutSql: String =
@@ -1199,30 +1276,24 @@ object StreamOps {
     * of batches must equal the batch query — the oracle. */
   def streamForeachBatch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
     // Fixed per-(app, sf) scratch dir, wiped before reuse and on JVM
     // exit — the result DataFrame reads it lazily, so it cannot be
     // deleted inside this call, but scratch no longer accumulates
     // across invocations/runs (one live dir per app at most).
     val out = febScratchDir(spark, sfDir)
-    val source = MemoryStream[Ev](spark)
+    val staged = stageBatched(spark, sfDir, "t3",
+      timeBatched(eventsShaped(spark, sfDir), 3))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = source.toDS()
+      val q = offsetSource(spark, staged)
         .filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts", $"value")
         .sinkGuard
         .writeStream
         .foreachBatch(febWrite(out) _)
         .outputMode(OutputMode.Append()).start()
-      try {
-        val chunk = math.max(1, rows.size / 3 + 1)
-        rows.grouped(chunk).foreach { c =>
-          source.addData(c)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(out)
       .select($"event_id", $"user_id", $"ts", $"value")
@@ -1316,15 +1387,18 @@ object StreamOps {
   def streamTxnSink(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.engine.TxnLog
-    val rows = replayRows(spark, sfDir)
     val root = scratchDir(spark, sfDir, "graft_txnsink_")
     TxnLog.destroy(root)
     TxnLog.init(root)
-    val source = MemoryStream[Ev](spark)
+    // three time-ordered offset-source batches = three sink commits;
+    // a time slice that happens to be empty still commits (idempotent
+    // empty delta), so n_versions stays the batch count either way
+    val staged = stageBatched(spark, sfDir, "t3",
+      timeBatched(eventsShaped(spark, sfDir), 3))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = source.toDS()
+      val q = offsetSource(spark, staged)
         .select($"user_id", $"event_id")
         .sinkGuard
         .writeStream
@@ -1350,21 +1424,7 @@ object StreamOps {
             s"retry of batch $id must dedup, got $retry vs $first")
         }
         .outputMode(OutputMode.Append()).start()
-      try {
-        // exactly min(n, 3) NON-EMPTY batches for any replay size:
-        // three balanced slices when n >= 3 (each non-empty since
-        // n/3 >= 1), one row per batch below that — so n_versions
-        // mirrors the oracle's LEAST(COUNT(*), 3) at any fixture size
-        val n = rows.size
-        val batches =
-          if (n < 3) rows.map(Seq(_))
-          else Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
-            rows.slice(2 * n / 3, n))
-        batches.foreach { c =>
-          source.addData(c)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val latest = TxnLog.latestCommitted(root)
     TxnLog.read(spark, root, latest)
@@ -1379,7 +1439,6 @@ object StreamOps {
       |    AS n_versions
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  private case class Chg(version: Long, key: Long, op: String)
 
   /** The TRANSACTION LOG AS A STREAMING SOURCE (Delta's
     * `readStream`): each committed version's delta file is replayed
@@ -1399,29 +1458,27 @@ object StreamOps {
     import spark.implicits._
     val root = graft.operators.TxnOps.ttTable(spark, sfDir)
     val latest = graft.engine.TxnLog.latestCommitted(root)
-    val source = MemoryStream[Chg](spark)
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = source.toDS()
+    // each committed version's delta dir is staged as its OWN batch
+    // (batch ordinal = version — commit order IS the offset order),
+    // served through the generic-schema offset source: the log tail
+    // is micro-batched executor-side, no delta row transits the driver
+    val staged = stageRawBatched(spark, sfDir, "ttdelta", {
+      spark.read
+        .parquet((0L to latest).map(v => s"$root/delta_v$v"): _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), "delta_v(\\d+)/", 1)
+            .cast("long"))
+        .select($"version", $"key", $"op",
+          $"version".as("batch"))
+    })
+    drainToTable(spark,
+      offsetSource(spark, staged,
+        Some("version BIGINT, key BIGINT, op STRING"))
         .groupBy($"version")
         .agg(count(when($"op" === "upsert", 1)).as("n_upserts"),
-          count(when($"op" === "delete", 1)).as("n_deletes"))
-        .sinkGuard
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Complete()).start()
-      try {
-        (0L to latest).foreach { v =>
-          val delta = spark.read.parquet(s"$root/delta_v$v")
-            .select(lit(v).as("version"), $"key", $"op")
-            .as[Chg].collect().toSeq
-          source.addData(delta)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(sinkName).orderBy($"version")
+          count(when($"op" === "delete", 1)).as("n_deletes")),
+      OutputMode.Complete())
+      .orderBy($"version")
   }
 
   val streamTxnSourceSql: String =
@@ -1469,15 +1526,18 @@ object StreamOps {
     * the bounded-shuffle shape they need. */
   def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
     val root = scratchDir(spark, sfDir, "graft_cdc_")
-    val source = MemoryStream[Ev](spark)
+    // time-ordered offset-source batches are exactly the changelog
+    // contract the merge relies on (per-key last-in-batch composed
+    // across batches ≡ global last) — the replay collect is retired
+    val staged = stageBatched(spark, sfDir, "t3",
+      timeBatched(eventsShaped(spark, sfDir), 3))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // newest snapshot path, written on the stream-execution thread
     val lastState = new java.util.concurrent.atomic.AtomicReference[String]("")
     try {
-      val q = source.toDS()
+      val q = offsetSource(spark, staged)
         .select($"user_id", $"ts", $"event_id",
           when($"event_type" === "error", lit("delete"))
             .otherwise(lit("upsert")).as("op"),
@@ -1508,13 +1568,7 @@ object StreamOps {
           lastState.set(s"$root/state_$id")
         }
         .outputMode(OutputMode.Append()).start()
-      try {
-        val chunk = math.max(1, rows.size / 3 + 1)
-        rows.grouped(chunk).foreach { c =>
-          source.addData(c)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(lastState.get())
       .select($"user_id", $"event_id".as("last_event_id"),
@@ -1546,33 +1600,29 @@ object StreamOps {
     * emitted matches equal the batch interval join — the oracle. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
-    val pSrc = MemoryStream[Ev](spark)
-    val cSrc = MemoryStream[Ev](spark)
-    pSrc.addData(rows.filter(_.event_type == "purchase"))
-    cSrc.addData(rows.filter(_.event_type == "click"))
-    val p = pSrc.toDS()
+    // both streams read the SAME staged offset-source layout (two
+    // independent reader instances, triggered in lockstep) and carve
+    // out their event type in-plan — executor-side end to end, and
+    // time-ordered batches mean no input ever trails the watermark
+    val staged = stageBatched(spark, sfDir, "t3",
+      timeBatched(eventsShaped(spark, sfDir), 3))
+    val p = offsetSource(spark, staged)
+      .filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
         $"ts".as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val c = cSrc.toDS()
+    val c = offsetSource(spark, staged)
+      .filter($"event_type" === "click")
       .select($"event_id".as("click_id"), $"user_id".as("c_user"),
         $"ts".as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = p.join(c,
+    drainToTable(spark,
+      p.join(c,
           $"p_user" === $"c_user" &&
             $"c_ts" >= expr("p_ts - INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
-        .select($"purchase_id", $"click_id", $"p_user".as("user_id"))
-        .sinkGuard
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(sinkName).orderBy($"purchase_id", $"click_id")
+        .select($"purchase_id", $"click_id", $"p_user".as("user_id")),
+      OutputMode.Append())
+      .orderBy($"purchase_id", $"click_id")
   }
 
   val streamStreamJoinSql: String =
@@ -1601,43 +1651,32 @@ object StreamOps {
     * inner join silently drops). */
   def streamStreamOuter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
-    val maxTs = rows.iterator.map(_.ts.getTime).max
-    def sentinel(minutes: Long) = Ev(-1L,
-      new Timestamp(maxTs + minutes * 60L * 1000L), -1L, "wm_advance", 0.0)
-    val pSrc = MemoryStream[Ev](spark)
-    val cSrc = MemoryStream[Ev](spark)
-    pSrc.addData(rows.filter(_.event_type == "purchase"))
-    cSrc.addData(rows.filter(_.event_type == "click"))
-    val p = pSrc.toDS()
+    // the staggered watermark-advance sentinels ride the STAGED layout
+    // as their own trailing batches (one trigger each, exactly the
+    // MemoryStream discipline this replaces); both sides keep the
+    // sentinel rows through their type filter so the watermark tracker
+    // sees them, and the sentinel join rows (-1 keys) drop at the end
+    val staged = stageBatched(spark, sfDir, "t3s2",
+      withSentinelBatches(eventsShaped(spark, sfDir),
+        Seq(120L, 14L * 24L * 60L), 3))
+    val p = offsetSource(spark, staged)
+      .filter($"event_type".isin("purchase", "wm_advance"))
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
         $"ts".as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val c = cSrc.toDS()
+    val c = offsetSource(spark, staged)
+      .filter($"event_type".isin("click", "wm_advance"))
       .select($"event_id".as("click_id"), $"user_id".as("c_user"),
         $"ts".as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = p.join(c,
+    drainToTable(spark,
+      p.join(c,
           $"p_user" === $"c_user" &&
             $"c_ts" >= expr("p_ts - INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts",
           "left_outer")
-        .select($"purchase_id", $"click_id", $"p_user".as("user_id"))
-        .sinkGuard
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        Seq(120L, 14L * 24L * 60L).foreach { m =>
-          pSrc.addData(sentinel(m)); cSrc.addData(sentinel(m))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(sinkName).filter($"purchase_id" >= 0)
+        .select($"purchase_id", $"click_id", $"p_user".as("user_id")),
+      OutputMode.Append())
+      .filter($"purchase_id" >= 0)
       .orderBy($"purchase_id", $"click_id")
   }
 
@@ -1667,29 +1706,24 @@ object StreamOps {
     * the emitted set exactly the full two-level batch rollup. */
   def streamChainedAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
-    val maxTs = rows.iterator.map(_.ts.getTime).max
     // Staggered sentinel batches: a pane can only cross BOTH stateful
     // layers if the watermark advances past its end in steps — a pane
     // emitted by agg-1 in the same batch in which the downstream late-
     // record threshold has already passed its end is discarded as late.
-    // So the watermark walks: just past the last pane, then past the
-    // last hour window, then far out — flushing layer by layer.
-    def sentinel(minutes: Long) = Ev(-1L,
-      new Timestamp(maxTs + minutes * 60L * 1000L), -1L, "wm_advance", 0.0)
-    val source = MemoryStream[Ev](spark)
-    source.addData(rows)
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      // The sentinels flow through the whole pipeline UNFILTERED — a
-      // pre-aggregation filter would be pushed below the
-      // EventTimeWatermark node by Catalyst and the sentinels would
-      // never reach the watermark tracker (observed: watermark pinned
-      // at max-real-ts − delay). Their own windows are dropped from
-      // the sink table instead, where the filter is batch-side.
-      val q = source.toDS()
+    // So the watermark walks: just past the last pane (+30 min), then
+    // far out — flushing layer by layer. The sentinels are staged as
+    // their own trailing offset-source batches (one trigger each); they
+    // flow through the whole pipeline UNFILTERED — a pre-aggregation
+    // filter would be pushed below the EventTimeWatermark node by
+    // Catalyst and they would never reach the watermark tracker
+    // (observed: watermark pinned at max-real-ts − delay). Their own
+    // windows are dropped from the sink table, where the filter is
+    // batch-side.
+    val staged = stageBatched(spark, sfDir, "t3c2",
+      withSentinelBatches(eventsShaped(spark, sfDir),
+        Seq(30L, 14L * 24L * 60L), 3))
+    drainToTable(spark,
+      offsetSource(spark, staged)
         .withWatermark("ts", "10 minutes")
         .groupBy(window($"ts", "15 minutes"), $"event_type")
         .agg(count(lit(1)).as("pn"),
@@ -1699,22 +1733,9 @@ object StreamOps {
         .agg(sum($"pn").as("n"),
           sum($"psum").cast(org.apache.spark.sql.types.DoubleType)
             .as("sum_value"))
-        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
-        .sinkGuard
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        // +30 min first (finalizes the last panes while the hour
-        // windows are still under the late threshold), then far out
-        // (flushes the hour windows through the second agg)
-        Seq(30L, 14L * 24L * 60L).foreach { m =>
-          source.addData(sentinel(m))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(sinkName).filter($"event_type" =!= "wm_advance")
+        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value"),
+      OutputMode.Append())
+      .filter($"event_type" =!= "wm_advance")
       .orderBy($"ws", $"event_type")
   }
 
@@ -1778,9 +1799,6 @@ object StreamOps {
        |  COUNT(*) AS n, ${sqlXsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 
-  private case class Cdf(version: Long, user_id: Long,
-      change_type: String, value: Long)
-
   /** STREAMING MATERIALIZED-VIEW MAINTENANCE off the CHANGE DATA
     * FEED — the streaming composition of [[graft.operators.TxnOps
     * .txnChanges]] (CDF with pre-images) and [[graft.operators
@@ -1798,34 +1816,31 @@ object StreamOps {
     * recompute from the base events — the oracle. */
   def streamMvMaintenance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val feed = graft.operators.TxnOps.txnChanges(spark, sfDir)
-      .as[Cdf].collect().toSeq.groupBy(_.version).toSeq.sortBy(_._1)
-    val source = MemoryStream[Cdf](spark)
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = source.toDS()
+    // the change feed is staged one batch per version (commit order =
+    // offset order) and consumed through the generic-schema offset
+    // source — the CDF rows never transit the driver; n_batches comes
+    // from the log's metadata, not a collected feed
+    val nVersions = graft.engine.TxnLog.latestCommitted(
+      graft.operators.TxnOps.ttTable(spark, sfDir)) + 1
+    val staged = stageRawBatched(spark, sfDir, "ttcdf", {
+      graft.operators.TxnOps.txnChanges(spark, sfDir)
+        .select($"version", $"user_id", $"change_type", $"value",
+          $"version".as("batch"))
+    })
+    drainToTable(spark,
+      offsetSource(spark, staged,
+        Some("version BIGINT, user_id BIGINT, change_type STRING, " +
+          "value BIGINT"))
         .select(($"user_id" % 10).as("bucket"),
           when($"change_type".isin("insert", "update_postimage"), 1L)
             .otherwise(-1L).as("sign"),
           $"value")
         .groupBy($"bucket")
         .agg(sum($"sign").as("n_users"),
-          sum($"sign" * $"value").as("sum_balance"))
-        .sinkGuard
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Complete()).start()
-      try {
-        feed.foreach { case (_, rows) =>
-          source.addData(rows)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(sinkName)
+          sum($"sign" * $"value").as("sum_balance")),
+      OutputMode.Complete())
       .filter($"n_users" > 0L)
-      .withColumn("n_batches", lit(feed.size).cast("long"))
+      .withColumn("n_batches", lit(nVersions).cast("long"))
       .orderBy($"bucket")
   }
 

@@ -160,6 +160,75 @@ class Round15Spec extends SparkSpec {
       s"driver-side replay escaped the sanctioned set: got $offenders")
   }
 
+  test("join-order CBO: inverting the filter stats flips the greedy order") {
+    import graft.plans.Cbo
+    import spark.implicits._
+    val pStats = Cbo.analyzePath(s"$sf/part.parquet")
+    val oStats = Cbo.analyzePath(s"$sf/orders.parquet")
+    assert(oStats.nRows > pStats.nRows,
+      "fixture premise: orders is the bigger dimension")
+    // a filter cut on orders selective enough to drop its estimate
+    // BELOW part's unfiltered count — the order must then follow the
+    // post-filter estimate, not the raw table size
+    val oCut = oStats.cols("o_orderkey").max.get / 20
+    val fact = graft.engine.Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_orderkey")
+    val part = graft.engine.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_partkey".as("l_partkey"))
+    val orders = graft.engine.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderkey".as("l_orderkey"))
+    // no filters: raw sizes decide → part (200k·SF) before orders (1.5M·SF)
+    val (_, o1) = Cbo.reorderJoin(fact, Seq(
+      "part" -> Cbo.Input(part, pStats, Seq("l_partkey")),
+      "orders" -> Cbo.Input(orders, oStats, Seq("l_orderkey"))))
+    assert(o1 == Seq("part", "orders"))
+    // orders filtered to 1/20 (~75k·SF < 200k·SF): estimate inverts
+    // the raw-size order
+    val (j2, o2) = Cbo.reorderJoin(fact, Seq(
+      "part" -> Cbo.Input(part, pStats, Seq("l_partkey")),
+      "orders" -> Cbo.Input(orders, oStats, Seq("l_orderkey"),
+        Some(("o_orderkey", 0L, oCut)))))
+    assert(o2 == Seq("orders", "part"),
+      "inverted stats must invert the join order")
+    // structural: the first-joined dimension sits deeper in the plan —
+    // its join appears as the LEFT child of the second join
+    val joins = j2.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 2, s"expected 2 joins, got ${joins.size}")
+    assert(joins.head.left.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Join]),
+      "the second join must consume the first join's output on its left")
+    // selectivity math sanity: the decile filter estimates ~10%
+    val sel = Cbo.selectivity(pStats, "p_partkey", 0L,
+      pStats.cols("p_partkey").max.get / 10)
+    assert(sel > 0.05 && sel < 0.15, s"decile selectivity off: $sel")
+  }
+
+  test("txnMvIncremental scan set is commit deltas only — no snapshot " +
+      "of any historical version is read") {
+    val df = graft.operators.TxnOps.txnMvIncremental(spark, sf)
+    val files = df.inputFiles
+    assert(files.nonEmpty, "the MV plan must read the delta files")
+    val offenders = files.filterNot(_.contains("/delta_v"))
+    assert(offenders.isEmpty,
+      s"O(changes) maintenance must scan deltas only, got " +
+        offenders.take(3).mkString(", "))
+    // differential: the delta-only fold equals a full recompute of
+    // the latest snapshot (empty at sf0.001 — every user is
+    // error-tainted and deleted at v3 — so compare sets, not counts)
+    import org.apache.spark.sql.functions._
+    val root = graft.operators.TxnOps.ttTable(spark, sf)
+    val latest = graft.engine.TxnLog.latestCommitted(root)
+    val expect = graft.engine.TxnLog.read(spark, root, latest)
+      .groupBy((col("key") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("value")).as("sum_balance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"delta-fold $got != recompute $expect")
+  }
+
   test("IVM retraction baseline skips NULL-value upserts (column-level " +
       "'keep prior value' rows neither contribute nor become baselines)") {
     import spark.implicits._
