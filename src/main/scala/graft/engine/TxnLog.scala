@@ -403,12 +403,17 @@ object TxnLog {
     * the entire point: test/dev forks of production tables without a
     * copy job. Returns the source version that was cloned.
     *
-    * CAVEAT (the Delta caveat too): the source table does not know
-    * its snapshots are referenced by clones, so a [[vacuum]] of the
-    * SOURCE can evict the snapshot this clone's `snapshot_v0` links
-    * to. The clone's subsequent reads fail with the descriptive
-    * dangling-link error in [[readPhysical]] (not a generic timeout);
-    * re-clone or restore the source version to recover. */
+    * BACK-REFERENCE (round-10; closes the classic Delta caveat where
+    * the source does not know its snapshots are referenced): the
+    * clone registers itself in the SOURCE's log (`clone_<tag>.ref`
+    * naming the clone root and pinned version), and [[vacuum]] of
+    * the source treats versions referenced by LIVE clones as pinned
+    * — exactly like tags — so a routine retention sweep can no
+    * longer sever a clone's data. A dropped clone (its root gone, or
+    * its own v0 vacuumed) releases the pin: the stale ref is
+    * garbage-collected on the source's next vacuum. The dangling-link
+    * diagnostic in [[readPhysical]] stays as the backstop for refs
+    * removed out-of-band. */
   def cloneShallow(srcRoot: String, dstRoot: String): Long = {
     val srcV = latestCommitted(srcRoot)
     require(srcV >= 0, "source table has no committed version to clone")
@@ -422,8 +427,33 @@ object TxnLog {
     writeMeta(dstRoot, CommitMeta(0L, -1L, Nil))
     require(commitMarker(dstRoot, 0L).createNewFile(),
       s"clone target $dstRoot already has a committed v0")
+    // back-ref AFTER the clone is materialized but before it is
+    // handed to the caller: unique per (clone path, version), so
+    // re-cloning the same destination just overwrites its own ref
+    val tag = java.lang.Integer.toHexString(
+      new File(dstRoot).getAbsolutePath.hashCode) + s"_v$srcV"
+    Files.write(new File(logDir(srcRoot), s"clone_$tag.ref").toPath,
+      s"${new File(dstRoot).getAbsolutePath}|$srcV"
+        .getBytes(StandardCharsets.UTF_8))
     srcV
   }
+
+  /** Source versions pinned by LIVE shallow clones; stale refs
+    * (clone root gone, or the clone's own v0 dropped) are deleted —
+    * the ref lifecycle is owned entirely by the source's vacuum. */
+  private def clonePinnedVersions(root: String): Set[Long] =
+    Option(logDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("clone_") &&
+        f.getName.endsWith(".ref"))
+      .flatMap { f =>
+        val parts = new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8).split("\\|", 2)
+        val (dst, v) = (parts(0), parts(1).toLong)
+        val live = new File(dst, "_txn_log").isDirectory &&
+          Files.isSymbolicLink(Paths.get(dst, "snapshot_v0")) &&
+          !vacuumTombstone(dst, 0L).exists()
+        if (live) Some(v) else { f.delete(); None }
+      }.toSet
 
   /** Retention vacuum: delete snapshot + delta data for all versions
     * older than the last `keepLast` committed ones, EXCEPT versions
@@ -435,7 +465,8 @@ object TxnLog {
   def vacuum(root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest version")
     val latest = latestCommitted(root)
-    val pinned = taggedVersions(root)
+    // tags pin explicitly; live shallow clones pin by back-reference
+    val pinned = taggedVersions(root) ++ clonePinnedVersions(root)
     // REACHABILITY: a retained version whose snapshot is a LINK
     // (metadata-only commit) keeps its referent's data alive — the
     // same live-file rule a manifest-based vacuum applies. Resolve

@@ -355,8 +355,13 @@ class Round14Spec extends SparkSpec {
     TxnLog.commit(spark, src, _ => (upserts(1L -> 1L), Seq((1L, 1L))))
     TxnLog.cloneShallow(src, dst)
     assert(state(dst) == Map(1L -> 1L))
-    // the source does not know about the clone: two more commits,
-    // then a retention vacuum evicts the snapshot the clone links to
+    // round-10: vacuum normally PINS clone-referenced versions via the
+    // back-ref (Round15Spec) — this test exercises the BACKSTOP
+    // diagnostic, so drop the ref out-of-band (a janitor deleting log
+    // files) before the retention sweep evicts the linked snapshot
+    Option(new java.io.File(src, "_txn_log").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("clone_")).foreach(_.delete())
     TxnLog.commit(spark, src, _ => (upserts(2L -> 2L), Seq((2L, 2L))))
     TxnLog.commit(spark, src, _ => (upserts(3L -> 3L), Seq((3L, 3L))))
     TxnLog.vacuum(src, keepLast = 1)

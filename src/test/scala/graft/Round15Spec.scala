@@ -160,6 +160,29 @@ class Round15Spec extends SparkSpec {
       s"driver-side replay escaped the sanctioned set: got $offenders")
   }
 
+  test("vacuum skips snapshots a live shallow clone references; " +
+      "dropping the clone releases the pin") {
+    val src = freshRoot("clone_src")
+    TxnLog.commit(spark, src, _ => (upserts(1L -> 1L), Seq((1L, 1L))))
+    TxnLog.commit(spark, src, _ => (upserts(2L -> 2L), Seq((2L, 2L))))
+    val dst = new File(System.getProperty("java.io.tmpdir"),
+      "graft_r15_clone_dst").getAbsolutePath
+    val srcV = TxnLog.cloneShallow(src, dst) // pins v1
+    TxnLog.commit(spark, src, _ => (upserts(3L -> 3L), Seq((3L, 3L))))
+    TxnLog.commit(spark, src, _ => (upserts(4L -> 4L), Seq((4L, 4L))))
+    val evicted = TxnLog.vacuum(src, 1)
+    assert(!evicted.contains(srcV),
+      "the version a live clone references must be pinned")
+    // the clone still reads through its link — the round-9 descriptive
+    // dangling-link failure is gone because the data SURVIVES
+    assert(TxnLog.read(spark, dst, 0L).count() == 2L)
+    // dropping the clone releases the pin at the next vacuum
+    TxnLog.destroy(dst)
+    val evicted2 = TxnLog.vacuum(src, 1)
+    assert(evicted2.contains(srcV), "a dropped clone releases the pin")
+    TxnLog.destroy(src)
+  }
+
   test("join-order CBO: inverting the filter stats flips the greedy order") {
     import graft.plans.Cbo
     import spark.implicits._
