@@ -1023,79 +1023,171 @@ object SimOps {
     // harness). Restored before the RESULT is built, so the caller's
     // plan is unaffected.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // AQE re-plans every stage of every one of the ~10 iterative
+    // jobs — pure driver latency on frames this small (measured: the
+    // search is job-count-bound, not data-bound). A 100 TB run wants
+    // AQE back ON for the build (skew in bucket joins); the search's
+    // per-round frames stay beam-sized at any corpus scale.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try simsearchHnswInner(spark, sfDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   private def simsearchHnswInner(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-    val nodes = e.select($"vec_id", $"embedding")
+    // NOT checkpointed: allSigs (below) carries vec_id/embedding/level
+    // and is the single pinned corpus pass — a separate nodes pin was
+    // one more sequential job for data allSigs already holds. The
+    // repartition spreads the 9 signature folds across cores: the
+    // fixture parquet arrives as ~1 input split, which would run the
+    // build's only CPU-heavy expression single-threaded.
+    val nodes0 = e.select($"vec_id", $"embedding")
+      .repartition(32)
       .withColumn("level", hnswLevelCol)
-      .localCheckpoint(true)
 
     // --- build: per layer, LSH-candidate top-M edges, symmetrized.
     // ALL (level, seed) signatures — 9 fixed-point folds — project in
     // ONE pinned pass over the corpus (the build is JOB-COUNT-bound
     // at fixture scale: every localCheckpoint is a Spark job, so sigs
     // for every layer ride one job instead of three).
-    val allSigs = nodes.select(
+    val allSigs = nodes0.select(
       $"vec_id" +: $"embedding" +: $"level" +:
         (for (l <- 0 until HNSW_LEVELS; s <- 0 until 3) yield
           expr(hnswSigExpr("embedding", s, HNSW_PLANES(l)))
             .as(s"b_${l}_$s")): _*)
       .localCheckpoint(true)
-    val edgesByLevel: Map[Int, DataFrame] = (0 until HNSW_LEVELS).map { l =>
-      val members = allSigs.filter($"level" >= l)
-        .select($"vec_id", $"embedding",
-          col(s"b_${l}_0").as("b0"), col(s"b_${l}_1").as("b1"),
-          col(s"b_${l}_2").as("b2"))
-      // score INSIDE the bucket join and shed the 64-float arrays
-      // before anything shuffles — deduping/windowing rows that
-      // carry two embeddings each would move ~100× the bytes
-      val cand = (0 until 3).map { seed =>
-        val a = members.select($"vec_id".as("src"),
-          $"embedding".as("sv"), col(s"b$seed").as("b"))
-        val bb = members.select($"vec_id".as("dst"),
-          $"embedding".as("dv"), col(s"b$seed").as("b"))
-        a.join(bb, Seq("b")).filter($"src" =!= $"dst")
-          .select($"src", $"dst",
-            rnd6(expr("graft_cosine_sim(sv, dv)")).as("sim"))
-      }.reduce(_ unionByName _)
-        .dropDuplicates("src", "dst")
-      val wM = Window.partitionBy($"src")
-        .orderBy($"sim".desc, $"dst".asc)
-      val topM = cand
-        .withColumn("rk", row_number().over(wM))
-        .filter($"rk" <= HNSW_M)
-        .select($"src", $"dst")
-      // symmetrize: HNSW links are bidirectional (at 100 TB re-cap
-      // the reversed side at M too; fixture layers are small)
-      l -> topM.unionByName(topM.select($"dst".as("src"), $"src".as("dst")))
-        .dropDuplicates("src", "dst")
-        .localCheckpoint(true)
-    }.toMap
+    val nodes = allSigs.select($"vec_id", $"embedding", $"level")
+    // every layer's edge list builds in ONE JOIN (round-10: the nine
+    // per-(level, seed) bucket self-joins + unions were nine shuffle
+    // stages on frames that key fine together — membership explodes
+    // to (lvl, seed, bucket) rows and one equi-join on that composite
+    // key produces every layer's candidate pairs; job count and stage
+    // count, not data volume, are the fixture-scale cost, and at
+    // 100 TB one wide shuffle beats nine narrow sequential ones)
+    val mem = allSigs.select($"vec_id", $"level",
+        explode(array((for (l <- 0 until HNSW_LEVELS; s <- 0 until 3)
+          yield struct(lit(l).as("lvl"), lit(s).as("seed"),
+            col(s"b_${l}_$s").as("b"))): _*)).as("k"))
+      .filter($"level" >= $"k.lvl")
+      .select($"vec_id", $"k.lvl".as("lvl"),
+        $"k.seed".as("seed"), $"k.b".as("b"))
+    // the bucket join moves IDS ONLY (no 64-float array ever rides
+    // the candidate shuffle); the vectors come back for scoring via
+    // two BROADCAST joins against the pinned corpus — at fixture
+    // scale the corpus broadcasts whole, at 100 TB this becomes a
+    // shuffle join by id (same plan shape, bigger exchange) while
+    // the id-only candidate join stays narrow either way
+    val embB = broadcast(allSigs.select($"vec_id", $"embedding"))
+    val candAll = mem.select($"lvl", $"seed", $"b", $"vec_id".as("src"))
+      .join(mem.select($"lvl", $"seed", $"b", $"vec_id".as("dst")),
+        Seq("lvl", "seed", "b"))
+      .filter($"src" =!= $"dst")
+      .dropDuplicates("lvl", "src", "dst")
+      .join(embB.select($"vec_id".as("src"), $"embedding".as("sv")),
+        Seq("src"))
+      .join(embB.select($"vec_id".as("dst"), $"embedding".as("dv")),
+        Seq("dst"))
+      .select($"lvl", $"src", $"dst",
+        rnd6(expr("graft_cosine_sim(sv, dv)")).as("sim"))
+    val wM = Window.partitionBy($"lvl", $"src")
+      .orderBy($"sim".desc, $"dst".asc)
+    val topM = candAll
+      .withColumn("rk", row_number().over(wM))
+      .filter($"rk" <= HNSW_M)
+      .select($"src", $"dst", $"lvl")
+    // symmetrize: HNSW links are bidirectional (at 100 TB re-cap
+    // the reversed side at M too; fixture layers are small)
+    val allEdges = topM
+      .unionByName(topM.select($"dst".as("src"), $"src".as("dst"), $"lvl"))
+      .dropDuplicates("lvl", "src", "dst")
+      .localCheckpoint(true)
+    val edgesByLevel: Map[Int, DataFrame] = (0 until HNSW_LEVELS)
+      .map(l => l -> allEdges.filter($"lvl" === l).drop("lvl")).toMap
 
-    // --- entry points: a bounded deterministic set of top-layer
-    // nodes (multi-entry seeding — the sparse top layer of a small
-    // corpus can strand a single-entry greedy descent; the seed set
-    // is capped so entry cost stays O(1) at any corpus size)
-    val entries = nodes.filter($"level" === (HNSW_LEVELS - 1))
-      .orderBy($"vec_id").limit(8)
-      .select($"vec_id").collect().map(_.getLong(0)).toSeq match {
-      case Seq() => nodes.orderBy($"vec_id").limit(1)
-        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    // --- UPPER-LAYER DESCENT, DRIVER-LOCAL (round-10): levels ≥ 1
+    // exist only to steer the search into the right region — exactly
+    // the part of an HNSW index every real deployment keeps
+    // MEMORY-RESIDENT next to the router (IVF's centroids-in-driver
+    // analogue), while the base layer stays distributed. The collect
+    // is CAPPED (deterministic lowest-vec_id subset), so entry cost
+    // is O(cap), not O(corpus); the cap covers the fixture's upper
+    // layers entirely and at 100 TB bounds the router's memory the
+    // way a production index sizes its in-RAM top layers. This
+    // replaced two distributed beam rounds (two Spark jobs) with
+    // zero — the search now spends ALL its jobs at the base layer
+    // where recall is won.
+    // query vectors pin once; the same 8 rows broadcast into every
+    // distributed scoring join and collect for the driver descent
+    val q = e.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .localCheckpoint(true)
+    val upperCap = 4096
+    val upperNodes = nodes.filter($"level" >= 1)
+      .orderBy($"vec_id").limit(upperCap)
+      .select($"vec_id", $"level", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val upperIds = upperNodes.map(_._1).toSet
+    val upperVec = upperNodes.map(t => t._1 -> t._3).toMap
+    val upperAdj: Map[Int, Map[Long, Seq[Long]]] =
+      allEdges.filter($"lvl" >= 1).collect()
+        .map(r => (r.getInt(2), r.getLong(0), r.getLong(1)))
+        .filter(t => upperIds(t._2) && upperIds(t._3))
+        .groupBy(_._1)
+        .map { case (l, es) =>
+          l -> es.groupBy(_._2).map { case (s, ds) =>
+            s -> ds.map(_._3).toSeq
+          }
+        }
+    val qVecs = q.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val topEntries = upperNodes.filter(_._2 == HNSW_LEVELS - 1)
+      .map(_._1).sorted.take(8).toSeq match {
+      case Seq() => upperNodes.map(_._1).sorted.take(1).toSeq
       case es => es
+    }
+    // per query: one greedy beam hop per upper level (beam 4 — the
+    // budget the distributed rounds spent), but EVERY candidate the
+    // descent scored stays in the accumulated set and the best EF of
+    // them seed the base layer — the distributed version kept its
+    // upper-layer candidates in `visited` the same way, and recall
+    // depends on that breadth
+    val seeds: Seq[(Long, Long)] = qVecs.toSeq.flatMap { case (qid, qv) =>
+      var beamSet: Seq[Long] = topEntries
+      var scored: Map[Long, Double] =
+        topEntries.map(n => n -> cosine(upperVec(n), qv)).toMap
+      ((HNSW_LEVELS - 1) to 1 by -1).foreach { l =>
+        val adj = upperAdj.getOrElse(l, Map.empty)
+        val cand = (beamSet ++ beamSet.flatMap(n =>
+          adj.getOrElse(n, Seq.empty))).distinct
+        val ranked = cand
+          .map(n => (n, scored.getOrElse(n, cosine(upperVec(n), qv))))
+        scored = scored ++ ranked
+        beamSet = ranked.sortBy { case (n, s) => (-s, n) }
+          .take(4).map(_._1)
+      }
+      scored.toSeq.sortBy { case (n, s) => (-s, n) }
+        .take(HNSW_EF).map(qid -> _._1)
     }
 
     // beam frames carry (query_id, node, sim) ONLY — the query
     // vectors join in at scoring time (broadcast: N_QUERIES rows),
     // so no 64-float array ever rides a beam shuffle
-    val q = e.filter($"vec_id" < N_QUERIES)
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-      .localCheckpoint(true)
     val emb = nodes.select($"vec_id".as("nid"), $"embedding".as("nv"))
     def score(cands: DataFrame): DataFrame =
       cands.join(emb, $"node" === $"nid")
@@ -1103,43 +1195,34 @@ object SimOps {
         .select($"query_id", $"node",
           rnd6(expr("graft_cosine_sim(nv, qv)")).as("sim"))
 
-    // --- search: beam descent, narrow beam above the base layer,
-    // EF at layer 0
-    var visited = score(q.select($"query_id").crossJoin(
-        broadcast(entries.toDF("node"))))
+    // --- base-layer search: EF-wide beam, all rounds distributed,
+    // entered at the driver-descent seeds
+    var visited = score(
+      broadcast(seeds.toDF("query_id", "node")))
       .localCheckpoint(true)
-    (HNSW_LEVELS - 1) to 0 by -1 foreach { l =>
-      val beam = if (l == 0) HNSW_EF else 4
-      // upper layers only need to DESCEND (one greedy hop toward the
-      // right region — their graphs are coarse by design); the full
-      // expansion budget is spent at the base layer where recall is
-      // won. Every round is a Spark job, so this is also the
-      // latency knob: 3+1+1 rounds, not levels×rounds
-      val rounds = if (l == 0) HNSW_ROUNDS else 1
-      val wBeam = Window.partitionBy($"query_id")
-        .orderBy($"sim".desc, $"node".asc)
-      (1 to rounds).foreach { r =>
-        val frontier = visited
-          .withColumn("rk", row_number().over(wBeam))
-          .filter($"rk" <= beam)
-          .select($"query_id", $"node")
-        val expanded = frontier
-          .join(edgesByLevel(l), $"node" === $"src")
-          .select($"query_id", $"dst".as("node"))
-          .dropDuplicates("query_id", "node")
-        val _ = r
-        // per-round pin: without it every later round (and the final
-        // query) re-executes the whole prior search lineage — the
-        // iterative-loop rule, measured: dropping these pins COST
-        // time despite running fewer checkpoint jobs
-        visited = score(expanded)
-          .unionByName(visited)
-          .dropDuplicates("query_id", "node")
-          .withColumn("rk", row_number().over(wBeam))
-          .filter($"rk" <= math.max(beam, HNSW_EF))
-          .select($"query_id", $"node", $"sim")
-          .localCheckpoint(true)
-      }
+    val wBeam = Window.partitionBy($"query_id")
+      .orderBy($"sim".desc, $"node".asc)
+    (1 to HNSW_ROUNDS).foreach { r =>
+      val frontier = visited
+        .withColumn("rk", row_number().over(wBeam))
+        .filter($"rk" <= HNSW_EF)
+        .select($"query_id", $"node")
+      val expanded = frontier
+        .join(edgesByLevel(0), $"node" === $"src")
+        .select($"query_id", $"dst".as("node"))
+        .dropDuplicates("query_id", "node")
+      val _ = r
+      // per-round pin: without it every later round (and the final
+      // query) re-executes the whole prior search lineage — the
+      // iterative-loop rule, measured: dropping these pins COST
+      // time despite running fewer checkpoint jobs
+      visited = score(expanded)
+        .unionByName(visited)
+        .dropDuplicates("query_id", "node")
+        .withColumn("rk", row_number().over(wBeam))
+        .filter($"rk" <= HNSW_EF)
+        .select($"query_id", $"node", $"sim")
+        .localCheckpoint(true)
     }
     val wK = Window.partitionBy($"query_id")
       .orderBy($"cos_sim".desc, $"vec_id".asc)
