@@ -160,6 +160,89 @@ class Round15Spec extends SparkSpec {
       s"driver-side replay escaped the sanctioned set: got $offenders")
   }
 
+  test("mid-batch crash (after the txn-sink write, before the engine " +
+      "records the batch) resumes exactly-once through the offset source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stage 3 offset-source batches by hand: 2 users × 3 events each
+    val staged = new File(System.getProperty("java.io.tmpdir"),
+      "graft_r15_midbatch_src")
+    if (staged.exists())
+      graft.engine.TxnLog.destroy(staged.getAbsolutePath)
+    val rows = Seq( // event_id, ts(us), user_id, event_type, value
+      (0, "0,1000000,1,click,1.0\n1,2000000,2,click,1.0"),
+      (1, "2,3000000,1,view,1.0\n3,4000000,2,view,1.0"),
+      (2, "4,5000000,1,purchase,1.0\n5,6000000,2,purchase,1.0"))
+    rows.foreach { case (b, body) =>
+      val d = new File(staged, s"batch=$b"); d.mkdirs()
+      Files.write(new File(d, "part-0.csv").toPath,
+        body.getBytes(StandardCharsets.UTF_8))
+    }
+    val root = freshRoot("midbatch_sink")
+    val ckpt = new File(System.getProperty("java.io.tmpdir"),
+      "graft_r15_midbatch_ckpt")
+    if (ckpt.exists()) graft.engine.TxnLog.destroy(ckpt.getAbsolutePath)
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val commits = new java.util.concurrent.ConcurrentHashMap[
+      Long, java.util.List[TxnLog.TxnStats]]()
+    def start() = spark.readStream
+      .format(classOf[graft.streaming.EventsFileStreamProvider].getName)
+      .option("path", staged.getAbsolutePath)
+      .option("maxBatchesPerTrigger", "1")
+      .load()
+      .select($"user_id", $"event_id")
+      .writeStream
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val s2 = batch.sparkSession
+          val inc = batch.groupBy(col("user_id").as("key"))
+            .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+          val ranges = TxnLog.range(inc)
+          val st = TxnLog.commit(s2, root, base => {
+            val d = base.as("s").join(inc.as("d"), Seq("key"), "right")
+              .select(col("key"),
+                (coalesce(col("s.value"), lit(0L)) + col("d.cnt"))
+                  .as("value"),
+                lit("upsert").as("op"))
+            (d, ranges)
+          }, txnId = Some(s"b$id"))
+          commits.computeIfAbsent(id,
+            _ => java.util.Collections.synchronizedList(
+              new java.util.ArrayList[TxnLog.TxnStats]())).add(st)
+          // the injected crash: the SINK EFFECT is durable (committed
+          // to the txn log) but the engine never records batch 1 in
+          // its offset/commit log — the restart must re-drive batch 1
+          // and the txn-id dedup must absorb it
+          if (id == 1L && crashOnce.compareAndSet(false, true))
+            throw new RuntimeException("injected mid-batch crash")
+      }
+      .start()
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // exactly-once: 3 batches → exactly 3 committed versions, batch 1
+    // applied ONCE — the re-driven commit deduped (attempts == 0,
+    // same version), and the final balances count each event once
+    assert(TxnLog.latestCommitted(root) == 2L,
+      s"3 batches must be 3 versions, got ${TxnLog.latestCommitted(root)}")
+    val b1 = commits.get(1L)
+    assert(b1 != null && b1.size() == 2,
+      s"batch 1 must run twice (crash + re-drive), got $b1")
+    assert(b1.get(1).version == b1.get(0).version &&
+      b1.get(1).attempts == 0,
+      s"the re-driven batch-1 commit must dedup, got $b1")
+    assert(state(root) == Map(1L -> 3L, 2L -> 3L),
+      "each of the 6 events must count exactly once")
+    TxnLog.destroy(root)
+    graft.engine.TxnLog.destroy(staged.getAbsolutePath)
+    graft.engine.TxnLog.destroy(ckpt.getAbsolutePath)
+  }
+
   test("vacuum skips snapshots a live shallow clone references; " +
       "dropping the clone releases the pin") {
     val src = freshRoot("clone_src")
