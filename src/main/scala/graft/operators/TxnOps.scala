@@ -248,37 +248,55 @@ object TxnOps {
     * so types, pre- and post-images are all checked. */
   def txnChanges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val root = ttTable(spark, sfDir)
     val latest = TxnLog.latestCommitted(root)
-    val perVersion = (0L to latest).map { v =>
-      val delta = spark.read.parquet(s"$root/delta_v$v")
-      val prev =
-        if (v == 0) TxnLog.emptySnapshot(spark)
-        else TxnLog.read(spark, root, v - 1)
-      val joined = delta.as("d")
-        .join(prev.as("s").withColumnRenamed("value", "prev_value"),
-          Seq("key"), "left")
-      val inserts = joined
-        .filter($"op" === "upsert" && $"prev_value".isNull)
-        .select(lit(v).as("version"), $"key",
-          lit("insert").as("change_type"), $"value")
-      val updPre = joined
-        .filter($"op" === "upsert" && $"prev_value".isNotNull)
-        .select(lit(v).as("version"), $"key",
-          lit("update_preimage").as("change_type"),
-          $"prev_value".as("value"))
-      val updPost = joined
-        .filter($"op" === "upsert" && $"prev_value".isNotNull)
-        .select(lit(v).as("version"), $"key",
-          lit("update_postimage").as("change_type"), $"value")
-      val deletes = joined
-        .filter($"op" === "delete" && $"prev_value".isNotNull)
-        .select(lit(v).as("version"), $"key",
-          lit("delete").as("change_type"), $"prev_value".as("value"))
-      inserts.unionByName(updPre).unionByName(updPost).unionByName(deletes)
-    }
-    perVersion.reduce(_ unionByName _)
-      .select($"version", $"key".as("user_id"), $"change_type", $"value")
+    // Round-10 rewrite (same class as [[txnMvIncremental]]'s fix):
+    // the old form joined each version's delta against the FULL
+    // previous snapshot — O(versions × table). Pre-images are
+    // derivable from the DELTAS ALONE: a key's state before version v
+    // is its last touch (one scan of every delta file, one per-key
+    // window). Each touch then explodes into its CDF rows in place —
+    // at 100 TB the cost is O(total changes), which is the contract
+    // a change feed with pre-images has to meet (production formats
+    // pay it by WRITING pre-images at commit time; deriving them
+    // from the keyed delta history is the log-only equivalent).
+    val deltas = spark.read
+      .parquet((0L to latest).map(v => s"$root/delta_v$v"): _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "delta_v(\\d+)/", 1)
+          .cast("long"))
+    val prevFrame = Window.partitionBy($"key").orderBy($"version")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = deltas
+      .withColumn("cur_present",
+        when($"op" === "delete", lit(0L)).otherwise(lit(1L)))
+      .withColumn("cur_value",
+        when($"op" === "delete", lit(null).cast("long"))
+          .otherwise($"value"))
+      .withColumn("prev_present",
+        coalesce(last($"cur_present").over(prevFrame), lit(0L)))
+      .withColumn("prev_value",
+        last($"cur_value", ignoreNulls = true).over(prevFrame))
+    touched
+      .select($"version", $"key",
+        explode(
+          when($"op" === "upsert" && $"prev_present" === 0L,
+            array(struct(lit("insert").as("change_type"),
+              $"value".as("value"))))
+          .when($"op" === "upsert" && $"prev_present" === 1L,
+            array(
+              struct(lit("update_preimage").as("change_type"),
+                $"prev_value".as("value")),
+              struct(lit("update_postimage").as("change_type"),
+                $"value".as("value"))))
+          .when($"op" === "delete" && $"prev_present" === 1L,
+            array(struct(lit("delete").as("change_type"),
+              $"prev_value".as("value"))))).as("chg"))
+      // a delete of a never-present key matches no branch → NULL
+      // array → explode emits nothing, exactly the old semantics
+      .select($"version", $"key".as("user_id"),
+        $"chg.change_type".as("change_type"), $"chg.value".as("value"))
       .orderBy($"version", $"user_id", $"change_type")
   }
 

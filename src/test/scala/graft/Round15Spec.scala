@@ -160,6 +160,44 @@ class Round15Spec extends SparkSpec {
       s"driver-side replay escaped the sanctioned set: got $offenders")
   }
 
+  test("offset source tails a LIVE directory: batches staged after the " +
+      "query started are admitted with checkpointed offsets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val staged = new File(System.getProperty("java.io.tmpdir"),
+      "graft_r15_tail_src")
+    if (staged.exists())
+      graft.engine.TxnLog.destroy(staged.getAbsolutePath)
+    def stage(b: Int, body: String): Unit = {
+      val d = new File(staged, s"batch=$b"); d.mkdirs()
+      Files.write(new File(d, "part-0.csv").toPath,
+        body.getBytes(StandardCharsets.UTF_8))
+    }
+    stage(0, "0,1000000,1,click,1.0")
+    stage(1, "1,2000000,2,click,1.0")
+    val sink = s"graft_r15_tail_${System.identityHashCode(this)}"
+    val q = spark.readStream
+      .format(classOf[graft.streaming.EventsFileStreamProvider].getName)
+      .option("path", staged.getAbsolutePath)
+      .option("maxBatchesPerTrigger", "1")
+      .load()
+      .select($"event_id", $"user_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 2L)
+      // the producer keeps writing while the query is live — the
+      // directory-tail contract of every file-backed connector
+      stage(2, "2,3000000,1,view,1.0\n3,4000000,2,view,1.0")
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 4L,
+        "the live-appended batch must be admitted")
+      assert(spark.table(sink).select(max($"event_id")).head.getLong(0) == 3L)
+    } finally q.stop()
+    graft.engine.TxnLog.destroy(staged.getAbsolutePath)
+  }
+
   test("mid-batch crash (after the txn-sink write, before the engine " +
       "records the batch) resumes exactly-once through the offset source") {
     import spark.implicits._
