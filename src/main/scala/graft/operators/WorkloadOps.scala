@@ -145,6 +145,64 @@ object WorkloadOps {
        |ORDER BY revenue DESC, c_custkey ASC
        |LIMIT 20""".stripMargin
 
+  /** Q10 ROUTED THROUGH THE JOIN-ORDER CBO
+    * ([[graft.plans.Cbo.reorderJoin]]) — the verdict's natural
+    * demonstrator: identical semantics (and oracle) to [[tpchQ10]],
+    * but the dimension order is chosen by footer-stats estimates with
+    * selectivity propagation under CONNECTIVITY constraints. The
+    * shape is a CHAIN, not a star: customer's key (o_custkey) exists
+    * only after orders joins, nation's (c_nationkey) only after
+    * customer — greedy-by-estimate respects availability, so the
+    * chosen order is orders → customer → nation, each side
+    * broadcast-or-merge by its own selectivity-scaled size estimate.
+    * The orders date filter is ESTIMATED from the footer micros range
+    * (timestamps are INT64 micros in the footer stats) and APPLIED as
+    * the native timestamp predicate so the parquet pushdown
+    * survives. */
+  def tpchQ10Cbo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.Cbo
+    val lo = "1997-10-01 00:00:00"
+    val hi = "1998-01-01 00:00:00"
+    val loUs = java.time.LocalDateTime.parse(lo.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val hiUs = java.time.LocalDateTime.parse(hi.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val fact = Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey",
+        $"o_orderdate")
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("o_custkey"), $"c_custkey", $"c_name",
+        $"c_acctbal", $"c_nationkey")
+    val nat = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("c_nationkey"), $"n_name")
+    val (joined, order) = Cbo.reorderJoin(fact, Seq(
+      "orders" -> Cbo.Input(orders,
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
+        filter = Some(("o_orderdate", loUs, hiUs - 1L)),
+        pred = Some($"o_orderdate" >= to_timestamp(lit(lo)) &&
+          $"o_orderdate" < to_timestamp(lit(hi)))),
+      "customer" -> Cbo.Input(cust,
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey")),
+      "nation" -> Cbo.Input(nat,
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey"))))
+    require(order == Seq("orders", "customer", "nation"),
+      s"connectivity must force the chain order, got $order")
+    joined
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  /** Same oracle as [[tpchQ10Sql]] — the CBO routing must be
+    * semantics-preserving. */
+  val tpchQ10CboSql: String = tpchQ10Sql
+
   /** TPC-H Q18 (large-volume customer): orders whose total line
     * quantity exceeds a threshold, reported with their customer. The
     * textbook form is `o_orderkey IN (SELECT … HAVING sum > T)` plus a

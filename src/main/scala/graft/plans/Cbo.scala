@@ -85,13 +85,18 @@ object Cbo {
   // ------------------------------------------------------------------
 
   /** One reorderable join input: the dimension frame, its ANALYZE
-    * stats, the equi-join column names (shared with the fact side —
-    * rename in the frame), and an optional `[lo, hi]` range predicate
-    * on a stats-covered column. The predicate is BOTH applied to the
-    * frame and fed to the cardinality estimate — the "selectivity
-    * propagation" that plain table-size ordering lacks. */
+    * stats, the equi-join column names (shared with the side already
+    * joined — rename in the frame), and an optional `[lo, hi]` range
+    * predicate on a stats-covered column. The predicate is BOTH
+    * applied to the frame and fed to the cardinality estimate — the
+    * "selectivity propagation" that plain table-size ordering lacks.
+    * `pred` overrides the APPLIED form when the filter column is not
+    * directly long-comparable (timestamps: estimate from the footer
+    * micros range, apply the native timestamp predicate so pushdown
+    * survives). */
   final case class Input(df: DataFrame, stats: TableStats,
-      keys: Seq[String], filter: Option[(String, Long, Long)] = None)
+      keys: Seq[String], filter: Option[(String, Long, Long)] = None,
+      pred: Option[org.apache.spark.sql.Column] = None)
 
   /** Uniform-assumption fraction of rows with `col` ∈ [lo, hi],
     * from the column's footer [min, max]. Unknown stats → 1.0 (the
@@ -113,28 +118,43 @@ object Cbo {
       selectivity(in.stats, c, lo, hi)
     }.getOrElse(1.0)
 
-  /** GREEDY JOIN-ORDER: join `dims` onto `fact` in increasing order
-    * of estimated post-filter cardinality, each step reusing the
-    * stats-driven broadcast-vs-merge decision (the broadcast estimate
-    * is also selectivity-scaled — a 10% filter makes a 10×-too-big
-    * dimension broadcastable, which file-size thresholds never see).
-    * Returns the joined frame plus the chosen order (dim labels) so
-    * plan specs can pin that inverting the stats flips the order. */
+  /** GREEDY JOIN-ORDER with CONNECTIVITY: at each step join the
+    * smallest-estimated dimension whose join keys are already
+    * available in the accumulated frame — a star picks purely by
+    * estimated post-filter cardinality, a chain (fact→orders→
+    * customer→nation) is ordered correctly by the availability
+    * constraint. Each step reuses the stats-driven broadcast-vs-merge
+    * decision (the broadcast estimate is also selectivity-scaled — a
+    * 10% filter makes a 10×-too-big dimension broadcastable, which
+    * file-size thresholds never see). Returns the joined frame plus
+    * the chosen order (dim labels) so plan specs can pin that
+    * inverting the stats flips the order. */
   def reorderJoin(fact: DataFrame, dims: Seq[(String, Input)],
       broadcastBytes: Long = 10L << 20): (DataFrame, Seq[String]) = {
-    val ordered = dims.sortBy { case (_, in) => estRows(in) }
-    val joined = ordered.foldLeft(fact) { case (acc, (_, in)) =>
-      val filtered = in.filter.fold(in.df) { case (c, lo, hi) =>
-        in.df.filter(org.apache.spark.sql.functions.col(c) >= lo &&
-          org.apache.spark.sql.functions.col(c) <= hi)
-      }
+    var acc = fact
+    var remaining = dims
+    val chosen = scala.collection.mutable.ListBuffer.empty[String]
+    while (remaining.nonEmpty) {
+      val available = acc.columns.toSet
+      val eligible = remaining.filter(_._2.keys.forall(available))
+      require(eligible.nonEmpty,
+        s"join graph disconnected: none of " +
+          s"${remaining.map(_._1)} joins on $available")
+      val (label, in) = eligible.minBy { case (_, i) => estRows(i) }
+      val applied = in.pred.map(in.df.filter).getOrElse(
+        in.filter.fold(in.df) { case (c, lo, hi) =>
+          in.df.filter(org.apache.spark.sql.functions.col(c) >= lo &&
+            org.apache.spark.sql.functions.col(c) <= hi)
+        })
       val estBytes =
         estRows(in) * 8.0 * math.max(in.stats.cols.size, 1)
       val side =
-        if (estBytes <= broadcastBytes.toDouble) broadcast(filtered)
-        else filtered.hint("merge")
-      acc.join(side, in.keys)
+        if (estBytes <= broadcastBytes.toDouble) broadcast(applied)
+        else applied.hint("merge")
+      acc = acc.join(side, in.keys)
+      chosen += label
+      remaining = remaining.filterNot(_._1 == label)
     }
-    (joined, ordered.map(_._1))
+    (acc, chosen.toSeq)
   }
 }
