@@ -249,6 +249,46 @@ object StreamOps {
     drainToTable(spark, build(offsetSource(spark, staged)), mode)
   }
 
+  /** The GENERIC offset source on a SECOND table: the documents
+    * corpus streams through the same connector the events keys use
+    * (schema DDL option — nothing events-specific left), feeding a
+    * text-pipeline aggregation: per-language doc counts, whitespace
+    * token totals and char totals, Complete mode. Free-form text
+    * rides the staged CSV as BASE64 (commas/newlines in documents
+    * would break a delimited transport; the encode is distributed,
+    * the decode is in-plan). This is the streaming half of the
+    * pretraining-data story: the same quality counters the batch
+    * text keys compute, maintained incrementally as the corpus
+    * arrives. */
+  def streamDocStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // HEX, not base64: Spark's base64() MIME-chunks at 76 chars with
+    // embedded newlines — a delimited transport killer
+    val staged = stageRawBatched(spark, sfDir, "docs3", {
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", $"lang",
+          hex(encode($"text", "UTF-8")).as("text_hex"),
+          pmod($"doc_id", lit(3)).cast("long").as("batch"))
+    })
+    drainToTable(spark,
+      offsetSource(spark, staged,
+        Some("doc_id BIGINT, lang STRING, text_hex STRING"))
+        .select($"lang",
+          expr("cast(unhex(text_hex) as string)").as("text"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split($"text", " ")).cast("long")).as("sum_ws"),
+          sum(length($"text").cast("long")).as("sum_chars")),
+      OutputMode.Complete())
+      .orderBy($"lang")
+  }
+
+  val streamDocStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** CHECKPOINT-RESTART on the OFFSET-BASED source — the proof the
     * offsets are REAL: run 1 caps availability at 2 of the 4 staged
     * batches (`maxTotalBatches`, the harness's stand-in for "the
