@@ -161,6 +161,9 @@ private[graft] class EventsMicroBatchStream(path: String,
           .filter(f => f.getName.endsWith(".csv") && f.length > 0)
           .sortBy(_.getName)
         new PartitionReader[InternalRow] {
+          // naive comma split by design: the staging side owns the
+          // transport contract (numeric/token fields only; free-form
+          // text must ride as hex — see StreamOps.streamDocStats)
           private val lines = files.iterator.flatMap { f =>
             scala.io.Source.fromFile(f, "UTF-8").getLines()
           }
