@@ -1257,7 +1257,12 @@ object CfOps {
       .select($"user_id", $"item_id", $"rating")
     val test = folded.filter($"fold" === 0)
       .select($"user_id".as("tu"), $"item_id".as("ti"))
-    val recs = knnTopNOn(train)
+    // the fold is deterministic per (app, sf), so the train-fold rec
+    // chain is a genuine session reuse point exactly like the
+    // production chain's pairMoments/recsTopN — without this the
+    // heaviest plan in the fleet (a full second kNN train) rebuilds
+    // on every evaluation query
+    val recs = cached(spark, sfDir, "evalRecs")(knnTopNOn(train))
     val marked = recs
       .join(test, $"user_id" === $"tu" && $"item_id" === $"ti", "left")
       .select($"user_id", $"rk",
