@@ -1511,15 +1511,23 @@ object CfOps {
     val pool = r.select($"item_id").distinct()
       .filter(expr("pmod(item_id * 2654435761, 1000) < 50"))
     val users = r.select($"user_id").distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
-      .orderBy($"draw".asc, $"item_id".asc)
-    users.crossJoin(broadcast(pool))
-      .join(r.select($"user_id", $"item_id"),
-        Seq("user_id", "item_id"), "left_anti")
+    // the users × pool candidate stream is the big intermediate
+    // (~15M rows at sf0.1): keep it MAP-SIDE end to end — the seen
+    // set broadcasts for the anti join (distinct (user, item) pairs,
+    // orders of magnitude under the candidate stream; at a scale
+    // where it outgrows the budget this one join degrades to a
+    // shuffle), and ranking runs through the partial-heap top-k
+    // operator, so only NEG_K rows per user ever reach an exchange —
+    // the row_number window shuffled the whole cross product
+    val seen = r.select($"user_id", $"item_id").distinct()
+    val cand = users.crossJoin(broadcast(pool))
+      .join(broadcast(seen), Seq("user_id", "item_id"), "left_anti")
       .withColumn("draw",
         expr("pmod(user_id * 40503 + item_id * 2654435761, 1000000)"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= NEG_K)
+    graft.plans.TopKPerKey.topK(cand,
+        keyCols = Seq("user_id"),
+        orderSpec = Seq("draw" -> true, "item_id" -> true),
+        k = NEG_K, rankName = "rk")
       .select($"user_id", $"item_id".as("neg_item"), $"rk")
       .orderBy($"user_id", $"rk")
   }

@@ -61,7 +61,12 @@ object GraphOps {
   /** PageRank after [[ITERS]] power iterations, damping 0.85.
     * Every node appears in the edge list in both directions (the pair
     * stream is symmetric), so out-degree ≥ 1 — no dangling-mass term. */
-  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      graphPagerankInner(spark, sfDir)
+    }
+
+  private def graphPagerankInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = edges(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -439,6 +444,9 @@ object GraphOps {
         .withColumn("hops", lit(hop))
         .localCheckpoint(true)
       frontierSize = next.count()
+      // the union IS re-pinned: the per-hop anti-join probes visited,
+      // and probing a growing union-of-checkpoints tree measured
+      // SLOWER than one flat checkpoint per hop
       visited = visited.union(next).localCheckpoint(true)
       frontier = next
     }
@@ -637,7 +645,12 @@ object GraphOps {
     * broadcast 1-row edge total. Every contribution term is a ratio
     * of exact BIGINTs through one identical double tree, rnd6'd, then
     * exact-summed into Q. */
-  def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+  def graphModularity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      graphModularityInner(spark, sfDir)
+    }
+
+  private def graphModularityInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.engine.Exact.xsum
     import graft.functions.Udfs.rnd6
@@ -746,7 +759,12 @@ object GraphOps {
     * sum). Per-generation localCheckpoints (the [[graphPagerank]]
     * lineage discipline); oracle = the same BFS as a seed-joined
     * recursive CTE with MIN(hops) semantics. */
-  def graphCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+  def graphCloseness(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      graphClosenessInner(spark, sfDir)
+    }
+
+  private def graphClosenessInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
     val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
@@ -768,6 +786,9 @@ object GraphOps {
         .withColumn("hops", lit(hop))
         .localCheckpoint(true)
       frontierSize = next.count()
+      // the union IS re-pinned: the per-hop anti-join probes visited,
+      // and probing a growing union-of-checkpoints tree measured
+      // SLOWER than one flat checkpoint per hop
       visited = visited.union(next).localCheckpoint(true)
       frontier = next
     }

@@ -215,11 +215,12 @@ object StreamOps {
     * micro-batches with checkpointable offsets, one batch admitted
     * per trigger, rows read executor-side. */
   private def offsetSource(spark: SparkSession, staged: String,
-      schemaDdl: Option[String] = None): DataFrame = {
+      schemaDdl: Option[String] = None,
+      maxPerTrigger: Int = 1): DataFrame = {
     val r = spark.readStream
       .format(classOf[EventsFileStreamProvider].getName)
       .option("path", staged)
-      .option("maxBatchesPerTrigger", "1")
+      .option("maxBatchesPerTrigger", maxPerTrigger.toString)
     schemaDdl.fold(r)(s => r.option("schema", s)).load()
   }
 
@@ -1699,12 +1700,16 @@ object StreamOps {
     val staged = stageBatched(spark, sfDir, "t3s2",
       withSentinelBatches(eventsShaped(spark, sfDir),
         Seq(120L, 14L * 24L * 60L), 3))
-    val p = offsetSource(spark, staged)
+    // the 3 REAL batches admit in ONE trigger (they carry no watermark
+    // stepping duty); each trailing sentinel still gets its own trigger
+    // because admission caps at 3 per trigger and they are the last
+    // two ordinals — 3 triggers instead of 5
+    val p = offsetSource(spark, staged, maxPerTrigger = 3)
       .filter($"event_type".isin("purchase", "wm_advance"))
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
         $"ts".as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val c = offsetSource(spark, staged)
+    val c = offsetSource(spark, staged, maxPerTrigger = 3)
       .filter($"event_type".isin("click", "wm_advance"))
       .select($"event_id".as("click_id"), $"user_id".as("c_user"),
         $"ts".as("c_ts"))
@@ -1763,7 +1768,9 @@ object StreamOps {
       withSentinelBatches(eventsShaped(spark, sfDir),
         Seq(30L, 14L * 24L * 60L), 3))
     drainToTable(spark,
-      offsetSource(spark, staged)
+      // 3 real batches in one trigger, each sentinel its own (the
+      // watermark walk the two stateful layers need) — 3 triggers
+      offsetSource(spark, staged, maxPerTrigger = 3)
         .withWatermark("ts", "10 minutes")
         .groupBy(window($"ts", "15 minutes"), $"event_type")
         .agg(count(lit(1)).as("pn"),
