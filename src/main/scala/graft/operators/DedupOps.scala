@@ -1040,7 +1040,14 @@ object DedupOps {
     * pays one indexed join for zero false positives and a
     * per-rejection best-match attribution. Best match is selection,
     * not interpolation: max jaccard, then min corpus doc_id. */
-  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    // many small sequential stages over band/bucket frames — the
+    // iterative-key sizing (8 partitions, AQE off), not data volume
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      dedupIncrementalInner(spark, sfDir)
+    }
+
+  private def dedupIncrementalInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source")
     val shSrc = shingles(spark, sfDir).join(docs, "doc_id")

@@ -149,7 +149,14 @@ object TsOps {
     * correctly rounded IEEE), the prefix sums are exact decimal folds
     * of 6-dp terms, the prefix min compares those exact values, and
     * the alarm threshold compares a rnd6'd statistic with a constant. */
-  def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+  def tsCusum(spark: SparkSession, sfDir: String): DataFrame =
+    // O(#days) frames through many sequential exchanges — the
+    // iterative-key sizing applies (stage count is the cost)
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      tsCusumInner(spark, sfDir)
+    }
+
+  private def tsCusumInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
     val daily = Tables.orders(spark, sfDir)

@@ -1647,12 +1647,15 @@ object StreamOps {
     // time-ordered batches mean no input ever trails the watermark
     val staged = stageBatched(spark, sfDir, "t3",
       timeBatched(eventsShaped(spark, sfDir), 3))
-    val p = offsetSource(spark, staged)
+    // all real batches admit in one trigger (no sentinel stepping
+    // duty on the inner join; late-arrival is impossible either way
+    // since batches are time-ordered)
+    val p = offsetSource(spark, staged, maxPerTrigger = 3)
       .filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
         $"ts".as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val c = offsetSource(spark, staged)
+    val c = offsetSource(spark, staged, maxPerTrigger = 3)
       .filter($"event_type" === "click")
       .select($"event_id".as("click_id"), $"user_id".as("c_user"),
         $"ts".as("c_ts"))
