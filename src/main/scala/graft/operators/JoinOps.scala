@@ -97,12 +97,19 @@ object JoinOps {
       |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Left anti: negation — parts never shipped (the unseen-items
-    * candidate generator at the heart of the recommend step). */
+  /** Left anti: negation — parts never shipped in bulk (the
+    * unseen-items candidate generator at the heart of the recommend
+    * step). The right side is pre-filtered (l_quantity > 45) so the
+    * anti-join provably returns rows at the test fixtures' density
+    * (114 at sf0.01, 977 at sf0.1) — every part ships SOMEWHERE in the
+    * dense fixture, so an unfiltered anti-join would pass vacuously
+    * with 0 rows. The filter lives on the build side BEFORE the join,
+    * so at scale it also shrinks the shuffled/broadcast set. */
   def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val bulk = Tables.lineitem(spark, sfDir).filter($"l_quantity" > 45.0)
     Tables.part(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir), $"p_partkey" === $"l_partkey", "left_anti")
+      .join(bulk, $"p_partkey" === $"l_partkey", "left_anti")
       .select($"p_partkey", $"p_name")
       .orderBy($"p_partkey")
   }
@@ -110,7 +117,7 @@ object JoinOps {
   val joinAntiSql: String =
     """SELECT p_partkey, p_name FROM part
       |WHERE NOT EXISTS (
-      |  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45.0)
       |ORDER BY p_partkey""".stripMargin
 
   /** Theta/range join: equi on partkey + price band. The equi component

@@ -65,20 +65,25 @@ object SetOps {
       |SELECT user_id FROM events WHERE event_type = 'error'
       |ORDER BY user_id""".stripMargin
 
-  /** Difference: users with views ∖ users with purchases (the CF
-    * train/test-split shape). */
+  /** Difference: users with HIGH-VALUE views ∖ users with high-value
+    * purchases (the CF train/test-split shape — "window-shoppers" for
+    * expensive items). The value > 95 slice makes the difference
+    * provably non-empty at the test fixtures' density (23 users at
+    * sf0.01, 164 at sf0.1): every user has every event type in the
+    * dense fixture, so an unsliced user-set difference would pass
+    * vacuously with 0 rows. */
   def except(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
-    e.filter($"event_type" === "view").select($"user_id")
-      .except(e.filter($"event_type" === "purchase").select($"user_id"))
+    e.filter($"event_type" === "view" && $"value" > 95.0).select($"user_id")
+      .except(e.filter($"event_type" === "purchase" && $"value" > 95.0).select($"user_id"))
       .orderBy($"user_id")
   }
 
   val exceptSql: String =
-    """SELECT user_id FROM events WHERE event_type = 'view'
+    """SELECT user_id FROM events WHERE event_type = 'view' AND value > 95.0
       |EXCEPT
-      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95.0
       |ORDER BY user_id""".stripMargin
 
   /** Bag difference: each view event minus one per purchase of the

@@ -49,8 +49,12 @@ object SqlOps {
 
   /** NOT EXISTS with a correlated predicate — null-safe anti-join
     * planning (the three-valued-logic hazard of NOT IN is avoided by
-    * EXISTS semantics; suppliers with no lineitem shipped after a
-    * date). */
+    * EXISTS semantics; suppliers with no BULK lineitem shipped after a
+    * date). The quantity > 47 conjunct keeps the result provably
+    * non-empty at the test fixtures' density (11 suppliers at sf0.01,
+    * 94 at sf0.1) — every supplier ships after any plain date cutoff
+    * in the dense fixture, so the unqualified form passed vacuously
+    * with 0 rows. */
   def subqueryNotExists(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.registerViews(spark, sfDir)
     spark.sql(subqueryNotExistsSql)
@@ -62,7 +66,8 @@ object SqlOps {
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM lineitem l
       |  WHERE l.l_suppkey = s.s_suppkey
-      |    AND l.l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
+      |    AND l.l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+      |    AND l.l_quantity > 47.0)
       |ORDER BY s_suppkey""".stripMargin
 
   /** NOT IN over nullable columns — the three-valued-logic form that

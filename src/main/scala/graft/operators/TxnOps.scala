@@ -117,14 +117,16 @@ object TxnOps {
 
   /** Four serial commits, then a read pinned at version 2: v0 adds
     * 'click' counts, v1 'view', v2 'purchase', v3 DELETES every user
-    * who ever hit an 'error' — and the time-travel read of v2 must
-    * not see v3's deletes (nor miss v0–v2's adds). The oracle is the
-    * three-type serial aggregate with no delete filter; latest-​version
-    * bookkeeping rides along so the query also pins that v3 exists. */
+    * who hit a SEVERE 'error' (value > 200) — and the time-travel
+    * read of v2 must not see v3's deletes (nor miss v0–v2's adds).
+    * The oracle is the three-type serial aggregate with no delete
+    * filter; latest-version bookkeeping rides along so the query also
+    * pins that v3 exists. */
   /** Build (once per application+sfDir) the 4-version demo table:
     * v0 'click' adds, v1 'view', v2 'purchase', v3 deletes of
-    * error-tainted users. Shared by the time-travel key and the
-    * catalog `VERSION AS OF` key. */
+    * severely-error-tainted users (error value > 200 — a slice, so
+    * the final state is NON-empty; see the v3 comment below). Shared
+    * by the time-travel key and the catalog `VERSION AS OF` key. */
   private val ttBuilt =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -139,10 +141,16 @@ object TxnOps {
       Seq("click", "view", "purchase").foreach { et =>
         TxnLog.commit(spark, root, addCounts(spark, sfDir, et))
       }
-      // v3: delete error-tainted users
+      // v3: delete SEVERELY error-tainted users (error value > 200).
+      // The slice matters: in the dense fixture EVERY user has some
+      // error event, so an unqualified delete-set empties the table
+      // and every downstream "final state" key (MV maintenance, row
+      // lineage) passes vacuously with 0 rows. value > 200 splits the
+      // population at both SFs (38/150 deleted at sf0.01, 324/1500 at
+      // sf0.1) so survivors AND deletions are both exercised.
       TxnLog.commit(spark, root, { base =>
         val errs = Tables.events(spark, sfDir)
-          .filter($"event_type" === "error")
+          .filter($"event_type" === "error" && $"value" > 200.0)
           .select($"user_id".as("key")).distinct()
         val delta = errs
           .select($"key", lit(0L).as("value"), lit("delete").as("op"))
@@ -309,7 +317,7 @@ object TxnOps {
       |      AS n_v,
       |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
       |      AS n_p,
-      |    CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'error' AND value > 200.0) AS BIGINT)
       |      AS n_e
       |  FROM events GROUP BY user_id),
       |changes AS (
@@ -420,7 +428,7 @@ object TxnOps {
       |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_c,
       |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_v,
       |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_p,
-      |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_e
+      |    COUNT(*) FILTER (WHERE event_type = 'error' AND value > 200.0) AS n_e
       |  FROM events GROUP BY user_id)
       |SELECT CAST(0 AS BIGINT) AS version,
       |  CAST(COUNT(*) FILTER (WHERE n_c > 0) AS BIGINT) AS n_keys,
@@ -474,7 +482,7 @@ object TxnOps {
       |  SELECT user_id,
       |    CAST(COUNT(*) FILTER (WHERE event_type IN
       |      ('click', 'view', 'purchase')) AS BIGINT) AS balance,
-      |    CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'error' AND value > 200.0) AS BIGINT)
       |      AS n_err
       |  FROM events
       |  GROUP BY user_id)
@@ -673,7 +681,7 @@ object TxnOps {
       |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_c,
       |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_v,
       |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_p,
-      |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_e
+      |    COUNT(*) FILTER (WHERE event_type = 'error' AND value > 200.0) AS n_e
       |  FROM events GROUP BY user_id)
       |SELECT user_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
       |  CAST(SUM(n_c + n_v + n_p) AS BIGINT) AS sum_balance,
@@ -764,7 +772,7 @@ object TxnOps {
       |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_c,
       |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_v,
       |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_p,
-      |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_e
+      |    COUNT(*) FILTER (WHERE event_type = 'error' AND value > 200.0) AS n_e
       |  FROM events GROUP BY user_id)
       |SELECT user_id, CAST(n_c + n_v + n_p AS BIGINT) AS balance,
       |  CAST(CASE WHEN n_c > 0 THEN 0 WHEN n_v > 0 THEN 1 ELSE 2 END
@@ -1791,7 +1799,7 @@ object TxnOps {
       |  UNION ALL SELECT 2, 'upsert', user_id FROM events
       |  WHERE event_type = 'purchase'
       |  UNION ALL SELECT 3, 'delete', user_id FROM events
-      |  WHERE event_type = 'error')
+      |  WHERE event_type = 'error' AND value > 200.0)
       |SELECT CAST(version AS BIGINT) AS version, op,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_rows,
       |  CAST(MIN(user_id) AS BIGINT) AS kmin,

@@ -1535,7 +1535,7 @@ object StreamOps {
       |   WHERE event_type = 'purchase'), CAST(0 AS BIGINT)
       |UNION ALL SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT),
       |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
-      |   WHERE event_type = 'error')
+      |   WHERE event_type = 'error' AND value > 200.0)
       |ORDER BY version""".stripMargin
 
   /** Streaming CDC apply — foreachBatch MERGE of a keyed changelog
@@ -1900,7 +1900,7 @@ object StreamOps {
       |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_c,
       |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_v,
       |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_p,
-      |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_e
+      |    COUNT(*) FILTER (WHERE event_type = 'error' AND value > 200.0) AS n_e
       |  FROM events GROUP BY user_id)
       |SELECT user_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
       |  CAST(SUM(n_c + n_v + n_p) AS BIGINT) AS sum_balance,
