@@ -27,6 +27,52 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("DBSCAN++ probe join broadcasts the SAMPLE, never the full " +
+      "corpus (the all-pairs n×n stage is gone)") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = graft.operators.MlOps.mlDbscan(spark, sf)
+    df.collect()
+    val helper = new org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanHelper {}
+    val bnljs = helper.collectWithSubqueries(
+      df.queryExecution.executedPlan) {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnljs.nonEmpty, "expected the sample-probe broadcast join")
+    bnljs.foreach { j =>
+      val bcast = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      assert(bcast.toString.contains("%"),
+        s"broadcast side must be the vec_id % m sample, got:\n$bcast")
+    }
+  }
+
+  test("DBSCAN++ core set law: cores = exact-DBSCAN cores ∩ sample " +
+      "(full degree >= minPts is the SAME predicate on both)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val e = graft.engine.Tables.embeddings(spark, sf)
+    // exact full-degree per vector (all-pairs is fine at sf0.001 in a
+    // spec — this is the reference the operator's sampling approximates)
+    val exactCores = e.select($"vec_id".as("va"), $"embedding".as("ea"))
+      .crossJoin(e.select($"vec_id".as("vb"), $"embedding".as("eb")))
+      .filter($"va" =!= $"vb")
+      .filter(graft.functions.Udfs.rnd6(
+        expr("graft_cosine_sim(ea, eb)")) >= 0.25)
+      .groupBy($"va").agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= 12 && $"va" % 3 === 0)
+      .select($"va").as[Long].collect().toSet
+    val gotCores = graft.operators.MlOps.mlDbscan(spark, sf)
+      .filter($"role" === "core")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(gotCores == exactCores,
+      s"DBSCAN++ cores must equal sampled exact cores: " +
+        s"extra=${gotCores -- exactCores} missing=${exactCores -- gotCores}")
+  }
+
   test("the tt fixture's v3 delete-set is a PROPER slice: some users " +
       "deleted, some survive") {
     import org.apache.spark.sql.functions._
