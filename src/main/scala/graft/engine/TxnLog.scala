@@ -429,9 +429,15 @@ object TxnLog {
       s"clone target $dstRoot already has a committed v0")
     // back-ref AFTER the clone is materialized but before it is
     // handed to the caller: unique per (clone path, version), so
-    // re-cloning the same destination just overwrites its own ref
-    val tag = java.lang.Integer.toHexString(
-      new File(dstRoot).getAbsolutePath.hashCode) + s"_v$srcV"
+    // re-cloning the same destination just overwrites its own ref.
+    // The tag is the full SHA-256 of the destination path — a 32-bit
+    // hashCode could collide across two distinct clone destinations
+    // of the same source version, silently dropping one clone's
+    // vacuum pin
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(new File(dstRoot).getAbsolutePath
+        .getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString + s"_v$srcV"
     Files.write(new File(logDir(srcRoot), s"clone_$tag.ref").toPath,
       s"${new File(dstRoot).getAbsolutePath}|$srcV"
         .getBytes(StandardCharsets.UTF_8))
@@ -446,13 +452,21 @@ object TxnLog {
       .filter(f => f.getName.startsWith("clone_") &&
         f.getName.endsWith(".ref"))
       .flatMap { f =>
-        val parts = new String(Files.readAllBytes(f.toPath),
-          StandardCharsets.UTF_8).split("\\|", 2)
-        val (dst, v) = (parts(0), parts(1).toLong)
-        val live = new File(dst, "_txn_log").isDirectory &&
-          Files.isSymbolicLink(Paths.get(dst, "snapshot_v0")) &&
-          !vacuumTombstone(dst, 0L).exists()
-        if (live) Some(v) else { f.delete(); None }
+        // a truncated/corrupt ref is STALE, not fatal: treat it like
+        // a dropped clone (delete the ref) instead of failing every
+        // subsequent vacuum of the source
+        scala.util.Try {
+          val parts = new String(Files.readAllBytes(f.toPath),
+            StandardCharsets.UTF_8).split("\\|", 2)
+          (parts(0), parts(1).toLong)
+        }.toOption match {
+          case Some((dst, v)) =>
+            val live = new File(dst, "_txn_log").isDirectory &&
+              Files.isSymbolicLink(Paths.get(dst, "snapshot_v0")) &&
+              !vacuumTombstone(dst, 0L).exists()
+            if (live) Some(v) else { f.delete(); None }
+          case None => f.delete(); None
+        }
       }.toSet
 
   /** Retention vacuum: delete snapshot + delta data for all versions
@@ -1205,6 +1219,24 @@ object TxnLog {
               new File(new File(claimed.head._1,
                 s".stage_v${claimed.head._2}_$token"), "decider"))
             require(won, s"coordinator $coord already existed")
+            // POST-LINK FENCE RE-CHECK: a claim stolen in the window
+            // between the pre-link fence and the link just above is
+            // unrecoverable once markers exist (recoverPending already
+            // destroyed the stolen table's stage AND its pending, so
+            // recoverMulti can never finish that table's publish).
+            // Revoking the decision HERE is safe: no marker has been
+            // created yet, so nothing is visible, and a concurrent
+            // recovery cannot have acted — claims are only stolen from
+            // writers whose heartbeat lapsed, and ours is live through
+            // this section.
+            val stolenPostLink = claimed.exists {
+              case (root, v, claim, _, _, _, _) =>
+                !ownsClaim(claim, token) || !pendingFile(root, v).exists()
+            }
+            if (stolenPostLink) {
+              coord.delete()
+              clash = true
+            } else
             // phase 4: complete every table (recovery can take over at
             // any point from here — the coordinator has decided)
             claimed.zipWithIndex.foreach {
@@ -1230,8 +1262,10 @@ object TxnLog {
                     catch { case _: java.io.IOException => "" }
                   require(owner == token,
                     s"commitMulti decided COMMIT but table $root lost " +
-                      s"v$v to a foreign writer after the fence — " +
-                      "mixed-commit hazard; run recoverMulti and retry")
+                      s"v$v to a foreign writer after the decision — " +
+                      "DURABLE mixed commit: tables marked earlier in " +
+                      "this transaction are committed and recoverMulti " +
+                      s"cannot restore atomicity; reconcile $root manually")
                 }
                 finishPublish(root, v)
                 pendingFile(root, v).delete()

@@ -1514,11 +1514,13 @@ object CfOps {
     // the users × pool candidate stream is the big intermediate
     // (~15M rows at sf0.1): keep it MAP-SIDE end to end — the seen
     // set broadcasts for the anti join (distinct (user, item) pairs,
-    // orders of magnitude under the candidate stream; at a scale
-    // where it outgrows the budget this one join degrades to a
-    // shuffle), and ranking runs through the partial-heap top-k
-    // operator, so only NEG_K rows per user ever reach an exchange —
-    // the row_number window shuffled the whole cross product
+    // orders of magnitude under the candidate stream). The explicit
+    // broadcast() is a fixture-scale assumption, not a self-degrading
+    // hint: at a scale where `seen` outgrows the broadcast budget the
+    // hint must be removed so the planner shuffles this one join.
+    // Ranking runs through the partial-heap top-k operator, so only
+    // NEG_K rows per user ever reach an exchange — the row_number
+    // window shuffled the whole cross product
     val seen = r.select($"user_id", $"item_id").distinct()
     val cand = users.crossJoin(broadcast(pool))
       .join(broadcast(seen), Seq("user_id", "item_id"), "left_anti")

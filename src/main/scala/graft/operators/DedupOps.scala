@@ -898,10 +898,13 @@ object DedupOps {
     }
     // df (one row per distinct shingle) and per-doc counts (one row
     // per doc) are both orders of magnitude smaller than the shingle
-    // stream — broadcast them so the only data-sized shuffles left
-    // are the per-doc prefix window and the candidate equi-join. At
-    // 100 TB a df table can outgrow the broadcast budget; then these
-    // two degrade to ordinary shuffle joins with no semantic change.
+    // stream — the explicit broadcast() keeps the only data-sized
+    // shuffles at the per-doc prefix window and the candidate
+    // equi-join. NOTE: an explicit hint never self-degrades — it is a
+    // fixture-scale assumption. At 100 TB, where a df table can
+    // outgrow the broadcast budget, the hint must be REMOVED (the
+    // stats-driven planner then picks a shuffle join with no semantic
+    // change); leaving it in would fail the build or OOM the driver.
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")

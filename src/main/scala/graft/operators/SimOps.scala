@@ -1136,10 +1136,17 @@ object SimOps {
         r.getSeq[Float](2).toArray))
     val upperIds = upperNodes.map(_._1).toSet
     val upperVec = upperNodes.map(t => t._1 -> t._3).toMap
+    // the cap is pushed INTO the edge collect (both endpoints must be
+    // capped nodes), so driver memory is bounded by O(cap × M) even
+    // when the upper layers far exceed the cap — collecting all upper
+    // edges and filtering after would be O(upper-nodes × M)
+    val upperIdSeq = upperNodes.map(_._1).toSeq
     val upperAdj: Map[Int, Map[Long, Seq[Long]]] =
-      allEdges.filter($"lvl" >= 1).collect()
+      allEdges.filter($"lvl" >= 1 &&
+          $"src".isInCollection(upperIdSeq) &&
+          $"dst".isInCollection(upperIdSeq))
+        .collect()
         .map(r => (r.getInt(2), r.getLong(0), r.getLong(1)))
-        .filter(t => upperIds(t._2) && upperIds(t._3))
         .groupBy(_._1)
         .map { case (l, es) =>
           l -> es.groupBy(_._2).map { case (s, ds) =>

@@ -51,7 +51,9 @@ class EventsFileStreamProvider extends TableProvider {
       Option(properties.get("maxTotalBatches"))
         .map(_.toLong).getOrElse(Long.MaxValue),
       Option(properties.get("schema")).map(StructType.fromDDL)
-        .getOrElse(EventsFileStream.SCHEMA))
+        .getOrElse(EventsFileStream.SCHEMA),
+      Option(properties.get("onePerTriggerFrom"))
+        .map(_.toLong).getOrElse(-1L))
 }
 
 private[graft] object EventsFileStream {
@@ -66,7 +68,8 @@ private[graft] object EventsFileStream {
 private[graft] class EventsFileStreamTable(path: String,
     maxPerTrigger: Int,
     maxTotal: Long = Long.MaxValue,
-    tableSchema: StructType = EventsFileStream.SCHEMA)
+    tableSchema: StructType = EventsFileStream.SCHEMA,
+    onePerTriggerFrom: Long = -1L)
   extends Table with SupportsRead {
   override def name(): String = s"events_stream($path)"
   override def schema(): StructType = tableSchema
@@ -80,7 +83,7 @@ private[graft] class EventsFileStreamTable(path: String,
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
           new EventsMicroBatchStream(path, maxPerTrigger, maxTotal,
-            tableSchema)
+            tableSchema, onePerTriggerFrom)
       }
     }
 }
@@ -95,7 +98,8 @@ private[graft] case class BatchPartition(dir: String)
 private[graft] class EventsMicroBatchStream(path: String,
     maxPerTrigger: Int,
     maxTotal: Long = Long.MaxValue,
-    tableSchema: StructType = EventsFileStream.SCHEMA)
+    tableSchema: StructType = EventsFileStream.SCHEMA,
+    onePerTriggerFrom: Long = -1L)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Highest staged batch ordinal + 1 (NOT a directory count: a
@@ -128,8 +132,19 @@ private[graft] class EventsMicroBatchStream(path: String,
     * which is exactly why this interface exists). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val floor = offsetValue(start)
-    BatchOffset(math.max(floor,
-      math.min(floor + maxPerTrigger, totalBatches - 1)))
+    val cap = math.min(floor + maxPerTrigger, totalBatches - 1)
+    // SENTINEL STAGGER ENFORCEMENT (`onePerTriggerFrom` ≥ 0): batches
+    // at or past the boundary ordinal admit strictly ONE per trigger,
+    // and are never merged into a trigger with earlier batches. This
+    // is what makes the watermark walk the sentinel-batch keys
+    // document REAL — without it, maxBatchesPerTrigger=k happily
+    // merges the trailing sentinel batches into one micro-batch and
+    // the staggered advance silently collapses into a single jump.
+    val staggered =
+      if (onePerTriggerFrom < 0L) cap
+      else if (floor + 1 >= onePerTriggerFrom) math.min(cap, floor + 1)
+      else math.min(cap, onePerTriggerFrom - 1)
+    BatchOffset(math.max(floor, staggered))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
