@@ -4,7 +4,6 @@ import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
@@ -13,18 +12,22 @@ import graft.engine.{Exact, Tables}
 
 /** Structured Streaming surface (SURVEY.md §2.9) over the `events`
   * stream surrogate. Each query REALLY runs the incremental engine —
-  * MemoryStream source → IncrementalExecution → StateStore → memory
+  * file-backed offset source → IncrementalExecution → StateStore →
   * sink — then returns the sink contents as a batch DataFrame so the
   * harness can hash-compare it against the batch-twin SQL oracle
   * (streaming-vs-batch equivalence is exactly the correctness claim).
   *
-  * Scale notes (100 TB): the replay source is MemoryStream only in
-  * the harness; the operators themselves are source-agnostic
-  * (readStream from Kafka/files swaps in). State lives per-key in the
-  * executors' StateStore — at cluster scale use the RocksDB state
-  * store provider + checkpointing; watermarks bound state size for
-  * the windowed aggregations, and the session/dedup operators evict
-  * on watermark advance. Complete-output aggregations here are
+  * Scale notes (100 TB): EVERY key reads the admission-controlled
+  * offset-based source ([[EventsFileStreamProvider]]) — rows never
+  * transit the driver; batch composition (out-of-order slices,
+  * duplicate deliveries, sentinel watermark advances, restart caps)
+  * is expressed as staged batch LAYOUTS, not driver-side replay. The
+  * operators themselves are source-agnostic (readStream from
+  * Kafka/files swaps in). State lives per-key in the executors'
+  * StateStore — at cluster scale use the RocksDB state store
+  * provider + checkpointing; watermarks bound state size for the
+  * windowed aggregations, and the session/dedup operators evict on
+  * watermark advance. Complete-output aggregations here are
   * fixture-sized; production would use append + watermark.
   */
 object StreamOps {
@@ -67,66 +70,10 @@ object StreamOps {
     }
   }
 
-  /** Replay rows cached per (application, sfDir): five stream queries
-    * share one collect+sort of the events table. Same lifecycle as
-    * [[graft.engine.DfCache]]: switching to a new sfDir drops the old
-    * scope's rows, so a session sweeping many scale factors holds one
-    * replay set in driver memory, not all of them. */
-  private val replayCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Ev]]
-
-  /** Test hook: live replay-cache scopes. */
-  private[graft] def replayCacheScopes: Seq[String] = replayCache.keys.toSeq
-
-  private[graft] def replayRows(spark: SparkSession, sfDir: String): Seq[Ev] = {
-    val scope = s"${spark.sparkContext.applicationId}|$sfDir"
-    replayCache.keys.filter(_ != scope).foreach(replayCache.remove)
-    replayCache.getOrElseUpdate(scope, {
-      import spark.implicits._
-      Tables.events(spark, sfDir)
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-        .orderBy($"ts", $"event_id").as[Ev].collect().toSeq
-    })
-  }
-
-  /** Run `build` on a MemoryStream replay of `events` (event-time
-    * order, one micro-batch) and return the collected sink table. */
-  private def runStream(spark: SparkSession, sfDir: String,
-      mode: OutputMode)(build: Dataset[Ev] => DataFrame): DataFrame =
-    runStreamRows(spark, replayRows(spark, sfDir), mode)(build)
-
-  /** [[runStream]] with an explicit replay sequence — for queries
-    * that inject transport artifacts (duplicate deliveries) into the
-    * stream. */
-  private def runStreamRows(spark: SparkSession, rows: Seq[Ev],
-      mode: OutputMode)(build: Dataset[Ev] => DataFrame): DataFrame = {
-    import spark.implicits._
-    val source = MemoryStream[Ev](spark)
-    source.addData(rows)
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    // Streaming state is keyed-and-small here; 32 state-store
-    // partitions per micro-batch is pure per-store setup/commit
-    // overhead. 8 is plenty for fixture-scale state; at cluster scale
-    // this is a per-query sizing decision (state partitions are fixed
-    // at first checkpoint). The restore must wait until the stream has
-    // fully drained: the first micro-batch is planned asynchronously on
-    // the stream-execution thread, so restoring right after start()
-    // races the conf read and can silently size the state store at the
-    // session default.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = sinkPoint(build(source.toDS()))
-        .writeStream.format("memory").queryName(sinkName).outputMode(mode).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(sinkName)
-  }
-
   /** Staged-batch directory cache: ONE staging job per (application,
     * sfDir, variant) feeds every offset-source key of a sweep — a
     * re-run reuses the layout, and switching sfDir drops the old
-    * scope (same lifecycle as [[replayCache]]). */
+    * scope (same lifecycle as [[graft.engine.DfCache]]). */
   private val stageCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -216,11 +163,13 @@ object StreamOps {
     * per trigger, rows read executor-side. */
   private def offsetSource(spark: SparkSession, staged: String,
       schemaDdl: Option[String] = None,
-      maxPerTrigger: Int = 1): DataFrame = {
+      maxPerTrigger: Int = 1,
+      onePerTriggerFrom: Long = -1L): DataFrame = {
     val r = spark.readStream
       .format(classOf[EventsFileStreamProvider].getName)
       .option("path", staged)
       .option("maxBatchesPerTrigger", maxPerTrigger.toString)
+      .option("onePerTriggerFrom", onePerTriggerFrom.toString)
     schemaDdl.fold(r)(s => r.option("schema", s)).load()
   }
 
@@ -575,33 +524,32 @@ object StreamOps {
     * resident forever. */
   def streamLateData(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
-    val (b1, b2) = rows.partition(_.event_id % 3 != 0)
-    val source = MemoryStream[Ev](spark)
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = source.toDS()
+    // OUT-OF-ORDER ARRIVAL AS A STAGED LAYOUT (no driver replay): the
+    // event_id % 3 == 0 slice is staged BEHIND the rest of the table —
+    // it genuinely holds rows older than batch 0's max, so rows whose
+    // window closed under batch 0's watermark are dropped on arrival,
+    // exactly the late-arrival injection the MemoryStream two-addData
+    // replay used to perform driver-side. The late slice rides ordinal
+    // 2, NOT 1: since Spark 3.5 the late-event filter uses the
+    // PREVIOUS batch's watermark, so an empty ordinal between the
+    // slices (a missing batch directory reads as an empty micro-batch)
+    // promotes batch 0's watermark into the late-filter position
+    // before the late rows arrive — the role the second
+    // processAllAvailable's no-data batch played in the MemoryStream
+    // replay. The flush of windows finalized by the late batch's own
+    // watermark advance rides the engine's trailing no-data batch.
+    val staged = stageBatched(spark, sfDir, "t2l3",
+      eventsShaped(spark, sfDir).withColumn("batch",
+        when($"event_id" % 3 =!= 0, lit(0L)).otherwise(lit(2L))))
+    drainToTable(spark,
+      offsetSource(spark, staged)
         .withWatermark("ts", "30 minutes")
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
-        .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
-        .sinkGuard
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).start()
-      try {
-        source.addData(b1)
-        q.processAllAvailable()
-        source.addData(b2)
-        q.processAllAvailable()
-        // one empty batch so the watermark advanced by batch 2 flushes
-        // its newly-finalized windows deterministically
-        source.addData(Seq.empty[Ev])
-        q.processAllAvailable()
-      } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(sinkName).orderBy($"ws", $"event_type")
+        .select($"window.start".as("ws"), $"event_type", $"n",
+          $"sum_value"),
+      OutputMode.Append())
+      .orderBy($"ws", $"event_type")
   }
 
   val streamLateDataSql: String =
@@ -640,27 +588,19 @@ object StreamOps {
     * complete-mode full-table rewrite. */
   def streamUpdateMode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
-    val (b1, b2) = rows.partition(_.event_id % 2 != 0)
-    val source = MemoryStream[Ev](spark)
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = source.toDS()
+    // the parity split is a STAGED LAYOUT: odd event_ids in batch 0,
+    // even in batch 1, one trigger each — the memory sink accumulates
+    // the batch-0 snapshot plus the batch-1 re-emissions, with no
+    // driver-side replay involved
+    val staged = stageBatched(spark, sfDir, "t2u2",
+      eventsShaped(spark, sfDir).withColumn("batch",
+        when($"event_id" % 2 =!= 0, lit(0L)).otherwise(lit(1L))))
+    drainToTable(spark,
+      offsetSource(spark, staged)
         .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value"))
-        .sinkGuard
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Update()).start()
-      try {
-        source.addData(b1)
-        q.processAllAvailable()
-        source.addData(b2)
-        q.processAllAvailable()
-      } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(sinkName).orderBy($"event_type", $"n")
+        .agg(count(lit(1)).as("n"), xsum($"value").as("sum_value")),
+      OutputMode.Update())
+      .orderBy($"event_type", $"n")
   }
 
   val streamUpdateModeSql: String =
@@ -934,38 +874,41 @@ object StreamOps {
     * Oracle = the batch purchase selection. */
   def streamRestart(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
-    val (half1, half2) = rows.splitAt(rows.length / 2)
-    val tag = (spark.sparkContext.applicationId + sfDir + "_restart")
-      .replaceAll("[^A-Za-z0-9]", "_")
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_rs_$tag")
-    if (root.exists()) rmTree(root)
-    // ride the foreachBatch scratch registry's JVM shutdown hook
-    if (febCleanupRegistered.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        febScratchDirs.forEach(d => rmTree(new java.io.File(d)))))
-    febScratchDirs.add(root.getAbsolutePath)
+    // the two "halves" are two STAGED time-range batches; run 1 caps
+    // availability at the first batch (maxTotalBatches=1) and stops
+    // cold, run 2 is a brand-new query object on the same
+    // checkpointLocation with the cap lifted — the engine restores
+    // the committed batch-ordinal offset and the source resumes at
+    // batch 1, never re-admitting batch 0 (a replay would double
+    // every purchase in the exactly-once parquet sink). No row ever
+    // transits the driver.
+    val staged = stageBatched(spark, sfDir, "t2",
+      timeBatched(eventsShaped(spark, sfDir), 2))
+    val root = scratchDir(spark, sfDir, "graft_rs_")
     val sink = new java.io.File(root, "sink").getAbsolutePath
     val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
-    val source = MemoryStream[Ev](spark)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    def start() = source.toDS()
-      .filter($"event_type" === "purchase")
-      .select($"event_id", $"user_id", $"ts", $"value")
-      .sinkGuard
-      .writeStream.format("parquet")
-      .option("checkpointLocation", ckpt)
-      .option("path", sink)
-      .outputMode(OutputMode.Append()).start()
+    def start(cap: Option[Long]) = {
+      val reader = spark.readStream
+        .format(classOf[EventsFileStreamProvider].getName)
+        .option("path", staged)
+        .option("maxBatchesPerTrigger", "1")
+      cap.fold(reader)(c => reader.option("maxTotalBatches", c.toString))
+        .load()
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .sinkGuard
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .outputMode(OutputMode.Append()).start()
+    }
     try {
-      source.addData(half1)
-      val q1 = start()
+      val q1 = start(Some(1L))
       try q1.processAllAvailable() finally q1.stop()
-      // restart: NEW query object, SAME checkpoint + same source
-      source.addData(half2)
-      val q2 = start()
+      // restart: NEW query object, SAME checkpoint + same staged dir
+      val q2 = start(None)
       try q2.processAllAvailable() finally q2.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // read THROUGH the sink's commit log (metadata-aware path)
@@ -1123,43 +1066,39 @@ object StreamOps {
     * in-batch gap path) emitted it. */
   def streamTwsTimers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = replayRows(spark, sfDir)
-    val maxTs = rows.iterator.map(_.ts.getTime).max
-    val source = MemoryStream[Ev](spark)
-    source.addData(rows)
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // ONE real staged batch (the by_timer oracle pins timer emissions
+    // to each user's LAST session, so the real rows must not be split
+    // across watermark advances) plus one far-future sentinel batch —
+    // its trigger advances the watermark past every open session's
+    // deadline so the event-time timers fire. The sentinel's own key
+    // (-1) never emits (single row, no gap, timer never reached) and
+    // is filtered batch-side.
+    val staged = stageBatched(spark, sfDir, "t1s1",
+      withSentinelBatches(eventsShaped(spark, sfDir),
+        Seq(14L * 24L * 60L), 1))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = source.toDS()
-        .withWatermark("ts", "10 minutes")
-        .groupByKey(_.user_id)
-        .transformWithState(new TimerSessionProc(3600L * 1000000L),
-          TimeMode.EventTime(), OutputMode.Append())
-        .toDF("user_id", "start_us", "n_events", "sum_value", "by_timer")
-        .sinkGuard
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        source.addData(Ev(-1L,
-          new Timestamp(maxTs + 14L * 24L * 3600L * 1000L), -1L,
-          "wm_advance", 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
+      drainToTable(spark,
+        offsetSource(spark, staged)
+          .withWatermark("ts", "10 minutes")
+          .as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new TimerSessionProc(3600L * 1000000L),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "start_us", "n_events", "sum_value",
+            "by_timer"),
+        OutputMode.Append())
+        .filter($"user_id" >= 0)
+        .orderBy($"user_id", $"start_us")
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProv match {
         case Some(v) => spark.conf.set(provKey, v)
         case None => spark.conf.unset(provKey)
       }
     }
-    spark.table(sinkName).filter($"user_id" >= 0)
-      .orderBy($"user_id", $"start_us")
   }
 
   val streamTwsTimersSql: String =
@@ -1704,15 +1643,18 @@ object StreamOps {
       withSentinelBatches(eventsShaped(spark, sfDir),
         Seq(120L, 14L * 24L * 60L), 3))
     // the 3 REAL batches admit in ONE trigger (they carry no watermark
-    // stepping duty); each trailing sentinel still gets its own trigger
-    // because admission caps at 3 per trigger and they are the last
-    // two ordinals — 3 triggers instead of 5
-    val p = offsetSource(spark, staged, maxPerTrigger = 3)
+    // stepping duty); each trailing sentinel gets its own trigger via
+    // the onePerTriggerFrom=3 admission boundary (maxPerTrigger alone
+    // would merge both sentinels into one micro-batch and collapse the
+    // staggered watermark walk into a single jump) — 3 triggers, not 5
+    val p = offsetSource(spark, staged, maxPerTrigger = 3,
+        onePerTriggerFrom = 3L)
       .filter($"event_type".isin("purchase", "wm_advance"))
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
         $"ts".as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val c = offsetSource(spark, staged, maxPerTrigger = 3)
+    val c = offsetSource(spark, staged, maxPerTrigger = 3,
+        onePerTriggerFrom = 3L)
       .filter($"event_type".isin("click", "wm_advance"))
       .select($"event_id".as("click_id"), $"user_id".as("c_user"),
         $"ts".as("c_ts"))
@@ -1771,9 +1713,12 @@ object StreamOps {
       withSentinelBatches(eventsShaped(spark, sfDir),
         Seq(30L, 14L * 24L * 60L), 3))
     drainToTable(spark,
-      // 3 real batches in one trigger, each sentinel its own (the
-      // watermark walk the two stateful layers need) — 3 triggers
-      offsetSource(spark, staged, maxPerTrigger = 3)
+      // 3 real batches in one trigger, each sentinel its own — the
+      // onePerTriggerFrom=3 boundary ENFORCES the stagger the two
+      // stateful layers' watermark walk needs (maxPerTrigger alone
+      // would merge both sentinels into one micro-batch) — 3 triggers
+      offsetSource(spark, staged, maxPerTrigger = 3,
+          onePerTriggerFrom = 3L)
         .withWatermark("ts", "10 minutes")
         .groupBy(window($"ts", "15 minutes"), $"event_type")
         .agg(count(lit(1)).as("pn"),

@@ -53,11 +53,4 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
-  test("streaming replay cache holds exactly one sfDir scope") {
-    graft.streaming.StreamOps.replayRows(spark, sf)
-    assert(graft.streaming.StreamOps.replayCacheScopes.size == 1)
-    // same scope again: no growth
-    graft.streaming.StreamOps.replayRows(spark, sf)
-    assert(graft.streaming.StreamOps.replayCacheScopes.size == 1)
-  }
 }

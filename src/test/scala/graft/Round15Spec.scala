@@ -132,32 +132,22 @@ class Round15Spec extends SparkSpec {
     TxnLog.destroy(rootA); TxnLog.destroy(rootB)
   }
 
-  test("no driver-side replay feeds a non-injection streaming key: " +
-      "replayRows/MemoryStream only in the sanctioned batch-composition keys") {
-    // the keys that legitimately need driver-controlled batch
-    // composition: out-of-order injection (late_data), parity-split
-    // emission contract (update_mode), restart-across-query-objects
-    // with a shared in-memory source (restart), and timer-path
-    // emission pinned to slicing (tws_timers). Everything else reads
-    // the offset source — rows never transit the driver.
-    val allowed = Set("streamLateData", "streamUpdateMode",
-      "streamRestart", "streamTwsTimers")
+  test("ZERO driver-side replay: no streaming key uses " +
+      "replayRows/MemoryStream — every key reads the offset source") {
+    // round-11 retired the last four batch-composition injection keys
+    // (late_data, update_mode, restart, tws_timers): out-of-order
+    // slices, parity splits, restart caps and sentinel advances are
+    // all expressed as STAGED LAYOUTS for the offset-based source.
+    // This guard keeps the bar at zero references, code-wide.
     val src = new String(Files.readAllBytes(Paths.get(
       "src/main/scala/graft/streaming/StreamOps.scala")),
       StandardCharsets.UTF_8)
-    val defs = src.split("\n  (?=(?:private(?:\\[graft\\])? )?def )")
-    def nameOf(d: String): String =
-      d.linesIterator.next()
-        .replaceFirst("^(?:private(?:\\[graft\\])? )?def (\\w+).*", "$1")
-    val offenders = defs.toSeq
-      .filter { d =>
-        nameOf(d).startsWith("stream") &&
-          (d.contains("replayRows(") || d.contains("MemoryStream[") ||
-            d.contains("runStream(") || d.contains("runStreamRows("))
+    Seq("replayRows", "runStreamRows", "MemoryStream[",
+      "import org.apache.spark.sql.execution.streaming.runtime.MemoryStream")
+      .foreach { banned =>
+        assert(!src.contains(banned),
+          s"driver-side replay reference survived: $banned")
       }
-      .map(nameOf)
-    assert(offenders.toSet == allowed,
-      s"driver-side replay escaped the sanctioned set: got $offenders")
   }
 
   test("offset source tails a LIVE directory: batches staged after the " +
