@@ -188,6 +188,7 @@ object TxnLog {
     mv(new File(stage, "meta"), metaFile(root, v))
     mv(new File(stage, "schema"), schemaFile(root, v))
     mv(new File(stage, "mapping"), mappingFile(root, v))
+    mv(new File(stage, "types"), typesFile(root, v))
     mv(new File(stage, "txnid"), txnIdFile(root, v))
     new File(stage, "decider").delete()
     stage.delete()
@@ -249,14 +250,25 @@ object TxnLog {
     * rather than failing on the microsecond marker-to-rename
     * window. */
   def read(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val df = readPhysical(spark, root, version)
+    val df0 = readPhysical(spark, root, version)
+    // declared-type promotion FIRST (by physical name): versions at
+    // or above a widening commit read narrow historical files through
+    // the wider type; versions below it never see the types table, so
+    // time travel across the boundary shows the old schema
+    val declared = currentTypes(root, version)
+    val df =
+      if (declared.isEmpty) df0
+      else df0.select(df0.columns.map(c =>
+        declared.get(c).map(t => col(c).cast(t).as(c))
+          .getOrElse(col(c))): _*)
     currentMapping(root, version) match {
       case None => df
       case Some(m) =>
         val phys = df.columns.toSet
         df.select(col("key") +: m.map { case (l, p, d) =>
           if (phys(p)) col(p).as(l)
-          else lit(d.map(Long.box).orNull).cast("long").as(l)
+          else lit(d.map(Long.box).orNull)
+            .cast(declared.getOrElse(p, "long")).as(l)
         }: _*)
     }
   }
@@ -594,6 +606,97 @@ object TxnLog {
   private def mappingFile(root: String, v: Long): File =
     new File(logDir(root), s"v$v.mapping")
 
+  // ------------------------------------------------------------------
+  // TYPE WIDENING (the Delta type-widening / Iceberg schema-evolution
+  // idea): `ALTER COLUMN ... TYPE` publishes a per-version DECLARED
+  // TYPE table (`vN.types`, physical name → DDL type) as a pure
+  // metadata commit. Historical files keep their narrow physical
+  // type and read THROUGH the widening (Spark 4's parquet readers
+  // promote int32→int64 etc. natively when handed the wider schema);
+  // post-widen snapshots are stored wide because the merge's union
+  // coerces to the declared type. Time travel below the ALTER shows
+  // the old narrow schema for free, exactly like the mapping.
+  // ------------------------------------------------------------------
+
+  private def typesFile(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.types")
+
+  /** Declared types in force at `upTo` (physical name → DDL type);
+    * empty before the first widening commit. */
+  def currentTypes(root: String, upTo: Long): Map[String, String] = {
+    healStages(root)
+    Option(logDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".types"))
+      .map(f => f.getName.stripPrefix("v")
+        .stripSuffix(".types").toLong -> f)
+      .filter(_._1 <= upTo)
+      .sortBy(-_._1).headOption
+      .map(p => new String(Files.readAllBytes(p._2.toPath),
+        StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty)
+        .map { line =>
+          val i = line.indexOf('|'); line.substring(0, i) ->
+            line.substring(i + 1)
+        }.toMap)
+      .getOrElse(Map.empty)
+  }
+
+  /** Is `to` a LOSSLESS widening of `from`? The supported promotions
+    * are the ones Spark's parquet readers execute natively: int →
+    * bigint/double/decimal(≥10,0), bigint → decimal(≥20,0), float →
+    * double, and decimal precision growth at fixed-or-grown scale
+    * with the integral digits never shrinking. */
+  private[graft] def isWidening(from: String, to: String): Boolean = {
+    import org.apache.spark.sql.types._
+    def parse(s: String): DataType =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(s)
+    (parse(from), parse(to)) match {
+      case (a, b) if a == b => false
+      case (IntegerType, LongType | DoubleType) => true
+      case (IntegerType, d: DecimalType) =>
+        d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) =>
+        d.precision - d.scale >= 20
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN <logical> TYPE <newType>` —
+    * metadata-only widening: one commit publishing a linked snapshot
+    * plus the new declared-type table. No data file is rewritten;
+    * reads of HISTORICAL versions that predate the ALTER keep the
+    * narrow schema (time travel across the boundary), current reads
+    * promote narrow physical files through the declared type, and
+    * the next data commit stores its snapshot wide (union coercion
+    * in the merge). Narrowing is refused. */
+  def alterColumnType(spark: SparkSession, root: String,
+      logical: String, newType: String): Long = {
+    require(logical != "key", "the key column cannot change type")
+    val v = latestCommitted(root)
+    require(v >= 0, "cannot evolve the schema of an empty table")
+    val mapping = currentMapping(root, v)
+    val physical = mapping
+      .flatMap(_.find(_._1 == logical).map(_._2)).getOrElse(logical)
+    val physField = readPhysical(spark, root, v)
+      .schema.find(_.name == physical)
+    require(physField.isDefined || mapping.exists(_.exists(e =>
+        e._1 == logical)),
+      s"no column named '$logical'")
+    val declared = currentTypes(root, v)
+    val cur = declared.getOrElse(physical,
+      physField.map(_.dataType.catalogString).getOrElse("bigint"))
+    require(isWidening(cur, newType),
+      s"ALTER COLUMN TYPE only widens: $cur -> $newType is not a " +
+        "lossless promotion")
+    commit(spark, root, _ => (emptyDelta(spark), Nil),
+      linkSnapshot = true,
+      typesUpdate = Some(declared + (physical -> newType))).version
+  }
+
   private def parseMapping(f: File): ColMapping =
     new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).map { line =>
@@ -814,7 +917,8 @@ object TxnLog {
       linkSnapshot: Boolean = false,
       baseline: Option[Long] = None,
       rerunOnConflict: Boolean = true,
-      prePublish: Long => Unit = _ => ()): TxnStats = {
+      prePublish: Long => Unit = _ => (),
+      typesUpdate: Option[Map[String, String]] = None): TxnStats = {
     // recover any crashed publish of the current head first: its
     // idempotency record (txnid) may still be sitting in the stage,
     // and the committedTxn check below must see it
@@ -967,6 +1071,12 @@ object TxnLog {
                 m ++ newCols.map(c => (c, c, defaults.get(c)))))
             mappingOut.foreach(m =>
               writeMappingTo(new File(stage, "mapping"), m))
+            typesUpdate.foreach { t =>
+              Files.write(new File(stage, "types").toPath,
+                t.map { case (p, ty) => s"$p|$ty" }.mkString("\n")
+                  .getBytes(StandardCharsets.UTF_8))
+              ()
+            }
             txnId.foreach(id =>
               Files.write(new File(stage, "txnid").toPath,
                 id.getBytes(StandardCharsets.UTF_8)))

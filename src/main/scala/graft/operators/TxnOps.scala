@@ -1458,6 +1458,77 @@ object TxnOps {
       |  CAST(3 AS BIGINT) AS n_versions
       |FROM c ORDER BY user_id""".stripMargin
 
+  /** `ALTER TABLE ... ALTER COLUMN ... TYPE` — METADATA-ONLY TYPE
+    * WIDENING from SQL text (catalog `alterTable` →
+    * [[TxnLog.alterColumnType]]): v0 stores per-user click counts
+    * PHYSICALLY as int32; the ALTER publishes one linked-snapshot
+    * commit carrying the declared-type table (`metadata_only` pins
+    * zero bytes moved); the post-ALTER catalog schema is BIGINT and
+    * the scan reads the narrow historical files THROUGH the widening
+    * (Spark 4's parquet readers promote int32→int64 natively — no
+    * rewrite, no shuffle); the follow-up SQL INSERT lands values
+    * beyond int range, and the merge stores the next snapshot wide
+    * via union coercion. Time travel BELOW the ALTER still reads the
+    * old int schema (`tt_type_int`). This is the year-2 lakehouse
+    * operation — a column outgrowing its type on a 100 TB table —
+    * done without touching a single data file. */
+  def txnSqlAlterType(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = scratch(spark, sfDir, "sqlaltertype")
+    TxnLog.destroy(root)
+    TxnLog.init(root)
+    TxnLog.commit(spark, root, { _ =>
+      val inc = typeCounts(spark, sfDir, "click")
+      (inc.select($"key", $"cnt".cast("int").as("value"),
+        lit("upsert").as("op")), TxnLog.range(inc))
+    })
+    graft.sources.GraftCatalog.register(spark)
+    val parts = root.split("/").filter(_.nonEmpty).toSeq
+    val ident = (graft.sources.GraftCatalog.NAME +: parts)
+      .map(p => s"`$p`").mkString(".")
+    val preTypeInt =
+      if (spark.table(ident).schema("value").dataType == IntegerType) 1L
+      else 0L
+    spark.sql(s"ALTER TABLE $ident ALTER COLUMN value TYPE BIGINT")
+    val metadataOnly =
+      if (java.nio.file.Files.isSymbolicLink(
+        java.nio.file.Paths.get(root, "snapshot_v1"))) 1L else 0L
+    val postTypeBigint =
+      if (spark.table(ident).schema("value").dataType == LongType) 1L
+      else 0L
+    spark.sql(s"INSERT INTO $ident VALUES " +
+      "(9000000001, 5000000000), (9000000002, 6000000000)")
+    // time travel ACROSS the widening boundary: v0 predates the
+    // ALTER, so it still reads with the narrow int schema
+    val ttTypeInt =
+      if (TxnLog.read(spark, root, 0L)
+        .schema("value").dataType == IntegerType) 1L else 0L
+    spark.sql(s"SELECT key AS user_id, value FROM $ident")
+      .withColumn("pre_type_int", lit(preTypeInt))
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("post_type_bigint", lit(postTypeBigint))
+      .withColumn("tt_type_int", lit(ttTypeInt))
+      .orderBy($"user_id")
+  }
+
+  val txnSqlAlterTypeSql: String =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS cnt FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id),
+      |rows_all AS (
+      |  SELECT user_id, CAST(cnt AS BIGINT) AS value FROM c
+      |  UNION ALL
+      |  SELECT CAST(9000000001 AS BIGINT), CAST(5000000000 AS BIGINT)
+      |  UNION ALL
+      |  SELECT CAST(9000000002 AS BIGINT), CAST(6000000000 AS BIGINT))
+      |SELECT user_id, value,
+      |  CAST(1 AS BIGINT) AS pre_type_int,
+      |  CAST(1 AS BIGINT) AS metadata_only,
+      |  CAST(1 AS BIGINT) AS post_type_bigint,
+      |  CAST(1 AS BIGINT) AS tt_type_int
+      |FROM rows_all ORDER BY user_id""".stripMargin
+
   /** SQL `INSERT OVERWRITE` (V2 truncate-then-append as ONE atomic
     * commit): the staged rows replace the table — every pre-existing
     * key the new data doesn't cover becomes a DELETE in the same

@@ -95,13 +95,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private val resolved = TrieMap.empty[String, Table]
 
-  private def parquetTable(ident: Identifier, path: String): Table =
+  private def parquetTable(ident: Identifier, path: String,
+      userSchema: Option[StructType] = None): Table =
     ParquetTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       SparkSession.active,
       CaseInsensitiveStringMap.empty(),
       Seq(path),
-      None,
+      userSchema,
       classOf[ParquetFileFormat])
 
   /** A name resolving to a [[graft.engine.TxnLog]] table root (a
@@ -225,7 +226,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 nullable = c != "key"))),
             None)
         }
-        val pt = parquetTable(ident, s"$root/snapshot_v$v")
+        // DECLARED TYPES (ALTER COLUMN TYPE widening): hand the
+        // parquet table the WIDENED schema — Spark 4's parquet
+        // readers promote narrow physical files (int32 under a
+        // declared bigint, etc.) natively, so pre-widen snapshots
+        // read correctly with zero data rewritten
+        val declaredTypes = graft.engine.TxnLog.currentTypes(
+          root.getAbsolutePath, v)
+        val pt =
+          if (declaredTypes.isEmpty)
+            parquetTable(ident, s"$root/snapshot_v$v")
+          else {
+            val physSchema =
+              parquetTable(ident, s"$root/snapshot_v$v").schema()
+            val widened = StructType(physSchema.fields.map(f =>
+              declaredTypes.get(f.name).map(t => f.copy(dataType =
+                org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                  .parseDataType(t))).getOrElse(f)))
+            parquetTable(ident, s"$root/snapshot_v$v", Some(widened))
+          }
         val mapping = graft.engine.TxnLog.currentMapping(
           root.getAbsolutePath, v)
         val logicalSchema = mapping match {
@@ -414,6 +433,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "DEFAULT (backfill-free adds materialize it on read)"))
         graft.engine.TxnLog.addColumnMapped(spark,
           root.getAbsolutePath, a.fieldNames()(0), default)
+      // ALTER TABLE ... ALTER COLUMN ... TYPE — metadata-only
+      // WIDENING (int→bigint, decimal precision up, ...): one commit
+      // publishing a linked snapshot plus the declared-type table;
+      // historical narrow files read through the promotion, the next
+      // data commit stores wide. Narrowing is refused by the engine.
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "nested fields are not supported")
+        graft.engine.TxnLog.alterColumnType(spark,
+          root.getAbsolutePath, u.fieldNames()(0),
+          u.newDataType().catalogString)
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other")

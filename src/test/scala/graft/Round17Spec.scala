@@ -101,4 +101,76 @@ class Round17Spec extends SparkSpec {
       s"each clone destination must own its own ref file, got " +
         refs.map(_.getName).mkString(", "))
   }
+
+  test("widening law: only lossless promotions are accepted") {
+    import graft.engine.TxnLog.isWidening
+    assert(isWidening("int", "bigint"))
+    assert(isWidening("int", "double"))
+    assert(isWidening("float", "double"))
+    assert(isWidening("int", "decimal(10,0)"))
+    assert(isWidening("bigint", "decimal(20,0)"))
+    assert(isWidening("decimal(10,2)", "decimal(12,2)"))
+    assert(isWidening("decimal(10,2)", "decimal(14,4)"))
+    assert(!isWidening("bigint", "int"), "narrowing must be refused")
+    assert(!isWidening("double", "float"))
+    assert(!isWidening("bigint", "bigint"), "no-op is not a widening")
+    assert(!isWidening("bigint", "decimal(19,0)"),
+      "decimal(19,0) cannot hold every bigint")
+    assert(!isWidening("decimal(12,2)", "decimal(12,4)"),
+      "scale growth at fixed precision loses integral digits")
+    assert(!isWidening("int", "string"))
+  }
+
+  test("concurrent widen + insert: both commit through OCC, final " +
+      "read is wide with every row") {
+    import graft.engine.TxnLog
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_r17_widen_").toFile
+      .getAbsolutePath
+    TxnLog.destroy(root); TxnLog.init(root)
+    TxnLog.commit(spark, root, _ => (
+      Seq(1L -> 10L, 2L -> 20L).toDF("key", "value")
+        .selectExpr("key", "cast(value as int) as value")
+        .withColumn("op", lit("upsert")),
+      Seq((1L, 2L))))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val widen = new Thread(() =>
+      try TxnLog.alterColumnType(spark, root, "value", "bigint")
+      catch { case t: Throwable => errs.add(t); () })
+    val insert = new Thread(() =>
+      try TxnLog.commit(spark, root, _ => (
+        Seq(3L -> 5000000000L).toDF("key", "value")
+          .withColumn("op", lit("upsert")),
+        Seq((3L, 3L))))
+      catch { case t: Throwable => errs.add(t); () })
+    widen.start(); insert.start()
+    widen.join(120000); insert.join(120000)
+    assert(errs.isEmpty, s"concurrent widen+insert failed: " +
+      errs.toArray.mkString("; "))
+    val latest = TxnLog.latestCommitted(root)
+    assert(latest == 2L, s"both commits must land, head=$latest")
+    val df = TxnLog.read(spark, root, latest)
+    assert(df.schema("value").dataType == LongType,
+      s"final schema must be wide, got ${df.schema("value").dataType}")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 5000000000L),
+      s"rows after concurrent widen+insert: $got")
+  }
+
+  test("ALTER COLUMN TYPE refuses narrowing through the engine") {
+    import graft.engine.TxnLog
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_r17_narrow_").toFile
+      .getAbsolutePath
+    TxnLog.destroy(root); TxnLog.init(root)
+    TxnLog.commit(spark, root, _ => (
+      Seq(1L -> 10L).toDF("key", "value").withColumn("op", lit("upsert")),
+      Seq((1L, 1L))))
+    intercept[IllegalArgumentException] {
+      TxnLog.alterColumnType(spark, root, "value", "int")
+    }
+  }
 }
