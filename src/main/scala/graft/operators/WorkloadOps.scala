@@ -203,6 +203,62 @@ object WorkloadOps {
     * semantics-preserving. */
   val tpchQ10CboSql: String = tpchQ10Sql
 
+  /** TPC-H Q9 routed through the JOIN-GRAPH CBO — the SNOWFLAKE
+    * shape Q10's linear chain does not exercise: the fact fans out
+    * into two independent branches (part; supplier→nation) plus
+    * orders, and `nation` is a DIM-DIM edge that only becomes
+    * eligible once `supplier` has exposed `s_nationkey`. The part
+    * filter is a `LIKE '%gear%'` no footer range can estimate —
+    * `selOverride` feeds the default-match selectivity every
+    * production CBO carries for contains-patterns (the estimate
+    * steers ORDER only; the applied predicate is exact). The greedy
+    * picks by estimated post-filter cardinality under availability:
+    * supplier (smallest) unlocks nation immediately, the filtered
+    * part branch next, the orders fan-in last — at 100 TB this is
+    * the difference between probing lineitem×orders (billions) and
+    * probing an already part+supplier-pruned stream. The chosen
+    * order is REQUIRED to respect the snowflake (supplier before
+    * nation, orders last); the exact permutation is stats-driven per
+    * scale factor, and PlanSpec pins the stats→order flip. */
+  def tpchQ9Cbo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.Cbo
+    val fact = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity",
+        $"l_extendedprice", $"l_discount")
+    val p = Tables.part(spark, sfDir)
+      .select($"p_partkey".as("l_partkey"), $"p_name", $"p_retailprice")
+    val s = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    val n = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("s_nationkey"), $"n_name")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderdate")
+    val (joined, order) = Cbo.reorderJoin(fact, Seq(
+      "part" -> Cbo.Input(p,
+        Cbo.analyzePath(s"$sfDir/part.parquet"), Seq("l_partkey"),
+        pred = Some($"p_name".contains("gear")),
+        selOverride = Some(0.1)),
+      "supplier" -> Cbo.Input(s,
+        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey")),
+      "nation" -> Cbo.Input(n,
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("s_nationkey")),
+      "orders" -> Cbo.Input(o,
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"))))
+    require(order.indexOf("nation") > order.indexOf("supplier") &&
+        order.last == "orders",
+      s"snowflake order violated: got $order")
+    joined
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        lit(0.6) * $"p_retailprice" * $"l_quantity").as("sum_profit"))
+      .orderBy($"nation".asc, $"o_year".desc)
+  }
+
+  /** Same oracle as the plain Q9 — CBO routing is
+    * semantics-preserving. */
+  val tpchQ9CboSql: String = TpchOps.tpchQ9Sql
+
   /** TPC-H Q18 (large-volume customer): orders whose total line
     * quantity exceeds a threshold, reported with their customer. The
     * textbook form is `o_orderkey IN (SELECT … HAVING sum > T)` plus a

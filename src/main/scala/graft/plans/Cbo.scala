@@ -86,17 +86,24 @@ object Cbo {
 
   /** One reorderable join input: the dimension frame, its ANALYZE
     * stats, the equi-join column names (shared with the side already
-    * joined — rename in the frame), and an optional `[lo, hi]` range
-    * predicate on a stats-covered column. The predicate is BOTH
+    * joined — rename in the frame; a dim-dim edge is expressed by
+    * keying on a column another DIMENSION exposes, which makes this a
+    * join GRAPH: snowflake branches like supplier→nation route
+    * through the availability constraint), and an optional `[lo, hi]`
+    * range predicate on a stats-covered column. The predicate is BOTH
     * applied to the frame and fed to the cardinality estimate — the
     * "selectivity propagation" that plain table-size ordering lacks.
     * `pred` overrides the APPLIED form when the filter column is not
     * directly long-comparable (timestamps: estimate from the footer
     * micros range, apply the native timestamp predicate so pushdown
-    * survives). */
+    * survives). `selOverride` feeds the estimate for predicates
+    * footer ranges cannot see (string LIKE '%x%' — the default-match
+    * magic constant every production CBO carries, or a
+    * caller-measured fraction); it multiplies any range estimate. */
   final case class Input(df: DataFrame, stats: TableStats,
       keys: Seq[String], filter: Option[(String, Long, Long)] = None,
-      pred: Option[org.apache.spark.sql.Column] = None)
+      pred: Option[org.apache.spark.sql.Column] = None,
+      selOverride: Option[Double] = None)
 
   /** Uniform-assumption fraction of rows with `col` ∈ [lo, hi],
     * from the column's footer [min, max]. Unknown stats → 1.0 (the
@@ -116,7 +123,7 @@ object Cbo {
   def estRows(in: Input): Double =
     in.stats.nRows.toDouble * in.filter.map { case (c, lo, hi) =>
       selectivity(in.stats, c, lo, hi)
-    }.getOrElse(1.0)
+    }.getOrElse(1.0) * in.selOverride.getOrElse(1.0)
 
   /** GREEDY JOIN-ORDER with CONNECTIVITY: at each step join the
     * smallest-estimated dimension whose join keys are already

@@ -159,6 +159,43 @@ class Round17Spec extends SparkSpec {
       s"rows after concurrent widen+insert: $got")
   }
 
+  test("snowflake CBO: post-filter stats flip the dim order while the " +
+      "dim-dim chain (supplier→nation) stays causally ordered") {
+    import graft.plans.Cbo
+    import spark.implicits._
+    val fact = graft.engine.Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey")
+    val part = graft.engine.Tables.part(spark, sf)
+      .select($"p_partkey".as("l_partkey"), $"p_name")
+    val supp = graft.engine.Tables.supplier(spark, sf)
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    val nat = graft.engine.Tables.nation(spark, sf)
+      .select($"n_nationkey".as("s_nationkey"), $"n_name")
+    val pStats = Cbo.analyzePath(s"$sf/part.parquet")
+    val sStats = Cbo.analyzePath(s"$sf/supplier.parquet")
+    val nStats = Cbo.analyzePath(s"$sf/nation.parquet")
+    def dims(partSel: Option[Double]) = Seq(
+      "part" -> Cbo.Input(part, pStats, Seq("l_partkey"),
+        pred = partSel.map(_ => $"p_name".contains("gear")),
+        selOverride = partSel),
+      "supplier" -> Cbo.Input(supp, sStats, Seq("l_suppkey")),
+      "nation" -> Cbo.Input(nat, nStats, Seq("s_nationkey")))
+    // unfiltered: supplier (10 rows at sf0.001) beats part (200) and
+    // unlocks nation (25), which beats part next
+    val (_, o1) = Cbo.reorderJoin(fact, dims(None))
+    assert(o1 == Seq("supplier", "nation", "part"),
+      s"raw-size snowflake order: got $o1")
+    // a selective part filter inverts the estimates: part first —
+    // but nation must STILL follow supplier (dim-dim availability)
+    val (_, o2) = Cbo.reorderJoin(fact, dims(Some(0.01)))
+    assert(o2 == Seq("part", "supplier", "nation"),
+      s"post-filter stats must reorder the chain: got $o2")
+    assert(o1 != o2 &&
+      o1.indexOf("nation") > o1.indexOf("supplier") &&
+      o2.indexOf("nation") > o2.indexOf("supplier"),
+      "the dim-dim edge must hold under both stats regimes")
+  }
+
   test("ALTER COLUMN TYPE refuses narrowing through the engine") {
     import graft.engine.TxnLog
     import org.apache.spark.sql.functions.lit
