@@ -510,11 +510,12 @@ object StreamOps {
 
   /** Watermark late-data semantics, driver-visible (SURVEY.md §2.9
     * "late data"): a 1-hour tumbling aggregation with a 30-minute
-    * watermark, replayed in TWO micro-batches split by event_id % 3 —
-    * batch 2 is genuinely out-of-order (it holds rows older than batch
-    * 1's max), so rows whose window closed under batch 1's watermark
-    * are DROPPED, and append mode emits only windows finalized by the
-    * final watermark. The batch twin reproduces both predicates
+    * watermark, served in TWO STAGED micro-batches split by
+    * event_id % 3 — the later batch is genuinely out-of-order (it
+    * holds rows older than the first batch's max), so rows whose
+    * window closed under the first batch's watermark are DROPPED, and
+    * append mode emits only windows finalized by the final
+    * watermark. The batch twin reproduces both predicates
     * exactly: wm_k = ms-truncated max(ts observed through batch k) −
     * 30 min (Spark tracks event time in milliseconds while the fixture
     * carries microseconds — the truncation is part of the contract);
@@ -574,7 +575,7 @@ object StreamOps {
        |ORDER BY ws, event_type""".stripMargin
 
   /** Update output mode made driver-visible: an unbounded per-type
-    * aggregation over a TWO-micro-batch replay (event_id parity
+    * aggregation over TWO STAGED micro-batches (event_id parity
     * split). Update mode re-emits a key's CURRENT value in every
     * micro-batch that changes it, so the memory sink accumulates the
     * batch-1 snapshot of every type plus the batch-2 final value of
