@@ -516,9 +516,15 @@ object TpchOps {
       .join(s9, $"l_suppkey" === $"s_suppkey")
       .groupBy($"l_partkey".as("ps_partkey"))
       .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("value"))
-    val tot = v.agg(xsum($"value").as("total_value"))
+    // threshold = 2× the MEAN part value, not a fixed fraction of the
+    // TOTAL: TPC-H's own 0.0001/SF threshold scales with SF for
+    // exactly this reason — a fixed fraction of total empties as the
+    // part count grows (measured here: 0.1% of total keeps 183 parts
+    // at sf0.001 and ZERO at sf0.1). The mean-multiple form is
+    // scale-free: 14 / 42 / 1100 parts across the three fixture SFs.
+    val tot = v.agg((xsum($"value") / count(lit(1))).as("avg_value"))
     v.crossJoin(broadcast(tot))
-      .filter($"value" > lit(0.001) * $"total_value")
+      .filter($"value" > lit(2.0) * $"avg_value")
       .select($"ps_partkey", $"value")
       .orderBy($"value".desc, $"ps_partkey".asc)
   }
@@ -531,7 +537,7 @@ object TpchOps {
        |  WHERE s_nationkey IN (9, 14, 19)
        |  GROUP BY l_partkey)
        |SELECT ps_partkey, value FROM v
-       |WHERE value > 0.001 * (SELECT ${sqlXsum("value")} FROM v)
+       |WHERE value > 2.0 * (SELECT ${sqlXsum("value")} / COUNT(*) FROM v)
        |ORDER BY value DESC, ps_partkey ASC""".stripMargin
 
   /** TPC-H Q16 (parts/supplier relationship), adapted: the supplier–

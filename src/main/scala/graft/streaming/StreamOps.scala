@@ -39,6 +39,29 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Live memory-sink names awaiting release. A memory sink holds its
+    * rows for as long as the catalog references the temp view, so a
+    * long session running many streaming keys (the fleet soak, a
+    * notebook) accumulates every drained result — measured on the
+    * round-11 two-pass soak as monotone heap growth whose storage
+    * pressure evicted persisted operator caches and DOUBLED six keys'
+    * pass-2 times. Each new sink drops all predecessors: the harness
+    * contract consumes a key's result before the next key runs. */
+  private val liveSinks =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  /** Fresh memory-sink name, releasing every predecessor first. */
+  private def freshSink(spark: SparkSession): String = {
+    var prev = liveSinks.poll()
+    while (prev != null) {
+      spark.catalog.dropTempView(prev)
+      prev = liveSinks.poll()
+    }
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    liveSinks.add(name)
+    name
+  }
+
   /** Fleet-guard plan capture: while [[planCaptureMode]] is set,
     * [[sinkPoint]] aborts the op by throwing [[PlanCapture]] with the
     * PRE-SINK analyzed logical plan(s) instead of starting the
@@ -176,7 +199,7 @@ object StreamOps {
   /** Drain a streaming frame into a memory sink and return it. */
   private def drainToTable(spark: SparkSession, out: DataFrame,
       mode: OutputMode): DataFrame = {
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val sinkName = freshSink(spark)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -1756,7 +1779,7 @@ object StreamOps {
     * rollup, so the sink equals the batch aggregation exactly. */
   def streamFileSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sinkName = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val sinkName = freshSink(spark)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val tsIsNanos = Tables.eventsTsIsNanos(spark, sfDir)

@@ -102,6 +102,15 @@ class Round17Spec extends SparkSpec {
         refs.map(_.getName).mkString(", "))
   }
 
+  Seq("q_tpch_q11", "q_graph_kcore").foreach { key =>
+    test(s"$key returns rows at sf0.001 (scale-robust thresholds — " +
+        "the sf0.1 sweep guards the other end)") {
+      val df = SparkEntry.queries(key)(spark, sf)
+      assert(df.limit(1).count() > 0,
+        s"$key returned 0 rows — its oracle compare would be vacuous")
+    }
+  }
+
   test("widening law: only lossless promotions are accepted") {
     import graft.engine.TxnLog.isWidening
     assert(isWidening("int", "bigint"))
