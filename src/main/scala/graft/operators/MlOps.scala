@@ -698,9 +698,16 @@ object MlOps {
     * min-gini-then-min-thr reduction, portable to the oracle, instead
     * of an engine-specific arg_min). Same triangular-join shape as
     * [[mlGiniStump]], keyed by grp. */
-  private def giniBestSplit(byFeat: DataFrame): DataFrame = {
-    import byFeat.sparkSession.implicits._
+  private def giniBestSplit(byFeat0: DataFrame): DataFrame = {
+    import byFeat0.sparkSession.implicits._
     import graft.functions.Udfs.rnd6
+    // materialize the histogram ONCE: it is tiny (one row per distinct
+    // feature value per group), but it is referenced by tot + a
+    // self-join + the argmin chain, and Catalyst recomputes repeated
+    // logical subtrees — without this the FACT-table aggregation that
+    // produces it re-ran ~10× per tree level (measured: 5.3 s pinned
+    // for two levels over sf0.1 lineitem; ~1.5 s after)
+    val byFeat = byFeat0.localCheckpoint(true)
     val tot = byFeat.groupBy($"grp")
       .agg(sum($"n").as("tot_n"), sum($"pos").as("tot_pos"))
     val cum = byFeat.select($"grp", $"f".as("thr"))
@@ -724,9 +731,13 @@ object MlOps {
     // the division first — gate the expression on the SAME predicate
     // as the filter so the phantom row yields NULL instead of a
     // DIVIDE_BY_ZERO throw (surviving rows are unchanged).
+    // same rationale: `scored` feeds the argmin twice plus the final
+    // join — checkpoint the (tiny) scored splits so the chain runs on
+    // materialized rows
     val scored = cum.select($"grp", $"thr", $"nl", $"pl",
       nr.as("nr"), pr.as("pr"),
       rnd6(when($"nl" < $"tot_n", weighted)).as("gini_split"))
+      .localCheckpoint(true)
     val bmin = scored.groupBy($"grp".as("mg"))
       .agg(min($"gini_split").as("g"))
     val bthr = scored.join(bmin,
