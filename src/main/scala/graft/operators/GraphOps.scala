@@ -49,14 +49,26 @@ object GraphOps {
     * out-degree. */
   private val SCALE = 1000000000000L
 
+  /** Persist-once cache shared by the whole graph family — the same
+    * lifecycle as [[CfOps.cache]]/[[DedupOps.cache]]. Replaces the
+    * old per-key persist + unpersist-before-return pattern, which
+    * silently UNDID itself: the unpersist ran before the caller
+    * executed the returned frame, so iterative consumers (pagerank's
+    * 5 rounds, the k-core peel) recomputed the edge list once per
+    * plan reference at action time. */
+  private[graft] val cache = new graft.engine.DfCache
+
   /** Undirected edge list (both directions) from the capped user–user
-    * cosine pairs, with per-source out-degree attached. */
-  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
-    pairs.union(pairs.select($"user_b".as("user_a"), $"user_a".as("user_b")))
-      .toDF("src", "dst")
-  }
+    * cosine pairs — cached across the graph keys of a sweep. */
+  private def edges(spark: SparkSession, sfDir: String): DataFrame =
+    cache(spark, sfDir, "graphEdges") {
+      import spark.implicits._
+      val pairs = CfOps.userSimPairs(spark, sfDir)
+        .select($"user_a", $"user_b")
+      pairs.union(
+        pairs.select($"user_b".as("user_a"), $"user_a".as("user_b")))
+        .toDF("src", "dst")
+    }
 
   /** PageRank after [[ITERS]] power iterations, damping 0.85.
     * Every node appears in the edge list in both directions (the pair
@@ -69,7 +81,6 @@ object GraphOps {
   private def graphPagerankInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = edges(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val n = deg.count() // driver scalar: node count only, never data
     // Driver-side Long division == the oracle's `//` (operands > 0).
@@ -84,11 +95,9 @@ object GraphOps {
         .agg((lit(base) + expr(s"($DAMP_NUM * sum(c)) div $DAMP_DEN"))
           .as("prs"))
     }
-    val out = ranks
+    ranks
       .select($"user_id", ($"prs".cast("double") / SCALE.toDouble).as("pr"))
       .orderBy($"user_id")
-    e.unpersist()
-    out
   }
 
   /** Data-dependent convergence variant of [[graphPagerank]]: iterate
@@ -105,7 +114,6 @@ object GraphOps {
       epsUnits: Long, maxIters: Int = 60): (DataFrame, Int) = {
     import spark.implicits._
     val e = edges(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val n = deg.count()
     val base = (SCALE * (DAMP_DEN - DAMP_NUM) / DAMP_DEN) / n
@@ -128,7 +136,6 @@ object GraphOps {
       ranks = next
       it += 1
     }
-    e.unpersist()
     val out = ranks
       .select($"user_id", ($"prs".cast("double") / SCALE.toDouble).as("pr"))
       .orderBy($"user_id")
@@ -426,11 +433,16 @@ object GraphOps {
     * driver scalar — the documented driver-loop pattern. Unreachable
     * nodes are absent from the output (no sentinel row), matching the
     * oracle's reachable-only enumeration. */
-  def graphShortestPath(spark: SparkSession, sfDir: String): DataFrame = {
+  def graphShortestPath(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      graphShortestPathInner(spark, sfDir)
+    }
+
+  private def graphShortestPathInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
     val e = edges(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val src = pairs.agg(min($"user_a")).collect()(0).getLong(0)
     var visited = Seq((src, 0L)).toDF("user_id", "hops").localCheckpoint(true)
     var frontier = visited
@@ -450,7 +462,6 @@ object GraphOps {
       visited = visited.union(next).localCheckpoint(true)
       frontier = next
     }
-    e.unpersist()
     visited.select($"user_id", $"hops").orderBy($"user_id")
   }
 
@@ -575,7 +586,11 @@ object GraphOps {
     * the alive filter pushes into the edge scan as two hash joins
     * whose build side is the (shrinking) vertex set. */
   def graphKcore(spark: SparkSession, sfDir: String): DataFrame =
-    graphKcoreRounds(spark, sfDir, KCORE_ROUNDS)
+    // same many-tiny-stage shape as pagerank: 8 partitions + AQE off
+    // inside the peel loop (IterativeTuning)
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      graphKcoreRounds(spark, sfDir, KCORE_ROUNDS)
+    }
 
   /** [[graphKcore]] with an explicit round count — Round5bSpec runs
     * ROUNDS+1 and asserts the peel has reached its fixpoint. */
@@ -583,7 +598,6 @@ object GraphOps {
       rounds: Int): DataFrame = {
     import spark.implicits._
     val e = edges(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var alive = e.select($"src".as("v")).distinct().localCheckpoint(true)
     for (_ <- 1 to rounds) {
       alive = e
@@ -601,7 +615,6 @@ object GraphOps {
       .agg(count(lit(1)).as("core_degree"))
       .select($"src".as("user_id"), $"core_degree")
       .orderBy($"user_id")
-    e.unpersist()
     out
   }
 
@@ -776,7 +789,6 @@ object GraphOps {
     import graft.functions.Udfs.rnd6
     val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
     val e = edges(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = pairs.select($"user_a").distinct()
       .orderBy($"user_a").limit(CLOSENESS_SEEDS)
       .collect().map(_.getLong(0)).toSeq // metadata-sized seed list
@@ -799,7 +811,6 @@ object GraphOps {
       visited = visited.union(next).localCheckpoint(true)
       frontier = next
     }
-    e.unpersist()
     visited.filter($"hops" > 0)
       .groupBy($"seed")
       .agg(count(lit(1)).as("n_reached"),

@@ -40,7 +40,8 @@ class CacheLifecycleSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("x", "y")
     for (cache <- Seq(graft.operators.CfOps.cache,
-        graft.operators.DedupOps.cache, graft.operators.ContentOps.cache)) {
+        graft.operators.DedupOps.cache, graft.operators.ContentOps.cache,
+        graft.operators.GraphOps.cache)) {
       cache(spark, "/scopeA", "t1")(df)
       cache(spark, "/scopeA", "t2")(df)
       assert(cache.snapshot.keys.map(_._1).toSet.size == 1)
