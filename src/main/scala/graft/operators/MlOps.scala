@@ -1475,9 +1475,13 @@ object MlOps {
   def mlLogreg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
+    // materialize the training frame once: every Newton step scans it,
+    // and without this each of the LR_ITERS sequential aggregations
+    // re-ran the parquet scan + projection
     val base = Tables.orders(spark, sfDir)
       .select(($"o_orderstatus" === "F").cast("double").as("y"),
         ($"o_totalprice" / lit(LR_XS)).as("x"))
+      .localCheckpoint(true)
     var st = spark.range(1)
       .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
     val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
