@@ -424,6 +424,14 @@ object MlOps {
   private val DB_MIN_PTS = 12
   private val DB_SAMPLE_MOD = 3
 
+  /** Persist-once scope for the DBSCAN++ probe (see [[mlDbscan]]): the
+    * returned frame's border subtree re-reads the probe at the
+    * CALLER's action time, so a try/finally unpersist inside the
+    * builder would evict it before that action and recompute the
+    * dominant n×(n/m) stage from scratch. Same lifecycle convention
+    * as the CF/graph chains — scope-evicted when a new sfDir arrives. */
+  private[graft] val cache = new graft.engine.DfCache
+
   /** DBSCAN++ (sampled-core DBSCAN, Jang & Jiang ICML 2019) over the
     * embedding corpus — the SCALE-SAFE density clustering shape.
     *
@@ -463,43 +471,42 @@ object MlOps {
       .select($"vec_id".as("vb"), $"embedding".as("eb"))
     // n × (n/m) probe: every point against the broadcast sample —
     // the only pairwise stage, sized by the sample, not the corpus
-    val nbr = e.select($"vec_id".as("va"), $"embedding".as("ea"))
-      .crossJoin(broadcast(sample))
-      .filter($"va" =!= $"vb")
-      .select($"va", $"vb",
-        rnd6(expr("graft_cosine_sim(ea, eb)")).as("sim"))
-      .filter($"sim" >= DB_EPS)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // a sampled candidate's FULL degree = how many of all n points
-      // probe into it (vb side of the join)
-      val core = nbr.groupBy($"vb".as("vec_id"))
-        .agg(count(lit(1)).as("nn"))
-        .filter($"nn" >= DB_MIN_PTS)
-        .select($"vec_id")
-      val coreEdges = nbr
-        .join(core.select($"vec_id".as("ca")), $"va" === $"ca")
-        .join(core.select($"vec_id".as("cb")), $"vb" === $"cb")
-        .filter($"va" < $"vb")
-        .select($"va".as("doc_a"), $"vb".as("doc_b"))
-      val comp = DedupOps.hashMinLabels(
-          core.select($"vec_id".as("doc_id")), coreEdges)
-        .select($"doc_id".as("cvec"), $"cluster_id")
-      val border = nbr
-        .join(comp.select($"cvec".as("vb2"), $"cluster_id"), $"vb" === $"vb2")
-        .join(comp.select($"cvec".as("notcore")), $"va" === $"notcore", "left_anti")
-        .groupBy($"va".as("bvec"))
-        .agg(min($"cluster_id").as("bcluster"))
-      e.select($"vec_id")
-        .join(comp, $"vec_id" === $"cvec", "left")
-        .join(border, $"vec_id" === $"bvec", "left")
-        .select($"vec_id",
-          when($"cluster_id".isNotNull, "core")
-            .when($"bcluster".isNotNull, "border")
-            .otherwise("noise").as("role"),
-          coalesce($"cluster_id", $"bcluster", lit(-1L)).as("cluster_id"))
-        .orderBy($"vec_id")
-    } finally nbr.unpersist()
+    val nbr = cache(spark, sfDir, "dbscan_nbr") {
+      e.select($"vec_id".as("va"), $"embedding".as("ea"))
+        .crossJoin(broadcast(sample))
+        .filter($"va" =!= $"vb")
+        .select($"va", $"vb",
+          rnd6(expr("graft_cosine_sim(ea, eb)")).as("sim"))
+        .filter($"sim" >= DB_EPS)
+    }
+    // a sampled candidate's FULL degree = how many of all n points
+    // probe into it (vb side of the join)
+    val core = nbr.groupBy($"vb".as("vec_id"))
+      .agg(count(lit(1)).as("nn"))
+      .filter($"nn" >= DB_MIN_PTS)
+      .select($"vec_id")
+    val coreEdges = nbr
+      .join(core.select($"vec_id".as("ca")), $"va" === $"ca")
+      .join(core.select($"vec_id".as("cb")), $"vb" === $"cb")
+      .filter($"va" < $"vb")
+      .select($"va".as("doc_a"), $"vb".as("doc_b"))
+    val comp = DedupOps.hashMinLabels(
+        core.select($"vec_id".as("doc_id")), coreEdges)
+      .select($"doc_id".as("cvec"), $"cluster_id")
+    val border = nbr
+      .join(comp.select($"cvec".as("vb2"), $"cluster_id"), $"vb" === $"vb2")
+      .join(comp.select($"cvec".as("notcore")), $"va" === $"notcore", "left_anti")
+      .groupBy($"va".as("bvec"))
+      .agg(min($"cluster_id").as("bcluster"))
+    e.select($"vec_id")
+      .join(comp, $"vec_id" === $"cvec", "left")
+      .join(border, $"vec_id" === $"bvec", "left")
+      .select($"vec_id",
+        when($"cluster_id".isNotNull, "core")
+          .when($"bcluster".isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce($"cluster_id", $"bcluster", lit(-1L)).as("cluster_id"))
+      .orderBy($"vec_id")
   }
 
   val mlDbscanSql: String = {

@@ -504,9 +504,11 @@ object TpchOps {
 
   /** TPC-H Q11 (important stock), adapted: a part's "value" is the
     * shipped revenue from a three-nation supplier group; keep parts
-    * above 0.1 % of the group total. The total re-sums the per-part
-    * exact sums through DECIMAL again, so the threshold comparison is
-    * bit-identical in both engines. */
+    * whose value exceeds 2× the MEAN part value — a scale-free
+    * threshold (see the inline note) replacing TPC-H's fixed fraction
+    * of the total. The mean re-derives from the per-part exact
+    * DECIMAL sums, so the threshold comparison is bit-identical in
+    * both engines. */
   def tpchQ11(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val s9 = Tables.supplier(spark, sfDir)

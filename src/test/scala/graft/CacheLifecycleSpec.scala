@@ -41,7 +41,7 @@ class CacheLifecycleSpec extends SparkSpec {
     val df = Seq((1L, 2L)).toDF("x", "y")
     for (cache <- Seq(graft.operators.CfOps.cache,
         graft.operators.DedupOps.cache, graft.operators.ContentOps.cache,
-        graft.operators.GraphOps.cache)) {
+        graft.operators.GraphOps.cache, graft.operators.MlOps.cache)) {
       cache(spark, "/scopeA", "t1")(df)
       cache(spark, "/scopeA", "t2")(df)
       assert(cache.snapshot.keys.map(_._1).toSet.size == 1)
@@ -52,6 +52,28 @@ class CacheLifecycleSpec extends SparkSpec {
       // leave the cache empty for whoever runs next
       cache(spark, "/scopeC", "drop")(df)
     }
+  }
+
+  test("mlDbscan's returned plan reads the PERSISTED probe, not a recompute") {
+    // The r11 verdict defect: a try/finally unpersist inside the
+    // builder evicted the n×(n/m) probe before the caller's action,
+    // so the border subtree recomputed the dominant stage at action
+    // time. Pin: after building the frame, the probe is live in the
+    // MlOps cache AND the returned physical plan scans the
+    // InMemoryRelation (twice — degree/component chain and border).
+    val df = graft.operators.MlOps.mlDbscan(spark, sf)
+    assert(graft.operators.MlOps.cache.snapshot.keys
+        .exists(k => k._1.endsWith(sf) && k._2 == "dbscan_nbr"),
+      "dbscan probe must be live in the MlOps DfCache after build")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("InMemoryTableScan"),
+      s"returned plan must read the persisted probe, got:\n$phys")
+    // restore an empty cache for whoever runs next
+    graft.operators.MlOps.cache(spark, "/scopeC", "drop") {
+      import spark.implicits._
+      Seq((1L, 2L)).toDF("x", "y")
+    }
+    ()
   }
 
 }

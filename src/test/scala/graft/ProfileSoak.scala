@@ -68,7 +68,8 @@ object ProfileSoak {
     println(s"soak cf_cache=${graft.operators.CfOps.cache.snapshot.size}" +
       s" dedup_cache=${graft.operators.DedupOps.cache.snapshot.size}" +
       s" content_cache=${graft.operators.ContentOps.cache.snapshot.size}" +
-      s" graph_cache=${graft.operators.GraphOps.cache.snapshot.size}")
+      s" graph_cache=${graft.operators.GraphOps.cache.snapshot.size}" +
+      s" ml_cache=${graft.operators.MlOps.cache.snapshot.size}")
     println(s"soak active_streams=${spark.streams.active.length}")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val scratch = Option(tmp.listFiles()).getOrElse(Array.empty)
