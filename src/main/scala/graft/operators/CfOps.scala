@@ -865,6 +865,26 @@ object CfOps {
        |FROM folded t JOIN means m ON t.user_id = m.user_id
        |WHERE t.fold = 0""".stripMargin
 
+  /** Data-driven ALS block count. MLlib's default — block count =
+    * input partitions — is a scale hazard in BOTH directions: a small
+    * corpus arriving in many partitions (this engine's cached ratings
+    * chain lands in spark.sql.shuffle.partitions = 32) pays
+    * blocks² block-pair tasks in recommendForAllUsers for no work
+    * (measured at sf0.1: 32 blocks = 6.7 s fit+rec vs 2.2 s at 4–8),
+    * while a huge corpus in few partitions under-parallelizes the
+    * blocked GEMM. Rule: grow blocks with the ratings count
+    * (~100k ratings per block keeps per-block solves cheap), floored
+    * at √parallelism so the block-PAIR stages still cover the
+    * cluster, capped at parallelism so tiny per-block work never
+    * fragments into scheduler overhead — at 100 TB the cap binds and
+    * blocks ≈ total cores, the documented MLlib guidance. */
+  private def alsBlocks(spark: SparkSession, nRatings: Long): Int = {
+    val par = spark.sparkContext.defaultParallelism
+    val bySize = math.ceil(nRatings / 100000.0).toInt
+    val floor = math.ceil(math.sqrt(par.toDouble)).toInt
+    math.max(1, math.min(math.max(bySize, floor), par))
+  }
+
   /** MLlib ALS factorization (the driver-sanctioned modern path for
     * the reference's CF core). Seeded for rerun stability; output is
     * the exploded top-10 recommendations per user. No SQL oracle
@@ -876,16 +896,15 @@ object CfOps {
     * extra rank/iterations buy no measurable fit quality — the spec
     * bounds (seed determinism, 2.0× RMSE ceiling, ≥0.2 implicit hit
     * rate) hold with wide margin under rank 10/iter 5 and rank 8/
-    * iter 4 alike, so run the cheaper fit. Measured honestly, though:
-    * at sf0.1 the query's wall clock is dominated by
-    * recommendForAllUsers' users×items blocked GEMM + top-k, which is
-    * data-scale-bound and nearly rank-insensitive, so the leaner
-    * config trims the fit phase only (~1 s of ~8 s); the remaining
-    * cost is intrinsic to scoring every user against every item.
+    * iter 4 alike, so run the cheaper fit. The wall clock splits
+    * roughly evenly between the fit's per-iteration job chain and
+    * recommendForAllUsers' users×items blocked GEMM + top-k; both
+    * terms are block-count-sensitive (see [[alsBlocks]]).
     *
-    * Scale notes: ALS block count tracks input partitions; at cluster
-    * scale set setNumItemBlocks/setNumUserBlocks ≈ executors and
-    * checkpoint every ~10 iterations to cut lineage. */
+    * Scale notes: ALS block count is sized by [[alsBlocks]] (data-
+    * driven, not MLlib's input-partition default — see there); at
+    * cluster scale also checkpoint every ~10 iterations to cut
+    * lineage. */
   def als(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.recommendation.ALS
@@ -893,9 +912,11 @@ object CfOps {
       .select($"user_id".cast("int").as("user"),
         $"item_id".cast("int").as("item"),
         $"rating".cast("float").as("rating"))
+    val blocks = alsBlocks(spark, r.count())
     val model = new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setRank(8).setMaxIter(4).setRegParam(0.1).setSeed(42L)
+      .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
       .setImplicitPrefs(false).setColdStartStrategy("drop")
       .fit(r)
     model.setPredictionCol("prediction")
@@ -926,9 +947,11 @@ object CfOps {
       .select($"user_id".cast("int").as("user"),
         $"item_id".cast("int").as("item"),
         $"rating".cast("float").as("rating"))
+    val blocks = alsBlocks(spark, r.count())
     val model = new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setRank(8).setMaxIter(4).setRegParam(0.1).setSeed(42L)
+      .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
       .setImplicitPrefs(true).setAlpha(1.0).setColdStartStrategy("drop")
       .fit(r)
     model.recommendForAllUsers(10)
@@ -977,11 +1000,16 @@ object CfOps {
     val unseen = scored.join(
       r.select($"user_id".as("su"), $"item_id".as("si")),
       $"user_id" === $"su" && $"j" === $"si", "left_anti")
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"score".desc, $"item_id".asc)
-    unseen.select($"user_id", $"j".as("item_id"), rnd6($"score_raw").as("score"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= TOP_N)
+    // Final ranking through the partial-heap top-k operator (same as
+    // recsTopN): map-side heaps prune each partition to TOP_N rows
+    // per user BEFORE the exchange, instead of the row_number window
+    // shuffling every scored candidate.
+    graft.plans.TopKPerKey.topK(
+        unseen.select($"user_id", $"j".as("item_id"),
+          rnd6($"score_raw").as("score")),
+        keyCols = Seq("user_id"),
+        orderSpec = Seq("score" -> false, "item_id" -> true),
+        k = TOP_N, rankName = "rk")
       .select($"user_id", $"item_id", $"score", $"rk")
       .orderBy($"user_id", $"rk")
   }
