@@ -1541,17 +1541,22 @@ object CfOps {
     val users = r.select($"user_id").distinct()
     // the users × pool candidate stream is the big intermediate
     // (~15M rows at sf0.1): keep it MAP-SIDE end to end — the seen
-    // set broadcasts for the anti join (distinct (user, item) pairs,
-    // orders of magnitude under the candidate stream). The explicit
-    // broadcast() is a fixture-scale assumption, not a self-degrading
-    // hint: at a scale where `seen` outgrows the broadcast budget the
-    // hint must be removed so the planner shuffles this one join.
+    // set (distinct (user, item) pairs, orders of magnitude under the
+    // candidate stream) wants to broadcast for the anti join, but a
+    // bare hint never self-degrades, so Cbo.joinDerived decides from
+    // a footer-stats bound: distinct pairs ≤ lineitem rows × 16 B.
+    // Past the budget the anti join degrades to shuffle (the
+    // candidate stream re-partitions once, no semantic change)
+    // instead of OOMing the driver on a grown corpus.
     // Ranking runs through the partial-heap top-k operator, so only
     // NEG_K rows per user ever reach an exchange — the row_number
     // window shuffled the whole cross product
+    val seenBytes = 16.0 * graft.plans.Cbo
+      .analyzePath(s"$sfDir/lineitem.parquet").nRows
     val seen = r.select($"user_id", $"item_id").distinct()
-    val cand = users.crossJoin(broadcast(pool))
-      .join(broadcast(seen), Seq("user_id", "item_id"), "left_anti")
+    val cand = graft.plans.Cbo.joinDerived(
+        users.crossJoin(broadcast(pool)),
+        seen, Seq("user_id", "item_id"), seenBytes, "left_anti")
       .withColumn("draw",
         expr("pmod(user_id * 40503 + item_id * 2654435761, 1000000)"))
     graft.plans.TopKPerKey.topK(cand,

@@ -896,22 +896,39 @@ object DedupOps {
     val sh = cached(spark, sfDir, "rawShingleUniverse") {
       rawShingles(Tables.documents(spark, sfDir))
     }
-    // df (one row per distinct shingle) and per-doc counts (one row
-    // per doc) are both orders of magnitude smaller than the shingle
-    // stream — the explicit broadcast() keeps the only data-sized
-    // shuffles at the per-doc prefix window and the candidate
-    // equi-join. NOTE: an explicit hint never self-degrades — it is a
-    // fixture-scale assumption. At 100 TB, where a df table can
-    // outgrow the broadcast budget, the hint must be REMOVED (the
-    // stats-driven planner then picks a shuffle join with no semantic
-    // change); leaving it in would fail the build or OOM the driver.
+    // dfreq (one row per distinct shingle), per-doc counts, and the
+    // per-doc set table are all candidates for the build side of
+    // their joins — but a bare broadcast() hint never self-degrades,
+    // so each decision is made by Cbo.joinDerived from footer-stats
+    // ESTIMATES of the derived frames: nDocs rows come straight from
+    // the documents manifest; the shingle-string payload of dfreq and
+    // sets is bounded by 3× the decompressed text (each token lands
+    // in ≤ 3 shingles), with parquet text assumed to inflate ~4× in
+    // memory. Under the budget the plan is byte-identical to the old
+    // hinted one; a corpus that outgrows it degrades those joins to
+    // shuffle (hint("merge")) with no semantic change instead of
+    // OOMing the driver.
+    val docStats = graft.plans.Cbo.analyzePath(s"$sfDir/documents.parquet")
+    val shinglePayload = 3.0 * 4.0 * docStats.sizeBytes
+    val countsBytes = docStats.nRows * 16.0
+    val dfreqBytes = shinglePayload + docStats.nRows * 8.0
+    val setsBytes = shinglePayload + docStats.nRows * 16.0
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")
       .orderBy($"df".asc, $"shingle".asc)
-    val prefix = sh.join(broadcast(dfreq), "shingle")
+    // prefix is referenced twice by the candidate self-join and NOT
+    // cached: it embeds two joinDerived (hint-bearing) decisions, and
+    // Spark's CacheManager matches persisted plans with hints ERASED,
+    // so a cached broadcast-shaped prefix would silently serve a
+    // caller running under a different budget (measured: the tiny-
+    // budget spec read back the 10 MB-budget plan). The duplicate
+    // subtree costs one extra dfreq/counts pass; the heavy duplicate
+    // (the collect_list set table) is cached below instead.
+    val prefix = graft.plans.Cbo.joinDerived(
+        graft.plans.Cbo.joinDerived(sh, dfreq, Seq("shingle"), dfreqBytes),
+        counts, Seq("doc_id"), countsBytes)
       .withColumn("pos", row_number().over(wDoc))
-      .join(broadcast(counts), "doc_id")
       // ⌈0.5·n⌉ = (n+1) div 2 — integer-exact in both engines
       .filter(expr("pos <= n_sh - (n_sh + 1) div 2 + 1"))
       .select($"doc_id", $"shingle")
@@ -920,19 +937,25 @@ object DedupOps {
       .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"))
       .distinct()
     // verification by SET INTERSECTION: one per-doc sorted shingle
-    // set (|docs| rows), two broadcast joins, and a map-side
+    // set (|docs| rows), two stats-budgeted joins, and a map-side
     // array_intersect per candidate — candidates × set-size work,
     // where the old double equi-join re-shuffled the whole shingle
     // stream by (doc, shingle) to count the same overlaps (measured:
-    // the single hottest stage in the fleet bench). At 100 TB the
-    // set table degrades to a shuffle join keyed by doc, same shape.
-    val sets = sh.groupBy($"doc_id")
-      .agg(sort_array(collect_list($"shingle")).as("shs"))
-    cand
-      .join(broadcast(sets.select($"doc_id".as("doc_a"),
-        $"shs".as("sa"), size($"shs").as("na"))), "doc_a")
-      .join(broadcast(sets.select($"doc_id".as("doc_b"),
-        $"shs".as("sb"), size($"shs").as("nb"))), "doc_b")
+    // the single hottest stage in the fleet bench). Past the budget
+    // the set table degrades to a shuffle join keyed by doc, same
+    // shape — now decided by the stats, not by hand.
+    val sets = cached(spark, sfDir, "prefixFilterSets") {
+      sh.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"shingle")).as("shs"))
+    }
+    graft.plans.Cbo.joinDerived(
+      graft.plans.Cbo.joinDerived(cand,
+        sets.select($"doc_id".as("doc_a"),
+          $"shs".as("sa"), size($"shs").as("na")),
+        Seq("doc_a"), setsBytes),
+      sets.select($"doc_id".as("doc_b"),
+        $"shs".as("sb"), size($"shs").as("nb")),
+      Seq("doc_b"), setsBytes)
       .select($"doc_a", $"doc_b",
         size(array_intersect($"sa", $"sb")).cast("long").as("shared"),
         $"na", $"nb")

@@ -73,6 +73,36 @@ object Cbo {
     left.join(buildSide, keys)
   }
 
+  /** Session override for the broadcast budget used by
+    * [[joinDerived]] — lets a spec (or an operator) force the
+    * shuffle fallback without waiting for a corpus that actually
+    * exceeds 10 MB. Unset → Spark's own default threshold. */
+  val BROADCAST_BYTES_CONF = "graft.cbo.broadcastBytes"
+
+  def broadcastBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(BROADCAST_BYTES_CONF)
+      .map(_.toLong).getOrElse(10L << 20)
+
+  /** Stats-driven broadcast-vs-shuffle for a DERIVED build side — a
+    * frame with no manifest of its own (a grouped shingle universe, a
+    * distinct pair set), whose size the CALLER estimates from the
+    * footer stats of the base table it derives from. This replaces
+    * the bare `broadcast()` hint on such frames: the hint never
+    * self-degrades, so the first corpus that outgrows the driver
+    * turns it into an OOM; here the same estimate that would have
+    * justified the hint instead FEEDS the decision, and an oversized
+    * side degrades to the scalable shuffle join (hint("merge"), so
+    * Spark's file-size estimate cannot re-broadcast it) with no
+    * semantic change. */
+  def joinDerived(left: DataFrame, right: DataFrame, keys: Seq[String],
+      estBytes: Double, joinType: String = "inner"): DataFrame = {
+    val spark = left.sparkSession
+    val buildSide =
+      if (estBytes <= broadcastBudget(spark).toDouble) broadcast(right)
+      else right.hint("merge")
+    left.join(buildSide, keys, joinType)
+  }
+
   // ------------------------------------------------------------------
   // JOIN-ORDER CBO: greedy multi-way reorder with filter-selectivity
   // propagation through the footer stats — the decision that matters

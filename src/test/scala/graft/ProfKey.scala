@@ -14,7 +14,7 @@ object ProfKey {
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val t = for {a <- i.submissionTime; b <- i.completionTime} yield (b - a) / 1000.0
-        println(f"stage ${i.stageId}%3d ${t.getOrElse(-1.0)}%7.3f s  in=${i.taskMetrics.inputMetrics.recordsRead}%9d sh_r=${i.taskMetrics.shuffleReadMetrics.recordsRead}%9d sh_w=${i.taskMetrics.shuffleWriteMetrics.recordsWritten}%9d  ${i.name.take(60)}")
+        println(f"stage ${i.stageId}%3d ${t.getOrElse(-1.0)}%7.3f s  in=${i.taskMetrics.inputMetrics.recordsRead}%9d sh_r=${i.taskMetrics.shuffleReadMetrics.recordsRead}%9d sh_w=${i.taskMetrics.shuffleWriteMetrics.recordsWritten}%9d spill_m=${i.taskMetrics.memoryBytesSpilled}%10d spill_d=${i.taskMetrics.diskBytesSpilled}%10d  ${i.name.take(60)}")
       }
     })
     val t0 = System.nanoTime()
