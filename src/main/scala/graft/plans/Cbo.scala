@@ -24,13 +24,46 @@ import graft.engine.FooterStats
   * parquet bytes. */
 object Cbo {
 
-  /** ANALYZE output for one table: totals plus per-column stats. */
+  /** ANALYZE output for one table: totals plus per-column stats.
+    * `ndv` (per-column distinct counts) is OPTIONAL and comes from
+    * [[withNdv]], not the footer pass — parquet footers carry no
+    * distinct counts, so NDV is the one statistic that costs a data
+    * scan (the `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`
+    * split every warehouse makes). */
   final case class TableStats(nRows: Long, sizeBytes: Long,
-      cols: Map[String, FooterStats.ColStat]) {
+      cols: Map[String, FooterStats.ColStat],
+      ndv: Map[String, Long] = Map.empty) {
     /** Decompressed in-memory size estimate: 8 bytes per long cell.
       * Parquet's encoded bytes under-estimate the hash-table cost of
       * a broadcast build by the compression ratio. */
     def estBroadcastBytes: Long = nRows * 8L * math.max(cols.size, 1)
+  }
+
+  /** Per-(path, column) NDV cache: fixture/lake files are immutable,
+    * so a distinct-count never changes for a given path — pay the
+    * scan once per session, not once per plan. */
+  private val ndvCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Enrich footer stats with per-column NDV — one
+    * approx_count_distinct aggregate over the table (a single
+    * partial-aggregated job; HLL error ~2 % is far inside the
+    * margins a join-order decision needs). Cached per (path, col). */
+  def withNdv(stats: TableStats, spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String]): TableStats = {
+    val missing = cols.filterNot(c => ndvCache.contains((path, c)))
+    if (missing.nonEmpty) {
+      import org.apache.spark.sql.functions.approx_count_distinct
+      val row = spark.read.parquet(path)
+        .agg(approx_count_distinct(missing.head),
+          missing.tail.map(approx_count_distinct(_)): _*)
+        .head()
+      missing.zipWithIndex.foreach { case (c, i) =>
+        ndvCache((path, c)) = row.getLong(i)
+      }
+    }
+    stats.copy(ndv = stats.ndv ++
+      cols.map(c => c -> ndvCache((path, c))))
   }
 
   /** ANALYZE TABLE: one footer pass over the latest snapshot. */
@@ -129,11 +162,19 @@ object Cbo {
     * survives). `selOverride` feeds the estimate for predicates
     * footer ranges cannot see (string LIKE '%x%' — the default-match
     * magic constant every production CBO carries, or a
-    * caller-measured fraction); it multiplies any range estimate. */
+    * caller-measured fraction); it multiplies any range estimate.
+    * `eqFilter` is an EQUALITY predicate col = v: estimated as 1/NDV
+    * when the stats carry the column's NDV (see [[withNdv]]) — the
+    * most common BI filter shape, which the range estimator cannot
+    * see at all (a point predicate has no [lo, hi] span; without NDV
+    * it used to default to 1.0 and could mis-order a chain). Falls
+    * back to 1/(max−min+1) for an integer-ranged column, else 1.0.
+    * All three estimate sources compose multiplicatively. */
   final case class Input(df: DataFrame, stats: TableStats,
       keys: Seq[String], filter: Option[(String, Long, Long)] = None,
       pred: Option[org.apache.spark.sql.Column] = None,
-      selOverride: Option[Double] = None)
+      selOverride: Option[Double] = None,
+      eqFilter: Option[(String, Any)] = None)
 
   /** Uniform-assumption fraction of rows with `col` ∈ [lo, hi],
     * from the column's footer [min, max]. Unknown stats → 1.0 (the
@@ -149,11 +190,24 @@ object Cbo {
       case _ => 1.0
     }
 
+  /** Uniform-assumption selectivity of `col = v`: 1/NDV when the
+    * stats carry a distinct count, else 1/(max−min+1) from the footer
+    * range of an integer column, else the conservative 1.0. */
+  def eqSelectivity(stats: TableStats, col: String): Double =
+    stats.ndv.get(col).filter(_ > 0).map(1.0 / _).getOrElse(
+      stats.cols.get(col) match {
+        case Some(FooterStats.ColStat(Some(mn), Some(mx), _)) if mx >= mn =>
+          1.0 / (mx - mn + 1).toDouble
+        case _ => 1.0
+      })
+
   /** Estimated post-filter cardinality of one input. */
   def estRows(in: Input): Double =
     in.stats.nRows.toDouble * in.filter.map { case (c, lo, hi) =>
       selectivity(in.stats, c, lo, hi)
-    }.getOrElse(1.0) * in.selOverride.getOrElse(1.0)
+    }.getOrElse(1.0) * in.selOverride.getOrElse(1.0) *
+      in.eqFilter.map { case (c, _) => eqSelectivity(in.stats, c) }
+        .getOrElse(1.0)
 
   /** GREEDY JOIN-ORDER with CONNECTIVITY: at each step join the
     * smallest-estimated dimension whose join keys are already
@@ -178,11 +232,15 @@ object Cbo {
         s"join graph disconnected: none of " +
           s"${remaining.map(_._1)} joins on $available")
       val (label, in) = eligible.minBy { case (_, i) => estRows(i) }
-      val applied = in.pred.map(in.df.filter).getOrElse(
+      val ranged = in.pred.map(in.df.filter).getOrElse(
         in.filter.fold(in.df) { case (c, lo, hi) =>
           in.df.filter(org.apache.spark.sql.functions.col(c) >= lo &&
             org.apache.spark.sql.functions.col(c) <= hi)
         })
+      val applied = in.eqFilter.fold(ranged) { case (c, v) =>
+        ranged.filter(org.apache.spark.sql.functions.col(c) ===
+          org.apache.spark.sql.functions.lit(v))
+      }
       val estBytes =
         estRows(in) * 8.0 * math.max(in.stats.cols.size, 1)
       val side =

@@ -63,4 +63,51 @@ class Round18Spec extends SparkSpec {
     assert(rowsShuf == rowsBroad,
       "shuffle fallback changed the result bytes")
   }
+
+  test("NDV equality selectivity reorders a chain the range-only " +
+      "estimator gets wrong") {
+    import org.apache.spark.sql.functions.col
+    import graft.plans.Cbo
+    val partPath = s"$sf/part.parquet"
+    val suppPath = s"$sf/supplier.parquet"
+    val part = spark.read.parquet(partPath)
+      .select(col("p_partkey").as("l_partkey"), col("p_retailprice"))
+    val supp = spark.read.parquet(suppPath)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_acctbal"))
+    val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    // a point predicate on a high-NDV DOUBLE column: parquet footers
+    // carry no long range for it, so the range-only estimator sees
+    // sel = 1.0 and part (bigger than supplier) goes second…
+    val price = part.agg(org.apache.spark.sql.functions
+      .max(col("p_retailprice"))).head().getDouble(0)
+    val partStats = Cbo.analyzePath(partPath)
+    val suppStats = Cbo.analyzePath(suppPath)
+    assert(partStats.nRows > suppStats.nRows,
+      "fixture premise: part must out-row supplier")
+    def dims(ps: Cbo.TableStats) = Seq(
+      "part" -> Cbo.Input(part, ps, Seq("l_partkey"),
+        eqFilter = Some(("p_retailprice", price))),
+      "supplier" -> Cbo.Input(supp, suppStats, Seq("l_suppkey")))
+    val (blindDf, blindOrder) = Cbo.reorderJoin(fact, dims(partStats))
+    assert(blindOrder == Seq("supplier", "part"),
+      s"without NDV the eq filter must estimate 1.0 → supplier first, " +
+        s"got $blindOrder")
+    // …but with NDV the same predicate estimates nRows/NDV ≈ a few
+    // rows, so the filtered part branch prunes the fact FIRST
+    val enriched = Cbo.withNdv(partStats, spark, partPath,
+      Seq("p_retailprice"))
+    assert(enriched.ndv("p_retailprice") > suppStats.nRows,
+      "fixture premise: retail-price NDV must exceed supplier rows")
+    val (ndvDf, ndvOrder) = Cbo.reorderJoin(fact, dims(enriched))
+    assert(ndvOrder == Seq("part", "supplier"),
+      s"NDV estimate must put the eq-filtered part first, got $ndvOrder")
+    // the reorder is cost-only: both orders must agree byte-for-byte
+    // (project to a fixed column order — using-joins reorder columns)
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity",
+      "p_retailprice", "s_acctbal").map(col)
+    assert(ndvDf.select(cols: _*).orderBy(cols: _*).collect().toSeq ==
+      blindDf.select(cols: _*).orderBy(cols: _*).collect().toSeq,
+      "join order changed the result")
+  }
 }
