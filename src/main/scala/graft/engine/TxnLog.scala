@@ -692,9 +692,24 @@ object TxnLog {
     require(isWidening(cur, newType),
       s"ALTER COLUMN TYPE only widens: $cur -> $newType is not a " +
         "lossless promotion")
+    // the types map is REBUILT from the freshly-claimed base on every
+    // commit attempt: a concurrent widening of a different column
+    // landing between the read above and the publish must survive the
+    // retry (merging a stale snapshot of the map would lose it), and
+    // a concurrent widening of THIS column past `newType` must abort
+    // rather than silently narrow
     commit(spark, root, _ => (emptyDelta(spark), Nil),
       linkSnapshot = true,
-      typesUpdate = Some(declared + (physical -> newType))).version
+      typesUpdate = Some { claimedV =>
+        val fresh = currentTypes(root, claimedV - 1)
+        val freshCur = fresh.getOrElse(physical, cur)
+        if (freshCur != cur && !isWidening(freshCur, newType))
+          throw new Conflict(
+            s"concurrent ALTER COLUMN TYPE moved $physical to " +
+              s"$freshCur; $freshCur -> $newType is no longer a " +
+              "widening")
+        fresh + (physical -> newType)
+      }).version
   }
 
   private def parseMapping(f: File): ColMapping =
@@ -918,7 +933,13 @@ object TxnLog {
       baseline: Option[Long] = None,
       rerunOnConflict: Boolean = true,
       prePublish: Long => Unit = _ => (),
-      typesUpdate: Option[Map[String, String]] = None): TxnStats = {
+      // a FUNCTION of the version being claimed, not a fixed map:
+      // with rerunOnConflict a concurrent widening of a DIFFERENT
+      // column can land between the caller's read and the publish,
+      // and a map captured before commit() would silently overwrite
+      // it on retry (lost update of the types table) — recompute from
+      // the fresh base each attempt
+      typesUpdate: Option[Long => Map[String, String]] = None): TxnStats = {
     // recover any crashed publish of the current head first: its
     // idempotency record (txnid) may still be sitting in the stage,
     // and the committedTxn check below must see it
@@ -1072,8 +1093,16 @@ object TxnLog {
             mappingOut.foreach(m =>
               writeMappingTo(new File(stage, "mapping"), m))
             typesUpdate.foreach { t =>
+              // the rebuild can refuse (a concurrent widening made
+              // the caller's premise invalid): release the slot
+              // before propagating, like a CHECK violation does
+              val types =
+                try t(v)
+                catch { case e: Throwable =>
+                  claim.delete(); destroyDir(stage); throw e
+                }
               Files.write(new File(stage, "types").toPath,
-                t.map { case (p, ty) => s"$p|$ty" }.mkString("\n")
+                types.map { case (p, ty) => s"$p|$ty" }.mkString("\n")
                   .getBytes(StandardCharsets.UTF_8))
               ()
             }
@@ -1331,22 +1360,32 @@ object TxnLog {
             require(won, s"coordinator $coord already existed")
             // POST-LINK FENCE RE-CHECK: a claim stolen in the window
             // between the pre-link fence and the link just above is
-            // unrecoverable once markers exist (recoverPending already
-            // destroyed the stolen table's stage AND its pending, so
-            // recoverMulti can never finish that table's publish).
-            // Revoking the decision HERE is safe: no marker has been
-            // created yet, so nothing is visible, and a concurrent
-            // recovery cannot have acted — claims are only stolen from
-            // writers whose heartbeat lapsed, and ours is live through
-            // this section.
-            val stolenPostLink = claimed.exists {
-              case (root, v, claim, _, _, _, _) =>
-                !ownsClaim(claim, token) || !pendingFile(root, v).exists()
+            // unrecoverable (recoverPending already destroyed the
+            // stolen table's stage AND its pending, so recoverMulti
+            // can never finish that table's publish). The decision
+            // must NOT be revoked here: stolenPostLink fires exactly
+            // when a thief judged our heartbeat lapsed, and that same
+            // thief can run recoverPending on a NON-stolen table of
+            // this transaction in the link→revoke window — it sees
+            // the coordinator (read BEFORE any delete we might do)
+            // and durably publishes that table; deleting the
+            // coordinator and retrying would then re-apply the delta
+            // on the next attempt (a double commit). Once the link
+            // exists the decision is irrevocable, so a post-link
+            // steal is the same durable mixed-commit error as losing
+            // a marker to a foreign writer below: fail loudly.
+            val stolenPostLink = claimed.collect {
+              case (root, v, claim, _, _, _, _)
+                  if !ownsClaim(claim, token) ||
+                    !pendingFile(root, v).exists() => s"$root@v$v"
             }
-            if (stolenPostLink) {
-              coord.delete()
-              clash = true
-            } else
+            require(stolenPostLink.isEmpty,
+              s"commitMulti decided COMMIT but ${stolenPostLink.mkString(",")} " +
+                "lost its claim/intent between the pre-link fence and " +
+                "the coordinator link — DURABLE mixed commit: the " +
+                "stolen table's stage was rolled back and recoverMulti " +
+                "cannot finish its publish while the other tables " +
+                "commit; reconcile manually")
             // phase 4: complete every table (recovery can take over at
             // any point from here — the coordinator has decided)
             claimed.zipWithIndex.foreach {

@@ -226,42 +226,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 nullable = c != "key"))),
             None)
         }
-        // DECLARED TYPES (ALTER COLUMN TYPE widening): hand the
-        // parquet table the WIDENED schema — Spark 4's parquet
-        // readers promote narrow physical files (int32 under a
-        // declared bigint, etc.) natively, so pre-widen snapshots
-        // read correctly with zero data rewritten
-        val declaredTypes = graft.engine.TxnLog.currentTypes(
-          root.getAbsolutePath, v)
-        val pt =
-          if (declaredTypes.isEmpty)
-            parquetTable(ident, s"$root/snapshot_v$v")
-          else {
-            val physSchema =
-              parquetTable(ident, s"$root/snapshot_v$v").schema()
-            val widened = StructType(physSchema.fields.map(f =>
-              declaredTypes.get(f.name).map(t => f.copy(dataType =
-                org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-                  .parseDataType(t))).getOrElse(f)))
-            parquetTable(ident, s"$root/snapshot_v$v", Some(widened))
-          }
-        val mapping = graft.engine.TxnLog.currentMapping(
-          root.getAbsolutePath, v)
-        val logicalSchema = mapping match {
-          case None => pt.schema()
-          case Some(m) =>
-            val phys = pt.schema()
-            StructType(phys.fields.find(_.name == "key").toSeq ++
-              m.map { case (l, p, d) =>
-                phys.fields.find(_.name == p).map(_.copy(name = l))
-                  .getOrElse(org.apache.spark.sql.types.StructField(
-                    l, org.apache.spark.sql.types.LongType,
-                    nullable = d.isEmpty))
-              })
-        }
-        new TxnTable(
-          s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-          root.getAbsolutePath, logicalSchema, Some(pt), mapping, v)
+        versionedTable(ident, root, v)
       case None =>
         val f = fileOf(ident)
         if (!f.exists())
@@ -279,9 +244,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** The transactional table AT version v — the one construction
+    * every read path (latest, `VERSION AS OF`, `TIMESTAMP AS OF`)
+    * shares, so the DECLARED TYPES widening and the rename mapping
+    * apply identically at every version boundary: a `VERSION AS OF`
+    * at/after an ALTER COLUMN TYPE must show the widened schema just
+    * like TxnLog.read does (pre-fix, time travel returned the raw
+    * physical table and the two read paths disagreed at exactly the
+    * widen version, whose metadata-only snapshot still holds narrow
+    * files). Widening is metadata-only: Spark 4's parquet readers
+    * promote narrow physical files (int32 under a declared bigint,
+    * etc.) natively when handed the wider schema. */
+  private def versionedTable(ident: Identifier, root: File,
+      v: Long): Table = {
+    val declaredTypes = graft.engine.TxnLog.currentTypes(
+      root.getAbsolutePath, v)
+    val pt =
+      if (declaredTypes.isEmpty)
+        parquetTable(ident, s"$root/snapshot_v$v")
+      else {
+        val physSchema =
+          parquetTable(ident, s"$root/snapshot_v$v").schema()
+        val widened = StructType(physSchema.fields.map(f =>
+          declaredTypes.get(f.name).map(t => f.copy(dataType =
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(t))).getOrElse(f)))
+        parquetTable(ident, s"$root/snapshot_v$v", Some(widened))
+      }
+    val mapping = graft.engine.TxnLog.currentMapping(
+      root.getAbsolutePath, v)
+    val logicalSchema = mapping match {
+      case None => pt.schema()
+      case Some(m) =>
+        val phys = pt.schema()
+        StructType(phys.fields.find(_.name == "key").toSeq ++
+          m.map { case (l, p, d) =>
+            phys.fields.find(_.name == p).map(_.copy(name = l))
+              .getOrElse(org.apache.spark.sql.types.StructField(
+                l, org.apache.spark.sql.types.LongType,
+                nullable = d.isEmpty))
+          })
+    }
+    new TxnTable(
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      root.getAbsolutePath, logicalSchema, Some(pt), mapping, v)
+  }
+
   /** SQL time travel (`VERSION AS OF n`) for transactional tables:
     * Spark routes the version literal here; a version is readable
-    * iff its commit marker exists (TxnLog's visibility rule). */
+    * iff its commit marker exists (TxnLog's visibility rule). Reads
+    * through [[versionedTable]], so declared-type widening and the
+    * rename mapping hold at historical versions too. */
   override def loadTable(ident: Identifier, version: String): Table =
     txnRoot(ident) match {
       case Some(root) =>
@@ -290,7 +303,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val marker = new File(root, s"_txn_log/v$v.commit")
         if (!marker.exists() || !snap.isDirectory)
           throw new NoSuchTableException(ident.namespace() :+ ident.name())
-        parquetTable(ident, snap.getAbsolutePath)
+        versionedTable(ident, root, v)
       case None =>
         throw new UnsupportedOperationException(
           s"$catalogName: VERSION AS OF is only defined for " +
@@ -317,7 +330,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .lastOption
           .getOrElse(throw new NoSuchTableException(
             ident.namespace() :+ ident.name()))
-        parquetTable(ident, s"$root/snapshot_v$v")
+        versionedTable(ident, root, v)
       case None =>
         throw new UnsupportedOperationException(
           s"$catalogName: TIMESTAMP AS OF is only defined for " +
