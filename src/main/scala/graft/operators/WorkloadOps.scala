@@ -259,6 +259,87 @@ object WorkloadOps {
     * semantics-preserving. */
   val tpchQ9CboSql: String = TpchOps.tpchQ9Sql
 
+  /** TPC-H Q8 routed through the BUSHY join planner
+    * ([[graft.plans.Cbo.reorderJoinBushy]]) — the shape the greedy
+    * left-deep CBO cannot express: the customer-side branch
+    * (orders→customer→nation→region, with region = 'AMERICA' the only
+    * selective predicate on it) is PRE-JOINED into one composite
+    * subtree before the fact sees it, so the dominant lineitem join
+    * probes orders already pruned to one region's customers instead
+    * of all of them. Every estimate that feeds the decision is the
+    * engine's own machinery composed: the region and part equality
+    * predicates are priced by NDV ([[graft.plans.Cbo.withNdv]] —
+    * strings have no footer range), the orders date window by the
+    * footer micros range, and the branch decision by the tails'
+    * combined FK-selectivity. Semantics (and oracle) identical to
+    * [[TpchOps.tpchQ8]]. */
+  def tpchQ8Cbo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.Cbo
+    val lo = "1996-01-01 00:00:00"
+    val hi = "1998-01-01 00:00:00"
+    def us(s: String) = java.time.LocalDateTime.parse(s.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val fact = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+    val p = Tables.part(spark, sfDir)
+      .select($"p_partkey".as("l_partkey"), $"p_type")
+    val s = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    val n2 = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("s_nationkey"),
+        $"n_name".as("supp_nation"))
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey",
+        $"o_orderdate")
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("o_custkey"), $"c_nationkey")
+    val n1 = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("c_nationkey"), $"n_regionkey")
+    val r = Tables.region(spark, sfDir)
+      .select($"r_regionkey".as("n_regionkey"), $"r_name")
+    val partStats = Cbo.withNdv(Cbo.analyzePath(s"$sfDir/part.parquet"),
+      spark, s"$sfDir/part.parquet", Seq("p_type"))
+    val regionStats = Cbo.withNdv(
+      Cbo.analyzePath(s"$sfDir/region.parquet"),
+      spark, s"$sfDir/region.parquet", Seq("r_name"))
+    val (joined, order, bushy) = Cbo.reorderJoinBushy(fact, Seq(
+      "part" -> Cbo.Input(p, partStats, Seq("l_partkey"),
+        eqFilter = Some(("p_type", "ECONOMY"))),
+      "supplier" -> Cbo.Input(s,
+        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey")),
+      "nation2" -> Cbo.Input(n2,
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("s_nationkey")),
+      "orders" -> Cbo.Input(o,
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
+        filter = Some(("o_orderdate", us(lo), us(hi) - 1L)),
+        pred = Some($"o_orderdate" >= to_timestamp(lit(lo)) &&
+          $"o_orderdate" < to_timestamp(lit(hi)))),
+      "customer" -> Cbo.Input(c,
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey")),
+      "nation1" -> Cbo.Input(n1,
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey")),
+      "region" -> Cbo.Input(r, regionStats, Seq("n_regionkey"),
+        eqFilter = Some(("r_name", "AMERICA")))),
+      branches = Seq(Cbo.Branch("orders",
+        Seq("customer", "nation1", "region"))))
+    require(bushy == Seq("orders"),
+      s"the region-pruned customer branch must go bushy, got $bushy")
+    require(order.indexOf("nation2") > order.indexOf("supplier"),
+      s"supplier must unlock nation2, got $order")
+    joined
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg((xsum(when($"supp_nation" === "NATION_6", $"volume")
+          .otherwise(0.0)) /
+        xsum($"volume")).as("mkt_share"))
+      .orderBy($"o_year".asc)
+  }
+
+  /** Same oracle as the plain Q8 — bushy routing is
+    * semantics-preserving. */
+  val tpchQ8CboSql: String = TpchOps.tpchQ8Sql
+
   /** TPC-H Q18 (large-volume customer): orders whose total line
     * quantity exceeds a threshold, reported with their customer. The
     * textbook form is `o_orderkey IN (SELECT … HAVING sum > T)` plus a

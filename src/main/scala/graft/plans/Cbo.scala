@@ -232,15 +232,7 @@ object Cbo {
         s"join graph disconnected: none of " +
           s"${remaining.map(_._1)} joins on $available")
       val (label, in) = eligible.minBy { case (_, i) => estRows(i) }
-      val ranged = in.pred.map(in.df.filter).getOrElse(
-        in.filter.fold(in.df) { case (c, lo, hi) =>
-          in.df.filter(org.apache.spark.sql.functions.col(c) >= lo &&
-            org.apache.spark.sql.functions.col(c) <= hi)
-        })
-      val applied = in.eqFilter.fold(ranged) { case (c, v) =>
-        ranged.filter(org.apache.spark.sql.functions.col(c) ===
-          org.apache.spark.sql.functions.lit(v))
-      }
+      val applied = applyPredicates(in)
       val estBytes =
         estRows(in) * 8.0 * math.max(in.stats.cols.size, 1)
       val side =
@@ -251,5 +243,83 @@ object Cbo {
       remaining = remaining.filterNot(_._1 == label)
     }
     (acc, chosen.toSeq)
+  }
+
+  /** The APPLIED form of one input's predicates: the native `pred`
+    * if given (pushdown-preserving), else the long-range filter,
+    * then any equality predicate on top. Shared by the linear
+    * greedy and the bushy branch pre-join. */
+  def applyPredicates(in: Input): DataFrame = {
+    val ranged = in.pred.map(in.df.filter).getOrElse(
+      in.filter.fold(in.df) { case (c, lo, hi) =>
+        in.df.filter(org.apache.spark.sql.functions.col(c) >= lo &&
+          org.apache.spark.sql.functions.col(c) <= hi)
+      })
+    in.eqFilter.fold(ranged) { case (c, v) =>
+      ranged.filter(org.apache.spark.sql.functions.col(c) ===
+        org.apache.spark.sql.functions.lit(v))
+    }
+  }
+
+  /** A dependent-dim BRANCH hanging off one head dimension: the tail
+    * dims join the HEAD (directly or chained), not the fact — Q8's
+    * orders→customer→nation→region is the canonical shape. */
+  final case class Branch(head: String, tail: Seq[String])
+
+  /** BUSHY JOIN TREES: decide per branch whether to PRE-JOIN the
+    * branch into one composite subtree before it touches the fact
+    * (bushy) or feed its dims one at a time into the left-deep
+    * greedy (linear). The left-deep greedy alone cannot express the
+    * winning Q8-class plan: when a branch's TAIL is selective (region
+    * = 'AMERICA' prunes nation, which prunes customer, which prunes
+    * orders), joining the branch internally first means the expensive
+    * fact join meets an already-pruned stream — at 100 TB the
+    * difference between probing lineitem×(all orders) and
+    * lineitem×(orders of one region's customers), i.e. the shuffle
+    * volume of the dominant exchange. When the tail is NOT selective,
+    * pre-joining buys nothing and costs an extra shuffle, so the
+    * decision is stats-driven: pre-join iff the tail's combined
+    * FK-selectivity — Π estRows(tail)/nRows(tail), the uniform
+    * foreign-key assumption every textbook CBO uses — clears
+    * `bushyThreshold`. The composite subtree re-enters the linear
+    * greedy as ONE input whose cardinality estimate carries the
+    * branch pruning, so broadcast-vs-merge and its position in the
+    * join order both see the real (post-branch) size.
+    *
+    * Returns (joined frame, chosen linear order, bushy branch heads)
+    * so specs can pin the stats→shape flip. */
+  def reorderJoinBushy(fact: DataFrame, dims: Seq[(String, Input)],
+      branches: Seq[Branch], broadcastBytes: Long = 10L << 20,
+      bushyThreshold: Double = 0.5)
+      : (DataFrame, Seq[String], Seq[String]) = {
+    val byLabel = dims.toMap
+    val taken = scala.collection.mutable.Set.empty[String]
+    val bushyHeads = scala.collection.mutable.ListBuffer.empty[String]
+    val composites = branches.flatMap { b =>
+      val head = byLabel(b.head)
+      val tail = b.tail.map(l => l -> byLabel(l))
+      val tailSel = tail.map { case (_, t) =>
+        estRows(t) / math.max(1.0, t.stats.nRows.toDouble) }.product
+      if (tailSel > bushyThreshold) None
+      else {
+        val (sub, _) =
+          reorderJoin(applyPredicates(head), tail, broadcastBytes)
+        taken += b.head; taken ++= b.tail
+        bushyHeads += b.head
+        val estN = math.max(1L, (estRows(head) * tailSel).toLong)
+        // synthetic stats for the composite: branch-pruned row count,
+        // full joined width (the broadcast decision must price the
+        // composite's actual columns, not just the head's)
+        val cols = head.stats.cols ++ tail.flatMap { case (l, t) =>
+          t.stats.cols.map { case (c, cs) => s"$l.$c" -> cs } }
+        Some(b.head -> Input(sub,
+          TableStats(estN, estN * 8L * math.max(cols.size, 1), cols),
+          head.keys))
+      }
+    }
+    val rest = dims.filterNot { case (l, _) => taken(l) }
+    val (joined, order) =
+      reorderJoin(fact, rest ++ composites, broadcastBytes)
+    (joined, order, bushyHeads.toList)
   }
 }

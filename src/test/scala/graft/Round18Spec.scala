@@ -111,6 +111,60 @@ class Round18Spec extends SparkSpec {
       "join order changed the result")
   }
 
+  test("bushy flip: a selective branch tail pre-joins the branch; an " +
+      "unselective one stays left-deep — identical results") {
+    import org.apache.spark.sql.functions.col
+    import graft.plans.Cbo
+    val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))
+    val r = spark.read.parquet(s"$sf/region.parquet")
+      .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
+    val rStats = Cbo.withNdv(Cbo.analyzePath(s"$sf/region.parquet"),
+      spark, s"$sf/region.parquet", Seq("r_name"))
+    def dims(regionEq: Boolean) = Seq(
+      "orders" -> Cbo.Input(o,
+        Cbo.analyzePath(s"$sf/orders.parquet"), Seq("l_orderkey")),
+      "customer" -> Cbo.Input(c,
+        Cbo.analyzePath(s"$sf/customer.parquet"), Seq("o_custkey")),
+      "nation" -> Cbo.Input(n,
+        Cbo.analyzePath(s"$sf/nation.parquet"), Seq("c_nationkey")),
+      "region" -> Cbo.Input(r, rStats, Seq("n_regionkey"),
+        eqFilter = if (regionEq) Some(("r_name", "AMERICA")) else None))
+    val branch = Seq(Cbo.Branch("orders",
+      Seq("customer", "nation", "region")))
+    // region = 'AMERICA' at NDV 5 → tail selectivity 0.2 ≤ 0.5: the
+    // branch pre-joins and enters the fact as ONE composite
+    val (bushyDf, bushyOrder, bushyHeads) =
+      Cbo.reorderJoinBushy(fact, dims(regionEq = true), branch)
+    assert(bushyHeads == Seq("orders"),
+      s"selective tail must go bushy, got $bushyHeads")
+    assert(bushyOrder == Seq("orders"),
+      s"the composite must be the only linear input, got $bushyOrder")
+    // no filter anywhere in the tail → selectivity 1.0: pre-joining
+    // buys nothing, the planner must stay left-deep
+    val (linearDf, linearOrder, linearHeads) =
+      Cbo.reorderJoinBushy(fact, dims(regionEq = false), branch)
+    assert(linearHeads.isEmpty,
+      s"unselective tail must stay linear, got $linearHeads")
+    assert(linearOrder.toSet ==
+        Set("orders", "customer", "nation", "region"),
+      s"left-deep order must feed every dim individually, got $linearOrder")
+    // shape is cost-only: with the same predicates the two shapes
+    // agree (apply the region filter to the linear result manually)
+    val cols = Seq("l_orderkey", "l_quantity", "o_custkey",
+      "c_nationkey", "n_regionkey", "r_name").map(col)
+    assert(bushyDf.select(cols: _*).orderBy(cols: _*).collect().toSeq ==
+      linearDf.filter(col("r_name") === "AMERICA")
+        .select(cols: _*).orderBy(cols: _*).collect().toSeq,
+      "bushy and linear shapes disagree on the result")
+  }
+
   test("VERSION AS OF agrees with TxnLog.read across an ALTER COLUMN " +
       "TYPE boundary") {
     import graft.engine.TxnLog
