@@ -32,12 +32,27 @@ class Round16Spec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val df = graft.operators.MlOps.mlDbscan(spark, sf)
     df.collect()
+    // since round 12 the probe rides the MlOps DfCache, so the BNLJ
+    // lives inside the cached probe's OWN plan (the outer plan shows
+    // InMemoryTableScan — pinned in CacheLifecycleSpec); assert on
+    // the cached frame's physical plan
+    val probe = graft.operators.MlOps.cache.snapshot.collectFirst {
+      case ((scope, name), d) if scope.endsWith(sf) &&
+        name == "dbscan_nbr" => d
+    }.getOrElse(fail("dbscan probe missing from the MlOps cache"))
     val helper = new org.apache.spark.sql.execution.adaptive
       .AdaptiveSparkPlanHelper {}
-    val bnljs = helper.collectWithSubqueries(
-      df.queryExecution.executedPlan) {
-      case b: BroadcastNestedLoopJoinExec => b
+    // the persisted frame re-plans through its own InMemoryTableScan;
+    // the probe's real plan is the relation's cachedPlan
+    val cachedPlans = helper.collectWithSubqueries(
+      probe.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => s.relation.cachedPlan
     }
+    assert(cachedPlans.nonEmpty, "expected the probe to be cached")
+    val bnljs = cachedPlans.flatMap(p => helper.collectWithSubqueries(p) {
+      case b: BroadcastNestedLoopJoinExec => b
+    })
     assert(bnljs.nonEmpty, "expected the sample-probe broadcast join")
     bnljs.foreach { j =>
       val bcast = j.buildSide match {
