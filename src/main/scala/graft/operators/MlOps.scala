@@ -886,8 +886,15 @@ object MlOps {
     val pred = mlKnnClassify(spark, sfDir).select($"doc_id", $"pred_lang")
     val truth = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang".as("true_lang"))
+    // the O(labels²) confusion table is referenced THREE times below
+    // (row/column margins + the diagonal) and Catalyst recomputes
+    // repeated subtrees — without the checkpoint the whole kNN
+    // classify above re-runs once per reference (measured 3.87 →
+    // 2.25 s min at sf0.1). Eager localCheckpoint on a ≤ labels² row
+    // frame is the same tiny-aggregate convention as giniBestSplit.
     val cm = broadcast(pred).join(truth, "doc_id")
       .groupBy($"true_lang", $"pred_lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val perTrue = cm.groupBy($"true_lang".as("lang"))
       .agg(sum($"n").as("n_true"))
     val perPred = cm.groupBy($"pred_lang".as("lang"))
