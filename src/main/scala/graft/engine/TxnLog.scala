@@ -1012,6 +1012,13 @@ object TxnLog {
         val heartbeat = startHeartbeat(claim, claimTimeoutMs)
         val stage = new File(root, s".stage_v${v}_$token")
         def abandon(): Unit = { destroyDir(stage); conflicts += 1; pending = None }
+        // voluntary early release (clash / CHECK / typesUpdate abort):
+        // only delete the claim while it is still OURS — after a
+        // heartbeat-lapse steal the file at this path is the THIEF's
+        // fresh claim, and deleting it would hand the slot to a third
+        // writer and force the rightful owner to abandon its work
+        def releaseClaim(): Unit =
+          if (ownsClaim(claim, token)) { claim.delete(); () }
         try {
           // validate the read set against commits we did not see when
           // the delta was built
@@ -1020,7 +1027,7 @@ object TxnLog {
             rangesOverlap(readMeta(root, u).writtenRanges, readRanges))
           if (clash) {
             // release the claim and re-run against the newer snapshot
-            claim.delete()
+            releaseClaim()
             conflictOrRerun(s"conflict validating claim of v$v")
             conflicts += 1
             pending = None
@@ -1051,7 +1058,7 @@ object TxnLog {
               }
               val bad = checkView.filter(!c).limit(1).count()
               if (bad > 0) {
-                claim.delete()
+                releaseClaim()
                 throw new CheckViolation(
                   s"commit v$v rejected: post-state violates CHECK $c")
               }
@@ -1099,7 +1106,7 @@ object TxnLog {
               val types =
                 try t(v)
                 catch { case e: Throwable =>
-                  claim.delete(); destroyDir(stage); throw e
+                  releaseClaim(); destroyDir(stage); throw e
                 }
               Files.write(new File(stage, "types").toPath,
                 types.map { case (p, ty) => s"$p|$ty" }.mkString("\n")

@@ -891,10 +891,14 @@ object MlOps {
     // repeated subtrees — without the checkpoint the whole kNN
     // classify above re-runs once per reference (measured 3.87 →
     // 2.25 s min at sf0.1). Eager localCheckpoint on a ≤ labels² row
-    // frame is the same tiny-aggregate convention as giniBestSplit.
-    val cm = broadcast(pred).join(truth, "doc_id")
-      .groupBy($"true_lang", $"pred_lang").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+    // frame is the same tiny-aggregate convention as giniBestSplit;
+    // riding the MlOps cache on top bounds the checkpoint count at
+    // one per (application, sfDir) scope instead of one per call.
+    val cm = cache(spark, sfDir, "confusion_cm") {
+      broadcast(pred).join(truth, "doc_id")
+        .groupBy($"true_lang", $"pred_lang").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+    }
     val perTrue = cm.groupBy($"true_lang".as("lang"))
       .agg(sum($"n").as("n_true"))
     val perPred = cm.groupBy($"pred_lang".as("lang"))

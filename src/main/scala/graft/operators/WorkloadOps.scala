@@ -26,6 +26,14 @@ import graft.engine.{Exact, Tables}
 object WorkloadOps {
   import Exact._
 
+  /** Epoch micros of a UTC 'yyyy-MM-dd HH:mm:ss' literal — the unit
+    * parquet footers carry for timestamp min/max, shared by every CBO
+    * range estimate here so the conversion cannot silently diverge
+    * between queries. */
+  private def epochMicros(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
   /** TPC-H Q3 (shipping priority), adapted: the fixture orders table
     * has no o_shippriority, so the output is (orderkey, revenue,
     * orderdate); date split pivots mid-range (1998-01-01). */
@@ -164,10 +172,8 @@ object WorkloadOps {
     import graft.plans.Cbo
     val lo = "1997-10-01 00:00:00"
     val hi = "1998-01-01 00:00:00"
-    val loUs = java.time.LocalDateTime.parse(lo.replace(" ", "T"))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-    val hiUs = java.time.LocalDateTime.parse(hi.replace(" ", "T"))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val loUs = epochMicros(lo)
+    val hiUs = epochMicros(hi)
     val fact = Tables.lineitem(spark, sfDir)
       .filter($"l_returnflag" === "R")
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
@@ -278,8 +284,6 @@ object WorkloadOps {
     import graft.plans.Cbo
     val lo = "1996-01-01 00:00:00"
     val hi = "1998-01-01 00:00:00"
-    def us(s: String) = java.time.LocalDateTime.parse(s.replace(" ", "T"))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     val fact = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_partkey", $"l_suppkey",
         ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
@@ -313,7 +317,7 @@ object WorkloadOps {
         Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("s_nationkey")),
       "orders" -> Cbo.Input(o,
         Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
-        filter = Some(("o_orderdate", us(lo), us(hi) - 1L)),
+        filter = Some(("o_orderdate", epochMicros(lo), epochMicros(hi) - 1L)),
         pred = Some($"o_orderdate" >= to_timestamp(lit(lo)) &&
           $"o_orderdate" < to_timestamp(lit(hi)))),
       "customer" -> Cbo.Input(c,

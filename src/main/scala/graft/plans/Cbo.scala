@@ -95,10 +95,11 @@ object Cbo {
     * different policy. */
   def join(left: DataFrame, right: DataFrame, rightRoot: String,
       keys: Seq[String],
-      broadcastBytes: Long = 10L << 20): DataFrame = {
+      broadcastBytes: Long = USE_CONF_BUDGET): DataFrame = {
     val stats = analyze(rightRoot)
+    val budget = resolveBudget(left, broadcastBytes)
     val buildSide =
-      if (stats.estBroadcastBytes <= broadcastBytes) broadcast(right)
+      if (stats.estBroadcastBytes <= budget) broadcast(right)
       // stats say too big to build: pin the scalable shuffle join
       // (merge) so Spark's file-size estimate cannot re-broadcast
       // what the manifest knows is large
@@ -106,15 +107,24 @@ object Cbo {
     left.join(buildSide, keys)
   }
 
-  /** Session override for the broadcast budget used by
-    * [[joinDerived]] — lets a spec (or an operator) force the
-    * shuffle fallback without waiting for a corpus that actually
-    * exceeds 10 MB. Unset → Spark's own default threshold. */
+  /** Session override for the broadcast budget used by EVERY
+    * stats-driven join decision here ([[join]], [[joinDerived]],
+    * [[reorderJoin]], [[reorderJoinBushy]]) — one knob, so a spec (or
+    * an operator) forcing the shuffle fallback steers every code
+    * path, not just one. Unset → Spark's own default threshold. An
+    * explicit `broadcastBytes` argument still wins over the conf. */
   val BROADCAST_BYTES_CONF = "graft.cbo.broadcastBytes"
+
+  /** Sentinel default for broadcastBytes parameters: resolve from the
+    * session conf at call time. */
+  val USE_CONF_BUDGET: Long = -1L
 
   def broadcastBudget(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(BROADCAST_BYTES_CONF)
       .map(_.toLong).getOrElse(10L << 20)
+
+  private def resolveBudget(anyFrame: DataFrame, explicit: Long): Long =
+    if (explicit >= 0L) explicit else broadcastBudget(anyFrame.sparkSession)
 
   /** Stats-driven broadcast-vs-shuffle for a DERIVED build side — a
     * frame with no manifest of its own (a grouped shingle universe, a
@@ -221,7 +231,8 @@ object Cbo {
     * the chosen order (dim labels) so plan specs can pin that
     * inverting the stats flips the order. */
   def reorderJoin(fact: DataFrame, dims: Seq[(String, Input)],
-      broadcastBytes: Long = 10L << 20): (DataFrame, Seq[String]) = {
+      broadcastBytes: Long = USE_CONF_BUDGET): (DataFrame, Seq[String]) = {
+    val budget = resolveBudget(fact, broadcastBytes)
     var acc = fact
     var remaining = dims
     val chosen = scala.collection.mutable.ListBuffer.empty[String]
@@ -236,7 +247,7 @@ object Cbo {
       val estBytes =
         estRows(in) * 8.0 * math.max(in.stats.cols.size, 1)
       val side =
-        if (estBytes <= broadcastBytes.toDouble) broadcast(applied)
+        if (estBytes <= budget.toDouble) broadcast(applied)
         else applied.hint("merge")
       acc = acc.join(side, in.keys)
       chosen += label
@@ -289,10 +300,20 @@ object Cbo {
     * Returns (joined frame, chosen linear order, bushy branch heads)
     * so specs can pin the stats→shape flip. */
   def reorderJoinBushy(fact: DataFrame, dims: Seq[(String, Input)],
-      branches: Seq[Branch], broadcastBytes: Long = 10L << 20,
+      branches: Seq[Branch], broadcastBytes: Long = USE_CONF_BUDGET,
       bushyThreshold: Double = 0.5)
       : (DataFrame, Seq[String], Seq[String]) = {
     val byLabel = dims.toMap
+    // branch sanity up front: a typo'd label or a dim claimed by two
+    // branches would otherwise surface as an unkeyed lookup failure
+    // or a silently duplicated join downstream
+    val claimed = branches.flatMap(b => b.head +: b.tail)
+    require(claimed.forall(byLabel.contains),
+      s"branch labels ${claimed.filterNot(byLabel.contains)} not in " +
+        s"dims ${dims.map(_._1)}")
+    require(claimed.distinct.size == claimed.size,
+      s"a dim may belong to at most one branch, got duplicates in " +
+        s"$claimed")
     val taken = scala.collection.mutable.Set.empty[String]
     val bushyHeads = scala.collection.mutable.ListBuffer.empty[String]
     val composites = branches.flatMap { b =>

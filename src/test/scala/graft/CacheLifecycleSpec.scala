@@ -68,7 +68,10 @@ class CacheLifecycleSpec extends SparkSpec {
     val phys = df.queryExecution.executedPlan.toString
     assert(phys.contains("InMemoryTableScan"),
       s"returned plan must read the persisted probe, got:\n$phys")
-    // restore an empty cache for whoever runs next
+    // evict the sf-scoped probe before the next test: touching a
+    // different scope unpersists it (this leaves one tiny dummy entry
+    // under /scopeC — downstream assertions filter by sf-suffixed
+    // scope, so the dummy is inert)
     graft.operators.MlOps.cache(spark, "/scopeC", "drop") {
       import spark.implicits._
       Seq((1L, 2L)).toDF("x", "y")

@@ -21,11 +21,15 @@ class Round18Spec extends SparkSpec {
 
   test("dedupPrefixFilter degrades its derived build sides to shuffle " +
       "under a tiny budget, byte-identically") {
-    val broad = graft.operators.DedupOps.dedupPrefixFilter(spark, sf)
-    val pBroad = plan(broad)
+    // explicit generous budget for the broadcast phase: the estimates
+    // sit legitimately near the 10 MB default at fixture scale, and a
+    // fixture regeneration must not flip a plan assertion
+    val (rowsBroad, pBroad) = withBudget(1L << 30) {
+      val broad = graft.operators.DedupOps.dedupPrefixFilter(spark, sf)
+      (broad.collect().toSeq, plan(broad))
+    }
     assert(pBroad.contains("BroadcastHashJoin"),
-      s"default budget must keep the broadcast build sides:\n$pBroad")
-    val rowsBroad = broad.collect().toSeq
+      s"generous budget must keep the broadcast build sides:\n$pBroad")
     val (rowsShuf, pShuf) = withBudget(1L) {
       val shuf = graft.operators.DedupOps.dedupPrefixFilter(spark, sf)
       (shuf.collect().toSeq, plan(shuf))
@@ -46,12 +50,16 @@ class Round18Spec extends SparkSpec {
 
   test("cfNegativeSamples degrades the seen-pairs anti join to shuffle " +
       "under a tiny budget, byte-identically") {
-    val broad = graft.operators.CfOps.cfNegativeSamples(spark, sf)
-    val pBroad = plan(broad)
+    // explicit generous budget: the seen-pairs estimate is within a
+    // few percent of the 10 MB default at sf0.1, so the spec must not
+    // be load-bearing on that margin
+    val (rowsBroad, pBroad) = withBudget(1L << 30) {
+      val broad = graft.operators.CfOps.cfNegativeSamples(spark, sf)
+      (broad.collect().toSeq, plan(broad))
+    }
     assert(pBroad.contains("BroadcastHashJoin") &&
         pBroad.contains("LeftAnti"),
-      s"default budget must broadcast the seen set for the anti join:\n$pBroad")
-    val rowsBroad = broad.collect().toSeq
+      s"generous budget must broadcast the seen set for the anti join:\n$pBroad")
     val (rowsShuf, pShuf) = withBudget(1L) {
       val shuf = graft.operators.CfOps.cfNegativeSamples(spark, sf)
       (shuf.collect().toSeq, plan(shuf))
