@@ -81,6 +81,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Drift-adjudication artifact: the FULL per-key map goes to a file
+    // unconditionally (the stdout line stays headline-only — the
+    // driver's tail capture overflows past ~1 KB), so any future
+    // per-key bench drift has complete same-run data without a rerun.
+    val allQs = results.keys.toSeq.sorted
+      .map(k => s"\"" + k + "\":" + r3(results(k)))
+      .mkString("{", ",", "}")
+    val benchAll = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"errors":$errs,"queries":$allQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_all.json"),
+      benchAll.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // read-only cwd: keep benching
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

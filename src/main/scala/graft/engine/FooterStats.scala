@@ -19,9 +19,13 @@ object FooterStats {
   final case class ColStat(min: Option[Long], max: Option[Long],
       nulls: Long)
 
-  /** One data file's footer summary. */
+  /** One data file's footer summary. `rawBytes` is the footer's
+    * total UNCOMPRESSED column-chunk byte count — bytes after codec
+    * decompression but still parquet-encoded (dictionary/RLE), the
+    * closest thing a footer carries to the row-data volume a
+    * downstream operator must materialize. */
   final case class FileStat(path: String, bytes: Long, nRows: Long,
-      cols: Map[String, ColStat])
+      cols: Map[String, ColStat], rawBytes: Long = 0L)
 
   /** Footer stats of every non-empty parquet file in `dir`
     * (symlinks resolved — a linked snapshot reads its referent). */
@@ -57,7 +61,10 @@ object FooterStats {
                   else None,
                   sts.map(s => math.max(s.getNumNulls, 0L)).sum)
               }
-            Some(FileStat(f.getAbsolutePath, f.length(), nRows, perCol))
+            val rawBytes = blocks.flatMap(_.getColumns.asScala)
+              .map(_.getTotalUncompressedSize).sum
+            Some(FileStat(f.getAbsolutePath, f.length(), nRows, perCol,
+              rawBytes))
           }
         } finally reader.close()
       }

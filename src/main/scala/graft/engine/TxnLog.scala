@@ -113,6 +113,46 @@ object TxnLog {
     new File(logDir(root), s"v$v.schema")
   private def vacuumTombstone(root: String, v: Long): File =
     new File(logDir(root), s"v$v.vacuumed")
+  private def statsFile(root: String, v: Long): File =
+    new File(logDir(root), s"v$v.stats")
+
+  /** Persisted ANALYZE artifact for `version` (`vN.stats`): per-column
+    * NDV lines `col|ndv`, written by the CBO's
+    * [[graft.plans.Cbo.analyzeColumns]] and read back BEFORE any NDV
+    * data scan — the `ANALYZE TABLE ... FOR COLUMNS` split every
+    * warehouse makes, keyed by SNAPSHOT VERSION so a rewrite at the
+    * same path (a new commit) can never be served a stale distinct
+    * count. Empty map when no artifact exists at that version. */
+  def readColumnStats(root: String, version: Long): Map[String, Long] = {
+    val f = statsFile(root, version)
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val p = line.split("\\|", -1)
+        p(0) -> p(1).toLong
+      }.toMap
+  }
+
+  /** Merge-write the ANALYZE artifact for `version`: existing columns
+    * are kept, `ndv` entries win, and the write is temp-file + atomic
+    * move so a concurrent reader never sees a torn artifact. The
+    * artifact is ADVISORY metadata (a lost race loses nothing but a
+    * recomputation), so last-writer-wins is the right durability
+    * level — unlike the commit markers, which use link(2) fencing. */
+  def writeColumnStats(root: String, version: Long,
+      ndv: Map[String, Long]): Unit = {
+    logDir(root).mkdirs()
+    val merged = readColumnStats(root, version) ++ ndv
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (c, n) => s"$c|$n" }.mkString("\n")
+    val tmp = new File(logDir(root),
+      s".v$version.stats.tmp${System.nanoTime()}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, statsFile(root, version).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
 
   def init(root: String): Unit = { logDir(root).mkdirs(); () }
 
@@ -689,6 +729,10 @@ object TxnLog {
     val declared = currentTypes(root, v)
     val cur = declared.getOrElse(physical,
       physField.map(_.dataType.catalogString).getOrElse("bigint"))
+    // idempotent no-op: ALTER to the type already in force succeeds
+    // without a commit (ANSI behavior; also the entry-level twin of
+    // the concurrent same-target fast path in typesUpdate below)
+    if (cur == newType) return v
     require(isWidening(cur, newType),
       s"ALTER COLUMN TYPE only widens: $cur -> $newType is not a " +
         "lossless promotion")
@@ -703,12 +747,16 @@ object TxnLog {
       typesUpdate = Some { claimedV =>
         val fresh = currentTypes(root, claimedV - 1)
         val freshCur = fresh.getOrElse(physical, cur)
-        if (freshCur != cur && !isWidening(freshCur, newType))
+        // idempotent fast path: a concurrent alter that already landed
+        // the IDENTICAL target type leaves nothing to do — succeed as
+        // a no-op instead of tripping the (irreflexive) widening check
+        if (freshCur == newType) fresh + (physical -> newType)
+        else if (freshCur != cur && !isWidening(freshCur, newType))
           throw new Conflict(
             s"concurrent ALTER COLUMN TYPE moved $physical to " +
               s"$freshCur; $freshCur -> $newType is no longer a " +
               "widening")
-        fresh + (physical -> newType)
+        else fresh + (physical -> newType)
       }).version
   }
 

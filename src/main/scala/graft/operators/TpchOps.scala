@@ -175,29 +175,70 @@ object TpchOps {
     * shuffle is lineitem⋈orders on the orderkey. The pair predicate
     * needs both chains, so it stays above the joins — but each chain's
     * nation scan still prunes to 25 rows. */
-  def tpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+  def tpchQ7(spark: SparkSession, sfDir: String): DataFrame =
+    tpchQ7Plan(spark, sfDir)._1
+
+  /** Q7 THROUGH THE BUSHY CBO (round 13 — CBO is the default
+    * planner, not a demonstrator): the two dimension paths
+    * (supplier→nation, orders→customer→nation) are BRANCHES, each
+    * pre-joined into a composite when its tail's combined selectivity
+    * clears the bushy threshold. The nation-pair disjunction
+    * ((9,11)|(11,9)) is decomposed the way a production optimizer
+    * does: the derivable `n_name ∈ {9,11}` containment pushes into
+    * EACH nation dim (pred), its cardinality priced as 2/NDV via the
+    * nation table's measured n_name distinct count (selOverride —
+    * NDV-priced, the isin generalization of eqFilter's 1/NDV), and
+    * the residual cross-pair predicate stays above the joins. At
+    * 100 TB the branch decision is the whole game: the fact probes
+    * suppliers/customers already pruned to two nations instead of
+    * all of them. */
+  private[graft] def tpchQ7Plan(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import spark.implicits._
-    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
-    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
-      .join(n, $"s_nationkey" === $"n_nationkey")
-      .select($"s_suppkey", $"n_name".as("supp_nation"))
-    val co = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
-      .join(n, $"c_nationkey" === $"n_nationkey")
-      .select($"c_custkey", $"n_name".as("cust_nation"))
-    val l = Tables.lineitem(spark, sfDir)
+    import graft.plans.Cbo
+    val natPath = s"$sfDir/nation.parquet"
+    val natStats = Cbo.withNdv(Cbo.analyzePath(natPath), spark,
+      natPath, Seq("n_name"))
+    val isinSel = math.min(1.0,
+      2.0 / math.max(1L, natStats.ndv("n_name")).toDouble)
+    val fact = Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
         $"l_shipdate" < to_timestamp(lit("1998-01-01")))
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
         ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
-    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
-    l.join(s, $"l_suppkey" === $"s_suppkey")
-      .join(o, $"l_orderkey" === $"o_orderkey")
-      .join(co, $"o_custkey" === $"c_custkey")
+    val s = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    val n1 = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("s_nationkey"), $"n_name".as("supp_nation"))
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("o_custkey"), $"c_nationkey")
+    val n2 = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("c_nationkey"), $"n_name".as("cust_nation"))
+    val pair = Seq("NATION_9", "NATION_11")
+    val (joined, order, bushy) = Cbo.reorderJoinBushy(fact, Seq(
+      "supplier" -> Cbo.Input(s,
+        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey")),
+      "nation1" -> Cbo.Input(n1, natStats, Seq("s_nationkey"),
+        pred = Some($"supp_nation".isin(pair: _*)),
+        selOverride = Some(isinSel)),
+      "orders" -> Cbo.Input(o,
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey")),
+      "customer" -> Cbo.Input(c,
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey")),
+      "nation2" -> Cbo.Input(n2, natStats, Seq("c_nationkey"),
+        pred = Some($"cust_nation".isin(pair: _*)),
+        selOverride = Some(isinSel))),
+      branches = Seq(Cbo.Branch("supplier", Seq("nation1")),
+        Cbo.Branch("orders", Seq("customer", "nation2"))))
+    (joined
       .filter(($"supp_nation" === "NATION_9" && $"cust_nation" === "NATION_11") ||
         ($"supp_nation" === "NATION_11" && $"cust_nation" === "NATION_9"))
       .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
       .agg(xsum($"volume").as("revenue"))
-      .orderBy($"supp_nation".asc, $"cust_nation".asc, $"l_year".asc)
+      .orderBy($"supp_nation".asc, $"cust_nation".asc, $"l_year".asc),
+      order, bushy)
   }
 
   val tpchQ7Sql: String =
@@ -624,27 +665,49 @@ object TpchOps {
     * ≠-residual) but was the only late one (NOT EXISTS → left-anti).
     * The F-order line set is built once and reused for all three
     * roles; each quantifier is one hash join on the orderkey. */
-  def tpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
+  def tpchQ21(spark: SparkSession, sfDir: String): DataFrame =
+    tpchQ21Plan(spark, sfDir)._1
+
+  /** Q21's two EQUI-JOIN stages routed through the CBO (the
+    * correlated semi/anti stages keep their non-equi conjuncts and
+    * stay as authored — the CBO API prices equi-joins): the
+    * lineitem⋈orders('F') build prices the status-filtered orders
+    * via its measured o_orderstatus NDV, and the supplier join
+    * prices the nationkey=9 slice via the footer integer range —
+    * both sides broadcast-or-merge by ANALYZE estimates rather than
+    * file-size guesses. */
+  private[graft] def tpchQ21Plan(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import spark.implicits._
-    val lf = Tables.lineitem(spark, sfDir)
-      .join(Tables.orders(spark, sfDir)
-        .filter($"o_orderstatus" === "F")
-        .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
-      .select($"l_orderkey", $"l_suppkey",
-        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
-    val l1 = lf.filter($"late")
-      .join(Tables.supplier(spark, sfDir)
-        .filter($"s_nationkey" === 9).select($"s_suppkey", $"s_name"),
-        $"l_suppkey" === $"s_suppkey")
+    import graft.plans.Cbo
+    val ordersPath = s"$sfDir/orders.parquet"
+    val ordersStats = Cbo.withNdv(Cbo.analyzePath(ordersPath), spark,
+      ordersPath, Seq("o_orderstatus"))
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderdate",
+        $"o_orderstatus")
+    val (lfJoined, orderLf) = Cbo.reorderJoin(
+      Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate"),
+      Seq("orders" -> Cbo.Input(o, ordersStats, Seq("l_orderkey"),
+        eqFilter = Some(("o_orderstatus", "F")))))
+    val lf = lfJoined.select($"l_orderkey", $"l_suppkey",
+      ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
+    val sup = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as("l_suppkey"), $"s_name", $"s_nationkey")
+    val (l1, orderL1) = Cbo.reorderJoin(lf.filter($"late"),
+      Seq("supplier" -> Cbo.Input(sup,
+        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey"),
+        eqFilter = Some(("s_nationkey", 9)))))
     val others = lf.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
     val lateOthers = lf.filter($"late")
       .select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
-    l1.join(others, $"l_orderkey" === $"o2" && $"s2" =!= $"l_suppkey", "left_semi")
+    (l1.join(others, $"l_orderkey" === $"o2" && $"s2" =!= $"l_suppkey", "left_semi")
       .join(lateOthers, $"l_orderkey" === $"o3" && $"s3" =!= $"l_suppkey", "left_anti")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"s_name".asc)
-      .limit(100)
+      .limit(100), orderLf ++ orderL1, Nil)
   }
 
   val tpchQ21Sql: String =

@@ -2081,6 +2081,53 @@ object TxnOps {
       |FROM t
       |ORDER BY column_name""".stripMargin
 
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` with a
+    * PERSISTED artifact ([[graft.plans.Cbo.analyzeColumns]], round
+    * 13): per-column NDV computed at the latest committed snapshot
+    * and written to the txn log as `vN.stats`, next to the version's
+    * schema/mapping artifacts — the statistic the footer pass cannot
+    * give ([[txnAnalyze]]'s min/max/nulls are free; distinct counts
+    * cost a scan ONCE, then every session prices joins from the
+    * artifact with zero data pages). The TWO calls here are the
+    * proof shape: the first computes-and-persists, the second must
+    * serve the identical numbers from the artifact (Round19Spec pins
+    * zero Spark jobs on that path). Exact mode (an extra shuffle) is
+    * used so DuckDB's COUNT(DISTINCT) is the oracle; the 100 TB
+    * default is the one-pass HLL estimate — the same exact/approx
+    * split every warehouse's ANALYZE offers. Keyed by snapshot
+    * version, so a rewrite at the same path can never serve stale
+    * NDV. */
+  def txnAnalyzeColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = fixtureOnce(spark, sfDir, "analyze_cols") { r =>
+      TxnLog.commit(spark, r, addCounts(spark, sfDir, "click"))
+      ()
+    }
+    val computed = graft.plans.Cbo.analyzeColumns(spark, root,
+      Seq("key", "value"), exact = true)
+    val served = graft.plans.Cbo.analyzeColumns(spark, root,
+      Seq("key", "value"), exact = true)
+    Seq("key", "value").map { c =>
+      (c, computed.nRows, computed.ndv(c), served.ndv(c))
+    }.toDF("column_name", "n_rows", "ndv", "ndv_persisted")
+      .orderBy($"column_name")
+  }
+
+  val txnAnalyzeColumnsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS balance FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id)
+      |SELECT 'key' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_persisted
+      |FROM t
+      |UNION ALL
+      |SELECT 'value', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(DISTINCT balance) AS BIGINT),
+      |  CAST(COUNT(DISTINCT balance) AS BIGINT)
+      |FROM t
+      |ORDER BY column_name""".stripMargin
+
   /** COST-BASED JOIN off the table's own stats: the events fact is
     * joined to a transactional dimension (per-user purchase counts)
     * through [[graft.plans.Cbo.join]], which ANALYZEs the dimension's

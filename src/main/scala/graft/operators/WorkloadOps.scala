@@ -36,25 +36,54 @@ object WorkloadOps {
 
   /** TPC-H Q3 (shipping priority), adapted: the fixture orders table
     * has no o_shippriority, so the output is (orderkey, revenue,
-    * orderdate); date split pivots mid-range (1998-01-01). */
-  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    * orderdate); date split pivots mid-range (1998-01-01).
+    *
+    * ROUTED THROUGH THE JOIN-ORDER CBO by default (round 13): the
+    * author's hand shape (pre-join customer⋈orders, then the fact) is
+    * now a stats-driven OUTCOME, not an authored order — the BUILDING
+    * segment filter is NDV-priced (strings have no footer range), its
+    * ~1/|segments| tail selectivity sends the customer dim down the
+    * bushy branch, and the composite (date-pruned orders ⋈ BUILDING
+    * customers) meets the fact already pruned. At 100 TB that branch
+    * decision is the dominant-shuffle decision; here it falls out of
+    * `ANALYZE` instead of the author's intuition. */
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame =
+    tpchQ3Plan(spark, sfDir)._1
+
+  /** [[tpchQ3]] plus the CBO's chosen (linear order, bushy heads) —
+    * shape pins live in the plan specs, NOT in the production path
+    * (a corpus whose stats legitimately flip the decision must run,
+    * not abort). */
+  private[graft] def tpchQ3Plan(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import spark.implicits._
+    import graft.plans.Cbo
+    val cutS = "1998-01-01 00:00:00"
     val cut = to_timestamp(lit("1998-01-01"))
-    val c = Tables.customer(spark, sfDir)
-      .filter($"c_mktsegment" === "BUILDING")
-      .select($"c_custkey")
-    val o = Tables.orders(spark, sfDir)
-      .filter($"o_orderdate" < cut)
-      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-    val l = Tables.lineitem(spark, sfDir)
+    val fact = Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" > cut)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-    c.join(o, $"c_custkey" === $"o_custkey")
-      .join(l, $"o_orderkey" === $"l_orderkey")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderkey",
+        $"o_custkey", $"o_orderdate")
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val custPath = s"$sfDir/customer.parquet"
+    val custStats = Cbo.withNdv(Cbo.analyzePath(custPath), spark,
+      custPath, Seq("c_mktsegment"))
+    val (joined, order, bushy) = Cbo.reorderJoinBushy(fact, Seq(
+      "orders" -> Cbo.Input(o,
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
+        filter = Some(("o_orderdate", 0L, epochMicros(cutS) - 1L)),
+        pred = Some($"o_orderdate" < cut)),
+      "customer" -> Cbo.Input(c, custStats, Seq("o_custkey"),
+        eqFilter = Some(("c_mktsegment", "BUILDING")))),
+      branches = Seq(Cbo.Branch("orders", Seq("customer"))))
+    (joined
       .groupBy($"o_orderkey", $"o_orderdate")
       .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey".asc)
-      .limit(10)
+      .limit(10), order, bushy)
   }
 
   val tpchQ3Sql: String =
@@ -75,28 +104,65 @@ object WorkloadOps {
     * order-year window. The c_nationkey = s_nationkey predicate is the
     * interesting bit: it correlates two dimension paths through the
     * fact row. */
-  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame =
+    tpchQ5Plan(spark, sfDir)._1
+
+  /** Q5 THROUGH THE BUSHY CBO — and the round-13 demonstrator where
+    * the stats CHOOSE A DIFFERENT ORDER than the author did: the
+    * author joined supplier before the ASIA nation set; the planner,
+    * pricing the region-pruned (nation ⋈ ASIA region) composite at
+    * ~|nations|/|regions| rows against supplier's thousands, joins
+    * the composite FIRST — so customers are pruned to one region's
+    * nations before the supplier join runs, the strictly better
+    * order at every scale. The correlation predicate c_nationkey =
+    * s_nationkey rides as a second equi-key on the supplier input
+    * (a two-column using-join), which also encodes the availability
+    * constraint: supplier cannot join until customer has exposed
+    * c_nationkey. */
+  private[graft] def tpchQ5Plan(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import spark.implicits._
-    val lo = to_timestamp(lit("1997-01-01"))
-    val hi = to_timestamp(lit("1998-01-01"))
-    val asiaNations = Tables.region(spark, sfDir)
-      .filter($"r_name" === "ASIA")
-      .join(Tables.nation(spark, sfDir), $"r_regionkey" === $"n_regionkey")
-      .select($"n_nationkey", $"n_name")
-    val o = Tables.orders(spark, sfDir)
-      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
-      .select($"o_orderkey", $"o_custkey")
-    val l = Tables.lineitem(spark, sfDir)
+    import graft.plans.Cbo
+    val loS = "1997-01-01 00:00:00"
+    val hiS = "1998-01-01 00:00:00"
+    val lo = to_timestamp(lit(loS))
+    val hi = to_timestamp(lit(hiS))
+    val fact = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
-    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
-    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
-    o.join(l, $"o_orderkey" === $"l_orderkey")
-      .join(c, $"o_custkey" === $"c_custkey")
-      .join(s, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-      .join(asiaNations, $"s_nationkey" === $"n_nationkey")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey", $"o_orderdate")
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("o_custkey"), $"c_nationkey")
+    val s = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as("l_suppkey"),
+        $"s_nationkey".as("c_nationkey"))
+    val n = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("c_nationkey"), $"n_name", $"n_regionkey")
+    val r = Tables.region(spark, sfDir)
+      .select($"r_regionkey".as("n_regionkey"), $"r_name")
+    val regionPath = s"$sfDir/region.parquet"
+    val regionStats = Cbo.withNdv(Cbo.analyzePath(regionPath), spark,
+      regionPath, Seq("r_name"))
+    val (joined, order, bushy) = Cbo.reorderJoinBushy(fact, Seq(
+      "orders" -> Cbo.Input(o,
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
+        filter = Some(("o_orderdate", epochMicros(loS),
+          epochMicros(hiS) - 1L)),
+        pred = Some($"o_orderdate" >= lo && $"o_orderdate" < hi)),
+      "customer" -> Cbo.Input(c,
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey")),
+      "supplier" -> Cbo.Input(s,
+        Cbo.analyzePath(s"$sfDir/supplier.parquet"),
+        Seq("l_suppkey", "c_nationkey")),
+      "nation" -> Cbo.Input(n,
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey")),
+      "region" -> Cbo.Input(r, regionStats, Seq("n_regionkey"),
+        eqFilter = Some(("r_name", "ASIA")))),
+      branches = Seq(Cbo.Branch("nation", Seq("region"))))
+    (joined
       .groupBy($"n_name")
       .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
-      .orderBy($"revenue".desc, $"n_name".asc)
+      .orderBy($"revenue".desc, $"n_name".asc), order, bushy)
   }
 
   val tpchQ5Sql: String =
@@ -167,7 +233,13 @@ object WorkloadOps {
     * (timestamps are INT64 micros in the footer stats) and APPLIED as
     * the native timestamp predicate so the parquet pushdown
     * survives. */
-  def tpchQ10Cbo(spark: SparkSession, sfDir: String): DataFrame = {
+  def tpchQ10Cbo(spark: SparkSession, sfDir: String): DataFrame =
+    tpchQ10CboPlan(spark, sfDir)._1
+
+  /** [[tpchQ10Cbo]] + the chosen order; the chain-shape pin
+    * (orders → customer → nation) lives in Round19Spec, not here. */
+  private[graft] def tpchQ10CboPlan(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import spark.implicits._
     import graft.plans.Cbo
     val lo = "1997-10-01 00:00:00"
@@ -195,14 +267,12 @@ object WorkloadOps {
         Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey")),
       "nation" -> Cbo.Input(nat,
         Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey"))))
-    require(order == Seq("orders", "customer", "nation"),
-      s"connectivity must force the chain order, got $order")
-    joined
+    (joined
       .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
       .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
         .as("revenue"))
       .orderBy($"revenue".desc, $"c_custkey".asc)
-      .limit(20)
+      .limit(20), order, Nil)
   }
 
   /** Same oracle as [[tpchQ10Sql]] — the CBO routing must be
@@ -226,7 +296,13 @@ object WorkloadOps {
     * order is REQUIRED to respect the snowflake (supplier before
     * nation, orders last); the exact permutation is stats-driven per
     * scale factor, and PlanSpec pins the stats→order flip. */
-  def tpchQ9Cbo(spark: SparkSession, sfDir: String): DataFrame = {
+  def tpchQ9Cbo(spark: SparkSession, sfDir: String): DataFrame =
+    tpchQ9CboPlan(spark, sfDir)._1
+
+  /** [[tpchQ9Cbo]] + the chosen order; the snowflake-shape pin
+    * (supplier before nation, orders last) lives in Round19Spec. */
+  private[graft] def tpchQ9CboPlan(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import spark.implicits._
     import graft.plans.Cbo
     val fact = Tables.lineitem(spark, sfDir)
@@ -251,14 +327,11 @@ object WorkloadOps {
         Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("s_nationkey")),
       "orders" -> Cbo.Input(o,
         Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"))))
-    require(order.indexOf("nation") > order.indexOf("supplier") &&
-        order.last == "orders",
-      s"snowflake order violated: got $order")
-    joined
+    (joined
       .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
       .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
         lit(0.6) * $"p_retailprice" * $"l_quantity").as("sum_profit"))
-      .orderBy($"nation".asc, $"o_year".desc)
+      .orderBy($"nation".asc, $"o_year".desc), order, Nil)
   }
 
   /** Same oracle as the plain Q9 — CBO routing is
@@ -279,7 +352,16 @@ object WorkloadOps {
     * footer micros range, and the branch decision by the tails'
     * combined FK-selectivity. Semantics (and oracle) identical to
     * [[TpchOps.tpchQ8]]. */
-  def tpchQ8Cbo(spark: SparkSession, sfDir: String): DataFrame = {
+  def tpchQ8Cbo(spark: SparkSession, sfDir: String): DataFrame =
+    tpchQ8CboPlan(spark, sfDir)._1
+
+  /** [[tpchQ8Cbo]] + (order, bushy heads); the bushy-shape pin
+    * (the region-pruned customer branch goes bushy) lives in
+    * Round19Spec, not the production path — a corpus whose stats
+    * legitimately flip the decision runs the linear plan instead of
+    * aborting (identical semantics either way). */
+  private[graft] def tpchQ8CboPlan(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import spark.implicits._
     import graft.plans.Cbo
     val lo = "1996-01-01 00:00:00"
@@ -328,16 +410,12 @@ object WorkloadOps {
         eqFilter = Some(("r_name", "AMERICA")))),
       branches = Seq(Cbo.Branch("orders",
         Seq("customer", "nation1", "region"))))
-    require(bushy == Seq("orders"),
-      s"the region-pruned customer branch must go bushy, got $bushy")
-    require(order.indexOf("nation2") > order.indexOf("supplier"),
-      s"supplier must unlock nation2, got $order")
-    joined
+    (joined
       .groupBy(year($"o_orderdate").as("o_year"))
       .agg((xsum(when($"supp_nation" === "NATION_6", $"volume")
           .otherwise(0.0)) /
         xsum($"volume")).as("mkt_share"))
-      .orderBy($"o_year".asc)
+      .orderBy($"o_year".asc), order, bushy)
   }
 
   /** Same oracle as the plain Q8 — bushy routing is
@@ -355,22 +433,43 @@ object WorkloadOps {
     * the customer join probes thousands of rows, not billions. The
     * oracle spells the same shape as a CTE (semantically the IN form —
     * one row per qualifying order). */
-  def tpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+  def tpchQ18(spark: SparkSession, sfDir: String): DataFrame =
+    tpchQ18Plan(spark, sfDir)._1
+
+  /** Q18 THROUGH THE CBO: the pre-aggregated heavy tail stays the
+    * accumulated left (the 100 TB shape — the fact collapses to
+    * |orders| grain below any join), and the orders/customer dims are
+    * broadcast-or-merge by their ANALYZE estimates instead of
+    * Spark's file-size guess. The order itself is forced by
+    * connectivity (customer's key exists only after orders), so
+    * Q18's CBO value is the per-join SIZE decision: at bench scale
+    * the width-priced orders table crosses the 10 MB budget and
+    * takes the scalable merge join, while customer broadcasts —
+    * exactly what a 1000-executor run would want. */
+  private[graft] def tpchQ18Plan(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import spark.implicits._
+    import graft.plans.Cbo
     val big = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_quantity")
       .groupBy($"l_orderkey")
       .agg(xsum($"l_quantity").as("sum_qty"))
       .filter($"sum_qty" > 300.0)
     val o = Tables.orders(spark, sfDir)
-      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
-    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
-    big.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(c, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderkey",
+        $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("o_custkey"), $"c_custkey", $"c_name")
+    val (joined, order) = Cbo.reorderJoin(big, Seq(
+      "orders" -> Cbo.Input(o,
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey")),
+      "customer" -> Cbo.Input(c,
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey"))))
+    (joined
       .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
         $"o_totalprice", $"sum_qty")
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-      .limit(100)
+      .limit(100), order, Nil)
   }
 
   val tpchQ18Sql: String =

@@ -32,26 +32,67 @@ object Cbo {
     * split every warehouse makes). */
   final case class TableStats(nRows: Long, sizeBytes: Long,
       cols: Map[String, FooterStats.ColStat],
-      ndv: Map[String, Long] = Map.empty) {
-    /** Decompressed in-memory size estimate: 8 bytes per long cell.
-      * Parquet's encoded bytes under-estimate the hash-table cost of
-      * a broadcast build by the compression ratio. */
-    def estBroadcastBytes: Long = nRows * 8L * math.max(cols.size, 1)
+      ndv: Map[String, Long] = Map.empty,
+      avgRowBytes: Double = 0.0) {
+    /** WIDTH-AWARE per-row size estimate: the footer's uncompressed
+      * (decoded-codec, still parquet-encoded) bytes per row × an
+      * encoding-expansion factor for the in-memory form, FLOORED at
+      * the old 8 bytes/column integer estimate. The floor matters for
+      * dictionary-crushed integer columns (encoded bytes/row can be
+      * < 1); the measured width matters for text/array columns, where
+      * 8 B/col under-counts by 2-3 orders of magnitude — a
+      * documents-shaped dim small by ROW COUNT could otherwise sail
+      * a multi-GB payload under a 10 MB broadcast budget. */
+    def rowWidth: Double =
+      math.max(avgRowBytes * ENCODING_EXPANSION,
+        8.0 * math.max(cols.size, 1))
+    /** Decompressed in-memory size estimate of a broadcast build. */
+    def estBroadcastBytes: Long = (nRows * rowWidth).toLong
   }
 
-  /** Per-(path, column) NDV cache: fixture/lake files are immutable,
-    * so a distinct-count never changes for a given path — pay the
-    * scan once per session, not once per plan. */
+  /** In-memory expansion over parquet's uncompressed-but-encoded
+    * bytes (UnsafeRow word alignment, string/array headers, hash
+    * table slack). 2× is the conservative middle of what Spark's own
+    * size estimators assume; it only needs to be order-of-magnitude
+    * right — the decision it feeds is broadcast-vs-shuffle, and the
+    * 8 B/col floor bounds it from below. */
+  val ENCODING_EXPANSION = 2.0
+
+  /** Per-(path, freshness, column) NDV cache: pay the distinct-count
+    * scan once per session, not once per plan. The FRESHNESS TOKEN in
+    * the key (file count + total bytes + max mtime of the path's
+    * parquet files) is what makes the cache safe against an in-session
+    * rewrite: regenerating a fixture or overwriting a parquet dir at
+    * the same path changes the token, so the stale entry can never be
+    * served to a join-order decision. */
   private val ndvCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Long]
+
+  /** Cheap rewrite detector for a plain parquet path — metadata-only
+    * (same listing ANALYZE's footer pass walks; no data pages). */
+  private def freshnessToken(path: String): String = {
+    val f = new java.io.File(path).getCanonicalFile
+    val files =
+      if (f.isFile) Array(f)
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    s"${files.length}|${files.map(_.length).sum}|" +
+      s"${files.map(_.lastModified).foldLeft(0L)(math.max)}"
+  }
 
   /** Enrich footer stats with per-column NDV — one
     * approx_count_distinct aggregate over the table (a single
     * partial-aggregated job; HLL error ~2 % is far inside the
-    * margins a join-order decision needs). Cached per (path, col). */
+    * margins a join-order decision needs). Cached per
+    * (path, freshness token, col). */
   def withNdv(stats: TableStats, spark: org.apache.spark.sql.SparkSession,
       path: String, cols: Seq[String]): TableStats = {
-    val missing = cols.filterNot(c => ndvCache.contains((path, c)))
+    val token = freshnessToken(path)
+    // evict superseded entries for this path so a long session that
+    // rewrites tables cannot accumulate dead cache rows
+    ndvCache.keys.filter(k => k._1 == path && k._2 != token)
+      .foreach(ndvCache.remove)
+    val missing = cols.filterNot(c => ndvCache.contains((path, token, c)))
     if (missing.nonEmpty) {
       import org.apache.spark.sql.functions.approx_count_distinct
       val row = spark.read.parquet(path)
@@ -59,11 +100,53 @@ object Cbo {
           missing.tail.map(approx_count_distinct(_)): _*)
         .head()
       missing.zipWithIndex.foreach { case (c, i) =>
-        ndvCache((path, c)) = row.getLong(i)
+        ndvCache((path, token, c)) = row.getLong(i)
       }
     }
     stats.copy(ndv = stats.ndv ++
-      cols.map(c => c -> ndvCache((path, c))))
+      cols.map(c => c -> ndvCache((path, token, c))))
+  }
+
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` on a
+    * TRANSACTIONAL table: per-column NDV computed at the LATEST
+    * committed snapshot and PERSISTED as a `vN.stats` artifact in the
+    * txn log (graft.engine.TxnLog.writeColumnStats), next to the
+    * version's schema/mapping artifacts. A FRESH session (or another
+    * process) planning against the same table reads the artifact
+    * before any data scan — join-order decisions then cost O(files)
+    * footer metadata plus one artifact read, zero data pages. Keying
+    * by snapshot version is the staleness fix: a rewrite at the same
+    * path is a NEW commit, whose version has no artifact until it is
+    * analyzed again — stale NDV is unreachable by construction. */
+  def analyzeColumns(spark: org.apache.spark.sql.SparkSession,
+      root: String, cols: Seq[String],
+      exact: Boolean = false): TableStats = {
+    import graft.engine.TxnLog
+    val v = TxnLog.latestCommitted(root)
+    require(v >= 0, s"$root: no committed version to analyze")
+    val base = analyze(root)
+    val persisted = TxnLog.readColumnStats(root, v)
+    val missing = cols.filterNot(persisted.contains)
+    val computed =
+      if (missing.isEmpty) Map.empty[String, Long]
+      else {
+        import org.apache.spark.sql.functions.{approx_count_distinct,
+          countDistinct, col}
+        // approx (HLL, one partial-aggregated pass) is the 100 TB
+        // default; `exact` (count distinct — an extra shuffle) is for
+        // small dimensions and differential oracles, the same split
+        // every warehouse's ANALYZE offers
+        def agg(c: String) =
+          if (exact) countDistinct(col(c)) else approx_count_distinct(c)
+        val row = TxnLog.read(spark, root, v)
+          .agg(agg(missing.head), missing.tail.map(agg): _*)
+          .head()
+        val m = missing.zipWithIndex
+          .map { case (c, i) => c -> row.getLong(i) }.toMap
+        TxnLog.writeColumnStats(root, v, m)
+        m
+      }
+    base.copy(ndv = base.ndv ++ persisted ++ computed)
   }
 
   /** ANALYZE TABLE: one footer pass over the latest snapshot. */
@@ -83,7 +166,10 @@ object Cbo {
         sts.flatMap(_.max) match { case Nil => None; case ms => Some(ms.max) },
         sts.map(_.nulls).sum)
     }.toMap
-    TableStats(files.map(_.nRows).sum, files.map(_.bytes).sum, cols)
+    val nRows = files.map(_.nRows).sum
+    val raw = files.map(_.rawBytes).sum
+    TableStats(nRows, files.map(_.bytes).sum, cols,
+      avgRowBytes = if (nRows > 0) raw.toDouble / nRows else 0.0)
   }
 
   /** Stats-driven equi-join of `left` against the transactional
@@ -111,8 +197,12 @@ object Cbo {
     * stats-driven join decision here ([[join]], [[joinDerived]],
     * [[reorderJoin]], [[reorderJoinBushy]]) — one knob, so a spec (or
     * an operator) forcing the shuffle fallback steers every code
-    * path, not just one. Unset → Spark's own default threshold. An
-    * explicit `broadcastBytes` argument still wins over the conf. */
+    * path, not just one. Unset → the session's OWN
+    * `spark.sql.autoBroadcastJoinThreshold` (so a session that tunes
+    * Spark's threshold steers the stats-driven joins identically;
+    * a session that DISABLES auto-broadcast with -1 disables
+    * stats-driven broadcasts too). An explicit `broadcastBytes`
+    * argument still wins over the conf. */
   val BROADCAST_BYTES_CONF = "graft.cbo.broadcastBytes"
 
   /** Sentinel default for broadcastBytes parameters: resolve from the
@@ -121,7 +211,10 @@ object Cbo {
 
   def broadcastBudget(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(BROADCAST_BYTES_CONF)
-      .map(_.toLong).getOrElse(10L << 20)
+      .map(_.toLong).getOrElse {
+        val t = spark.sessionState.conf.autoBroadcastJoinThreshold
+        if (t > 0L) t else 0L // -1 = broadcast disabled → budget 0
+      }
 
   private def resolveBudget(anyFrame: DataFrame, explicit: Long): Long =
     if (explicit >= 0L) explicit else broadcastBudget(anyFrame.sparkSession)
@@ -244,8 +337,9 @@ object Cbo {
           s"${remaining.map(_._1)} joins on $available")
       val (label, in) = eligible.minBy { case (_, i) => estRows(i) }
       val applied = applyPredicates(in)
-      val estBytes =
-        estRows(in) * 8.0 * math.max(in.stats.cols.size, 1)
+      // width-aware: estimated post-filter rows × the table's measured
+      // per-row byte width (footer uncompressed bytes, 8 B/col floor)
+      val estBytes = estRows(in) * in.stats.rowWidth
       val side =
         if (estBytes <= budget.toDouble) broadcast(applied)
         else applied.hint("merge")
@@ -297,6 +391,17 @@ object Cbo {
     * branch pruning, so broadcast-vs-merge and its position in the
     * join order both see the real (post-branch) size.
     *
+    * BIAS BOUND (uniform-FK assumption): the composite estimate
+    * `estRows(head) × Π tailSel` assumes the head's foreign keys are
+    * uniform over the tail's domain. Under FK skew it UNDER-estimates
+    * by at most `max_freq / mean_freq` of the branch join key (tight
+    * when one hot parent survives the tail filter — Round19Spec pins
+    * the bound with a 90 %-hot-key fixture). Deployments with known
+    * hot keys should leave that factor of margin between the
+    * composite estimate and the broadcast budget, or pre-compute the
+    * key's NDV-weighted histogram; the decision degrades to the
+    * scalable merge join either way, never to a wrong result.
+    *
     * Returns (joined frame, chosen linear order, bushy branch heads)
     * so specs can pin the stats→shape flip. */
   def reorderJoinBushy(fact: DataFrame, dims: Seq[(String, Input)],
@@ -330,11 +435,17 @@ object Cbo {
         val estN = math.max(1L, (estRows(head) * tailSel).toLong)
         // synthetic stats for the composite: branch-pruned row count,
         // full joined width (the broadcast decision must price the
-        // composite's actual columns, not just the head's)
+        // composite's actual columns, not just the head's). The
+        // composite row width is the SUM of the members' measured
+        // widths — a join concatenates rows — carried via avgRowBytes
+        // so rowWidth() prices a text-heavy branch member correctly.
         val cols = head.stats.cols ++ tail.flatMap { case (l, t) =>
           t.stats.cols.map { case (c, cs) => s"$l.$c" -> cs } }
+        val width = head.stats.rowWidth +
+          tail.map(_._2.stats.rowWidth).sum
         Some(b.head -> Input(sub,
-          TableStats(estN, estN * 8L * math.max(cols.size, 1), cols),
+          TableStats(estN, (estN * width).toLong, cols,
+            avgRowBytes = width / ENCODING_EXPANSION),
           head.keys))
       }
     }

@@ -92,6 +92,8 @@ private[graft] case class BatchOffset(batch: Long) extends Offset {
   override def json(): String = batch.toString
 }
 
+/** One input split: a single staged CSV file, or (placeholder for an
+  * empty/missing batch ordinal) the batch directory itself. */
 private[graft] case class BatchPartition(dir: String)
   extends InputPartition
 
@@ -157,12 +159,28 @@ private[graft] class EventsMicroBatchStream(path: String,
   override def deserializeOffset(json: String): Offset =
     BatchOffset(json.trim.toLong)
 
+  /** One partition PER STAGED FILE, not per batch: each admitted
+    * batch directory holds up to `repartition(8, batch)` CSV parts,
+    * and a per-file split parses them in PARALLEL executor tasks —
+    * the file-granular split shape every production source
+    * (Kafka partition, parquet row-group, file-stream file) has. A
+    * per-BATCH split serialized the whole micro-batch read through
+    * one task, which at 100 TB would bottleneck every trigger on a
+    * single core. An empty/missing ordinal still contributes one
+    * placeholder split so its micro-batch executes as a real (empty)
+    * trigger — the watermark-walk keys depend on that. */
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BatchOffset].batch
     val e = end.asInstanceOf[BatchOffset].batch
-    ((s + 1) to e).map(i =>
-      BatchPartition(s"$path/batch=$i"): InputPartition).toArray
+    ((s + 1) to e).flatMap { i =>
+      val dir = new java.io.File(s"$path/batch=$i")
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".csv") && f.length > 0)
+        .sortBy(_.getName)
+      if (files.isEmpty) Seq(BatchPartition(dir.getAbsolutePath))
+      else files.toSeq.map(f => BatchPartition(f.getAbsolutePath))
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -170,11 +188,15 @@ private[graft] class EventsMicroBatchStream(path: String,
     new PartitionReaderFactory {
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] = {
-        val dir = new java.io.File(
+        val target = new java.io.File(
           p.asInstanceOf[BatchPartition].dir)
-        val files = Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.endsWith(".csv") && f.length > 0)
-          .sortBy(_.getName)
+        // per-file split (the normal case) or a directory placeholder
+        // for an empty batch ordinal (lists to nothing)
+        val files =
+          if (target.isFile) Array(target)
+          else Option(target.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.endsWith(".csv") && f.length > 0)
+            .sortBy(_.getName)
         new PartitionReader[InternalRow] {
           // naive comma split by design: the staging side owns the
           // transport contract (numeric/token fields only; free-form
