@@ -51,7 +51,13 @@ object MvOps {
   private[graft] def mvDef(spark: SparkSession, sfDir: String)
       : MvRewriteRule.MvDef =
     MvRewriteRule.MvDef(
-      factSuffix = "lineitem.parquet",
+      // the FULL fact path, not the bare file name: defs for several
+      // scale factors coexist in one session (register keeps one per
+      // mvPath), and a bare-suffix match would let the first
+      // registered MV answer ANOTHER corpus's fact scan — wrong rows,
+      // found by the round-13 min-rows sweep running sf0.01 keys in
+      // the same session as the sf0.001 spec suite
+      factSuffix = s"$sfDir/lineitem.parquet",
       mvPath = mvDir(spark, sfDir),
       keys = Seq("l_returnflag", "l_linestatus"),
       cntCol = "cnt",
