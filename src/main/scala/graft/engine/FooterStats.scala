@@ -15,9 +15,13 @@ import scala.jdk.CollectionConverters._
 object FooterStats {
 
   /** Per-column footer stats: min/max (absent when the writer left
-    * no stats or the file is empty) and the null count. */
+    * no stats or the file is empty), the null count, and the column
+    * chunks' UNCOMPRESSED byte total (decoded codec, still
+    * parquet-encoded) — the per-column half of width-aware join
+    * pricing: a projection that keeps 2 of 40 columns must be priced
+    * by those 2 columns' bytes, not the table's. */
   final case class ColStat(min: Option[Long], max: Option[Long],
-      nulls: Long)
+      nulls: Long, rawBytes: Long = 0L)
 
   /** One data file's footer summary. `rawBytes` is the footer's
     * total UNCOMPRESSED column-chunk byte count — bytes after codec
@@ -59,7 +63,8 @@ object FooterStats {
                   else None,
                   if (nonEmpty.nonEmpty) Some(nonEmpty.map(_.getMax).max)
                   else None,
-                  sts.map(s => math.max(s.getNumNulls, 0L)).sum)
+                  sts.map(s => math.max(s.getNumNulls, 0L)).sum,
+                  chunks.map(_.getTotalUncompressedSize).sum)
               }
             val rawBytes = blocks.flatMap(_.getColumns.asScala)
               .map(_.getTotalUncompressedSize).sum

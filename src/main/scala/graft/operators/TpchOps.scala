@@ -219,17 +219,22 @@ object TpchOps {
     val pair = Seq("NATION_9", "NATION_11")
     val (joined, order, bushy) = Cbo.reorderJoinBushy(fact, Seq(
       "supplier" -> Cbo.Input(s,
-        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey")),
+        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey"),
+        priceCols = Some(Seq("s_suppkey", "s_nationkey"))),
       "nation1" -> Cbo.Input(n1, natStats, Seq("s_nationkey"),
         pred = Some($"supp_nation".isin(pair: _*)),
-        selOverride = Some(isinSel)),
+        selOverride = Some(isinSel),
+        priceCols = Some(Seq("n_nationkey", "n_name"))),
       "orders" -> Cbo.Input(o,
-        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey")),
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
+        priceCols = Some(Seq("o_orderkey", "o_custkey"))),
       "customer" -> Cbo.Input(c,
-        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey")),
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey"),
+        priceCols = Some(Seq("c_custkey", "c_nationkey"))),
       "nation2" -> Cbo.Input(n2, natStats, Seq("c_nationkey"),
         pred = Some($"cust_nation".isin(pair: _*)),
-        selOverride = Some(isinSel))),
+        selOverride = Some(isinSel),
+        priceCols = Some(Seq("n_nationkey", "n_name")))),
       branches = Seq(Cbo.Branch("supplier", Seq("nation1")),
         Cbo.Branch("orders", Seq("customer", "nation2"))))
     (joined
@@ -690,7 +695,9 @@ object TpchOps {
       Tables.lineitem(spark, sfDir)
         .select($"l_orderkey", $"l_suppkey", $"l_shipdate"),
       Seq("orders" -> Cbo.Input(o, ordersStats, Seq("l_orderkey"),
-        eqFilter = Some(("o_orderstatus", "F")))))
+        eqFilter = Some(("o_orderstatus", "F")),
+        priceCols = Some(Seq("o_orderkey", "o_orderdate",
+          "o_orderstatus")))))
     val lf = lfJoined.select($"l_orderkey", $"l_suppkey",
       ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
     val sup = Tables.supplier(spark, sfDir)
@@ -698,7 +705,8 @@ object TpchOps {
     val (l1, orderL1) = Cbo.reorderJoin(lf.filter($"late"),
       Seq("supplier" -> Cbo.Input(sup,
         Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey"),
-        eqFilter = Some(("s_nationkey", 9)))))
+        eqFilter = Some(("s_nationkey", 9)),
+        priceCols = Some(Seq("s_suppkey", "s_name", "s_nationkey")))))
     val others = lf.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
     val lateOthers = lf.filter($"late")
       .select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))

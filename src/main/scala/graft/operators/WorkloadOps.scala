@@ -75,9 +75,11 @@ object WorkloadOps {
       "orders" -> Cbo.Input(o,
         Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
         filter = Some(("o_orderdate", 0L, epochMicros(cutS) - 1L)),
-        pred = Some($"o_orderdate" < cut)),
+        pred = Some($"o_orderdate" < cut),
+        priceCols = Some(Seq("o_orderkey", "o_custkey", "o_orderdate"))),
       "customer" -> Cbo.Input(c, custStats, Seq("o_custkey"),
-        eqFilter = Some(("c_mktsegment", "BUILDING")))),
+        eqFilter = Some(("c_mktsegment", "BUILDING")),
+        priceCols = Some(Seq("c_custkey", "c_mktsegment")))),
       branches = Seq(Cbo.Branch("orders", Seq("customer"))))
     (joined
       .groupBy($"o_orderkey", $"o_orderdate")
@@ -148,16 +150,21 @@ object WorkloadOps {
         Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
         filter = Some(("o_orderdate", epochMicros(loS),
           epochMicros(hiS) - 1L)),
-        pred = Some($"o_orderdate" >= lo && $"o_orderdate" < hi)),
+        pred = Some($"o_orderdate" >= lo && $"o_orderdate" < hi),
+        priceCols = Some(Seq("o_orderkey", "o_custkey", "o_orderdate"))),
       "customer" -> Cbo.Input(c,
-        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey")),
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey"),
+        priceCols = Some(Seq("c_custkey", "c_nationkey"))),
       "supplier" -> Cbo.Input(s,
         Cbo.analyzePath(s"$sfDir/supplier.parquet"),
-        Seq("l_suppkey", "c_nationkey")),
+        Seq("l_suppkey", "c_nationkey"),
+        priceCols = Some(Seq("s_suppkey", "s_nationkey"))),
       "nation" -> Cbo.Input(n,
-        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey")),
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey"),
+        priceCols = Some(Seq("n_nationkey", "n_name", "n_regionkey"))),
       "region" -> Cbo.Input(r, regionStats, Seq("n_regionkey"),
-        eqFilter = Some(("r_name", "ASIA")))),
+        eqFilter = Some(("r_name", "ASIA")),
+        priceCols = Some(Seq("r_regionkey", "r_name")))),
       branches = Seq(Cbo.Branch("nation", Seq("region"))))
     (joined
       .groupBy($"n_name")
@@ -262,11 +269,15 @@ object WorkloadOps {
         Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
         filter = Some(("o_orderdate", loUs, hiUs - 1L)),
         pred = Some($"o_orderdate" >= to_timestamp(lit(lo)) &&
-          $"o_orderdate" < to_timestamp(lit(hi)))),
+          $"o_orderdate" < to_timestamp(lit(hi))),
+        priceCols = Some(Seq("o_orderkey", "o_custkey", "o_orderdate"))),
       "customer" -> Cbo.Input(cust,
-        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey")),
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey"),
+        priceCols = Some(Seq("c_custkey", "c_name", "c_acctbal",
+          "c_nationkey"))),
       "nation" -> Cbo.Input(nat,
-        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey"))))
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey"),
+        priceCols = Some(Seq("n_nationkey", "n_name")))))
     (joined
       .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
       .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
@@ -320,13 +331,17 @@ object WorkloadOps {
       "part" -> Cbo.Input(p,
         Cbo.analyzePath(s"$sfDir/part.parquet"), Seq("l_partkey"),
         pred = Some($"p_name".contains("gear")),
-        selOverride = Some(0.1)),
+        selOverride = Some(0.1),
+        priceCols = Some(Seq("p_partkey", "p_name", "p_retailprice"))),
       "supplier" -> Cbo.Input(s,
-        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey")),
+        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey"),
+        priceCols = Some(Seq("s_suppkey", "s_nationkey"))),
       "nation" -> Cbo.Input(n,
-        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("s_nationkey")),
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("s_nationkey"),
+        priceCols = Some(Seq("n_nationkey", "n_name"))),
       "orders" -> Cbo.Input(o,
-        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"))))
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
+        priceCols = Some(Seq("o_orderkey", "o_orderdate")))))
     (joined
       .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
       .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
@@ -392,22 +407,29 @@ object WorkloadOps {
       spark, s"$sfDir/region.parquet", Seq("r_name"))
     val (joined, order, bushy) = Cbo.reorderJoinBushy(fact, Seq(
       "part" -> Cbo.Input(p, partStats, Seq("l_partkey"),
-        eqFilter = Some(("p_type", "ECONOMY"))),
+        eqFilter = Some(("p_type", "ECONOMY")),
+        priceCols = Some(Seq("p_partkey", "p_type"))),
       "supplier" -> Cbo.Input(s,
-        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey")),
+        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey"),
+        priceCols = Some(Seq("s_suppkey", "s_nationkey"))),
       "nation2" -> Cbo.Input(n2,
-        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("s_nationkey")),
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("s_nationkey"),
+        priceCols = Some(Seq("n_nationkey", "n_name"))),
       "orders" -> Cbo.Input(o,
         Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
         filter = Some(("o_orderdate", epochMicros(lo), epochMicros(hi) - 1L)),
         pred = Some($"o_orderdate" >= to_timestamp(lit(lo)) &&
-          $"o_orderdate" < to_timestamp(lit(hi)))),
+          $"o_orderdate" < to_timestamp(lit(hi))),
+        priceCols = Some(Seq("o_orderkey", "o_custkey", "o_orderdate"))),
       "customer" -> Cbo.Input(c,
-        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey")),
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey"),
+        priceCols = Some(Seq("c_custkey", "c_nationkey"))),
       "nation1" -> Cbo.Input(n1,
-        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey")),
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("c_nationkey"),
+        priceCols = Some(Seq("n_nationkey", "n_regionkey"))),
       "region" -> Cbo.Input(r, regionStats, Seq("n_regionkey"),
-        eqFilter = Some(("r_name", "AMERICA")))),
+        eqFilter = Some(("r_name", "AMERICA")),
+        priceCols = Some(Seq("r_regionkey", "r_name")))),
       branches = Seq(Cbo.Branch("orders",
         Seq("customer", "nation1", "region"))))
     (joined
@@ -462,9 +484,12 @@ object WorkloadOps {
       .select($"c_custkey".as("o_custkey"), $"c_custkey", $"c_name")
     val (joined, order) = Cbo.reorderJoin(big, Seq(
       "orders" -> Cbo.Input(o,
-        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey")),
+        Cbo.analyzePath(s"$sfDir/orders.parquet"), Seq("l_orderkey"),
+        priceCols = Some(Seq("o_orderkey", "o_custkey", "o_orderdate",
+          "o_totalprice"))),
       "customer" -> Cbo.Input(c,
-        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey"))))
+        Cbo.analyzePath(s"$sfDir/customer.parquet"), Seq("o_custkey"),
+        priceCols = Some(Seq("c_custkey", "c_name")))))
     (joined
       .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
         $"o_totalprice", $"sum_qty")

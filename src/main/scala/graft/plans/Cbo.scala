@@ -46,6 +46,27 @@ object Cbo {
     def rowWidth: Double =
       math.max(avgRowBytes * ENCODING_EXPANSION,
         8.0 * math.max(cols.size, 1))
+    /** PROJECTION-AWARE row width: when the frame being priced keeps
+      * only a subset of the table's columns, price those columns'
+      * measured footer bytes (per-column, 8 B floor each) — a 2-of-40
+      * projection must not be priced at full-table width any more
+      * than a text column should be priced at 8 bytes. `None` (or a
+      * column the footer does not know) falls back conservatively. */
+    def rowWidthFor(projected: Option[Seq[String]]): Double =
+      projected match {
+        case None => rowWidth
+        case Some(cs) if cs.isEmpty => rowWidth
+        case Some(cs) =>
+          val known = cs.flatMap(cols.get)
+          if (known.size < cs.size) rowWidth // unknown column → full width
+          else known.map { s =>
+            math.max(
+              if (nRows > 0)
+                s.rawBytes.toDouble / nRows * ENCODING_EXPANSION
+              else 0.0,
+              8.0)
+          }.sum
+      }
     /** Decompressed in-memory size estimate of a broadcast build. */
     def estBroadcastBytes: Long = (nRows * rowWidth).toLong
   }
@@ -164,7 +185,8 @@ object Cbo {
       c -> FooterStats.ColStat(
         sts.flatMap(_.min) match { case Nil => None; case ms => Some(ms.min) },
         sts.flatMap(_.max) match { case Nil => None; case ms => Some(ms.max) },
-        sts.map(_.nulls).sum)
+        sts.map(_.nulls).sum,
+        sts.map(_.rawBytes).sum)
     }.toMap
     val nRows = files.map(_.nRows).sum
     val raw = files.map(_.rawBytes).sum
@@ -272,12 +294,18 @@ object Cbo {
     * see at all (a point predicate has no [lo, hi] span; without NDV
     * it used to default to 1.0 and could mis-order a chain). Falls
     * back to 1/(max−min+1) for an integer-ranged column, else 1.0.
-    * All three estimate sources compose multiplicatively. */
+    * All three estimate sources compose multiplicatively.
+    * `priceCols` names the SOURCE-TABLE columns the dim frame
+    * actually carries (pre-rename), so the broadcast price reflects
+    * the projection's measured per-column footer bytes instead of
+    * full-table width; omit to price the whole table
+    * (conservative). */
   final case class Input(df: DataFrame, stats: TableStats,
       keys: Seq[String], filter: Option[(String, Long, Long)] = None,
       pred: Option[org.apache.spark.sql.Column] = None,
       selOverride: Option[Double] = None,
-      eqFilter: Option[(String, Any)] = None)
+      eqFilter: Option[(String, Any)] = None,
+      priceCols: Option[Seq[String]] = None)
 
   /** Uniform-assumption fraction of rows with `col` ∈ [lo, hi],
     * from the column's footer [min, max]. Unknown stats → 1.0 (the
@@ -285,7 +313,7 @@ object Cbo {
   def selectivity(stats: TableStats, col: String, lo: Long,
       hi: Long): Double =
     stats.cols.get(col) match {
-      case Some(FooterStats.ColStat(Some(mn), Some(mx), _)) =>
+      case Some(FooterStats.ColStat(Some(mn), Some(mx), _, _)) =>
         val span = (mx - mn + 1).toDouble
         val keep =
           math.max(0L, math.min(hi, mx) - math.max(lo, mn) + 1).toDouble
@@ -299,7 +327,7 @@ object Cbo {
   def eqSelectivity(stats: TableStats, col: String): Double =
     stats.ndv.get(col).filter(_ > 0).map(1.0 / _).getOrElse(
       stats.cols.get(col) match {
-        case Some(FooterStats.ColStat(Some(mn), Some(mx), _)) if mx >= mn =>
+        case Some(FooterStats.ColStat(Some(mn), Some(mx), _, _)) if mx >= mn =>
           1.0 / (mx - mn + 1).toDouble
         case _ => 1.0
       })
@@ -337,9 +365,10 @@ object Cbo {
           s"${remaining.map(_._1)} joins on $available")
       val (label, in) = eligible.minBy { case (_, i) => estRows(i) }
       val applied = applyPredicates(in)
-      // width-aware: estimated post-filter rows × the table's measured
-      // per-row byte width (footer uncompressed bytes, 8 B/col floor)
-      val estBytes = estRows(in) * in.stats.rowWidth
+      // width-aware: estimated post-filter rows × the PROJECTION's
+      // measured per-row byte width (per-column footer uncompressed
+      // bytes when priceCols is given, 8 B floors throughout)
+      val estBytes = estRows(in) * in.stats.rowWidthFor(in.priceCols)
       val side =
         if (estBytes <= budget.toDouble) broadcast(applied)
         else applied.hint("merge")
@@ -441,8 +470,8 @@ object Cbo {
         // so rowWidth() prices a text-heavy branch member correctly.
         val cols = head.stats.cols ++ tail.flatMap { case (l, t) =>
           t.stats.cols.map { case (c, cs) => s"$l.$c" -> cs } }
-        val width = head.stats.rowWidth +
-          tail.map(_._2.stats.rowWidth).sum
+        val width = head.stats.rowWidthFor(head.priceCols) +
+          tail.map { case (_, t) => t.stats.rowWidthFor(t.priceCols) }.sum
         Some(b.head -> Input(sub,
           TableStats(estN, (estN * width).toLong, cols,
             avgRowBytes = width / ENCODING_EXPANSION),
