@@ -196,18 +196,46 @@ object StreamOps {
     schemaDdl.fold(r)(s => r.option("schema", s)).load()
   }
 
-  /** Drain a streaming frame into a memory sink and return it. */
+  /** Drain a streaming frame into a memory sink and return it.
+    *
+    * The query's checkpoint is EPHEMERAL BY CONSTRUCTION (a
+    * memory-sink drain is result materialization; Spark deletes the
+    * temp checkpoint on success), so it rides RAM (/dev/shm) when
+    * available instead of paying fsync'd WAL + state-commit I/O to
+    * real disk on every trigger. The keys whose checkpoint IS the
+    * semantics (offset/file-sink RESTART recovery) manage their own
+    * on-disk checkpointLocation and are untouched — the 100 TB
+    * analogue: local scratch for ephemeral drains, the durable
+    * object-store path for recovery-bearing state. */
+  private def ephemeralCkpt(): java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else new java.io.File(System.getProperty("java.io.tmpdir")).toPath
+    java.nio.file.Files.createTempDirectory(base, "graft_ckpt_").toFile
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+
   private def drainToTable(spark: SparkSession, out: DataFrame,
       mode: OutputMode): DataFrame = {
     val sinkName = freshSink(spark)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = ephemeralCkpt()
     try {
       val q = sinkPoint(out)
         .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      deleteRec(ckpt)
+    }
     spark.table(sinkName)
   }
 
