@@ -87,22 +87,9 @@ object GraphOps {
     val base = (SCALE * (DAMP_DEN - DAMP_NUM) / DAMP_DEN) / n
     var ranks = deg.select($"src".as("user_id"), lit(SCALE / n).as("prs"))
     for (_ <- 1 to ITERS) {
-      // VERTEX-STATE BROADCAST REGIME (round 13): the per-node state
-      // (rank ⋈ out-degree — |V| rows of 3 longs) is joined into the
-      // edge list through the stats-driven broadcast decision instead
-      // of shuffling |E| edge rows per iteration. With |V| ≪ |E| —
-      // the invariant of this co-rating graph at every scale — each
-      // of the ITERS rounds costs one broadcast plus ONE map-side-
-      // combined exchange of partial rank sums, not three edge-sized
-      // exchanges. estBytes prices the state from the node count the
-      // driver already holds; a graph whose vertex state outgrows the
-      // budget degrades to the shuffle join with identical bytes
-      // (integer arithmetic is join-strategy-independent).
-      val state = ranks.withColumnRenamed("user_id", "src")
+      val contrib = e
+        .join(ranks.withColumnRenamed("user_id", "src"), "src")
         .join(deg, "src")
-      val contrib = graft.plans.Cbo.joinDerived(e, state, Seq("src"),
-          estBytes = n.toDouble * 3 * 8 *
-            graft.plans.Cbo.ENCODING_EXPANSION)
         .select($"dst".as("user_id"), expr("prs div outdeg").as("c"))
       ranks = contrib.groupBy($"user_id")
         .agg((lit(base) + expr(s"($DAMP_NUM * sum(c)) div $DAMP_DEN"))
@@ -692,17 +679,9 @@ object GraphOps {
       .union(pairs.select($"user_b".as("src"), $"user_a".as("dst")))
     var lbl = edges.select($"src".as("user_id")).distinct()
       .withColumn("lbl", $"user_id")
-    val nV = lbl.count() // node count: sizes the per-round state broadcast
     for (_ <- 1 to LABEL_ROUNDS) {
-      // vertex-state broadcast regime (see graphPagerankInner): the
-      // |V|-row label table joins INTO the edge list via the
-      // stats-priced broadcast decision — no |E|-sized shuffle per
-      // propagation round; oversized state degrades to merge join
-      // with identical labels (min is strategy-independent)
-      val nbrMin = graft.plans.Cbo.joinDerived(edges,
-          lbl.withColumnRenamed("user_id", "src"), Seq("src"),
-          estBytes = nV.toDouble * 2 * 8 *
-            graft.plans.Cbo.ENCODING_EXPANSION)
+      val nbrMin = edges
+        .join(lbl.withColumnRenamed("user_id", "src"), "src")
         .groupBy($"dst".as("user_id")).agg(min($"lbl").as("nlbl"))
       lbl = lbl.join(nbrMin, Seq("user_id"), "left")
         .select($"user_id",
