@@ -495,13 +495,17 @@ object CfOps {
     * ratings table. */
   def predictUserKnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val sims = userSimPairs(spark, sfDir).select($"user_a", $"user_b", $"sim")
     val both = sims.union(
       sims.select($"user_b".as("user_a"), $"user_a".as("user_b"), $"sim"))
-    val nw = Window.partitionBy($"user_a").orderBy($"sim".desc, $"user_b".asc)
-    val uneigh = both.withColumn("rk", row_number().over(nw))
-      .filter($"rk" <= K_NEIGHBORS)
+    // Both rankings ride the partial-heap top-k operator (same as
+    // slope_one / recsTopN): map-side heaps prune each partition to
+    // ≤ k rows per key BEFORE the exchange, instead of the
+    // row_number window shuffling every pair / scored candidate.
+    val uneigh = graft.plans.TopKPerKey.topK(both,
+        keyCols = Seq("user_a"),
+        orderSpec = Seq("sim" -> false, "user_b" -> true),
+        k = K_NEIGHBORS, rankName = "rk")
       .select($"user_a".as("target"), $"user_b".as("nbr"), $"sim")
     val r = ratings(spark, sfDir)
     val scored = r.join(uneigh, $"user_id" === $"nbr")
@@ -510,10 +514,12 @@ object CfOps {
     val unseen = scored.join(
       r.select($"user_id".as("su"), $"item_id".as("si")),
       $"target" === $"su" && $"item_id" === $"si", "left_anti")
-    val w = Window.partitionBy($"user_id").orderBy($"score".desc, $"item_id".asc)
-    unseen.select($"target".as("user_id"), $"item_id", rnd6($"score_raw").as("score"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= TOP_N)
+    graft.plans.TopKPerKey.topK(
+        unseen.select($"target".as("user_id"), $"item_id",
+          rnd6($"score_raw").as("score")),
+        keyCols = Seq("user_id"),
+        orderSpec = Seq("score" -> false, "item_id" -> true),
+        k = TOP_N, rankName = "rk")
       .select($"user_id", $"item_id", $"score", $"rk")
       .orderBy($"user_id", $"rk")
   }
@@ -1179,9 +1185,14 @@ object CfOps {
       .localCheckpoint(true)
     val sim2 = pairs.select($"item_a", $"item_b", $"sim")
       .union(pairs.select($"item_b".as("item_a"), $"item_a".as("item_b"), $"sim"))
-    val nW = Window.partitionBy($"item_a").orderBy($"sim".desc, $"item_b".asc)
-    val neigh = sim2.withColumn("nrk", row_number().over(nW))
-      .filter($"nrk" <= K_NEIGHBORS)
+    // both rankings through the partial-heap top-k operator (the
+    // production chain's shape): map-side heaps prune to ≤ k rows
+    // per key before the exchange instead of window-shuffling every
+    // pair / scored candidate
+    val neigh = graft.plans.TopKPerKey.topK(sim2,
+        keyCols = Seq("item_a"),
+        orderSpec = Seq("sim" -> false, "item_b" -> true),
+        k = K_NEIGHBORS, rankName = "nrk")
       .select($"item_a".as("rated_item"), $"item_b".as("cand_item"), $"sim")
     val scored = r0.join(neigh, $"item_id" === $"rated_item")
       .groupBy($"user_id", $"cand_item")
@@ -1189,10 +1200,11 @@ object CfOps {
     val unseen = scored.join(
       r0.select($"user_id".as("su"), $"item_id".as("si")),
       $"user_id" === $"su" && $"cand_item" === $"si", "left_anti")
-    val w = Window.partitionBy($"user_id").orderBy($"score".desc, $"cand_item".asc)
-    unseen.select($"user_id", $"cand_item", rnd6($"score_raw").as("score"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= TOP_N)
+    graft.plans.TopKPerKey.topK(
+        unseen.select($"user_id", $"cand_item", rnd6($"score_raw").as("score")),
+        keyCols = Seq("user_id"),
+        orderSpec = Seq("score" -> false, "cand_item" -> true),
+        k = TOP_N, rankName = "rk")
       .select($"user_id", $"cand_item".as("item_id"), $"score", $"rk")
   }
 
@@ -1617,7 +1629,17 @@ object CfOps {
     val c2 = cand.crossJoin(broadcast(mx))
       .select($"item_id", rnd6($"pop" / $"mp").as("rel"))
       .localCheckpoint(true)
+    // msim only ever probes (candidate, selected) pairs and both ends
+    // live in c2's MMR_CAND-row pool, so prune the corpus-scale pair
+    // stream to candidate×candidate ONCE (two broadcast semi-joins,
+    // ≤ CAND²/2 rows survive) instead of rescanning the full cached
+    // pair table every greedy round.
+    val candA = c2.select($"item_id".as("ia"))
+    val candB = c2.select($"item_id".as("ib"))
     val sims = simPairs(spark, sfDir).select($"item_a", $"item_b", $"sim")
+      .join(broadcast(candA), $"item_a" === $"ia", "left_semi")
+      .join(broadcast(candB), $"item_b" === $"ib", "left_semi")
+      .localCheckpoint(true)
     var sel = c2.orderBy($"rel".desc, $"item_id".asc).limit(1)
       .select($"item_id", lit(1).as("rnk"), $"rel",
         rnd6(lit(0.5) * $"rel").as("mmr"))

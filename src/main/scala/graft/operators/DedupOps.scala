@@ -1076,7 +1076,14 @@ object DedupOps {
   private def dedupIncrementalInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    // batch/corpus slices are each consumed three times (band keys,
+    // set sizes, shared-shingle verification) — materialize the
+    // source-tagged shingle set ONCE instead of re-running the
+    // doc-source join per consumer (6× under the 8-partition
+    // iterative tuning, all serialized with AQE off)
     val shSrc = shingles(spark, sfDir).join(docs, "doc_id")
+      .select($"doc_id", $"shingle", $"source")
+      .localCheckpoint(true)
     val batchSh = shSrc.filter($"source" === "src0")
       .select($"doc_id", $"shingle")
     val corpusSh = shSrc.filter($"source" =!= "src0")

@@ -371,4 +371,40 @@ class Round19Spec extends SparkSpec {
     }.nonEmpty)
     assert(aggBelow, s"lineitem pre-agg must stay below the joins:\n$plan")
   }
+
+  test("predict_user_knn: both rankings ride the partial-heap top-k " +
+      "operator (neighbor cut + final top-N), no full window shuffle") {
+    val df = graft.operators.CfOps.predictUserKnn(spark, sf)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def collectAll[A](p: org.apache.spark.sql.execution.SparkPlan)(
+        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A])
+        : Seq[A] = {
+      val here = pf.lift(p).toSeq
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(collectAll(_)(pf))
+    }
+    val partials = collectAll(plan) {
+      case p: graft.plans.PartialTopKPerKeyExec => p
+    }
+    assert(partials.size >= 2,
+      s"expected map-side heaps for BOTH rankings, got ${partials.size}:\n$plan")
+    // the only Window left is the cached itemCappedRatings cut (per-
+    // item cap, group-limit-bounded); neither ranking may plan one
+    val rankWindows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.toString.contains("user_a")) ||
+          w.partitionSpec.exists(_.toString.contains("user_id")) => w
+    }
+    assert(rankWindows.isEmpty,
+      s"a ranking still plans a full window:\n$rankWindows")
+  }
 }
