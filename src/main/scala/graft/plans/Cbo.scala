@@ -93,10 +93,14 @@ object Cbo {
     * (same listing ANALYZE's footer pass walks; no data pages). */
   private def freshnessToken(path: String): String = {
     val f = new java.io.File(path).getCanonicalFile
-    val files =
-      if (f.isFile) Array(f)
-      else Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
+    // RECURSIVE walk: a hive-partitioned layout keeps its part files
+    // in key=value subdirectories — a top-level-only listing would
+    // return a constant empty token there and silently disable the
+    // rewrite detection this cache key exists for
+    def walk(d: java.io.File): Array[java.io.File] =
+      if (d.isFile) { if (d.getName.endsWith(".parquet")) Array(d) else Array.empty }
+      else Option(d.listFiles()).getOrElse(Array.empty).flatMap(walk)
+    val files = walk(f)
     s"${files.length}|${files.map(_.length).sum}|" +
       s"${files.map(_.lastModified).foldLeft(0L)(math.max)}"
   }
