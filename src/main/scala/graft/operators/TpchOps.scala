@@ -470,26 +470,69 @@ object TpchOps {
     * correlated min-cost-per-part subquery is decorrelated to a
     * groupBy on the correlation key joined back on equality of the
     * SAME double (deterministic: min over identical values). */
-  def tpchQ2(spark: SparkSession, sfDir: String): DataFrame = {
+  def tpchQ2(spark: SparkSession, sfDir: String): DataFrame =
+    tpchQ2Plan(spark, sfDir)._1
+
+  /** Q2 THROUGH THE BUSHY CBO (round 13): the EUROPE-supplier
+    * snowflake (supplier→nation→region-EUROPE) is the same shape as
+    * Q5's pruning branch — region's eqFilter is NDV-priced, its
+    * ~1/|regions| tail selectivity sends nation⋈region down the bushy
+    * branch, and the pre-aggregated supply-cost fact meets dims whose
+    * broadcast-vs-merge is width-priced from footers. The correlated
+    * min (cheapest supplier per part within the EUROPE set) keeps its
+    * authored shape — it re-reads the CBO's joined output, so the
+    * correlation is over exactly the planner-chosen subtree — and
+    * both the part probe and the min join go through the
+    * stats-budgeted [[graft.plans.Cbo.joinDerived]]. Shape pins live
+    * in Round19Spec, not here. */
+  private[graft] def tpchQ2Plan(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import spark.implicits._
-    val europeSupp = Tables.supplier(spark, sfDir)
-      .join(Tables.nation(spark, sfDir), $"s_nationkey" === $"n_nationkey")
-      .join(Tables.region(spark, sfDir).filter($"r_name" === "EUROPE"),
-        $"n_regionkey" === $"r_regionkey")
-      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    import graft.plans.Cbo
     val ps = Tables.lineitem(spark, sfDir)
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(min($"l_extendedprice" / $"l_quantity").as("supplycost"))
-    val psE = ps.join(europeSupp, $"l_suppkey" === $"s_suppkey")
-    val minCost = psE.groupBy($"l_partkey".as("mc_partkey"))
-      .agg(min($"supplycost").as("min_cost"))
-    psE
-      .join(Tables.part(spark, sfDir).filter($"p_size" === 15).select($"p_partkey"),
-        $"l_partkey" === $"p_partkey")
-      .join(minCost, $"p_partkey" === $"mc_partkey" && $"supplycost" === $"min_cost")
+    val s = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as("l_suppkey"), $"s_name", $"s_acctbal",
+        $"s_nationkey")
+    val n = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("s_nationkey"), $"n_name", $"n_regionkey")
+    val r = Tables.region(spark, sfDir)
+      .select($"r_regionkey".as("n_regionkey"), $"r_name")
+    val regionPath = s"$sfDir/region.parquet"
+    val regionStats = Cbo.withNdv(Cbo.analyzePath(regionPath), spark,
+      regionPath, Seq("r_name"))
+    val (psE, order, bushy) = Cbo.reorderJoinBushy(ps, Seq(
+      "supplier" -> Cbo.Input(s,
+        Cbo.analyzePath(s"$sfDir/supplier.parquet"), Seq("l_suppkey"),
+        priceCols = Some(Seq("s_suppkey", "s_name", "s_acctbal",
+          "s_nationkey"))),
+      "nation" -> Cbo.Input(n,
+        Cbo.analyzePath(s"$sfDir/nation.parquet"), Seq("s_nationkey"),
+        priceCols = Some(Seq("n_nationkey", "n_name", "n_regionkey"))),
+      "region" -> Cbo.Input(r, regionStats, Seq("n_regionkey"),
+        eqFilter = Some(("r_name", "EUROPE")),
+        priceCols = Some(Seq("r_regionkey", "r_name")))),
+      branches = Seq(Cbo.Branch("nation", Seq("region"))))
+    val partPath = s"$sfDir/part.parquet"
+    val partStats = Cbo.withNdv(Cbo.analyzePath(partPath), spark,
+      partPath, Seq("p_size"))
+    val p15 = Tables.part(spark, sfDir).filter($"p_size" === 15)
+      .select($"p_partkey".as("l_partkey"), $"p_partkey")
+    val partBytes = Cbo.eqSelectivity(partStats, "p_size") *
+      partStats.nRows *
+      2.0 * partStats.rowWidthFor(Some(Seq("p_partkey")))
+    // the min table is ≤ one row per surviving part: bound by the
+    // part table's row count × one (key, double) pair
+    val minBytes = partStats.nRows * 32.0
+    val minCost = psE.groupBy($"l_partkey")
+      .agg(min($"supplycost").as("supplycost"))
+    (Cbo.joinDerived(
+        Cbo.joinDerived(psE, p15, Seq("l_partkey"), partBytes),
+        minCost, Seq("l_partkey", "supplycost"), minBytes)
       .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey")
       .orderBy($"s_acctbal".desc, $"n_name".asc, $"s_name".asc, $"p_partkey".asc)
-      .limit(100)
+      .limit(100), order, bushy)
   }
 
   val tpchQ2Sql: String =

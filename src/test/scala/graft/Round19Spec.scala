@@ -372,6 +372,20 @@ class Round19Spec extends SparkSpec {
     assert(aggBelow, s"lineitem pre-agg must stay below the joins:\n$plan")
   }
 
+  test("tpch q2 routes through the bushy CBO: supplier joins first " +
+      "(availability), the region-pruned nation branch goes bushy") {
+    val (df, order, bushy) =
+      graft.operators.TpchOps.tpchQ2Plan(spark, sf)
+    // region = 'EUROPE' prices 1/NDV(r_name) = 0.2 < 0.5 → the
+    // nation⋈region composite pre-joins; supplier must precede it
+    // because the composite keys on the s_nationkey supplier exposes
+    assert(bushy == Seq("nation"), s"got bushy=$bushy")
+    assert(order.indexOf("supplier") >= 0 &&
+      order.indexOf("supplier") < order.indexOf("nation"),
+      s"got order=$order")
+    assert(df.count() > 0, "q2 returned no rows")
+  }
+
   test("predict_user_knn: both rankings ride the partial-heap top-k " +
       "operator (neighbor cut + final top-N), no full window shuffle") {
     val df = graft.operators.CfOps.predictUserKnn(spark, sf)
