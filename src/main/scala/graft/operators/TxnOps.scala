@@ -22,8 +22,32 @@ import graft.engine.{Tables, TxnLog}
   * exercised on every execution, not just under lucky scheduling. */
 object TxnOps {
 
+  /** Scratch names embed the applicationId, so every JVM mints fresh
+    * dirs and a killed JVM (timeout, SIGKILL) abandons its set — left
+    * alone they accumulate without bound across sessions. Sweep ONCE
+    * per JVM at first scratch use: siblings under this project's
+    * scratch prefixes whose mtime is stale by hours can only belong
+    * to dead sessions (no single gate run approaches that), while a
+    * concurrently LIVE session's dirs are recent and untouched. */
+  private lazy val sweepStaleScratch: Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("graft_txn_") ||
+          f.getName.startsWith("graft_cat")) &&
+        f.lastModified < cutoff)
+      .foreach(f => try deleteRec(f) catch { case _: Exception => () })
+  }
+
   private[graft] def scratch(spark: SparkSession, sfDir: String,
       tag: String): String = {
+    sweepStaleScratch
     val id = (spark.sparkContext.applicationId + sfDir + tag)
       .replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(System.getProperty("java.io.tmpdir"),
