@@ -70,6 +70,48 @@ object GraphOps {
         .toDF("src", "dst")
     }
 
+  /** [[edges]] hash-partitioned by `src` and cached — the static side
+    * of every per-round join in this family. The round-13 stage
+    * profile of q_graph_pagerank showed the UNPARTITIONED edge cache
+    * being re-exchanged (and re-offered as a broadcast build) once per
+    * iteration: six 33.8k-row shuffle map stages plus four broadcast
+    * builds per execution, all over a table that never changes
+    * (plans/r13/q_graph_pagerank_before.txt). Pinning the cache's
+    * layout to the join key makes each round's join reuse the stored
+    * partitioning, so only the node-sized state table moves per round
+    * (optimization guide §2.4 — remove shuffles outright; the cluster
+    * analogue is bucketing the edge table by src).
+    *
+    * The build is compiled inside [[graft.engine.IterativeTuning]]
+    * (AQE off, the iterative partition sizing): a cached plan compiled
+    * UNDER AQE reports UnknownPartitioning to its consumers (the
+    * adaptive root hides the final shuffle's layout — measured in
+    * Round20Spec), which silently re-buys the per-round exchange this
+    * cache exists to remove. Wrapping the BUILD pins it regardless of
+    * which graph key (wrapped or not) first populates the cache. */
+  private def edgesBySrc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      cache(spark, sfDir, "graphEdgesBySrc") {
+        edges(spark, sfDir).repartition(col("src"))
+      }
+    }
+
+  /** Edge list with each source's out-degree attached, partitioned by
+    * `src` — [[graphPagerank]]'s static per-iteration join input,
+    * hoisted OUT of the loop: the old shape joined `deg` inside the
+    * loop, re-deriving and re-shuffling it every iteration. Built on
+    * [[edgesBySrc]], both the degree aggregation and the attach join
+    * are exchange-free (partial agg + join over co-partitioned input)
+    * and the cached result keeps the src layout. */
+  private def edgesWithOutdeg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      cache(spark, sfDir, "graphEdgesOutdeg") {
+        val e = edgesBySrc(spark, sfDir)
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        e.join(deg, "src")
+      }
+    }
+
   /** PageRank after [[ITERS]] power iterations, damping 0.85.
     * Every node appears in the edge list in both directions (the pair
     * stream is symmetric), so out-degree ≥ 1 — no dangling-mass term. */
@@ -80,16 +122,16 @@ object GraphOps {
 
   private def graphPagerankInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = edges(spark, sfDir)
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val n = deg.count() // driver scalar: node count only, never data
+    val ed = edgesWithOutdeg(spark, sfDir)
+    // node-sized; consumed twice (count + rank init) — pin it
+    val nodes = ed.select($"src").distinct().localCheckpoint(true)
+    val n = nodes.count() // driver scalar: node count only, never data
     // Driver-side Long division == the oracle's `//` (operands > 0).
     val base = (SCALE * (DAMP_DEN - DAMP_NUM) / DAMP_DEN) / n
-    var ranks = deg.select($"src".as("user_id"), lit(SCALE / n).as("prs"))
+    var ranks = nodes.select($"src".as("user_id"), lit(SCALE / n).as("prs"))
     for (_ <- 1 to ITERS) {
-      val contrib = e
+      val contrib = ed
         .join(ranks.withColumnRenamed("user_id", "src"), "src")
-        .join(deg, "src")
         .select($"dst".as("user_id"), expr("prs div outdeg").as("c"))
       ranks = contrib.groupBy($"user_id")
         .agg((lit(base) + expr(s"($DAMP_NUM * sum(c)) div $DAMP_DEN"))
@@ -113,18 +155,17 @@ object GraphOps {
   private[graft] def pagerankConverged(spark: SparkSession, sfDir: String,
       epsUnits: Long, maxIters: Int = 60): (DataFrame, Int) = {
     import spark.implicits._
-    val e = edges(spark, sfDir)
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val n = deg.count()
+    val ed = edgesWithOutdeg(spark, sfDir)
+    val nodes = ed.select($"src").distinct().localCheckpoint(true)
+    val n = nodes.count()
     val base = (SCALE * (DAMP_DEN - DAMP_NUM) / DAMP_DEN) / n
-    var ranks = deg.select($"src".as("user_id"), lit(SCALE / n).as("prs"))
+    var ranks = nodes.select($"src".as("user_id"), lit(SCALE / n).as("prs"))
       .localCheckpoint(true)
     var it = 0
     var delta = Long.MaxValue
     while (delta >= epsUnits && it < maxIters) {
-      val contrib = e
+      val contrib = ed
         .join(ranks.withColumnRenamed("user_id", "src"), "src")
-        .join(deg, "src")
         .select($"dst".as("user_id"), expr("prs div outdeg").as("c"))
       val next = contrib.groupBy($"user_id")
         .agg((lit(base) + expr(s"($DAMP_NUM * sum(c)) div $DAMP_DEN"))
@@ -163,13 +204,17 @@ object GraphOps {
        |    ON r1.item_id = r2.item_id AND r1.user_id < r2.user_id
        |  GROUP BY 1, 2 HAVING COUNT(*) >= ${CfOps.MIN_SUPPORT})""".stripMargin
 
-  /** Undirected degree per node over the pair graph — one shuffle. */
+  /** Undirected degree per node over the pair graph. The symmetrized
+    * edge list contains every endpoint appearance as a `src` row, so
+    * this is exactly an out-degree count over [[edgesBySrc]] — an
+    * exchange-FREE aggregation on the co-partitioned cache (the old
+    * union-of-projections shape paid a fresh full shuffle per
+    * consumer; four graph keys consume degrees). */
   private def degrees(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
-    pairs.select($"user_a".as("user_id"))
-      .union(pairs.select($"user_b".as("user_id")))
-      .groupBy($"user_id").agg(count(lit(1)).as("degree"))
+    edgesBySrc(spark, sfDir)
+      .groupBy($"src").agg(count(lit(1)).as("degree"))
+      .select($"src".as("user_id"), $"degree")
   }
 
   /** Degree distribution of the user–user graph: how many nodes have
@@ -207,9 +252,8 @@ object GraphOps {
   def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
-    val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
-    val dirEdges = pairs.union(
-      pairs.select($"user_b".as("user_a"), $"user_a".as("user_b")))
+    val dirEdges = edgesBySrc(spark, sfDir)
+      .select($"src".as("user_a"), $"dst".as("user_b"))
     val deg = degrees(spark, sfDir)
     dirEdges
       .join(deg.select($"user_id".as("user_a"), $"degree".as("dx")), "user_a")
@@ -442,7 +486,7 @@ object GraphOps {
       sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
-    val e = edges(spark, sfDir)
+    val e = edgesBySrc(spark, sfDir)
     val src = pairs.agg(min($"user_a")).collect()(0).getLong(0)
     var visited = Seq((src, 0L)).toDF("user_id", "hops").localCheckpoint(true)
     var frontier = visited
@@ -510,7 +554,9 @@ object GraphOps {
     import graft.engine.Exact.xsum
     import graft.functions.Udfs.rnd6
     val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
-    val e = edges(spark, sfDir)
+    // src-partitioned edge cache: the degree agg, the z-keyed attach
+    // join AND the z-keyed wedge self-join below all reuse its layout
+    val e = edgesBySrc(spark, sfDir)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("degree"))
     val adj = e.select($"src".as("z"), $"dst".as("nbr"))
       .join(deg.filter($"degree" <= WEDGE_CAP)
@@ -597,7 +643,7 @@ object GraphOps {
   private[graft] def graphKcoreRounds(spark: SparkSession, sfDir: String,
       rounds: Int): DataFrame = {
     import spark.implicits._
-    val e = edges(spark, sfDir)
+    val e = edgesBySrc(spark, sfDir)
     var alive = e.select($"src".as("v")).distinct().localCheckpoint(true)
     for (_ <- 1 to rounds) {
       alive = e
@@ -675,8 +721,7 @@ object GraphOps {
     import graft.engine.Exact.xsum
     import graft.functions.Udfs.rnd6
     val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
-    val edges = pairs.select($"user_a".as("src"), $"user_b".as("dst"))
-      .union(pairs.select($"user_b".as("src"), $"user_a".as("dst")))
+    val edges = edgesBySrc(spark, sfDir)
     var lbl = edges.select($"src".as("user_id")).distinct()
       .withColumn("lbl", $"user_id")
     for (_ <- 1 to LABEL_ROUNDS) {
@@ -788,7 +833,7 @@ object GraphOps {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
     val pairs = CfOps.userSimPairs(spark, sfDir).select($"user_a", $"user_b")
-    val e = edges(spark, sfDir)
+    val e = edgesBySrc(spark, sfDir)
     val seeds = pairs.select($"user_a").distinct()
       .orderBy($"user_a").limit(CLOSENESS_SEEDS)
       .collect().map(_.getLong(0)).toSeq // metadata-sized seed list
@@ -882,14 +927,36 @@ object GraphOps {
     * are eagerly localCheckpointed: every iterate feeds the next join
     * (and the last two also the output union), the documented
     * lineage-doubling hazard of driver-looped plans. */
-  def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
+  def graphHits(spark: SparkSession, sfDir: String): DataFrame =
+    // same iterative shape as pagerank: every half-step localCheckpoints
+    // eagerly, so wrapping the whole body runs the iteration at the
+    // family's small-iterative tuning (and compiles the dual edge
+    // caches below with their layout visible — see [[edgesBySrc]])
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      graphHitsInner(spark, sfDir)
+    }
+
+  private def graphHitsInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = CfOps.itemCappedRatings(spark, sfDir)
-      .select($"user_id", $"item_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Dual-layout bipartite edge caches (the CSR/CSC pair of a HITS
+    // implementation): the auth half-step joins on user_id and the hub
+    // half-step on item_id, so ONE cached layout re-shuffles the full
+    // edge table on every other half-step. Two cached copies, each
+    // hash-partitioned by its half-step's join key, make every
+    // half-step's static side exchange-free — only the node-sized
+    // score table moves (guide §2.4; same round-13 profile evidence as
+    // [[edgesBySrc]]).
+    val eU = cache(spark, sfDir, "hitsEdgesByUser") {
+      CfOps.itemCappedRatings(spark, sfDir)
+        .select($"user_id", $"item_id").repartition($"user_id")
+    }
+    val eI = cache(spark, sfDir, "hitsEdgesByItem") {
+      CfOps.itemCappedRatings(spark, sfDir)
+        .select($"user_id", $"item_id").repartition($"item_id")
+    }
 
     def authStep(h: DataFrame): DataFrame = {
-      val raw = e.join(h, "user_id")
+      val raw = eU.join(h, "user_id")
         .groupBy($"item_id").agg(sum($"hs").as("raw"))
       val mx = raw.agg(max($"raw").as("mx"))
       raw.crossJoin(broadcast(mx))
@@ -897,7 +964,7 @@ object GraphOps {
         .localCheckpoint(true)
     }
     def hubStep(a: DataFrame): DataFrame = {
-      val raw = e.join(a, "item_id")
+      val raw = eI.join(a, "item_id")
         .groupBy($"user_id").agg(sum($"as_").as("raw"))
       val mx = raw.agg(max($"raw").as("mx"))
       raw.crossJoin(broadcast(mx))
@@ -905,21 +972,19 @@ object GraphOps {
         .localCheckpoint(true)
     }
 
-    val h0 = e.select($"user_id").distinct()
+    val h0 = eU.select($"user_id").distinct()
       .select($"user_id", lit(HITS_SCALE).as("hs"))
     val a1 = authStep(h0)
     val h1 = hubStep(a1)
     val a2 = authStep(h1)
     val h2 = hubStep(a2)
     val a3 = authStep(h2)
-    val out = a3
+    a3
       .select(lit("auth").as("kind"), $"item_id".as("node_id"),
         ($"as_".cast("double") / HITS_SCALE.toDouble).as("score"))
       .unionByName(h2.select(lit("hub").as("kind"), $"user_id".as("node_id"),
         ($"hs".cast("double") / HITS_SCALE.toDouble).as("score")))
       .orderBy($"kind", $"node_id")
-    e.unpersist()
-    out
   }
 
   val graphHitsSql: String = {
