@@ -153,15 +153,46 @@ object CfOps {
   private def pairMoments(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "pairMoments") {
       import spark.implicits._
-      val r = cappedRatings(spark, sfDir)
-      val a = r.select($"user_id", $"item_id".as("item_a"), $"rating".as("ra"))
-      val b = r.select($"user_id".as("ub"), $"item_id".as("item_b"), $"rating".as("rb"))
+      // Mean-centered deviations ride the SAME pair pass (round 13):
+      // adjusted cosine previously ran a SECOND capped self-join over
+      // an identical pair stream just to sum dev products — folding
+      // its three sums here (a node-sized user-means join on the map
+      // side + three more map-combined aggregates; the pair stream is
+      // scanned once either way) deletes that whole self-join
+      // (optimization guide §1.2 step 1 / §2.3 aggregate-before-
+      // shuffle). Deviations are the exact cleared-denominator form
+      // dev' = n_u·r − S_u — see [[itemAdjustedCosine]]'s determinism
+      // note; the expressions are byte-identical to the ones the
+      // standalone pass used.
+      val rl = cappedRatings(spark, sfDir)
+        .select($"user_id", $"item_id", $"rating",
+          $"rating".cast("long").as("ri"))
+      val um = rl.groupBy($"user_id")
+        .agg(sum($"ri").as("su"), count(lit(1)).as("nu"))
+      // materialize the dev-augmented ratings ONCE: both self-join
+      // sides read this (different projections → Catalyst would
+      // recompute the means join per side, and the un-materialized
+      // form measured the cold build at 25.6 s vs 16.7 control). The
+      // capped window partitioned rl by user_id and the means join
+      // preserves that layout, so the checkpointed copy makes the
+      // self-join exchange-free on BOTH sides.
+      val r = rl.join(um, "user_id")
+        .select($"user_id", $"item_id", $"rating",
+          ($"nu" * $"ri" - $"su").as("d"), ($"nu" * $"nu").as("n2"))
+        .localCheckpoint(true)
+      val a = r.select($"user_id", $"item_id".as("item_a"),
+        $"rating".as("ra"), $"d".as("da"), $"n2")
+      val b = r.select($"user_id".as("ub"), $"item_id".as("item_b"),
+        $"rating".as("rb"), $"d".as("db"))
       a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
         .groupBy($"item_a", $"item_b")
         .agg(count(lit(1)).as("n_common"),
           xsumFast($"ra" * $"rb").as("dot"),
           xsumFast($"ra").as("sx"), xsumFast($"rb").as("sy"),
-          xsumFast($"ra" * $"ra").as("sxx"), xsumFast($"rb" * $"rb").as("syy"))
+          xsumFast($"ra" * $"ra").as("sxx"), xsumFast($"rb" * $"rb").as("syy"),
+          xsumFast(($"da" * $"db").cast("double") / $"n2").as("adot"),
+          xsumFast(($"da" * $"da").cast("double") / $"n2").as("anaa"),
+          xsumFast(($"db" * $"db").cast("double") / $"n2").as("anbb"))
         .filter($"n_common" >= MIN_SUPPORT)
     }
 
@@ -314,26 +345,15 @@ object CfOps {
     * dropped (sim undefined). */
   def itemAdjustedCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val capped = cappedRatings(spark, sfDir)
-      .select($"user_id", $"item_id", $"rating".cast("long").as("ri"))
-    val um = capped.groupBy($"user_id")
-      .agg(sum($"ri").as("su"), count(lit(1)).as("nu"))
-    val dev = capped.join(um, "user_id")
-      .select($"user_id", $"item_id",
-        ($"nu" * $"ri" - $"su").as("d"), ($"nu" * $"nu").as("n2"))
-    val a = dev.select($"user_id", $"item_id".as("item_a"),
-      $"d".as("da"), $"n2")
-    val b = dev.select($"user_id".as("ub"), $"item_id".as("item_b"),
-      $"d".as("db"))
-    a.join(b, $"user_id" === $"ub" && $"item_a" < $"item_b")
-      .groupBy($"item_a", $"item_b")
-      .agg(count(lit(1)).as("n_common"),
-        xsumFast(($"da" * $"db").cast("double") / $"n2").as("dot"),
-        xsumFast(($"da" * $"da").cast("double") / $"n2").as("naa"),
-        xsumFast(($"db" * $"db").cast("double") / $"n2").as("nbb"))
-      .filter($"n_common" >= MIN_SUPPORT && $"naa" > 0 && $"nbb" > 0)
+    // round 13: the mean-centered moment sums now ride the shared
+    // [[pairMoments]] pass (adot/anaa/anbb) — this operator's private
+    // capped self-join over the identical pair stream is gone; what
+    // remains is a projection over the cached moments. The MIN_SUPPORT
+    // cut is already applied inside pairMoments.
+    pairMoments(spark, sfDir)
+      .filter($"anaa" > 0 && $"anbb" > 0)
       .select($"item_a", $"item_b", $"n_common",
-        rnd6($"dot" / sqrt($"naa" * $"nbb")).as("sim"))
+        rnd6($"adot" / sqrt($"anaa" * $"anbb")).as("sim"))
       .orderBy($"item_a", $"item_b")
   }
 
