@@ -1323,10 +1323,27 @@ object MlOps {
     * [[PCA_ITERS]] power iterations — see [[mlPcaPower]] for the full
     * determinism/scale contract. */
   private def pcaVector(spark: SparkSession,
-                        sfDir: String): (DataFrame, DataFrame) = {
+                        sfDir: String): (DataFrame, DataFrame) =
+    // Iterative-family tuning (round 13): the 8 matvec generations run
+    // on d-row state — AQE's per-stage re-planning and 32-partition
+    // exchanges are pure latency there (same rationale as the graph
+    // loops; the localCheckpoints execute eagerly INSIDE this wrapper,
+    // so unlike a fixed unroll the tuning actually reaches them).
+    graft.engine.IterativeTuning.withSmallIterative(spark) {
+      pcaVectorInner(spark, sfDir)
+    }
+
+  private def pcaVectorInner(spark: SparkSession,
+                             sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
+    // repartition before the d²-fold explode: the embeddings fixture
+    // is one parquet split, so the whole explode + moment aggregation
+    // ran as ONE task (profiled 0.5-0.65 s single-threaded at sf0.1;
+    // guide §2.5 input skew — repartition right after the read). The
+    // shuffle moves only the slim raw rows, NOT the exploded pairs.
     val pairs = Tables.embeddings(spark, sfDir)
+      .repartition(col("vec_id"))
       .select(explode(expr(
         s"""flatten(transform(slice(embedding, 1, $PCA_DIM), (x, i) ->
            |  filter(transform(slice(embedding, 1, $PCA_DIM), (y, j) ->
@@ -1345,6 +1362,11 @@ object MlOps {
         rnd6((nd * $"sxy" - $"sx" * $"sy") / (nd * nd)).as("cov"))
       .select($"i", $"j",
         expr(s"CAST(round(cov * $PCA_CU) AS BIGINT)").as("c"))
+      // pin the d(d+1)/2-row triangle BEFORE mirroring: the union's
+      // two branches are different projections of this subtree, so
+      // un-pinned, each branch re-ran the whole corpus moment pass
+      // (profiled as two 2000-row scan+explode stages per execution)
+      .localCheckpoint(true)
     // Eagerly truncate lineage each generation (the PageRank
     // discipline): v_k feeds BOTH the next matvec and its own
     // max-norm scalar, so an un-checkpointed unroll embeds the
