@@ -936,6 +936,16 @@ object DedupOps {
         $"pa.shingle" === $"pb.shingle" && $"pa.doc_id" < $"pb.doc_id")
       .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"))
       .distinct()
+      // size the VERIFY stage by cores, not bytes (round 13): the
+      // set-intersection map below is CPU-bound (profiled 12.5 s of
+      // CPU squeezed into the 6 tasks AQE's byte-based coalescing
+      // left of this 8-partition chain — guide §2.5: byte advisories
+      // starve compute-heavy stages). The candidate rows are skinny
+      // (two ids), so this extra exchange is noise; an explicit
+      // partition count is AQE-coalesce-proof, and defaultParallelism
+      // scales with the session's cores rather than a local constant.
+      .repartition(spark.sparkContext.defaultParallelism,
+        $"doc_a", $"doc_b")
     // verification by SET INTERSECTION: one per-doc sorted shingle
     // set (|docs| rows), two stats-budgeted joins, and a map-side
     // array_intersect per candidate — candidates × set-size work,
