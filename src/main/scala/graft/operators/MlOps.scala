@@ -1517,10 +1517,17 @@ object MlOps {
     import graft.functions.Udfs.rnd6
     // materialize the training frame once: every Newton step scans it,
     // and without this each of the LR_ITERS sequential aggregations
-    // re-ran the parquet scan + projection
+    // re-ran the parquet scan + projection. Repartitioned BEFORE the
+    // checkpoint (round 13): the orders fixture is one parquet split,
+    // so the checkpointed frame had ONE partition and every Newton
+    // pass ran as a single 0.5 s task — and the passes are strictly
+    // sequential, so nothing hides that latency (guide §2.5; profiled
+    // 4 × 0.52 s single-task stages at sf0.1). The one-time exchange
+    // moves only the two projected doubles per row.
     val base = Tables.orders(spark, sfDir)
       .select(($"o_orderstatus" === "F").cast("double").as("y"),
         ($"o_totalprice" / lit(LR_XS)).as("x"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     var st = spark.range(1)
       .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
