@@ -498,7 +498,11 @@ object GraphOps {
         .select($"dst".as("user_id")).distinct()
         .join(visited, Seq("user_id"), "left_anti")
         .withColumn("hops", lit(hop))
-        .localCheckpoint(true)
+        // LAZY checkpoint + count: the count is the materializing
+        // action, so the frontier costs ONE job per hop instead of an
+        // eager-checkpoint job followed by a count job (round 13 —
+        // these loops are driver-latency bound, ~4 jobs/hop)
+        .localCheckpoint(false)
       frontierSize = next.count()
       // the union IS re-pinned: the per-hop anti-join probes visited,
       // and probing a growing union-of-checkpoints tree measured
@@ -848,7 +852,11 @@ object GraphOps {
         .select($"seed", $"dst".as("user_id")).distinct()
         .join(visited, Seq("seed", "user_id"), "left_anti")
         .withColumn("hops", lit(hop))
-        .localCheckpoint(true)
+        // LAZY checkpoint + count: the count is the materializing
+        // action, so the frontier costs ONE job per hop instead of an
+        // eager-checkpoint job followed by a count job (round 13 —
+        // these loops are driver-latency bound, ~4 jobs/hop)
+        .localCheckpoint(false)
       frontierSize = next.count()
       // the union IS re-pinned: the per-hop anti-join probes visited,
       // and probing a growing union-of-checkpoints tree measured
