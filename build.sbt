@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract expects the one-line JSON on raw stdout:
+// sbt's default LoggedOutput decorates every forked-process line with
+// an "[info] " prefix, which breaks the driver's bench extractor
+// (BENCH_r01..r13.json all "parsed": null). StdoutOutput passes the
+// child's stdout/stderr through untouched.
+run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." line so
+// the bench JSON is the process's FINAL line, not merely unprefixed.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -93,7 +93,15 @@ object Bench {
       java.nio.file.Paths.get("bench_all.json"),
       benchAll.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // read-only cwd: keep benching
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    // Print the contract line AFTER spark.stop(): SparkContext shutdown
+    // logs WARN lines (e.g. DAGScheduler job-group cancels) that would
+    // otherwise land between the JSON and process exit, so this keeps
+    // the one-line JSON the process's final output for the driver's
+    // extractor (r13 verdict item 1 — every BENCH_r*.json parsed null
+    // because the line arrived sbt-"[info]"-prefixed and non-final).
+    // The timed region and the line's content are unchanged.
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    Console.out.flush()
   }
 }

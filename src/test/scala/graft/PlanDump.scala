@@ -20,9 +20,13 @@ object PlanDump {
     val outDir = args(0)
     val suffix = args(1)
     val keys = args.drop(2).toSeq
+    // Env-driven fixture/core-count with the harness defaults (r13
+    // ADVICE: the hardcoded path/master silently broke other hosts).
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -30,7 +34,7 @@ object PlanDump {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     keys.foreach { key =>
       val fn = SparkEntry.queries(key)
-      val df = fn(spark, "/root/testdata/sf0.1")
+      val df = fn(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(

@@ -14,9 +14,13 @@ object ProfileMicro {
     val key = args.headOption.getOrElse("q_agg_multi_key_pricing")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(5)
+    // SPARK_GRAFT_CPUS lets the same micro adjudicate core-scaling
+    // questions (e.g. the r13 q_cf_als 8-vs-32-core inversion) without
+    // editing the tool; default stays the harness's local[32].
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
