@@ -19,7 +19,7 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 // ...and suppress sbt's trailing "[success] Total time: ..." line so
 // the bench JSON is the process's FINAL line, not merely unprefixed.
-showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
