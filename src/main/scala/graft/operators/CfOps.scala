@@ -939,14 +939,30 @@ object CfOps {
         $"item_id".cast("int").as("item"),
         $"rating".cast("float").as("rating"))
     val blocks = alsBlocks(spark, r.count())
-    val model = new ALS()
-      .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      .setRank(8).setMaxIter(4).setRegParam(0.1).setSeed(42L)
-      .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
-      .setImplicitPrefs(false).setColdStartStrategy("drop")
-      .fit(r)
-    model.setPredictionCol("prediction")
-    model.recommendForAllUsers(10)
+    // The fit's ~16 sequential factor jobs and the rec's blocked-GEMM
+    // top-k are ITERATIVE, node-sized stages — the same class as the
+    // graph power iterations, so they run under the same tuning
+    // wrapper (AQE replanning and 32-partition exchanges are pure
+    // per-stage overhead here; r14 ProfileAls sweep: rec 0.62→0.52 s
+    // at 32 cores, flat at 8). The recs frame (users × 10 structs) is
+    // pinned INSIDE the wrapper so the whole GEMM executes under it;
+    // the ordering projection below runs on the pinned rows. The
+    // block-count heuristic itself was re-adjudicated at 8 AND 32
+    // cores (pinned sweep, blocks ∈ {1,2,3,6,12}): blocks=6 is the
+    // minimum at BOTH core counts (fit+rec 1.6 s warm at each), so
+    // the r13 driver read of q_cf_als "slower at 32 cores" was
+    // fleet-context noise, not a plan property.
+    val recs = graft.engine.IterativeTuning.withSmallIterative(spark) {
+      val model = new ALS()
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setRank(8).setMaxIter(4).setRegParam(0.1).setSeed(42L)
+        .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
+        .setImplicitPrefs(false).setColdStartStrategy("drop")
+        .fit(r)
+      model.setPredictionCol("prediction")
+      model.recommendForAllUsers(10).localCheckpoint(true)
+    }
+    recs
       .select($"user".as("user_id"),
         posexplode($"recommendations").as(Seq("rk0", "rec")))
       .select($"user_id", ($"rk0" + 1).as("rk"),
@@ -974,13 +990,17 @@ object CfOps {
         $"item_id".cast("int").as("item"),
         $"rating".cast("float").as("rating"))
     val blocks = alsBlocks(spark, r.count())
-    val model = new ALS()
-      .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      .setRank(8).setMaxIter(4).setRegParam(0.1).setSeed(42L)
-      .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
-      .setImplicitPrefs(true).setAlpha(1.0).setColdStartStrategy("drop")
-      .fit(r)
-    model.recommendForAllUsers(10)
+    // Same iterative-tuning + pinned-recs shape as [[als]] (see there).
+    val recs = graft.engine.IterativeTuning.withSmallIterative(spark) {
+      val model = new ALS()
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setRank(8).setMaxIter(4).setRegParam(0.1).setSeed(42L)
+        .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
+        .setImplicitPrefs(true).setAlpha(1.0).setColdStartStrategy("drop")
+        .fit(r)
+      model.recommendForAllUsers(10).localCheckpoint(true)
+    }
+    recs
       .select($"user".as("user_id"),
         posexplode($"recommendations").as(Seq("rk0", "rec")))
       .select($"user_id", ($"rk0" + 1).as("rk"),
