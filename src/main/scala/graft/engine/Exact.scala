@@ -51,6 +51,37 @@ object Exact {
   /** Exact-numerator average: decimal-sum / count, both deterministic. */
   def xavg(c: Column): Column = xsum(c) / count(c)
 
+  /** SCALAR twins of the column machinery above, for operators that
+    * fold a bounded per-key candidate set locally (the r14 CF scoring
+    * rework) instead of through a row-explosion + decimal hash
+    * aggregation. Each replicates the EXACT arithmetic path of its
+    * Column twin so results stay bit-identical to the oracle:
+    *
+    * - [[quantize6]] = one term's `cast(d AS DECIMAL(18,6))`:
+    *   Spark's double→decimal cast goes through
+    *   BigDecimal(Double.toString(d)) and HALF_UP at scale 6 — exactly
+    *   java.math.BigDecimal.valueOf(d).setScale(6, HALF_UP). Returned
+    *   as scaled-long micros (the compact-long fast path Spark itself
+    *   uses at precision ≤ 18); summing micros in a Long is the exact,
+    *   order-independent sum. longValueExact throws on overflow — the
+    *   same fail-loud contract as [[xsumFast]]'s overflow guard.
+    * - [[fromMicros]] = the sum's `cast(decimal AS DOUBLE)`
+    *   (BigDecimal(unscaled, 6).doubleValue).
+    * - [[rnd6Scalar]] = [[graft.functions.Udfs.rnd6]]'s
+    *   (d + 1e-12) → DECIMAL(38,6) → DOUBLE chain. */
+  def quantize6(d: Double): Long =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  def fromMicros(m: Long): Double =
+    java.math.BigDecimal.valueOf(m, 6).doubleValue()
+
+  def rnd6Scalar(d: Double): Double =
+    java.math.BigDecimal.valueOf(d + 1e-12)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
   /** SQL (DuckDB) twin of [[xsum]]; `e` is a SQL expression string. */
   def sqlXsum(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"

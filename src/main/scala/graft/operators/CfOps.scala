@@ -527,20 +527,72 @@ object CfOps {
         orderSpec = Seq("sim" -> false, "user_b" -> true),
         k = K_NEIGHBORS, rankName = "rk")
       .select($"user_a".as("target"), $"user_b".as("nbr"), $"sim")
+    // Scoring, reworked (r14, guide §8): the join-then-aggregate form
+    // fanned |ratings| × K rows (2.8M at sf0.1) through a
+    // (target, item) exchange, a decimal hash aggregation, an
+    // anti-join and a top-k exchange. Instead, pack each user's
+    // ratings ONCE (one |ratings|-row exchange), attach the packed
+    // list to each of its ≤ K inbound neighbor edges with a
+    // distributed equi-join (AQE broadcasts the K·|users| edge list
+    // at fixture scale; at cluster scale the same plan runs as a
+    // shuffle join — nothing here requires a driver-side collect of
+    // a user-cardinality side), and fold each target's ≤ K neighbor
+    // lists + own seen-set locally: the aggregation, anti-join and
+    // ranking all collapse into a bounded per-target pass. Arithmetic
+    // is bit-identical (Exact.quantize6 scalar twins; exact long-
+    // micro sums; rnd6-rounded ranking with item tiebreak) — proven
+    // against the DuckDB oracle at sf0.01/sf0.001.
     val r = ratings(spark, sfDir)
-    val scored = r.join(uneigh, $"user_id" === $"nbr")
-      .groupBy($"target", $"item_id")
-      .agg((xsumFast($"sim" * $"rating") / xsumFast(abs($"sim"))).as("score_raw"))
-    val unseen = scored.join(
-      r.select($"user_id".as("su"), $"item_id".as("si")),
-      $"target" === $"su" && $"item_id" === $"si", "left_anti")
-    graft.plans.TopKPerKey.topK(
-        unseen.select($"target".as("user_id"), $"item_id",
-          rnd6($"score_raw").as("score")),
-        keyCols = Seq("user_id"),
-        orderSpec = Seq("score" -> false, "item_id" -> true),
-        k = TOP_N, rankName = "rk")
-      .select($"user_id", $"item_id", $"score", $"rk")
+    val rga = r.groupBy($"user_id")
+      .agg(collect_list(struct($"item_id", $"rating")).as("rl"))
+    val nb = uneigh.join(rga, $"nbr" === $"user_id")
+      .select($"target", $"sim", $"rl", lit(false).as("is_own"))
+    val own = rga.select($"user_id".as("target"), lit(0.0).as("sim"),
+      $"rl", lit(true).as("is_own"))
+    val topN = TOP_N
+    val scored = nb.unionByName(own)
+      .as[(Long, Double, Seq[(Long, Double)], Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (target: Long,
+          it: Iterator[(Long, Double, Seq[(Long, Double)], Boolean)]) =>
+        val rows = it.toArray
+        val seen = new java.util.HashSet[Long]()
+        rows.foreach { case (_, _, rl, isOwn) =>
+          if (isOwn) rl.foreach(t => seen.add(t._1))
+        }
+        // item -> (Σ quantize6(sim·r) micros, Σ quantize6(|sim|) micros)
+        val acc = new java.util.HashMap[Long, Array[Long]]()
+        rows.foreach { case (_, sim, rl, isOwn) =>
+          if (!isOwn) {
+            val simAbsMicros = Exact.quantize6(math.abs(sim))
+            rl.foreach { case (item, rating) =>
+              if (!seen.contains(item)) {
+                var a = acc.get(item)
+                if (a == null) { a = Array(0L, 0L); acc.put(item, a) }
+                a(0) += Exact.quantize6(sim * rating)
+                a(1) += simAbsMicros
+              }
+            }
+          }
+        }
+        val cands = new Array[(Double, Long)](acc.size())
+        val eit = acc.entrySet().iterator()
+        var n = 0
+        while (eit.hasNext) {
+          val e = eit.next()
+          val score = Exact.rnd6Scalar(
+            Exact.fromMicros(e.getValue()(0)) /
+              Exact.fromMicros(e.getValue()(1)))
+          cands(n) = (score, e.getKey)
+          n += 1
+        }
+        java.util.Arrays.sort(cands, Ordering.Tuple2(
+          Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+        cands.iterator.take(topN).zipWithIndex.map { case ((s, j), ix) =>
+          (target, j, s, ix + 1)
+        }
+      }
+    scored.toDF("user_id", "item_id", "score", "rk")
       .orderBy($"user_id", $"rk")
   }
 
@@ -1039,24 +1091,84 @@ object CfOps {
     val capped = devs.withColumn("drk", row_number().over(dw))
       .filter($"drk" <= K_NEIGHBORS)
       .select($"i", $"j", $"diff", $"c")
-    val r = ratings(spark, sfDir)
-    val scored = r.join(capped, $"item_id" === $"i")
-      .groupBy($"user_id", $"j")
-      .agg((xsumFast($"diff" + $"rating" * $"c") / sum($"c")).as("score_raw"))
-    val unseen = scored.join(
-      r.select($"user_id".as("su"), $"item_id".as("si")),
-      $"user_id" === $"su" && $"j" === $"si", "left_anti")
-    // Final ranking through the partial-heap top-k operator (same as
-    // recsTopN): map-side heaps prune each partition to TOP_N rows
-    // per user BEFORE the exchange, instead of the row_number window
-    // shuffling every scored candidate.
-    graft.plans.TopKPerKey.topK(
-        unseen.select($"user_id", $"j".as("item_id"),
-          rnd6($"score_raw").as("score")),
-        keyCols = Seq("user_id"),
-        orderSpec = Seq("score" -> false, "item_id" -> true),
-        k = TOP_N, rankName = "rk")
-      .select($"user_id", $"item_id", $"score", $"rk")
+    // Scoring, reworked (r14, guide §8 "decide with small rows"): the
+    // join-then-aggregate form exploded |ratings| × K_NEIGHBORS rows
+    // (5.0M at sf0.1) through a (user, candidate) exchange, a decimal
+    // hash aggregation, an anti-join and a top-k exchange — 2.3M rows
+    // through two more shuffles after the first (r14 stage profile:
+    // ~46 s of aggregate CPU). But the per-user fold is a bounded
+    // local computation: ≤ K partners per rated item, seen-filter
+    // against the user's own rows, one division per candidate. So
+    // ship the deviation table once — it is item-catalog × K rows,
+    // the same broadcast-class side AQE already broadcast into the
+    // old scoring join — and fold each user's candidates in a single
+    // pass over ratings grouped by user: ONE exchange of |ratings|
+    // slim rows total, no row explosion, anti-join and ranking local.
+    // Arithmetic is bit-identical to the old plan: terms quantize
+    // through Exact.quantize6 (the scalar twin of xsumFast's
+    // DECIMAL(18,6) cast), sums ride exact long micros (order-free),
+    // and ranking uses the rnd6-rounded score with the same item-id
+    // tiebreak — proven against the DuckDB oracle at sf0.01/sf0.001.
+    val partnersByItem: java.util.HashMap[Long, Array[(Long, Double, Long)]] = {
+      val h = new java.util.HashMap[Long, Array[(Long, Double, Long)]]()
+      capped.collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2),
+          row.getLong(3)))
+        .groupBy(_._1)
+        .foreach { case (i, rows) =>
+          h.put(i, rows.map(t => (t._2, t._3, t._4)))
+        }
+      h
+    }
+    val bc = spark.sparkContext.broadcast(partnersByItem)
+    val topN = TOP_N
+    val scored = ratings(spark, sfDir)
+      .select($"user_id", $"item_id", $"rating")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Double)]) =>
+        val rated = it.toArray
+        val seen = new java.util.HashSet[Long](rated.length * 2)
+        rated.foreach(t => seen.add(t._2))
+        // candidate j -> (Σ quantize6(diff + r·c) micros, Σ c)
+        val acc = new java.util.HashMap[Long, Array[Long]]()
+        var k = 0
+        while (k < rated.length) {
+          val rating = rated(k)._3
+          val ps = bc.value.get(rated(k)._2)
+          if (ps != null) {
+            var x = 0
+            while (x < ps.length) {
+              val (j, diff, c) = ps(x)
+              if (!seen.contains(j)) {
+                val term = Exact.quantize6(diff + rating * c)
+                var a = acc.get(j)
+                if (a == null) { a = Array(0L, 0L); acc.put(j, a) }
+                a(0) += term
+                a(1) += c
+              }
+              x += 1
+            }
+          }
+          k += 1
+        }
+        val cands = new Array[(Double, Long)](acc.size())
+        val eit = acc.entrySet().iterator()
+        var n = 0
+        while (eit.hasNext) {
+          val e = eit.next()
+          val score = Exact.rnd6Scalar(
+            Exact.fromMicros(e.getValue()(0)) / e.getValue()(1).toDouble)
+          cands(n) = (score, e.getKey)
+          n += 1
+        }
+        java.util.Arrays.sort(cands, Ordering.Tuple2(
+          Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+        cands.iterator.take(topN).zipWithIndex.map { case ((s, j), ix) =>
+          (u, j, s, ix + 1)
+        }
+      }
+    scored.toDF("user_id", "item_id", "score", "rk")
       .orderBy($"user_id", $"rk")
   }
 
