@@ -1723,10 +1723,15 @@ object CfOps {
         seen, Seq("user_id", "item_id"), seenBytes, "left_anti")
       .withColumn("draw",
         expr("pmod(user_id * 40503 + item_id * 2654435761, 1000000)"))
+    // finalPartitions = session cores: the pruned stream is still
+    // ~22 rows/user of per-row heap CPU, and AQE's byte advisory
+    // squeezed it into 2 tasks (1.9 s of the key's 2.7 s wall — r14
+    // stage profile; the §2.5 byte-vs-compute mismatch again)
     graft.plans.TopKPerKey.topK(cand,
         keyCols = Seq("user_id"),
         orderSpec = Seq("draw" -> true, "item_id" -> true),
-        k = NEG_K, rankName = "rk")
+        k = NEG_K, rankName = "rk",
+        finalPartitions = Some(spark.sparkContext.defaultParallelism))
       .select($"user_id", $"item_id".as("neg_item"), $"rk")
       .orderBy($"user_id", $"rk")
   }
@@ -1775,8 +1780,12 @@ object CfOps {
   def cfMmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val r = ratings(spark, sfDir)
+    // pinned: `cand` feeds BOTH mx and c2 — unpinned, Catalyst ran the
+    // full corpus popularity aggregation twice (r14 stage profile: two
+    // identical 389k-partial exchanges per execution for a 10-row pool)
     val cand = r.groupBy($"item_id").agg(xsumFast($"rating").as("pop"))
       .orderBy($"pop".desc, $"item_id".asc).limit(MMR_CAND)
+      .localCheckpoint(true)
     val mx = cand.agg(max($"pop").as("mp"))
     val c2 = cand.crossJoin(broadcast(mx))
       .select($"item_id", rnd6($"pop" / $"mp").as("rel"))

@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.IntegerType
   * repo follows. Heap contents are then order-insensitive, so retry/
   * speculation cannot change bytes. */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, rankAttr: AttributeReference, child: LogicalPlan)
+    k: Int, rankAttr: AttributeReference, child: LogicalPlan,
+    finalPartitions: Option[Int] = None)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rankAttr is born here, not read from the child
@@ -109,14 +110,23 @@ case class PartialTopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   * inserts the one exchange), re-prunes each key's surviving rows to
   * k, and emits them rank-ascending with the rank appended. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, rankAttr: AttributeReference, child: SparkPlan)
+    k: Int, rankAttr: AttributeReference, child: SparkPlan,
+    finalPartitions: Option[Int] = None)
   extends UnaryExecNode {
   import scala.jdk.CollectionConverters._
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  // finalPartitions pins the final exchange's partition count (AQE
+  // cannot coalesce a required count): the final heaps are CPU-bound
+  // per ROW, so AQE's byte-based coalescing can squeeze a large
+  // pruned stream into 2 tasks (observed on q_cf_negative_samples —
+  // 331k heap rows in 2 tasks, guide §2.5 byte advisories starving
+  // compute stages). Callers with a fat pruned stream pass the
+  // session's core count; None keeps the default AQE behavior.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    ClusteredDistribution(keys,
+      requiredNumPartitions = finalPartitions) :: Nil
   protected override def doExecute(): RDD[InternalRow] = {
     val (keysB, orderB, childOut, kk, out) = (keys, order, child.output, k, output)
     child.execute().mapPartitions({ iter =>
@@ -142,9 +152,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 /** Planner hook: one logical node → partial + final pair. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, rankAttr, child) =>
+    case TopKPerKeyPlan(keys, order, k, rankAttr, child, finalParts) =>
       TopKPerKeyExec(keys, order, k, rankAttr,
-        PartialTopKPerKeyExec(keys, order, k, planLater(child))) :: Nil
+        PartialTopKPerKeyExec(keys, order, k, planLater(child)),
+        finalParts) :: Nil
     case _ => Nil
   }
 }
@@ -207,7 +218,8 @@ object TopKPerKey {
     * column appended. The order must be total per key. */
   def topK(df: DataFrame, keyCols: Seq[String],
       orderSpec: Seq[(String, Boolean)], k: Int,
-      rankName: String = "rk"): DataFrame = {
+      rankName: String = "rk",
+      finalPartitions: Option[Int] = None): DataFrame = {
     val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = cdf.sparkSession
     register(spark)
@@ -223,6 +235,6 @@ object TopKPerKey {
     }
     val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      TopKPerKeyPlan(keys, order, k, rankAttr, analyzed))
+      TopKPerKeyPlan(keys, order, k, rankAttr, analyzed, finalPartitions))
   }
 }

@@ -18,12 +18,18 @@ object ProfileMicro {
     // questions (e.g. the r13 q_cf_als 8-vs-32-core inversion) without
     // editing the tool; default stays the harness's local[32].
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": ad-hoc conf overrides for
+    // A/B probes (e.g. state-store provider) without editing the tool.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(key)
     fn(spark, sfDir).count() // warm-up: JVM + codegen + IO cache
