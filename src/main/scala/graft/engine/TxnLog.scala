@@ -347,7 +347,56 @@ object TxnLog {
           "clone references; re-clone or restore the source version)")
     require(dir.isDirectory,
       s"version $version is committed but its snapshot never appeared")
-    spark.read.parquet(dir.getAbsolutePath)
+    // Explicit footer-derived schema: every snapshot is written by ONE
+    // write job, so one footer is authoritative, and handing the
+    // reader the schema skips the per-read schema-resolution job the
+    // commit protocol otherwise pays on every snapshot read (r14 txn
+    // stage profiles: recurring 1-task "parquet at readPhysical" jobs
+    // bracketing every commit). Falls back to inference if the footer
+    // walk finds nothing (racing publisher) — correctness never
+    // depends on the fast path.
+    parquetSchema(spark, dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dir.getAbsolutePath)
+      case None => spark.read.parquet(dir.getAbsolutePath)
+    }
+  }
+
+  /** Driver-side schema of a parquet dir written by one Spark job:
+    * first non-empty file's footer through Spark's own
+    * parquet→Catalyst converter, nullability relaxed exactly the way
+    * schema inference relaxes it (inference returns every field
+    * nullable; handing the reader a REQUIRED field would change the
+    * result frame's schema). */
+  private def parquetSchema(spark: SparkSession,
+      dir: File): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    def nullable(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = nullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = nullable(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+    val canonical = dir.getCanonicalFile
+    Option(canonical.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+      .sortBy(_.getName).headOption.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration())
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val msg =
+          try reader.getFooter.getFileMetaData.getSchema
+          finally reader.close()
+        val converted = new org.apache.spark.sql.execution.datasources
+          .parquet.ParquetToSparkSchemaConverter(
+            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+              .sessionState.conf).convert(msg)
+        StructType(converted.fields.map(f2 =>
+          f2.copy(dataType = nullable(f2.dataType), nullable = true)))
+      }
   }
 
   private def encodeRanges(rs: KeyRanges): Seq[String] =
