@@ -210,10 +210,19 @@ object BasketOps {
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = 3600L * 1000000L
+    // Explicit cores-wide partitioning ahead of the session windows:
+    // the events fixture arrives as one input split and AQE's
+    // byte-based coalescing kept the whole JSON-extract + dual-window
+    // chain on ONE task (r14 stage profile: three sequential 1-task
+    // 100k-row stages). The explicit count is AQE-coalesce-proof and
+    // keyed on user_id, exactly the distribution both windows need,
+    // so EnsureRequirements adds no further exchange (§2.5 — byte
+    // advisories starve compute-heavy stages).
     val sessioned = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"ts",
         expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("item"))
       .filter($"item".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"user_id")
       .withColumn("gap_us", expr("unix_micros(ts)") -
         expr("unix_micros(lag(ts, 1) over (partition by user_id order by ts asc, event_id asc))"))
       .withColumn("is_new",
