@@ -18,12 +18,13 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   * bounded inputs, with the reason. */
 class CartesianGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
-  private val allowlist = Map(
-    "q_cf_als" -> ("MLlib recommendForAllUsers: the library's own " +
-      "blocked factor cross join — each side is (blocks × rank) " +
-      "factor rows, the intended block-matrix algorithm, not a " +
-      "planning accident"),
-    "q_cf_als_implicit" -> "same as q_cf_als")
+  // (q_cf_als / q_cf_als_implicit used to be allowlisted for MLlib
+  // recommendForAllUsers' deliberate blocked factor cross join; since
+  // r14 the rec executes inside the iterative-tuning wrapper's
+  // localCheckpoint, so the registered frame's plan is a checkpoint
+  // scan and the library-internal cartesian is no longer visible to
+  // this sweep — the algorithm itself is unchanged.)
+  private val allowlist = Map.empty[String, String]
 
   test("no registered query plans a CartesianProductExec") {
     // q_stream_* excluded for the same reason as WindowGuardSpec:

@@ -386,8 +386,9 @@ class Round19Spec extends SparkSpec {
     assert(df.count() > 0, "q2 returned no rows")
   }
 
-  test("predict_user_knn: both rankings ride the partial-heap top-k " +
-      "operator (neighbor cut + final top-N), no full window shuffle") {
+  test("predict_user_knn: the neighbor cut rides the partial-heap " +
+      "top-k operator and the final top-N folds locally per target " +
+      "(r14), no full window shuffle") {
     val df = graft.operators.CfOps.predictUserKnn(spark, sf)
     df.collect() // finalize adaptive plan
     val plan = df.queryExecution.executedPlan
@@ -409,8 +410,16 @@ class Round19Spec extends SparkSpec {
     val partials = collectAll(plan) {
       case p: graft.plans.PartialTopKPerKeyExec => p
     }
-    assert(partials.size >= 2,
-      s"expected map-side heaps for BOTH rankings, got ${partials.size}:\n$plan")
+    // r14: the FINAL top-N no longer reaches an exchange at all — the
+    // per-target fold ranks locally inside MapGroups — so exactly the
+    // neighbor cut's map-side heap remains.
+    assert(partials.size >= 1,
+      s"expected the neighbor-cut map-side heap, got ${partials.size}:\n$plan")
+    val folds = collectAll(plan) {
+      case m: org.apache.spark.sql.execution.MapGroupsExec => m
+    }
+    assert(folds.nonEmpty,
+      s"expected the per-target local fold (MapGroups):\n$plan")
     // the only Window left is the cached itemCappedRatings cut (per-
     // item cap, group-limit-bounded); neither ranking may plan one
     val rankWindows = collectAll(plan) {

@@ -19,16 +19,11 @@ import org.scalatest.BeforeAndAfterAll
   *     row-for-row on the sf0.001 fixture (the DuckDB oracle pins the
   *     same thing externally at sf0.01/sf0.001).
   */
-class Round21Spec extends AnyFunSuite with BeforeAndAfterAll {
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-  private val sfDir = "/root/testdata/sf0.001"
-
-  override def afterAll(): Unit = spark.stop()
+class Round21Spec extends SparkSpec {
+  // SparkSpec: the SHARED suite session — an owned session stopped in
+  // afterAll kills the JVM-wide session under later suites (observed:
+  // GraftSpec's cache-clear NPE'd on the stopped driver endpoint).
+  private val sfDir = sf
 
   private val probes: Seq[Double] = Seq(
     0.0, 1.0, -1.0, 2.675, -2.675, 3.3883295, 67.76659 / 20,
