@@ -17,6 +17,13 @@ import org.apache.spark.sql.SparkSession
   * note). This is the same per-query sizing decision the streaming
   * harness documents. */
 object IterativeTuning {
+  /** CONCURRENCY CONSTRAINT (r13 ADVICE): this mutates session-global
+    * confs for the duration of `body`, so any query COMPILED
+    * concurrently in the same session during the window silently plans
+    * under the iterative tuning. Fine while the harness is strictly
+    * sequential (Bench/Verify/tests all are); a concurrent caller
+    * would need a cloned session or SQLConf.withExistingConf scoping
+    * instead. */
   def withSmallIterative[T](spark: SparkSession,
       partitions: Int = 8)(body: => T): T = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -59,16 +59,19 @@ object GraphOps {
   private[graft] val cache = new graft.engine.DfCache
 
   /** Undirected edge list (both directions) from the capped user–user
-    * cosine pairs — cached across the graph keys of a sweep. */
-  private def edges(spark: SparkSession, sfDir: String): DataFrame =
-    cache(spark, sfDir, "graphEdges") {
-      import spark.implicits._
-      val pairs = CfOps.userSimPairs(spark, sfDir)
-        .select($"user_a", $"user_b")
-      pairs.union(
-        pairs.select($"user_b".as("user_a"), $"user_a".as("user_b")))
-        .toDF("src", "dst")
-    }
+    * cosine pairs. NOT separately cached (r14, from the r13 ADVICE):
+    * its only consumer is [[edgesBySrc]]'s one-shot build, so a
+    * persisted copy here just held a redundant full edge table in
+    * executor storage for the whole session next to the partitioned
+    * cache; the union itself reads the already-cached userSimPairs. */
+  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = CfOps.userSimPairs(spark, sfDir)
+      .select($"user_a", $"user_b")
+    pairs.union(
+      pairs.select($"user_b".as("user_a"), $"user_a".as("user_b")))
+      .toDF("src", "dst")
+  }
 
   /** [[edges]] hash-partitioned by `src` and cached — the static side
     * of every per-round join in this family. The round-13 stage
