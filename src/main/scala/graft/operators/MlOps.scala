@@ -216,7 +216,15 @@ object MlOps {
   def mlSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Udfs.rnd6
-    val cent = kmCentroids(spark, sfDir)
+    // pin the fitted codebook (K rows) HERE only: silhouette references
+    // it twice (assignment + the other-centroid broadcast), and the
+    // loop builds one growing lazy plan, so unpinned it paid the full
+    // k-means fit twice per execution (r14 stage profile: duplicated
+    // 1-task stage pairs). Pinning inside kmCentroids instead measured
+    // a regression on single-consumer q_ml_kmeans (0.66 -> 1.29 s):
+    // the checkpoint there serializes a chain Catalyst otherwise
+    // prunes/fuses into the one-pass plan.
+    val cent = kmCentroids(spark, sfDir).localCheckpoint(true)
     val af = kmAssign(kmVecs(spark, sfDir), cent)
     val dOther =
       """CAST(CAST(aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
